@@ -1,38 +1,166 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship daily-KPI query at sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the correctness gate.
+
+Numeric discipline: every float aggregate is an exact DECIMAL sum cast to
+double, and every ratio is double division of those deterministic doubles
+(see smartdatapipeline_spark/functions/numeric.py) — bit-identical between
+Spark and DuckDB with no rounding tricks.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.functions import numeric as N
+from smartdatapipeline_spark.operators import kpi as K
+from smartdatapipeline_spark.operators import metrics as M
+from smartdatapipeline_spark.session import read_events
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet mapped to the silver clean_events shape
+    (FIXTURES.md F3): event_type → metric, user_id → distinct field."""
+    return read_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3: daily KPI group-by with exact distinct user count."""
+    ev = _events(spark, sf_dir)
+    return K.run_daily_kpis(
+        ev, metric_col="event_type", distinct_field="user_id", source_col=None
+    )
+
+
+def q_kpi_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: half-open UTC event-time window + metric filter, then A1."""
+    ev = _events(spark, sf_dir)
+    return K.run_daily_kpis(
+        ev,
+        start_date="2024-01-05",
+        end_date="2024-01-20",
+        metric_name="purchase",
+        metric_col="event_type",
+        source_col=None,
+    )
+
+
+def q_metric_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distinct metric names sorted ascending."""
+    return K.metric_names(_events(spark, sf_dir), metric_col="event_type")
+
+
+def q_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7: ingest stats (count, ts min/max, metrics seen)."""
+    return K.ingest_stats(_events(spark, sf_dir), metric_col="event_type")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary over lineitem — the relational
+    aggregate stress query for bench (scan + filter + 2-key hash agg)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    n = F.count(F.lit(1))
+    # 2-decimal inputs ⇒ products exact at 4/6 decimals; decimal sums are
+    # exact and order-independent (see functions/numeric.py)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            N.dsum("l_quantity", scale=2).alias("sum_qty"),
+            N.dsum("l_extendedprice", scale=2).alias("sum_base_price"),
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "sum_disc_price"
+            ),
+            N.dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                scale=6,
+            ).alias("sum_charge"),
+            (N.dsum("l_quantity", scale=2) / n).alias("avg_qty"),
+            (N.dsum("l_extendedprice", scale=2) / n).alias("avg_price"),
+            (N.dsum("l_discount", scale=2) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "kpi_daily": q_kpi_daily,
+        "kpi_daily_window": q_kpi_daily_window,
+        "metric_names": q_metric_names,
+        "ingest_stats": q_ingest_stats,
+        "pricing_summary": q_pricing_summary,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "kpi_daily": """
+            SELECT CAST(ts AS DATE) AS metric_date,
+                   event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       / NULLIF(COUNT(*), 0) AS value_avg,
+                   COUNT(*) AS value_count,
+                   COUNT(DISTINCT user_id) AS value_distinct
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "kpi_daily_window": """
+            SELECT CAST(ts AS DATE) AS metric_date,
+                   event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       / NULLIF(COUNT(*), 0) AS value_avg,
+                   COUNT(*) AS value_count
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts < TIMESTAMP '2024-01-21 00:00:00'
+              AND event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
+        "metric_names": """
+            SELECT DISTINCT event_type AS metric FROM events ORDER BY metric
+        """,
+        "ingest_stats": """
+            SELECT COUNT(*) AS ingested,
+                   MIN(ts) AS min_ts,
+                   MAX(ts) AS max_ts,
+                   COUNT(DISTINCT event_type) AS metrics_seen,
+                   MIN(event_type) AS first_metric
+            FROM events
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q_kpi_daily(spark, SF0001)

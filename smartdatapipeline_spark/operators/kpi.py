@@ -1,0 +1,142 @@
+"""Daily KPI aggregation — the engine's core operator (SURVEY §2.4 A1–A6).
+
+Reference semantics (backend/app/services/kpi.py:13-232, routers/kpi.py:53-121):
+
+- Group clean events by (UTC calendar day of ts, source_id, metric).
+- Aggregates: SUM(value), AVG(value), COUNT(*), optional COUNT(DISTINCT f).
+- AVG is defined as ``value_sum / NULLIF(value_count, 0)`` and is recomputed
+  the same way at read time (services/metrics_calc.py:39-42) — we keep the
+  stored and derived definitions identical.
+- Date window filter is half-open in event time:
+  ``ts >= floor(start) AND ts < floor(end) + 1 day`` (UTC)
+  (services/kpi.py:10-11,37-38) — an *inclusive* end **date** becomes an
+  *exclusive* next-midnight timestamp bound.
+- COUNT(DISTINCT ...) is exact (tests assert equality with row counts:
+  tests/kpi_metrics_engine/test_kpi_variants.py:66-85) — never
+  approx_count_distinct.
+
+Spark shape: one declarative ``groupBy().agg()``. Catalyst plans it as
+partial (map-side) + final hash aggregation with whole-stage codegen; the
+only shuffle is on the group keys, which is the theoretical minimum. The
+half-open ts filter is pushed down to the parquet scan, and at 100 TB a
+gold table partitioned by metric_date turns the same predicate into
+partition pruning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def day_window_filter(
+    ts_col: Column,
+    start_date: dt.date | str | None = None,
+    end_date: dt.date | str | None = None,
+) -> Column:
+    """Half-open UTC event-time predicate (reference services/kpi.py:10-11,37-38).
+
+    ``start``/``end`` are calendar dates; the filter is
+    ``ts >= start 00:00 UTC  AND  ts < (end + 1 day) 00:00 UTC``.
+    """
+    cond = F.lit(True)
+    if start_date is not None:
+        cond = cond & (ts_col >= F.to_timestamp(F.lit(str(start_date))))
+    if end_date is not None:
+        cond = cond & (
+            ts_col < F.to_timestamp(F.date_add(F.to_date(F.lit(str(end_date))), 1))
+        )
+    return cond
+
+
+def run_daily_kpis(
+    events: DataFrame,
+    start_date: dt.date | str | None = None,
+    end_date: dt.date | str | None = None,
+    metric_name: str | None = None,
+    source_id: int | None = None,
+    distinct_field: str | None = None,
+    ts_col: str = "ts",
+    metric_col: str = "metric",
+    value_col: str = "value",
+    source_col: str | None = "source_id",
+) -> DataFrame:
+    """The daily KPI group-by (reference services/kpi.py:13-232).
+
+    Returns ``(metric_date, [source_id,] metric, value_sum, value_avg,
+    value_count[, value_distinct])``. Column names follow the reference's
+    ``metric_daily`` table (models/metric_daily.py:6-26).
+    """
+    df = events
+    df = df.filter(day_window_filter(F.col(ts_col), start_date, end_date))
+    if metric_name is not None:
+        df = df.filter(F.col(metric_col) == metric_name)
+    if source_id is not None and source_col is not None:
+        df = df.filter(F.col(source_col) == source_id)
+
+    keys = [F.to_date(F.col(ts_col)).alias("metric_date")]
+    if source_col is not None and source_col in events.columns:
+        keys.append(F.col(source_col))
+    keys.append(F.col(metric_col).alias("metric"))
+
+    # Exact decimal aggregation (reference stores Numeric(18,4):
+    # models/metric_daily.py:10-16) — order-independent and therefore
+    # deterministic across engines/retries; see functions/numeric.py.
+    sum_dec = F.sum(F.col(value_col).cast("decimal(28,4)")).cast("double")
+    aggs = [
+        sum_dec.alias("value_sum"),
+        # AVG := sum / NULLIF(count, 0)  (reference routers/kpi.py:132-139)
+        (sum_dec / F.nullif(F.count(F.lit(1)), F.lit(0))).alias("value_avg"),
+        F.count(F.lit(1)).alias("value_count"),
+    ]
+    if distinct_field is not None:
+        # exact distinct — reference tests assert equality with row counts
+        aggs.append(F.countDistinct(F.col(distinct_field)).alias("value_distinct"))
+
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def ts_minmax(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """MIN(ts)/MAX(ts) window-default scan (reference services/kpi.py:26-35).
+
+    Parquet footer statistics answer this without reading data pages when
+    aggregate pushdown applies — O(#files), not O(rows), at any scale.
+    """
+    return events.agg(
+        F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")
+    )
+
+
+def ingest_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Ingest-run stats aggregation (reference services/ingestion.py:249-286).
+
+    ingested count, ts min/max, distinct metrics seen, first metric
+    (alphabetical stand-in for arrival order, which Spark does not define).
+    """
+    return events.agg(
+        F.count(F.lit(1)).alias("ingested"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+        F.countDistinct(F.col(metric_col)).alias("metrics_seen"),
+        F.min(metric_col).alias("first_metric"),
+    )
+
+
+def metric_names(
+    events: DataFrame,
+    metric_col: str = "metric",
+    source_id: int | None = None,
+    source_col: str = "source_id",
+) -> DataFrame:
+    """Distinct metric names sorted ascending (reference
+    services/metrics_fetch.py:118-141)."""
+    df = events
+    if source_id is not None and source_col in df.columns:
+        df = df.filter(F.col(source_col) == source_id)
+    return df.select(F.col(metric_col).alias("metric")).distinct().orderBy("metric")

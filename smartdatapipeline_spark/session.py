@@ -1,0 +1,107 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these configs are what we would ship on a 1000-executor
+cluster reading ~100 TB; only ``master`` and the shuffle-partition count
+are local-mode artifacts (on a real cluster, leave ``master`` to the
+submitter and let AQE coalesce choose reducer counts).
+
+- AQE on: runtime re-planning, skew-join splitting, partition coalescing.
+- Arrow on: every pandas-UDF boundary is Arrow-batched, never per-row.
+- Session timezone pinned to UTC: the reference normalizes all timestamps
+  to UTC at ingest (reference services/ingestion.py:118-125); pinning the
+  session TZ makes ``to_date(ts)`` mean "UTC calendar day" everywhere and
+  keeps results machine-independent.
+- Broadcast threshold left at default (10 MB): dimension tables (sources,
+  nation, region ...) broadcast automatically; we still mark explicit
+  ``broadcast()`` hints at join sites where the dimension is known-small
+  regardless of stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "smartdatapipeline-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard configs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # testdata events.parquet uses TIMESTAMP(NANOS); Spark has no ns
+        # type, so read as long and convert with `ts DIV 1000` (truncation,
+        # matching DuckDB's ns→us read behavior). See read_events().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read events.parquet, converting its TIMESTAMP(NANOS) column to a
+    Spark microsecond timestamp via integer division (lossless w.r.t. the
+    DuckDB oracle, which also truncates ns→us on read).
+
+    Integer ``DIV`` is load-bearing: float division of ~1.7e18 ns values
+    exceeds double's 53-bit mantissa and corrupts low-order digits.
+    """
+    from pyspark.sql import functions as F
+
+    # runtime-settable; needed when the caller's session (e.g. the driver's)
+    # was not built by get_spark(). UTC pin keeps to_date(ts) = UTC calendar
+    # day regardless of host timezone (core reference semantic).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load every testdata table in ``sf_dir`` as a DataFrame dict.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps full pushdown/pruning
+    freedom; nothing is cached here (callers cache hot gold tables).
+    """
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            out[n] = read_events(spark, sf_dir) if n == "events" else spark.read.parquet(path)
+    return out

@@ -1,0 +1,74 @@
+"""Golden-value tests for the daily KPI operator, mirroring the
+reference's engine tests (tests/kpi_metrics_engine/test_kpi.py:36-68,
+test_kpi_variants.py:66-85)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from smartdatapipeline_spark.operators import kpi as K
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [Row(source_id=r[0], ts=r[1], metric=r[2], value=float(r[3]), rid=i)
+         for i, r in enumerate(rows)]
+    )
+
+
+def test_kpi_golden_sum_avg_count(spark):
+    """Reference golden: 3 rows 10/20/30 yesterday + 40 today ⇒
+    yesterday sum=60 avg=20 count=3 (test_kpi.py:36-68)."""
+    y = dt.datetime(2025, 1, 1, 10, 0)
+    t = dt.datetime(2025, 1, 2, 9, 0)
+    ev = _mk_events(
+        spark,
+        [(1, y, "m", 10), (1, y.replace(hour=11), "m", 20),
+         (1, y.replace(hour=12), "m", 30), (1, t, "m", 40)],
+    )
+    out = {r["metric_date"]: r for r in K.run_daily_kpis(ev).collect()}
+    assert out[dt.date(2025, 1, 1)]["value_sum"] == 60.0
+    assert out[dt.date(2025, 1, 1)]["value_avg"] == 20.0
+    assert out[dt.date(2025, 1, 1)]["value_count"] == 3
+    assert out[dt.date(2025, 1, 2)]["value_sum"] == 40.0
+
+
+def test_kpi_distinct_equals_count_for_unique_field(spark):
+    """distinct(id) == count per day when ids are unique
+    (test_kpi_variants.py:66-85)."""
+    base = dt.datetime(2025, 3, 1)
+    rows = [(1, base + dt.timedelta(minutes=i), "m", 1.0) for i in range(10)]
+    ev = _mk_events(spark, rows)
+    out = K.run_daily_kpis(ev, distinct_field="rid").collect()
+    assert len(out) == 1
+    assert out[0]["value_distinct"] == out[0]["value_count"] == 10
+
+
+def test_half_open_window_excludes_next_day(spark):
+    """end_date is an inclusive date ⇒ exclusive next-midnight ts bound
+    (reference services/kpi.py:10-11,37-38)."""
+    ev = _mk_events(
+        spark,
+        [(1, dt.datetime(2025, 1, 1, 23, 59, 59), "m", 1),
+         (1, dt.datetime(2025, 1, 2, 0, 0, 0), "m", 1)],
+    )
+    out = K.run_daily_kpis(ev, start_date="2025-01-01", end_date="2025-01-01").collect()
+    assert len(out) == 1 and out[0]["value_count"] == 1
+
+
+def test_avg_is_sum_over_nullif_count(spark):
+    ev = _mk_events(spark, [(1, dt.datetime(2025, 1, 1), "m", 7)])
+    row = K.run_daily_kpis(ev).collect()[0]
+    assert row["value_avg"] == row["value_sum"] / row["value_count"]
+
+
+def test_metric_names_sorted(spark):
+    ev = _mk_events(
+        spark,
+        [(1, dt.datetime(2025, 1, 1), "b", 1), (1, dt.datetime(2025, 1, 1), "a", 1),
+         (1, dt.datetime(2025, 1, 2), "b", 2)],
+    )
+    names = [r["metric"] for r in K.metric_names(ev).collect()]
+    assert names == ["a", "b"]

@@ -1,0 +1,108 @@
+"""Mini-driver: run every ``queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at a given sf dir, compare row count,
+schema arity, and order-insensitive values (columns sorted by name,
+rows sorted by all columns) — a local stand-in for CORRECTNESS_r{N}.json.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify everything so timestamp/date/decimal representations unify
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            # full precision: the engine's numeric discipline targets
+            # bit-identical floats, so compare at 17 significant digits
+            out[c] = col.map(lambda v: "null" if pd.isna(v) else f"{v:.17g}")
+        elif pd.api.types.is_datetime64_any_dtype(col):
+            out[c] = col.astype("datetime64[us]").astype(str)
+        else:
+            out[c] = col.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from smartdatapipeline_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check) [{t_spark:.1f}s]")
+            if len(sdf) == 0:
+                failures.append(name)
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        ns, no = normalize(sdf), normalize(odf)
+        if len(ns) != len(no):
+            print(f"FAIL {name}: rowcount spark={len(ns)} duckdb={len(no)}")
+            failures.append(name)
+            continue
+        if list(ns.columns) != list(no.columns):
+            print(f"FAIL {name}: columns spark={list(ns.columns)} duckdb={list(no.columns)}")
+            failures.append(name)
+            continue
+        if not ns.equals(no):
+            neq = (ns != no).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(ns)} rows differ; first:")
+            idx = neq[neq].index[0]
+            print("  spark :", ns.loc[idx].to_dict())
+            print("  duckdb:", no.loc[idx].to_dict())
+            failures.append(name)
+            continue
+        print(f"PASS {name}: rows={len(ns)} [{t_spark:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
