@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions import numeric as N
+from smartdatapipeline_spark.operators import anomaly as A
 from smartdatapipeline_spark.operators import kpi as K
 from smartdatapipeline_spark.operators import metrics as M
 from smartdatapipeline_spark.session import read_events
@@ -96,6 +97,61 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gold series per metric: (metric_date, metric, value) where
+    value = daily value_sum — the anomaly/forecast input shape (F4)."""
+    ev = _events(spark, sf_dir)
+    g = K.run_daily_kpis(ev, metric_col="event_type", source_col=None)
+    return g.select("metric_date", "metric", F.col("value_sum").alias("value"))
+
+
+#: DuckDB CTE mirroring _gold() — prefix for the window-function oracles
+_GOLD_CTE = """
+    WITH gold AS (
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+#: shared frame-stat projections (decimal-exact, mirrors anomaly._frame_stats)
+def _stats_cte(preceding: int, following: str = "1 PRECEDING") -> str:
+    return f"""
+    , stats AS (
+        SELECT metric, metric_date, value,
+               (ROW_NUMBER() OVER (PARTITION BY metric ORDER BY metric_date) - 1) AS pos,
+               COUNT(value) OVER f AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER f AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,4))) OVER f AS DOUBLE) AS sq
+        FROM gold
+        WINDOW f AS (PARTITION BY metric ORDER BY metric_date
+                     ROWS BETWEEN {preceding} PRECEDING AND {following})
+    )
+    """
+
+
+def q_rolling_zscore_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: strict prior-window z-score (window=7, pstdev, all-present gate)."""
+    return A.rolling_zscore_strict(_gold(spark, sf_dir), window=7, z_thresh=3.0)
+
+
+def q_rolling_zscore_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: public-API rolling z-score (window=7, ddof=1, flat-window 1e9)."""
+    return A.rolling_zscore_api(_gold(spark, sf_dir), window=7, z_thresh=3.0)
+
+
+def q_iforest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rolling 7-day mean/std(ddof=0)/diff feature block."""
+    return A.iforest_features(_gold(spark, sf_dir))
+
+
+def q_anomaly_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: IsolationForest ladder — with sklearn absent (this container),
+    the reference-specified rolling-z proxy is the live path."""
+    return A.anomaly_iforest(_gold(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -103,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_names": q_metric_names,
         "ingest_stats": q_ingest_stats,
         "pricing_summary": q_pricing_summary,
+        "rolling_zscore_strict": q_rolling_zscore_strict,
+        "rolling_zscore_api": q_rolling_zscore_api,
+        "iforest_features": q_iforest_features,
+        "anomaly_iforest": q_anomaly_iforest,
     }
 
 
@@ -157,6 +217,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "rolling_zscore_strict": _GOLD_CTE + _stats_cte(7) + """
+            , derived AS (
+                SELECT metric, metric_date, value, pos, n,
+                       s / n AS mu,
+                       CASE WHEN (sq - (s * s) / n) / n > 0
+                            THEN SQRT((sq - (s * s) / n) / n) ELSE 0.0 END AS sigma
+                FROM stats
+            )
+            SELECT metric, metric_date, value,
+                   CASE WHEN pos >= 7 AND n = 7 AND sigma > 0
+                        THEN (value - mu) / sigma END AS z,
+                   COALESCE(ABS(CASE WHEN pos >= 7 AND n = 7 AND sigma > 0
+                                     THEN (value - mu) / sigma END) >= 3.0,
+                            FALSE) AS is_anomaly
+            FROM derived
+        """,
+        "rolling_zscore_api": _GOLD_CTE + _stats_cte(7) + """
+            , derived AS (
+                SELECT metric, metric_date, value, n,
+                       s / n AS mu,
+                       CASE WHEN (sq - (s * s) / n) / (n - 1) > 0
+                            THEN SQRT((sq - (s * s) / n) / (n - 1)) ELSE 0.0 END AS sigma
+                FROM stats
+            )
+            SELECT metric, metric_date, value,
+                   CASE WHEN value IS NOT NULL AND n >= 2 AND sigma = 0 AND value != mu THEN 1e9
+                        WHEN value IS NOT NULL AND n >= 2 AND sigma = 0 THEN 0.0
+                        WHEN value IS NOT NULL AND n >= 2 THEN (value - mu) / sigma
+                   END AS z,
+                   CASE WHEN value IS NOT NULL AND n >= 2 AND sigma = 0 THEN value != mu
+                        WHEN value IS NOT NULL AND n >= 2
+                             THEN ABS((value - mu) / sigma) >= 3.0
+                        ELSE FALSE
+                   END AS is_outlier
+            FROM derived
+        """,
+        "iforest_features": _GOLD_CTE + _stats_cte(6, "CURRENT ROW") + """
+            SELECT metric, metric_date, value,
+                   s / n AS roll_mean_7,
+                   CASE WHEN (sq - (s * s) / n) / n > 0
+                        THEN SQRT((sq - (s * s) / n) / n) ELSE 0.0 END AS roll_std_7,
+                   COALESCE(value - LAG(value, 1) OVER
+                            (PARTITION BY metric ORDER BY metric_date), 0.0) AS diff_1
+            FROM stats
+        """,
+        "anomaly_iforest": _GOLD_CTE + _stats_cte(7) + """
+            , derived AS (
+                SELECT metric, metric_date, value, n,
+                       s / n AS mu,
+                       CASE WHEN (sq - (s * s) / n) / n > 0
+                            THEN SQRT((sq - (s * s) / n) / n) ELSE 0.0 END AS sd
+                FROM stats
+            )
+            SELECT metric, metric_date, value,
+                   CASE WHEN n >= 7 AND sd = 0 THEN 0.0
+                        WHEN n >= 7 THEN (value - mu) / sd
+                   END AS score,
+                   CASE WHEN n >= 7 AND sd = 0 THEN value != mu
+                        WHEN n >= 7 THEN ABS((value - mu) / sd) >= 3.0
+                        ELSE FALSE
+                   END AS is_outlier
+            FROM derived
         """,
     }
 

@@ -1,0 +1,298 @@
+"""Rolling-window anomaly detection (SURVEY §2.5 W1–W3, §2.6 M6).
+
+Two deliberately-different z-score semantics exist in the reference and
+both are preserved (SURVEY §7.4 risk 1):
+
+- **strict** (W1, reference services/anomaly.py:90-114): prior ``window``
+  rows must ALL be non-null finite; population stddev; σ=0 ⇒ z=NULL.
+- **api** (W2, reference routers/metrics.py:228-256): prior window of
+  *non-null* values, needs ≥ 2; sample stddev (ddof=1); σ=0 ⇒ outlier iff
+  v ≠ μ with z = +1e9 (sign-independent sentinel, routers/metrics.py:243-246),
+  else z=0.
+
+Everything is Spark window functions over ``(source, metric)`` partitions
+ordered by date — no UDFs, fully whole-stage-codegen'd, and
+embarrassingly parallel across series at 100 TB (each partition's frames
+are computed within one task after a single shuffle on the partition
+keys).
+
+Numeric discipline: frame statistics are exact DECIMAL sums (values and
+squares), converted to double once, with μ/σ derived by IEEE double
+arithmetic — identical on any engine evaluating the same formula (see
+functions/numeric.py). σ uses the algebraic form
+``(Σx² − (Σx)²/n) / ddof`` rather than re-walking deviations; for exact
+decimal inputs the sums are exact, so this is as accurate as the two-pass
+form and engine-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: flat-window sentinel (reference routers/metrics.py:205-211)
+Z_CLAMP = 1e9
+
+
+def _finite(c: Column) -> Column:
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != float("inf"))
+
+
+def _frame_stats(value: Column, win, scale: int = 2):
+    """count / Σx / Σx² over a window frame, decimal-exact.
+
+    Returns (n, sum, sumsq) with sum/sumsq as deterministic doubles.
+    ``scale`` must be the TRUE decimal exactness of the input (gold
+    ``value_sum`` is 2-decimal money); squares are then exact at 2·scale.
+    Do not over-scale: a cast at a finer scale than the data faithfully
+    preserves each engine's per-row float noise instead of snapping it
+    away (Spark casts via shortest-string repr, DuckDB via exact binary
+    rounding — they agree only when 10^-scale dwarfs the double's ulp).
+    """
+    n = F.count(value).over(win)
+    s = F.sum(value.cast(f"decimal(38,{scale})")).over(win).cast("double")
+    sq = F.sum((value * value).cast(f"decimal(38,{2 * scale})")).over(win).cast("double")
+    return n, s, sq
+
+
+def rolling_zscore_strict(
+    df: DataFrame,
+    window: int = 30,
+    z_thresh: float = 3.0,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """W1 — strict prior-window z-score (reference services/anomaly.py:90-114).
+
+    z is NULL unless the previous ``window`` rows are all non-null finite
+    and their population stddev is > 0. ``is_anomaly`` = |z| ≥ z_thresh.
+    """
+    v = F.col(value_col)
+    win = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(date_col)
+        .rowsBetween(-window, -1)
+    )
+    # row position guard: i >= window (positions are 0-indexed)
+    pos = F.row_number().over(Window.partitionBy(*partition_cols).orderBy(date_col)) - 1
+    n_finite = F.sum(F.when(_finite(v), 1).otherwise(0)).over(win)
+    n, s, sq = _frame_stats(v, win)
+
+    mu = s / n
+    var_pop = (sq - (s * s) / n) / n  # pstdev
+    sigma = F.when(var_pop > 0, F.sqrt(var_pop)).otherwise(F.lit(0.0))
+
+    z = F.when(
+        (pos >= window)
+        & (n_finite == window)
+        & (n == window)  # all prior rows present AND non-null
+        & (sigma > 0)
+        & _finite(v),
+        (v - mu) / sigma,
+    )
+    return df.withColumn("z", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) >= z_thresh, F.lit(False))
+    )
+
+
+def rolling_zscore_api(
+    df: DataFrame,
+    window: int = 7,
+    z_thresh: float = 3.0,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """W2 — public-API rolling z-score (reference routers/metrics.py:228-256).
+
+    Frame = previous ``window`` rows' non-null values, ≥ 2 required;
+    sample stddev (ddof=1). Flat window (σ=0): outlier iff v ≠ μ with
+    z = +1e9 sentinel, else z = 0. Every input row is returned.
+    """
+    v = F.col(value_col)
+    win = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(date_col)
+        .rowsBetween(-window, -1)
+    )
+    n, s, sq = _frame_stats(v, win)  # count(value) skips NULLs, as reference does
+
+    mu = s / n
+    var = (sq - (s * s) / n) / (n - 1)
+    sigma = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+
+    eligible = v.isNotNull() & (n >= 2)
+    flat = eligible & (sigma == 0)
+    z = (
+        F.when(flat & (v != mu), F.lit(Z_CLAMP))
+        .when(flat, F.lit(0.0))
+        .when(eligible, (v - mu) / sigma)
+    )
+    # clamp any ±inf from extreme ratios (reference _clamp_finite)
+    z = F.when(z == float("inf"), F.lit(Z_CLAMP)).when(
+        z == float("-inf"), F.lit(-Z_CLAMP)
+    ).otherwise(z)
+    is_outlier = (
+        F.when(flat, v != mu)
+        .when(eligible, F.abs(z) >= z_thresh)
+        .otherwise(F.lit(False))
+    )
+    return df.withColumn("z", z).withColumn("is_outlier", is_outlier)
+
+
+def iforest_features(
+    df: DataFrame,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """W3 — rolling 7-day feature block (reference services/anomaly_iforest.py:13-23):
+    ``rolling(7, min_periods=1).mean()``, ``.std(ddof=0)`` (0 for a single
+    row), and ``diff(1)`` with first-row 0."""
+    v = F.col(value_col)
+    win = Window.partitionBy(*partition_cols).orderBy(date_col).rowsBetween(-6, 0)
+    seq = Window.partitionBy(*partition_cols).orderBy(date_col)
+    n, s, sq = _frame_stats(v, win)
+    mean7 = s / n
+    var0 = (sq - (s * s) / n) / n
+    std7 = F.when(var0 > 0, F.sqrt(var0)).otherwise(F.lit(0.0))
+    diff1 = F.coalesce(v - F.lag(v, 1).over(seq), F.lit(0.0))
+    return (
+        df.withColumn("roll_mean_7", mean7)
+        .withColumn("roll_std_7", std7)
+        .withColumn("diff_1", diff1)
+    )
+
+
+def anomaly_iforest(
+    df: DataFrame,
+    contamination: float = 0.05,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M6 — Isolation Forest per series with the reference's exact
+    degradation ladder (reference routers/anomaly_iforest.py:36-167):
+
+    1. < 5 finite values in a series ⇒ all-inlier, score NULL
+       ("insufficient_data", :79-93).
+    2. sklearn available ⇒ ``IsolationForest(contamination, n_estimators=200,
+       random_state=42)`` on the 1-D daily value, NaN filled with the
+       series' finite mean — fitted per (source, metric) group inside
+       ``applyInPandas`` (each daily series is small by construction).
+    3. sklearn missing ⇒ rolling-z proxy over the last 7 *non-null*
+       values (not rows), pstdev, z_thresh 3; σ=0 ⇒ outlier iff v ≠ μ
+       with z=0.0 (:127-154 — note the fallback reports z=0.0, unlike W2's
+       1e9 sentinel).
+
+    Output: input columns + ``is_outlier`` boolean, ``score`` double.
+    """
+    try:
+        import sklearn  # noqa: F401
+
+        return _iforest_sklearn(
+            df, contamination, partition_cols, date_col, value_col
+        )
+    except ImportError:
+        return _iforest_fallback_rolling_z(df, partition_cols, date_col, value_col)
+
+
+def _iforest_fallback_rolling_z(
+    df: DataFrame,
+    partition_cols: tuple[str, ...],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Rolling-z proxy over the last 7 preceding NON-NULL values
+    (reference routers/anomaly_iforest.py:127-154). The reference's
+    ``history`` list skips nulls, so the frame is defined on the
+    null-filtered subsequence; we reproduce that by framing over
+    non-null rows and null-extending afterwards."""
+    v = F.col(value_col)
+    window, z_thresh = 7, 3.0
+
+    nn = df.filter(v.isNotNull())
+    win = Window.partitionBy(*partition_cols).orderBy(date_col).rowsBetween(-window, -1)
+    n, s, sq = _frame_stats(v, win)
+    mu = s / n
+    var_pop = (sq - (s * s) / n) / n
+    sd = F.when(var_pop > 0, F.sqrt(var_pop)).otherwise(F.lit(0.0))
+
+    ready = n >= window
+    flat = ready & (sd == 0)
+    z = (
+        F.when(flat, F.lit(0.0))
+        .when(ready, (v - mu) / sd)
+    )
+    is_outlier = (
+        F.when(flat, v != mu)
+        .when(ready, F.abs(z) >= z_thresh)
+        .otherwise(F.lit(False))
+    )
+    # series with < 5 finite values: all-inlier, score NULL (:79-93)
+    cnt_win = Window.partitionBy(*partition_cols)
+    n_finite_total = F.sum(F.when(_finite(v), 1).otherwise(0)).over(cnt_win)
+    scored = (
+        nn.withColumn("score", z)
+        .withColumn("is_outlier", is_outlier)
+        .withColumn("_nft", n_finite_total)
+        .withColumn(
+            "score", F.when(F.col("_nft") < 5, F.lit(None)).otherwise(F.col("score"))
+        )
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("_nft") < 5, F.lit(False)).otherwise(F.col("is_outlier")),
+        )
+        .drop("_nft")
+    )
+    nulls = df.filter(v.isNull()).withColumn(
+        "score", F.lit(None).cast("double")
+    ).withColumn("is_outlier", F.lit(False))
+    return scored.unionByName(nulls)
+
+
+def _iforest_sklearn(
+    df: DataFrame,
+    contamination: float,
+    partition_cols: tuple[str, ...],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Grouped-map fit: one IsolationForest per (source, metric) series —
+    the idiomatic Spark shape for many small independent models. Each
+    group is one pandas DataFrame in one task; thousands of series train
+    in parallel across the cluster."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("is_outlier", T.BooleanType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from sklearn.ensemble import IsolationForest
+
+        pdf = pdf.sort_values(date_col).reset_index(drop=True)
+        vals = pdf[value_col].astype(float).to_numpy()
+        finite = np.isfinite(vals)
+        if finite.sum() < 5:
+            pdf["is_outlier"] = False
+            pdf["score"] = None
+            return pdf
+        x = vals.copy()
+        x[~finite] = float(np.nanmean(np.where(finite, vals, np.nan)))
+        model = IsolationForest(
+            contamination=contamination, n_estimators=200, random_state=42
+        )
+        model.fit(x.reshape(-1, 1))
+        pdf["is_outlier"] = model.predict(x.reshape(-1, 1)) == -1
+        pdf["score"] = model.decision_function(x.reshape(-1, 1))
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)

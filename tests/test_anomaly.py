@@ -1,0 +1,123 @@
+"""Golden tests for the dual z-score semantics and the iforest ladder —
+pinning the reference behaviors from FIXTURES.md F5 and SURVEY §7.4."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from smartdatapipeline_spark.operators import anomaly as A
+
+
+def _series(spark, values, metric="m"):
+    base = dt.date(2025, 1, 1)
+    return spark.createDataFrame(
+        [
+            Row(
+                metric_date=base + dt.timedelta(days=i),
+                metric=metric,
+                value=(float(v) if v is not None else None),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+
+
+def _by_date(rows):
+    return {r["metric_date"].isoformat(): r for r in rows}
+
+
+def test_w1_strict_flags_spike_and_gates_partial_windows(spark):
+    # 7 identical-variance points then a huge spike
+    vals = [10, 12, 11, 13, 10, 12, 11, 100]
+    out = _by_date(
+        A.rolling_zscore_strict(_series(spark, vals), window=7, z_thresh=3.0).collect()
+    )
+    # positions 0..6: fewer than window prior rows ⇒ z NULL
+    for i in range(7):
+        assert out[f"2025-01-0{i+1}"]["z"] is None
+        assert out[f"2025-01-0{i+1}"]["is_anomaly"] is False
+    spike = out["2025-01-08"]
+    assert spike["z"] is not None and abs(spike["z"]) >= 3.0
+    assert spike["is_anomaly"] is True
+
+
+def test_w1_null_in_window_disables_z(spark):
+    vals = [10, 12, None, 13, 10, 12, 11, 100]
+    out = _by_date(
+        A.rolling_zscore_strict(_series(spark, vals), window=7, z_thresh=3.0).collect()
+    )
+    # prior window of the last point contains a null ⇒ z stays NULL (W1 gate)
+    assert out["2025-01-08"]["z"] is None
+
+
+def test_w1_flat_window_sigma_zero_gives_null(spark):
+    vals = [5, 5, 5, 5, 5, 5, 5, 9]
+    out = _by_date(
+        A.rolling_zscore_strict(_series(spark, vals), window=7, z_thresh=3.0).collect()
+    )
+    assert out["2025-01-08"]["z"] is None
+    assert out["2025-01-08"]["is_anomaly"] is False
+
+
+def test_w2_flat_window_clamps_to_1e9_sign_independent(spark):
+    """Reference routers/metrics.py:243-246: flat window ⇒ z=+1e9 for ANY
+    deviation (even downward), 0.0 when equal."""
+    vals = [5, 5, 5, 1]  # deviating DOWN
+    out = _by_date(
+        A.rolling_zscore_api(_series(spark, vals), window=7, z_thresh=3.0).collect()
+    )
+    assert out["2025-01-04"]["z"] == 1e9  # positive sentinel despite v < mu
+    assert out["2025-01-04"]["is_outlier"] is True
+    vals_eq = [5, 5, 5, 5]
+    out_eq = _by_date(
+        A.rolling_zscore_api(_series(spark, vals_eq), window=7, z_thresh=3.0).collect()
+    )
+    assert out_eq["2025-01-04"]["z"] == 0.0
+    assert out_eq["2025-01-04"]["is_outlier"] is False
+
+
+def test_w2_needs_two_prior_nonnull(spark):
+    vals = [5, 7, 9]
+    out = _by_date(
+        A.rolling_zscore_api(_series(spark, vals), window=7, z_thresh=3.0).collect()
+    )
+    assert out["2025-01-01"]["z"] is None  # 0 prior
+    assert out["2025-01-02"]["z"] is None  # 1 prior
+    assert out["2025-01-03"]["z"] is not None  # 2 prior
+
+
+def test_w2_skips_nulls_in_window(spark):
+    """Window is [i-7, i) filtered to non-null; mean of {10, 20} = 15."""
+    vals = [10, None, 20, 15]
+    out = _by_date(
+        A.rolling_zscore_api(_series(spark, vals), window=7, z_thresh=3.0).collect()
+    )
+    r = out["2025-01-04"]
+    assert r["z"] == 0.0  # (15 - 15) / sd
+    assert r["is_outlier"] is False
+
+
+def test_w3_features_first_row(spark):
+    out = _by_date(A.iforest_features(_series(spark, [4, 6])).collect())
+    r0, r1 = out["2025-01-01"], out["2025-01-02"]
+    assert r0["roll_mean_7"] == 4.0 and r0["roll_std_7"] == 0.0 and r0["diff_1"] == 0.0
+    assert r1["roll_mean_7"] == 5.0 and r1["roll_std_7"] == 1.0 and r1["diff_1"] == 2.0
+
+
+def test_iforest_insufficient_data_all_inlier(spark):
+    """< 5 finite values ⇒ all-inlier, score NULL (routers/anomaly_iforest.py:79-93)."""
+    out = A.anomaly_iforest(_series(spark, [1, 2, 3, 4])).collect()
+    assert all(r["is_outlier"] is False for r in out)
+    assert all(r["score"] is None for r in out)
+
+
+def test_iforest_fallback_windows_over_nonnull_history(spark):
+    """The fallback's history skips nulls: 7 non-null points spread over 9
+    rows still arm the window for the 10th (routers/anomaly_iforest.py:137-141)."""
+    vals = [10, None, 12, 11, None, 13, 10, 12, 11, 100]
+    out = _by_date(A.anomaly_iforest(_series(spark, vals)).collect())
+    spike = out["2025-01-10"]
+    assert spike["is_outlier"] is True
+    assert spike["score"] is not None and abs(spike["score"]) >= 3.0
