@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions import numeric as N
 from smartdatapipeline_spark.operators import anomaly as A
+from smartdatapipeline_spark.operators import forecast as FC
 from smartdatapipeline_spark.operators import kpi as K
 from smartdatapipeline_spark.operators import metrics as M
 from smartdatapipeline_spark.session import read_events
@@ -152,6 +153,81 @@ def q_anomaly_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_iforest(_gold(spark, sf_dir))
 
 
+def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: daily gap fill — sparsify gold (drop low-sum days) then re-index
+    every calendar day per metric with 0.0 fills."""
+    sparse = _gold(spark, sf_dir).filter(F.col("value") > 2500.0)
+    return FC.fill_date_spine(sparse)
+
+
+def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2: 7-day forecast per metric. statsmodels is absent in this
+    container, so the reference's documented SARIMAX-unavailable path is
+    live: yhat = last value, bounds = 0.0 (services/forecast.py:57-66)."""
+    return FC.forecast(_gold(spark, sf_dir), horizon_days=7)
+
+
+def q_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: public contract — bounds widened to include yhat, 7 rows padded
+    forward with zeros, UTC-midnight Z strings. Input trimmed to 4 rows
+    per metric to exercise the pad path."""
+    from pyspark.sql import Window
+
+    fc = FC.forecast(_gold(spark, sf_dir), horizon_days=7)
+    w = Window.partitionBy("metric").orderBy("target_date")
+    short = fc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 4)
+    return FC.normalize_forecast_contract(short.drop("_rn"))
+
+
+def q_strictly_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: only target_date > last observed day, capped at 7 — fed a
+    deliberately overlapping ±10-day candidate set."""
+    gold = _gold(spark, sf_dir)
+    cand = (
+        gold.groupBy("metric")
+        .agg(F.max("metric_date").alias("_last"), F.max_by("value", "metric_date").alias("_v"))
+        .select(
+            "metric",
+            F.explode(
+                F.sequence(F.date_add(F.col("_last"), -2), F.date_add(F.col("_last"), 10))
+            ).alias("target_date"),
+            F.col("_v").alias("yhat"),
+            F.lit(0.0).alias("yhat_lower"),
+            F.lit(0.0).alias("yhat_upper"),
+        )
+    )
+    return FC.strictly_future(cand, gold)
+
+
+def q_persistence_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/M8: one-step persistence MAPE over the last 21 days per metric."""
+    return FC.persistence_mape(_gold(spark, sf_dir), window_n=20)
+
+
+def q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: rolling-origin backtest per-fold metrics (naive model)."""
+    folds, _ = FC.rolling_backtest(_gold(spark, sf_dir), folds=3, horizon=7, window_n=14)
+    return folds.select("metric", "fold_index", "mae", "rmse", "mape", "smape")
+
+
+def q_backtest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: backtest aggregate + 0-100 composite score."""
+    _, summary = FC.rolling_backtest(_gold(spark, sf_dir), folds=3, horizon=7, window_n=14)
+    return summary
+
+
+def q_reliability_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: reliability per-fold metrics (naive model, 1e-9 epsilons, bias)."""
+    folds, _ = FC.reliability(_gold(spark, sf_dir), days=30, folds=3, horizon=7)
+    return folds.select("metric", "fold_index", "mae", "rmse", "mape", "smape", "bias")
+
+
+def q_reliability_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: reliability score = int(clamp(100 − mape/2 − instability))."""
+    _, summary = FC.reliability(_gold(spark, sf_dir), days=30, folds=3, horizon=7)
+    return summary
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -163,6 +239,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore_api": q_rolling_zscore_api,
         "iforest_features": q_iforest_features,
         "anomaly_iforest": q_anomaly_iforest,
+        "date_spine_fill": q_date_spine_fill,
+        "forecast_naive": q_forecast_naive,
+        "forecast_contract": q_forecast_contract,
+        "strictly_future": q_strictly_future,
+        "persistence_mape": q_persistence_mape,
+        "backtest_folds": q_backtest_folds,
+        "backtest_summary": q_backtest_summary,
+        "reliability_folds": q_reliability_folds,
+        "reliability_summary": q_reliability_summary,
     }
 
 
@@ -281,7 +366,194 @@ def oracle_sql() -> dict[str, str]:
                    END AS is_outlier
             FROM derived
         """,
+        "date_spine_fill": _GOLD_CTE + """
+            , sparse AS (SELECT * FROM gold WHERE value > 2500.0),
+            bounds AS (SELECT metric, MIN(metric_date) AS d0, MAX(metric_date) AS d1
+                       FROM sparse GROUP BY metric),
+            spine AS (SELECT b.metric, b.d0 + CAST(t.k AS INTEGER) AS metric_date
+                      FROM bounds b CROSS JOIN generate_series(0, 1000) t(k)
+                      WHERE b.d0 + CAST(t.k AS INTEGER) <= b.d1)
+            SELECT sp.metric, sp.metric_date, COALESCE(g.value, 0.0) AS value
+            FROM spine sp LEFT JOIN sparse g USING (metric, metric_date)
+        """,
+        "forecast_naive": _GOLD_CTE + """
+            , per AS (
+                SELECT metric, MAX(metric_date) AS last_date,
+                       arg_max(value, metric_date) AS last_val,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS s
+                FROM gold GROUP BY metric)
+            SELECT metric,
+                   last_date + CAST(t.k AS INTEGER) AS target_date,
+                   CASE WHEN s = 0.0 THEN 0.0 ELSE last_val END AS yhat,
+                   CASE WHEN s = 0.0 THEN 0.0 WHEN n < 14 THEN last_val ELSE 0.0 END AS yhat_lower,
+                   CASE WHEN s = 0.0 THEN 0.0 WHEN n < 14 THEN last_val ELSE 0.0 END AS yhat_upper,
+                   'naive-0.1' AS model_version
+            FROM per CROSS JOIN generate_series(1, 7) t(k)
+        """,
+        "forecast_contract": _GOLD_CTE + """
+            , per AS (
+                SELECT metric, MAX(metric_date) AS last_date,
+                       arg_max(value, metric_date) AS last_val,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS s
+                FROM gold GROUP BY metric),
+            fc AS (
+                SELECT metric, last_date + CAST(t.k AS INTEGER) AS target_date,
+                       CASE WHEN s = 0.0 THEN 0.0 ELSE last_val END AS yhat,
+                       CASE WHEN s = 0.0 THEN 0.0 WHEN n < 14 THEN last_val ELSE 0.0 END AS lo,
+                       CASE WHEN s = 0.0 THEN 0.0 WHEN n < 14 THEN last_val ELSE 0.0 END AS hi
+                FROM per CROSS JOIN generate_series(1, 4) t(k)),
+            norm AS (
+                SELECT metric, target_date, yhat,
+                       LEAST(LEAST(lo, hi), yhat) AS yhat_lower,
+                       GREATEST(GREATEST(lo, hi), yhat) AS yhat_upper
+                FROM fc),
+            pad AS (
+                SELECT n.metric, MAX(n.target_date) + CAST(t.k AS INTEGER) AS target_date,
+                       0.0 AS yhat, 0.0 AS yhat_lower, 0.0 AS yhat_upper
+                FROM norm n CROSS JOIN generate_series(1, 3) t(k)
+                GROUP BY n.metric, t.k),
+            unioned AS (SELECT * FROM norm UNION ALL SELECT * FROM pad)
+            SELECT metric,
+                   strftime(target_date, '%Y-%m-%dT00:00:00Z') AS metric_date,
+                   strftime(target_date, '%Y-%m-%d') AS date,
+                   yhat, yhat_lower, yhat_upper
+            FROM unioned
+        """,
+        "strictly_future": _GOLD_CTE + """
+            , lastg AS (SELECT metric, MAX(metric_date) AS last_obs,
+                               arg_max(value, metric_date) AS v
+                        FROM gold GROUP BY metric)
+            SELECT metric, last_obs + CAST(t.k AS INTEGER) AS target_date,
+                   v AS yhat, 0.0 AS yhat_lower, 0.0 AS yhat_upper
+            FROM lastg CROSS JOIN generate_series(-2, 10) t(k)
+            WHERE t.k >= 1 AND t.k <= 7
+        """,
+        "persistence_mape": _GOLD_CTE + """
+            , tail AS (
+                SELECT metric, metric_date, value,
+                       ROW_NUMBER() OVER (PARTITION BY metric ORDER BY metric_date DESC) AS rd
+                FROM gold),
+            s AS (
+                SELECT metric, metric_date, value,
+                       LAG(value) OVER (PARTITION BY metric ORDER BY metric_date) AS pred
+                FROM tail WHERE rd <= 21),
+            t AS (SELECT metric, metric_date,
+                         ABS(value - pred) / GREATEST(ABS(value), 1e-6) AS term
+                  FROM s WHERE pred IS NOT NULL)
+            SELECT metric, 20 AS window_n,
+                   COALESCE(list_reduce(list(term ORDER BY metric_date), (x, y) -> x + y)
+                            / COUNT(*) * 100.0, 100.0) AS mape
+            FROM t GROUP BY metric
+        """,
+        "backtest_folds": _GOLD_CTE + _BACKTEST_CTE + """
+            SELECT metric, fold_index, mae, rmse, mape, smape FROM fold_m
+        """,
+        "backtest_summary": _GOLD_CTE + _BACKTEST_CTE + """
+            , avgs AS (
+                SELECT metric, COUNT(*) AS folds,
+                       list_reduce(list(mae ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS avg_mae,
+                       list_reduce(list(rmse ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS avg_rmse,
+                       list_reduce(list(mape ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS avg_mape,
+                       list_reduce(list(smape ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS avg_smape
+                FROM fold_m GROUP BY metric)
+            SELECT metric, folds, avg_mae, avg_rmse, avg_mape, avg_smape,
+                   GREATEST(0.0, LEAST(100.0, 100.0 - (avg_mape + avg_smape) / 2.0)) AS score
+            FROM avgs
+        """,
+        "reliability_folds": _GOLD_CTE + _RELIABILITY_CTE + """
+            SELECT metric, fold_index, mae, rmse, mape, smape, bias FROM fold_m
+        """,
+        "reliability_summary": _GOLD_CTE + _RELIABILITY_CTE + """
+            , avgs AS (
+                SELECT metric, COUNT(*) AS folds,
+                       list_reduce(list(mape ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS mape_agg,
+                       list_reduce(list(rmse ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS rmse_agg,
+                       list_reduce(list(smape ORDER BY fold_index), (x,y) -> x+y) / COUNT(*) AS smape_agg,
+                       CASE WHEN COUNT(*) >= 2 THEN (MAX(mape) - MIN(mape)) / 10.0
+                            ELSE 0.0 END AS instability
+                FROM fold_m GROUP BY metric)
+            SELECT metric, folds, mape_agg, rmse_agg, smape_agg, instability,
+                   CAST(FLOOR(GREATEST(0.0, LEAST(100.0,
+                        100.0 - mape_agg / 2.0 - instability))) AS INTEGER) AS score
+            FROM avgs
+        """,
     }
+
+
+#: W6 backtest fold construction (naive model), shared by two oracles.
+#: folds=3, horizon=7, window_n=14 ⇒ tail 35 rows per metric.
+_BACKTEST_CTE = """
+    , tail AS (
+        SELECT metric, metric_date, value,
+               ROW_NUMBER() OVER (PARTITION BY metric ORDER BY metric_date DESC) AS rd
+        FROM gold),
+    s AS (
+        SELECT metric, metric_date, value,
+               ROW_NUMBER() OVER (PARTITION BY metric ORDER BY metric_date) AS rn
+        FROM tail WHERE rd <= 35),
+    lens AS (SELECT metric, MAX(rn) AS len FROM s GROUP BY metric),
+    spec AS (
+        SELECT l.metric, l.len, f.fold_index, l.len - (f.fold_index + 1) * 7 AS fstart
+        FROM lens l CROSS JOIN generate_series(0, 2) f(fold_index)
+        WHERE l.len - (f.fold_index + 1) * 7 >= 8),
+    pred AS (
+        SELECT sp.metric, sp.fold_index, sp.fstart, s.value AS p
+        FROM spec sp JOIN s ON s.metric = sp.metric AND s.rn = sp.fstart),
+    test AS (
+        SELECT pr.metric, pr.fold_index, pr.p, s.rn, s.value AS a
+        FROM pred pr JOIN s ON s.metric = pr.metric
+                            AND s.rn > pr.fstart AND s.rn <= pr.fstart + 7),
+    fold_m AS (
+        SELECT metric, fold_index,
+               CAST(SUM(CAST(ABS(a - p) AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS mae,
+               SQRT(CAST(SUM(CAST((a - p) * (a - p) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) AS rmse,
+               (list_reduce(list(ABS(a - p) / GREATEST(ABS(a), 1e-6) ORDER BY rn),
+                            (x, y) -> x + y) / COUNT(*)) * 100.0 AS mape,
+               100.0 * (list_reduce(list(ABS(a - p) /
+                            (CASE WHEN ABS(a) + ABS(p) = 0.0 THEN 1.0 ELSE ABS(a) + ABS(p) END)
+                        ORDER BY rn), (x, y) -> x + y) / COUNT(*)) AS smape
+        FROM test GROUP BY metric, fold_index)
+"""
+
+#: W7 reliability fold construction: days=30, folds=3, horizon=7.
+_RELIABILITY_CTE = """
+    , tail AS (
+        SELECT metric, metric_date, value,
+               ROW_NUMBER() OVER (PARTITION BY metric ORDER BY metric_date DESC) AS rd
+        FROM gold),
+    s AS (
+        SELECT metric, metric_date, value,
+               ROW_NUMBER() OVER (PARTITION BY metric ORDER BY metric_date) AS rn
+        FROM tail WHERE rd <= 30),
+    lens AS (SELECT metric, MAX(rn) AS n,
+                    LEAST(3, GREATEST(0, MAX(rn) - 8)) AS folds_eff
+             FROM s GROUP BY metric),
+    spec AS (
+        SELECT l.metric, l.n, l.folds_eff, f.fold_index,
+               l.n - (l.folds_eff - f.fold_index) * 7 AS train_end
+        FROM lens l CROSS JOIN generate_series(0, 2) f(fold_index)
+        WHERE l.folds_eff > 0 AND f.fold_index < l.folds_eff
+          AND l.n - (l.folds_eff - f.fold_index) * 7 >= 1),
+    pred AS (
+        SELECT sp.metric, sp.fold_index, sp.train_end, s.value AS p
+        FROM spec sp JOIN s ON s.metric = sp.metric AND s.rn = sp.train_end),
+    test AS (
+        SELECT pr.metric, pr.fold_index, pr.p, s.rn, s.value AS a
+        FROM pred pr JOIN s ON s.metric = pr.metric
+                            AND s.rn > pr.train_end AND s.rn <= pr.train_end + 7),
+    fold_m AS (
+        SELECT metric, fold_index,
+               CAST(SUM(CAST(ABS(a - p) AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS mae,
+               SQRT(CAST(SUM(CAST((a - p) * (a - p) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) AS rmse,
+               list_reduce(list(ABS(a - p) / (ABS(a) + 1e-9) ORDER BY rn),
+                           (x, y) -> x + y) * 100.0 / COUNT(*) AS mape,
+               list_reduce(list(2.0 * ABS(a - p) / (ABS(a) + ABS(p) + 1e-9) ORDER BY rn),
+                           (x, y) -> x + y) * 100.0 / COUNT(*) AS smape,
+               CAST(SUM(CAST(p - a AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS bias
+        FROM test GROUP BY metric, fold_index)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,577 @@
+"""Forecasting pipeline (SURVEY §2.5 W4–W7, §2.6 M1–M5, §2.7 C1–C3).
+
+Reference: backend/app/services/forecast.py, forecast_reliability.py,
+routers/forecast.py.
+
+Design: everything except the SARIMAX fit itself is declarative DataFrame
+code — date-spine gap fill, the naive-model ladder, rolling-origin fold
+construction, per-fold error metrics, and the 7-row output contract all
+run as set operations over *all* (source, metric) series at once. The
+reference loops over one series in one process; here a million series
+backtest in one shuffle. SARIMAX (when statsmodels is installed) is the
+only per-group python step, isolated in ``applyInPandas``.
+
+Determinism: error metrics whose terms involve division (MAPE/sMAPE) are
+summed with an explicit left-fold over date-ordered arrays
+(``aggregate(array_sort(collect_list(...)))``) because a parallel
+``SUM(double)`` is order-nondeterministic; MAE/RMSE/bias use exact
+decimal sums (|a−p| is exact at the data's scale). See
+functions/numeric.py for the full discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+MIN_POINTS = 14  # reference services/forecast.py:113
+
+
+# ------------------------------------------------------------------ W5
+
+def value_or_chain(df: DataFrame) -> Column:
+    """The reference's ``r.value_sum or r.value_avg or r.value_count or 0.0``
+    (services/forecast.py:33) — a Python ``or`` chain, so **0.0 falls
+    through** just like NULL does. Faithfully: first non-null non-zero of
+    (value_sum, value_avg, value_count), else 0.0."""
+    cols = [c for c in ("value_sum", "value_avg", "value_count") if c in df.columns]
+    expr = F.lit(0.0)
+    for c in reversed(cols):
+        v = F.col(c).cast("double")
+        expr = F.when(v.isNotNull() & (v != 0.0), v).otherwise(expr)
+    return expr
+
+
+def fill_date_spine(
+    df: DataFrame,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+    fill: float = 0.0,
+) -> DataFrame:
+    """W5 — daily re-index + zero fill (reference services/forecast.py:36:
+    ``s.asfreq("D").fillna(0.0)``): per group, generate every calendar day
+    between min and max date and left-join values, missing ⇒ ``fill``.
+
+    ``sequence`` + ``explode`` keeps this fully distributed: the spine is
+    built per group, no driver-side date arithmetic."""
+    bounds = df.groupBy(*partition_cols).agg(
+        F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
+    )
+    spine = bounds.select(
+        *partition_cols,
+        F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias(date_col),
+    )
+    return (
+        spine.join(df, [*partition_cols, date_col], "left")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.lit(fill)))
+    )
+
+
+# ------------------------------------------------------------------ M1/M2
+
+def forecast_naive(
+    series: DataFrame,
+    horizon_days: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+    model_version: str = "naive-0.1",
+) -> DataFrame:
+    """M2 — the naive-model ladder, exactly as the reference degrades
+    (services/forecast.py:45-66,110-129):
+
+    - all-zero series ⇒ zero forecasts (yhat = lower = upper = 0)
+    - < 14 points ⇒ repeat last value; bounds = last value (:116-127)
+    - ≥ 14 points, SARIMAX unavailable ⇒ repeat last value; bounds = 0.0
+      (:57-66 — note the deliberately different bounds!)
+
+    Emits ``horizon_days`` strictly-future rows per group anchored at
+    last observed day + 1. One aggregation per group, then a generated
+    date spine — no per-series work on the driver."""
+    per = series.groupBy(*partition_cols).agg(
+        F.max(date_col).alias("_last_date"),
+        F.max_by(F.col(value_col), F.col(date_col)).alias("_last_val"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(38,4)")).cast("double").alias("_sum"),
+    )
+    all_zero = F.col("_sum") == 0.0
+    short = F.col("_n") < MIN_POINTS
+    yhat = F.when(all_zero, 0.0).otherwise(F.col("_last_val"))
+    bound = (
+        F.when(all_zero, 0.0)
+        .when(short, F.col("_last_val"))  # naive path: bounds = last value
+        .otherwise(F.lit(0.0))  # SARIMAX-unavailable path: bounds = 0.0
+    )
+    return per.select(
+        *partition_cols,
+        F.explode(
+            F.sequence(
+                F.date_add("_last_date", 1),
+                F.date_add("_last_date", horizon_days),
+                F.expr("interval 1 day"),
+            )
+        ).alias("target_date"),
+        yhat.alias("yhat"),
+        bound.alias("yhat_lower"),
+        bound.alias("yhat_upper"),
+        F.lit(model_version).alias("model_version"),
+    )
+
+
+def forecast(
+    series: DataFrame,
+    horizon_days: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M1 — SARIMAX(1,1,1)(0,0,0,0) per group via ``applyInPandas`` when
+    statsmodels is importable (reference services/forecast.py:39-92:
+    enforce_stationarity=False, enforce_invertibility=False, CI ffill→0),
+    else the M2 naive ladder. Series with < 14 points always take the
+    naive path (:110-127)."""
+    try:
+        import statsmodels.tsa.statespace.sarimax  # noqa: F401
+    except ImportError:
+        return forecast_naive(series, horizon_days, partition_cols, date_col, value_col)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [f for f in series.schema.fields if f.name in partition_cols]
+        + [
+            T.StructField("target_date", T.DateType()),
+            T.StructField("yhat", T.DoubleType()),
+            T.StructField("yhat_lower", T.DoubleType()),
+            T.StructField("yhat_upper", T.DoubleType()),
+            T.StructField("model_version", T.StringType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from statsmodels.tsa.statespace.sarimax import SARIMAX
+
+        pdf = pdf.sort_values(date_col)
+        s = pd.Series(
+            pdf[value_col].to_numpy(dtype=float),
+            index=pd.DatetimeIndex(pd.to_datetime(pdf[date_col])),
+        )
+        keys = {c: pdf[c].iloc[0] for c in partition_cols}
+        last = s.index.max()
+        idx = pd.date_range(last + pd.Timedelta(days=1), periods=horizon_days, freq="D")
+        if len(s) < MIN_POINTS or float(s.sum()) == 0.0:
+            last_val = 0.0 if float(s.sum()) == 0.0 else float(s.iloc[-1])
+            out = pd.DataFrame(
+                {"yhat": last_val, "yhat_lower": last_val, "yhat_upper": last_val},
+                index=idx,
+            )
+            version = "naive-0.1"
+        else:
+            model = SARIMAX(
+                s,
+                order=(1, 1, 1),
+                seasonal_order=(0, 0, 0, 0),
+                enforce_stationarity=False,
+                enforce_invertibility=False,
+            )
+            fitted = model.fit(disp=False)
+            fc = fitted.get_forecast(steps=horizon_days)
+            ci = fc.conf_int()
+            out = pd.DataFrame(
+                {
+                    "yhat": fc.predicted_mean.to_numpy(),
+                    "yhat_lower": ci.iloc[:, 0].to_numpy(),
+                    "yhat_upper": ci.iloc[:, 1].to_numpy(),
+                },
+                index=idx,
+            ).ffill().fillna(0.0)
+            version = "sarimax-0.1"
+        out = out.reset_index(names="target_date")
+        out["target_date"] = out["target_date"].dt.date
+        for k, v in keys.items():
+            out[k] = v
+        out["model_version"] = version
+        return out[[*partition_cols, "target_date", "yhat", "yhat_lower", "yhat_upper", "model_version"]]
+
+    return series.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
+
+
+# ------------------------------------------------------------------ C1–C3
+
+def strictly_future(
+    forecasts: DataFrame,
+    last_observed: DataFrame,
+    partition_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """C2 — keep only ``target_date > last observed metric_date``, cap at 7
+    per group (reference routers/forecast.py:53-58,197-201)."""
+    lo = last_observed.groupBy(*partition_cols).agg(
+        F.max("metric_date").alias("_last_obs")
+    )
+    w = Window.partitionBy(*partition_cols).orderBy("target_date")
+    return (
+        forecasts.join(F.broadcast(lo), list(partition_cols))
+        .filter(F.col("target_date") > F.col("_last_obs"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .drop("_rn", "_last_obs")
+    )
+
+
+def normalize_forecast_contract(
+    forecasts: DataFrame,
+    partition_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """C1 — the public forecast contract (reference routers/forecast.py:99-154):
+
+    - NaN/±inf/NULL → 0.0 on all three values
+    - bounds swapped if inverted, then **widened** to include yhat (the
+      router widens; the service twin does not — router wins, SURVEY §7.4)
+    - sorted ascending, trimmed to 7 rows
+    - padded forward day-by-day with zero rows to exactly 7 (when ≥ 1 row)
+    - ``metric_date`` = UTC-midnight ISO-8601 ``Z`` string; legacy
+      ``date`` = its date part
+    """
+    def safe(c: str) -> Column:
+        col = F.col(c)
+        return F.when(
+            col.isNull() | F.isnan(col) | (F.abs(col) == float("inf")), 0.0
+        ).otherwise(col)
+
+    y, lo, hi = safe("yhat"), safe("yhat_lower"), safe("yhat_upper")
+    lower = F.least(lo, hi)
+    upper = F.greatest(lo, hi)
+    lower = F.least(lower, y)   # widen to include yhat
+    upper = F.greatest(upper, y)
+
+    w = Window.partitionBy(*partition_cols).orderBy("target_date")
+    # single withColumns batch: all three exprs must see the ORIGINAL
+    # columns, not each other's replacements
+    trimmed = (
+        forecasts.withColumns({"yhat": y, "yhat_lower": lower, "yhat_upper": upper})
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+    )
+    # pad each group forward to exactly 7 rows with zeros
+    pad = (
+        trimmed.groupBy(*partition_cols)
+        .agg(F.max("target_date").alias("_d"), F.max("_rn").alias("_n"))
+        .filter(F.col("_n") < 7)
+        .select(
+            *partition_cols,
+            F.explode(
+                F.sequence(
+                    F.date_add("_d", 1),
+                    F.date_add("_d", (7 - F.col("_n")).cast("int")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("target_date"),
+            F.lit(0.0).alias("yhat"),
+            F.lit(0.0).alias("yhat_lower"),
+            F.lit(0.0).alias("yhat_upper"),
+        )
+    )
+    cols = [*partition_cols, "target_date", "yhat", "yhat_lower", "yhat_upper"]
+    out = trimmed.select(*cols).unionByName(pad.select(*cols))
+    return out.select(
+        *partition_cols,
+        F.concat(F.date_format("target_date", "yyyy-MM-dd'T'00:00:00"), F.lit("Z")).alias(
+            "metric_date"
+        ),
+        F.date_format("target_date", "yyyy-MM-dd").alias("date"),
+        "yhat",
+        "yhat_lower",
+        "yhat_upper",
+    )
+
+
+# ------------------------------------------------------------------ W4/M8
+
+def persistence_mape(
+    series: DataFrame,
+    window_n: int = 90,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """W4/M8 — forecast health: MAPE of one-step persistence over the last
+    ``window_n + 1`` days (reference services/forecast.py:258-270).
+    < 2 points ⇒ 100.0. MAPE per M3: mean(|a−p| / clip(|a|, 1e-6)) · 100,
+    with a strict left-fold sum for cross-engine determinism."""
+    w_desc = Window.partitionBy(*partition_cols).orderBy(F.col(date_col).desc())
+    w_asc = Window.partitionBy(*partition_cols).orderBy(date_col)
+    v = F.col(value_col)
+    tail = (
+        series.withColumn("_rd", F.row_number().over(w_desc))
+        .filter(F.col("_rd") <= window_n + 1)
+        .withColumn("_pred", F.lag(v, 1).over(w_asc))
+        .filter(F.col("_pred").isNotNull())
+        .withColumn(
+            "_term", F.abs(v - F.col("_pred")) / F.greatest(F.abs(v), F.lit(1e-6))
+        )
+    )
+    agg = tail.groupBy(*partition_cols).agg(
+        _ordered_mean("_term", date_col).alias("_mean")
+    )
+    return agg.select(
+        *partition_cols,
+        F.lit(window_n).alias("window_n"),
+        F.coalesce(F.col("_mean") * 100.0, F.lit(100.0)).alias("mape"),
+    )
+
+
+def _ordered_mean(term_col: str, ord_col: str) -> Column:
+    """mean of doubles accumulated strictly left-to-right in ``ord_col``
+    order — engine-order-independent (unlike parallel SUM(double))."""
+    arr = F.array_sort(F.collect_list(F.struct(F.col(ord_col).alias("o"), F.col(term_col).alias("t"))))
+    total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["t"])
+    return total / F.size(arr)
+
+
+# ------------------------------------------------------------------ W6/M4
+
+def rolling_backtest(
+    series: DataFrame,
+    folds: int = 5,
+    horizon: int = 7,
+    window_n: int = 90,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """W6/M4 — expanding-window rolling-origin backtest with the naive
+    last-value model (reference services/forecast.py:199-254; SARIMAX, when
+    installed, applies only to trains ≥ 14 — with naive fallback).
+
+    Returns ``(fold_metrics, summary)``:
+      fold_metrics: (…keys, fold_index, mae, rmse, mape, smape)
+      summary:      (…keys, folds, avg_mae, avg_rmse, avg_mape, avg_smape, score)
+
+    Fold t tests the (t+1)-th ``horizon`` block from the end of the last
+    ``window_n + folds·horizon`` rows; folds with train < 8 are dropped
+    (the reference ``break``s, but folds shrink monotonically so the
+    filter is equivalent). All folds for all series materialize from ONE
+    pass: a fold spec is exploded per group and range-joined on row
+    number — no driver loop, no per-series job."""
+    keys = list(partition_cols)
+    w_desc = Window.partitionBy(*keys).orderBy(F.col(date_col).desc())
+    need = window_n + folds * horizon
+    s = (
+        series.withColumn("_rd", F.row_number().over(w_desc))
+        .filter(F.col("_rd") <= need)
+    )
+    w_asc = Window.partitionBy(*keys).orderBy(date_col)
+    s = s.withColumn("_rn", F.row_number().over(w_asc))
+    length = s.groupBy(*keys).agg(F.max("_rn").alias("_len"))
+
+    fold_spec = (
+        length.select(
+            *keys,
+            F.col("_len"),
+            F.explode(F.sequence(F.lit(0), F.lit(folds - 1))).alias("fold_index"),
+        )
+        .withColumn("_start", F.col("_len") - (F.col("fold_index") + 1) * horizon)
+        .filter(F.col("_start") >= 8)  # train ≥ 8 and test == horizon
+    )
+    last_train = fold_spec.join(
+        s.select(*keys, F.col("_rn").alias("_start"), F.col(value_col).alias("_pred")),
+        [*keys, "_start"],
+    )
+    test = last_train.join(
+        s.select(*keys, "_rn", F.col(value_col).alias("_a"), date_col),
+        keys,
+    ).filter((F.col("_rn") > F.col("_start")) & (F.col("_rn") <= F.col("_start") + horizon))
+
+    a, p = F.col("_a"), F.col("_pred")
+    mape_term = F.abs(a - p) / F.greatest(F.abs(a), F.lit(1e-6))
+    smape_denom = F.abs(a) + F.abs(p)
+    smape_term = F.abs(a - p) / F.when(smape_denom == 0.0, 1.0).otherwise(smape_denom)
+    per_fold = (
+        test.withColumn("_mape_t", mape_term)
+        .withColumn("_smape_t", smape_term)
+        .groupBy(*keys, "fold_index")
+        .agg(
+            (
+                F.sum(F.abs(a - p).cast("decimal(38,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae"),
+            F.sqrt(
+                F.sum(((a - p) * (a - p)).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rmse"),
+            (_ordered_mean("_mape_t", "_rn") * 100.0).alias("mape"),
+            (F.lit(100.0) * _ordered_mean("_smape_t", "_rn")).alias("smape"),
+        )
+    )
+    summary = (
+        per_fold.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("folds"),
+            _ordered_mean("mae", "fold_index").alias("avg_mae"),
+            _ordered_mean("rmse", "fold_index").alias("avg_rmse"),
+            _ordered_mean("mape", "fold_index").alias("avg_mape"),
+            _ordered_mean("smape", "fold_index").alias("avg_smape"),
+        )
+        .withColumn(
+            "score",
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(100.0),
+                    F.lit(100.0) - (F.col("avg_mape") + F.col("avg_smape")) / 2.0,
+                ),
+            ),
+        )
+    )
+    return per_fold, summary
+
+
+# ------------------------------------------------------------------ W7/M5
+
+def reliability(
+    series: DataFrame,
+    days: int = 125,
+    folds: int = 5,
+    horizon: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """W7/M5 — reliability scoring with the naive last-value model
+    (reference services/forecast_reliability.py:58-186).
+
+    Differences from the backtest variant (deliberate, per reference):
+    folds are clamped to ``n − (horizon+1)``; fold k trains to
+    ``n − (folds−k)·horizon``; MAPE uses ``|a|+1e-9`` denominators; sMAPE
+    is the 2·|a−p| variant; bias = mean(p − a); score =
+    int(clamp(100 − mape_agg/2 − instability)) where instability =
+    (max fold mape − min fold mape)/10 for ≥ 2 folds.
+
+    Returns ``(fold_metrics, summary)``.
+    """
+    keys = list(partition_cols)
+    w_desc = Window.partitionBy(*keys).orderBy(F.col(date_col).desc())
+    s = (
+        series.withColumn("_rd", F.row_number().over(w_desc))
+        .filter(F.col("_rd") <= days)
+    )
+    w_asc = Window.partitionBy(*keys).orderBy(date_col)
+    s = s.withColumn("_rn", F.row_number().over(w_asc))
+    length = s.groupBy(*keys).agg(F.max("_rn").alias("_n"))
+
+    eff = F.least(F.lit(folds), F.greatest(F.lit(0), F.col("_n") - (horizon + 1)))
+    fold_spec = (
+        length.withColumn("_folds_eff", eff)
+        .filter(F.col("_folds_eff") > 0)
+        .select(
+            *keys,
+            F.col("_n"),
+            F.col("_folds_eff"),
+            F.explode(F.sequence(F.lit(0), F.col("_folds_eff") - 1)).alias("fold_index"),
+        )
+        .withColumn(
+            "_train_end", F.col("_n") - (F.col("_folds_eff") - F.col("fold_index")) * horizon
+        )
+        .filter(F.col("_train_end") >= 1)  # non-empty train (reference `continue`)
+    )
+    last_train = fold_spec.join(
+        s.select(*keys, F.col("_rn").alias("_train_end"), F.col(value_col).alias("_pred")),
+        [*keys, "_train_end"],
+    )
+    test = last_train.join(
+        s.select(*keys, "_rn", F.col(value_col).alias("_a")), keys
+    ).filter(
+        (F.col("_rn") > F.col("_train_end"))
+        & (F.col("_rn") <= F.col("_train_end") + horizon)
+    )
+
+    a, p = F.col("_a"), F.col("_pred")
+    mape_term = F.abs(a - p) / (F.abs(a) + F.lit(1e-9))
+    smape_term = (F.lit(2.0) * F.abs(a - p)) / (F.abs(a) + F.abs(p) + F.lit(1e-9))
+    n_t = F.count(F.lit(1))
+    per_fold = (
+        test.withColumn("_mape_t", mape_term)
+        .withColumn("_smape_t", smape_term)
+        .groupBy(*keys, "fold_index")
+        .agg(
+            (F.sum(F.abs(a - p).cast("decimal(38,4)")).cast("double") / n_t).alias("mae"),
+            F.sqrt(
+                F.sum(((a - p) * (a - p)).cast("decimal(38,6)")).cast("double") / n_t
+            ).alias("rmse"),
+            # reference op order: sum(terms) * 100.0 / len  (:88-93)
+            (_ordered_sum("_mape_t", "_rn") * 100.0 / n_t).alias("mape"),
+            (_ordered_sum("_smape_t", "_rn") * 100.0 / n_t).alias("smape"),
+            (F.sum((p - a).cast("decimal(38,4)")).cast("double") / n_t).alias("bias"),
+        )
+    )
+    finite = lambda c: ~F.isnan(F.col(c)) & (F.abs(F.col(c)) != float("inf"))  # noqa: E731
+    mape_ok = F.when(finite("mape"), F.col("mape"))
+    summary = (
+        per_fold.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("folds"),
+            _ordered_sum_when("mape", "fold_index").alias("_mape_sum"),
+            F.count(mape_ok).alias("_mape_n"),
+            F.max(mape_ok).alias("_mape_max"),
+            F.min(mape_ok).alias("_mape_min"),
+            _ordered_sum_when("rmse", "fold_index").alias("_rmse_sum"),
+            F.count(F.when(finite("rmse"), 1)).alias("_rmse_n"),
+            _ordered_sum_when("smape", "fold_index").alias("_smape_sum"),
+            F.count(F.when(finite("smape"), 1)).alias("_smape_n"),
+        )
+        .withColumn(
+            "mape_agg",
+            F.coalesce(F.col("_mape_sum") / F.nullif(F.col("_mape_n"), F.lit(0)), F.lit(0.0)),
+        )
+        .withColumn(
+            "rmse_agg",
+            F.coalesce(F.col("_rmse_sum") / F.nullif(F.col("_rmse_n"), F.lit(0)), F.lit(0.0)),
+        )
+        .withColumn(
+            "smape_agg",
+            F.coalesce(F.col("_smape_sum") / F.nullif(F.col("_smape_n"), F.lit(0)), F.lit(0.0)),
+        )
+        .withColumn(
+            "instability",
+            F.when(
+                F.col("_mape_n") >= 2, (F.col("_mape_max") - F.col("_mape_min")) / 10.0
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "score",
+            F.floor(
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(100.0),
+                        F.lit(100.0) - F.col("mape_agg") / 2.0 - F.col("instability"),
+                    ),
+                )
+            ).cast("int"),
+        )
+        .select(*keys, "folds", "mape_agg", "rmse_agg", "smape_agg", "instability", "score")
+    )
+    return per_fold, summary
+
+
+def _ordered_sum(term_col: str, ord_col: str) -> Column:
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ord_col).alias("o"), F.col(term_col).alias("t")))
+    )
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["t"])
+
+
+def _ordered_sum_when(term_col: str, ord_col: str) -> Column:
+    """ordered sum of only the finite terms (reference _num_ok filter)."""
+    c = F.col(term_col)
+    keep = ~F.isnan(c) & (F.abs(c) != float("inf"))
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(keep, F.struct(F.col(ord_col).alias("o"), c.alias("t")))
+        )
+    )
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["t"])

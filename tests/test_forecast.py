@@ -1,0 +1,143 @@
+"""Golden tests for the forecast pipeline, mirroring FIXTURES.md F6 and
+the reference contract (routers/forecast.py:5-19)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from smartdatapipeline_spark.operators import forecast as FC
+
+
+def _series(spark, values, metric="m", start=dt.date(2025, 1, 1), dates=None):
+    if dates is None:
+        dates = [start + dt.timedelta(days=i) for i in range(len(values))]
+    return spark.createDataFrame(
+        [
+            Row(metric_date=d, metric=metric, value=float(v))
+            for d, v in zip(dates, values)
+        ]
+    )
+
+
+def test_spine_fill_zeros_gaps(spark):
+    """W5: asfreq('D').fillna(0) — gaps become explicit zero days."""
+    dates = [dt.date(2025, 1, 1), dt.date(2025, 1, 4)]
+    out = {
+        r["metric_date"]: r["value"]
+        for r in FC.fill_date_spine(_series(spark, [5, 7], dates=dates)).collect()
+    }
+    assert out == {
+        dt.date(2025, 1, 1): 5.0,
+        dt.date(2025, 1, 2): 0.0,
+        dt.date(2025, 1, 3): 0.0,
+        dt.date(2025, 1, 4): 7.0,
+    }
+
+
+def test_value_or_chain_zero_falls_through(spark):
+    """services/forecast.py:33 uses Python `or`: value_sum=0 falls through
+    to value_avg."""
+    df = spark.createDataFrame(
+        [Row(value_sum=0.0, value_avg=3.5, value_count=2),
+         Row(value_sum=9.0, value_avg=4.5, value_count=2),
+         Row(value_sum=None, value_avg=None, value_count=None)]
+    )
+    vals = [r["v"] for r in df.select(FC.value_or_chain(df).alias("v")).collect()]
+    assert vals == [3.5, 9.0, 0.0]
+
+
+def test_naive_short_series_bounds_equal_last(spark):
+    """< 14 points ⇒ yhat = lower = upper = last value (forecast.py:116-127)."""
+    out = FC.forecast_naive(_series(spark, [1, 2, 3]), horizon_days=7).collect()
+    assert len(out) == 7
+    assert all(r["yhat"] == 3.0 and r["yhat_lower"] == 3.0 and r["yhat_upper"] == 3.0 for r in out)
+    assert min(r["target_date"] for r in out) == dt.date(2025, 1, 4)  # last + 1
+
+
+def test_naive_long_series_bounds_zero(spark):
+    """≥ 14 points with SARIMAX unavailable ⇒ yhat = last, bounds = 0
+    (forecast.py:57-66)."""
+    out = FC.forecast_naive(_series(spark, range(1, 21)), horizon_days=7).collect()
+    assert all(r["yhat"] == 20.0 and r["yhat_lower"] == 0.0 and r["yhat_upper"] == 0.0 for r in out)
+
+
+def test_naive_all_zero_series_forecasts_zero(spark):
+    out = FC.forecast_naive(_series(spark, [0, 0, 0]), horizon_days=7).collect()
+    assert all(r["yhat"] == 0.0 and r["yhat_lower"] == 0.0 and r["yhat_upper"] == 0.0 for r in out)
+
+
+def test_contract_widens_bounds_and_pads_to_seven(spark):
+    """C1: inverted bounds swapped then widened to include yhat; short
+    groups padded forward with zero rows to exactly 7."""
+    rows = [
+        Row(metric="m", target_date=dt.date(2025, 2, 1), yhat=10.0,
+            yhat_lower=12.0, yhat_upper=8.0),   # inverted + excludes yhat=10? swap->8,12 includes
+        Row(metric="m", target_date=dt.date(2025, 2, 2), yhat=20.0,
+            yhat_lower=1.0, yhat_upper=5.0),    # yhat above upper -> widen
+        Row(metric="m", target_date=dt.date(2025, 2, 3), yhat=float("nan"),
+            yhat_lower=None, yhat_upper=3.0),   # NaN/NULL -> 0
+    ]
+    out = sorted(
+        FC.normalize_forecast_contract(spark.createDataFrame(rows)).collect(),
+        key=lambda r: r["metric_date"],
+    )
+    assert len(out) == 7
+    r1, r2, r3 = out[0], out[1], out[2]
+    assert (r1["yhat_lower"], r1["yhat_upper"]) == (8.0, 12.0)
+    assert (r2["yhat_lower"], r2["yhat_upper"]) == (1.0, 20.0)
+    assert (r3["yhat"], r3["yhat_lower"], r3["yhat_upper"]) == (0.0, 0.0, 3.0)
+    assert out[3]["yhat"] == 0.0 and out[3]["date"] == "2025-02-04"  # pad starts
+    assert out[0]["metric_date"] == "2025-02-01T00:00:00Z"
+
+
+def test_strictly_future_caps_at_seven(spark):
+    gold = _series(spark, range(10))
+    cand = spark.createDataFrame(
+        [
+            Row(metric="m", target_date=dt.date(2025, 1, 1) + dt.timedelta(days=i),
+                yhat=1.0, yhat_lower=0.0, yhat_upper=2.0)
+            for i in range(5, 30)
+        ]
+    )
+    out = FC.strictly_future(cand, gold).collect()
+    # last observed = 2025-01-10 ⇒ keep (01-11 .. 01-17], 7 rows
+    dates = sorted(r["target_date"] for r in out)
+    assert dates[0] == dt.date(2025, 1, 11) and len(dates) == 7
+
+
+def test_persistence_mape_golden(spark):
+    """lag-1 MAPE: series 100,110,121 ⇒ mean(10/110, 11/121)·100."""
+    out = FC.persistence_mape(_series(spark, [100, 110, 121]), window_n=90).collect()
+    expected = ((10 / 110 + 11 / 121) / 2) * 100
+    assert abs(out[0]["mape"] - expected) < 1e-9
+    assert out[0]["window_n"] == 90
+
+
+def test_backtest_fold_structure(spark):
+    """30 points, folds=3, horizon=7, window_n=14 ⇒ 3 folds with naive
+    predictions from positions 23, 16, 9."""
+    vals = list(range(1, 31))
+    folds, summary = FC.rolling_backtest(
+        _series(spark, vals), folds=3, horizon=7, window_n=14
+    )
+    f = {r["fold_index"]: r for r in folds.collect()}
+    assert set(f) == {0, 1, 2}
+    # fold 0: train ends at rn=23 (value 23), test = 24..30
+    exp_mae0 = sum(abs(a - 23) for a in range(24, 31)) / 7
+    assert abs(f[0]["mae"] - exp_mae0) < 1e-9
+    s = summary.collect()[0]
+    assert s["folds"] == 3 and 0.0 <= s["score"] <= 100.0
+
+
+def test_reliability_fold_clamping_and_score(spark):
+    """n=10, horizon=7 ⇒ max_folds = n-(h+1) = 2 ⇒ folds clamped from 5."""
+    folds, summary = FC.reliability(
+        _series(spark, range(1, 11)), days=30, folds=5, horizon=7
+    )
+    fr = folds.collect()
+    # folds_eff=2: train_ends = 10-2*7=-4 (skipped), 10-1*7=3 ⇒ one valid fold
+    assert len(fr) == 1 and fr[0]["fold_index"] == 1
+    s = summary.collect()[0]
+    assert isinstance(s["score"], int) and 0 <= s["score"] <= 100
