@@ -132,6 +132,25 @@ def _stats_cte(preceding: int, following: str = "1 PRECEDING") -> str:
     """
 
 
+def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P9: semi-structured payload handling — parse the bronze-style
+    JSON ``props`` column on demand (reference stores raw payloads as
+    JSON and parses per use, db/types.py:15-34) and aggregate on the
+    extracted field."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+        .withColumnRenamed("event_type", "metric")
+    )
+
+
 def q_rolling_zscore_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: strict prior-window z-score (window=7, pstdev, all-present gate)."""
     return A.rolling_zscore_strict(_gold(spark, sf_dir), window=7, z_thresh=3.0)
@@ -235,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_names": q_metric_names,
         "ingest_stats": q_ingest_stats,
         "pricing_summary": q_pricing_summary,
+        "json_payload_extract": q_json_payload_extract,
         "rolling_zscore_strict": q_rolling_zscore_strict,
         "rolling_zscore_api": q_rolling_zscore_api,
         "iforest_features": q_iforest_features,
@@ -302,6 +322,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "json_payload_extract": """
+            SELECT event_type AS metric,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+            FROM events GROUP BY event_type
         """,
         "rolling_zscore_strict": _GOLD_CTE + _stats_cte(7) + """
             , derived AS (
