@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions import numeric as N
+from smartdatapipeline_spark.functions import text as TX
 from smartdatapipeline_spark.operators import anomaly as A
 from smartdatapipeline_spark.operators import forecast as FC
 from smartdatapipeline_spark.operators import kpi as K
@@ -130,6 +131,50 @@ def _stats_cte(preceding: int, following: str = "1 PRECEDING") -> str:
                      ROWS BETWEEN {preceding} PRECEDING AND {following})
     )
     """
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 broadcast-join pattern at TPC-H shape: fact lineitem joins
+    orders, then the small dims (customer/nation/region) broadcast —
+    one shuffle for the fact-fact join, zero for the dims."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, orders = T("lineitem"), T("orders")
+    cust, nation, region = T("customer"), T("nation"), T("region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 ordering+limit with deterministic tiebreak: top-10 customers by
+    order revenue (orderBy + limit ⇒ Spark TakeOrderedAndProject — no
+    full sort at scale)."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    orders, cust = T("orders"), T("customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            N.dsum("o_totalprice", scale=2).alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "order_count")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
 
 
 def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +292,47 @@ def q_reliability_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token count + BPE-ish piece estimate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_piece_count(F.col("text")).alias("n_pieces"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-document 60-bit md5 fingerprint +
+    min-k-gram (winnowing-style) robust fingerprint."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.fingerprint64(F.col("text")).alias("fp64"),
+        TX.winnow_fingerprint(F.col("text"), k=5).alias("winnow_fp"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char/token ratios + composite 0-1 score."""
+    return TX.quality_features(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword profiles; deterministic
+    first-profile-wins argmax."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        TX.predict_lang(F.col("text")).alias("lang_pred"),
+    ).withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -254,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_names": q_metric_names,
         "ingest_stats": q_ingest_stats,
         "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
         "json_payload_extract": q_json_payload_extract,
         "rolling_zscore_strict": q_rolling_zscore_strict,
         "rolling_zscore_api": q_rolling_zscore_api,
@@ -268,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest_summary": q_backtest_summary,
         "reliability_folds": q_reliability_folds,
         "reliability_summary": q_reliability_summary,
+        "text_token_stats": q_text_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
     }
 
 
@@ -322,6 +414,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT r.r_name, n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS line_count,
+                   COUNT(DISTINCT o.o_orderkey) AS order_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+            ORDER BY r.r_name, n.n_name
+        """,
+        "top_customers": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_spend,
+                       COUNT(*) AS order_count
+                FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey, c.c_name, s.total_spend, s.order_count
+            FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+            ORDER BY s.total_spend DESC, c.c_custkey ASC
+            LIMIT 10
         """,
         "json_payload_extract": """
             SELECT event_type AS metric,
@@ -492,6 +609,71 @@ def oracle_sql() -> dict[str, str]:
         "reliability_folds": _GOLD_CTE + _RELIABILITY_CTE + """
             SELECT metric, fold_index, mae, rmse, mape, smape, bias FROM fold_m
         """,
+        "text_token_stats": _TEXT_CTE + """
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 1
+                        THEN CASE WHEN toks[1] != '' THEN 1 ELSE 0 END
+                        ELSE len(toks) END AS n_tokens,
+                   list_reduce(list_transform(toks,
+                        w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT)),
+                        (a, b) -> a + b) AS n_pieces
+            FROM t
+        """,
+        "doc_fingerprint": _TEXT_CTE + """
+            SELECT doc_id,
+                   ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp64,
+                   list_min(list_transform(
+                       generate_series(0, GREATEST(len(toks) - 5, 0)),
+                       i -> ('0x' || substr(md5(array_to_string(
+                                list_slice(toks, i + 1, i + 5), ' ')), 1, 15))::BIGINT
+                   )) AS winnow_fp
+            FROM t
+        """,
+        "text_quality": _TEXT_CTE + """
+            , feats AS (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars,
+                       len(toks) AS n_tokens,
+                       LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]+', '', 'g')) AS alpha,
+                       LENGTH(REGEXP_REPLACE(text, '[^0-9]+', '', 'g')) AS digits,
+                       LENGTH(REGEXP_REPLACE(text, '[^ ]+', '', 'g')) AS spaces,
+                       len(list_filter(toks, x -> x = 'the'))
+                       + len(list_filter(toks, x -> x = 'and'))
+                       + len(list_filter(toks, x -> x = 'of'))
+                       + len(list_filter(toks, x -> x = 'to'))
+                       + len(list_filter(toks, x -> x = 'a'))
+                       + len(list_filter(toks, x -> x = 'in'))
+                       + len(list_filter(toks, x -> x = 'is')) AS stop_hits
+                FROM t)
+            SELECT doc_id, n_chars, n_tokens,
+                   alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+                   digits / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS digit_ratio,
+                   spaces / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS space_ratio,
+                   stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+                   0.4 * (alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+                   + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                   + 0.3 * LEAST((stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
+                       AS quality
+            FROM feats
+        """,
+        "text_langid": _TEXT_CTE + _LANG_SCORE_CTE + """
+            SELECT doc_id, lang AS lang_true,
+                   CASE WHEN mx > 0 THEN
+                        CASE WHEN s_en = mx THEN 'en'
+                             WHEN s_de = mx THEN 'de'
+                             WHEN s_es = mx THEN 'es'
+                             WHEN s_fr = mx THEN 'fr'
+                             ELSE 'zh' END
+                        ELSE 'und' END AS lang_pred,
+                   lang = (CASE WHEN mx > 0 THEN
+                        CASE WHEN s_en = mx THEN 'en'
+                             WHEN s_de = mx THEN 'de'
+                             WHEN s_es = mx THEN 'es'
+                             WHEN s_fr = mx THEN 'fr'
+                             ELSE 'zh' END
+                        ELSE 'und' END) AS correct
+            FROM scored
+        """,
         "reliability_summary": _GOLD_CTE + _RELIABILITY_CTE + """
             , avgs AS (
                 SELECT metric, COUNT(*) AS folds,
@@ -581,6 +763,37 @@ _RELIABILITY_CTE = """
                CAST(SUM(CAST(p - a AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS bias
         FROM test GROUP BY metric, fold_index)
 """
+
+
+#: normalized text + token CTE mirroring functions/text.py (RE2 syntax for
+#: the unicode ranges; Java regex uses \\uXXXX — same character classes)
+_TEXT_CTE = """
+    WITH d AS (
+        SELECT doc_id, text, lang,
+               TRIM(REGEXP_REPLACE(LOWER(text),
+                    '[^a-z0-9\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]+', ' ', 'g')) AS norm
+        FROM documents),
+    t AS (SELECT d.*, string_split(norm, ' ') AS toks FROM d)
+"""
+
+
+def _lang_score_cte() -> str:
+    """per-language stopword-hit sums, generated from the SAME profile
+    constant the Spark side uses (functions/text.py LANG_PROFILES)."""
+    parts = []
+    for lang, words in TX.LANG_PROFILES.items():
+        hits = " + ".join(
+            f"len(list_filter(toks, x -> x = '{w}'))" for w in words
+        )
+        parts.append(f"{hits} AS s_{lang}")
+    langs = ", ".join(f"s_{lang}" for lang in TX.LANG_PROFILES)
+    return f"""
+    , raw_scores AS (SELECT doc_id, lang, {", ".join(parts)} FROM t),
+    scored AS (SELECT *, GREATEST({langs}) AS mx FROM raw_scores)
+    """
+
+
+_LANG_SCORE_CTE = _lang_score_cte()
 
 
 def entry(spark: SparkSession) -> DataFrame:

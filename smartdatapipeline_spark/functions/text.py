@@ -1,0 +1,164 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+These extend the reference's surface (BASELINE.json north star) — the
+reference has no text analytics, so the semantics here are defined by
+this module and pinned by the DuckDB oracles + tests.
+
+Everything is built-in column expressions (JVM-side, codegen'd, no
+UDFs): at 100 TB these run at parquet scan speed with full column
+pruning — the scan reads only ``text``.
+
+Determinism notes: token operations use explicit whitespace
+normalization + ``split`` on a single space (identical across engines,
+no regex-dialect drift), and hashing goes through md5-hex → 60-bit int
+(identical everywhere, unlike murmur variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: distinctive stopword profiles for the heuristic language scorer.
+#: Literal token matching (not regex) so both engines agree byte-for-byte.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "que", "de", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "zh": ["的", "是", "了", "在", "和", "有", "不"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, non-alphanumerics → space, collapse runs, trim.
+
+    Simple character classes only ([^a-z0-9]) — Java regex and RE2
+    agree on these, so the oracle stays engine-portable.
+    """
+    s = F.lower(col)
+    s = F.regexp_replace(s, "[^a-z0-9\\u00c0-\\u024f\\u4e00-\\u9fff]+", " ")
+    return F.trim(s)
+
+
+def tokens(col: Column) -> Column:
+    """whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """whitespace token count."""
+    t = tokens(col)
+    return F.when(F.size(t) == 1, (F.element_at(t, 1) != "").cast("int")).otherwise(
+        F.size(t)
+    )
+
+
+def bpe_piece_count(col: Column) -> Column:
+    """BPE-ish piece estimate: word tokens contribute ceil(len/4) pieces
+    (≈ 4 chars/token for web text) — a deterministic stand-in for a real
+    tokenizer's piece count, cheap enough to run inline at scan time."""
+    t = tokens(col)
+    per = F.transform(t, lambda w: F.ceil(F.length(w) / 4.0).cast("long"))
+    return F.aggregate(per, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def count_token(col_tokens: Column, word: str) -> Column:
+    """occurrences of ``word`` among tokens (exact match)."""
+    return F.size(F.filter(col_tokens, lambda t: t == F.lit(word)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """per-language stopword-hit counts."""
+    t = tokens(col)
+    return {
+        lang: sum(
+            (count_token(t, w) for w in words), F.lit(0)
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def predict_lang(col: Column) -> Column:
+    """argmax language with deterministic tiebreak (profile order en, de,
+    es, fr, zh — first max wins, 'und' when every score is 0)."""
+    scores = lang_scores(col)
+    langs = list(LANG_PROFILES)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier profiles win ties (strict > comparison)
+    for lang in reversed(langs):
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    # two passes: first find max score, then first lang achieving it
+    max_score = scores[langs[0]]
+    for lang in langs[1:]:
+        max_score = F.greatest(max_score, scores[lang])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == max_score, F.lit(lang)).otherwise(out)
+    return F.when(max_score > 0, out).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """per-document quality features + composite score:
+
+    - n_chars, n_tokens, avg token length
+    - alpha_ratio: a-z chars / all chars
+    - digit_ratio, space_ratio
+    - stop_ratio: english stopword hits / tokens
+    - quality: 0-1 composite (length-capped, alpha-heavy, stopword-aware)
+    """
+    c = F.col(text_col)
+    t = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(t)
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]+", ""))
+    digits = F.length(F.regexp_replace(c, "[^0-9]+", ""))
+    spaces = F.length(F.regexp_replace(c, "[^ ]+", ""))
+    stop_hits = sum((count_token(t, w) for w in LANG_PROFILES["en"]), F.lit(0))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1)).cast("double")
+    digit_ratio = digits / F.greatest(n_chars, F.lit(1)).cast("double")
+    space_ratio = spaces / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
+    length_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    quality = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """60-bit content fingerprint of the normalized text: md5-hex → int.
+
+    md5 is bit-identical in every engine; murmur/xxhash are not. 15 hex
+    chars = 60 bits keeps the value positive in a signed int64.
+    """
+    return F.conv(F.substring(F.md5(normalize_text(col)), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprint(col: Column, k: int = 5) -> Column:
+    """robust document fingerprint: minimum k-gram hash (the min-sampling
+    half of winnowing) — stable under small edits away from the minimum,
+    unlike the whole-document hash."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return F.array_min(grams)
