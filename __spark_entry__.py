@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from smartdatapipeline_spark.functions import dedup as DD
 from smartdatapipeline_spark.functions import numeric as N
 from smartdatapipeline_spark.functions import text as TX
 from smartdatapipeline_spark.operators import anomaly as A
@@ -333,6 +334,42 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint. The corpus is self-unioned
+    with shifted ids so every group genuinely has 2 members — exercising
+    representative selection, not just hashing."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    return DD.exact_dedup(doubled)
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding: (doc_id, band, bucket) long-form — the
+    shuffle key space for candidate generation."""
+    sig = DD.minhash_signature(_docs(spark, sf_dir))
+    return DD.minhash_bands(sig, bands=4, rows=4)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs with signature-estimated Jaccard."""
+    return DD.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over shared-shingle candidate pairs."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document."""
+    return DD.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 15-bit block banding + Hamming filter."""
+    return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -356,6 +393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest_summary": q_backtest_summary,
         "reliability_folds": q_reliability_folds,
         "reliability_summary": q_reliability_summary,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "text_token_stats": q_text_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
@@ -609,6 +652,70 @@ def oracle_sql() -> dict[str, str]:
         "reliability_folds": _GOLD_CTE + _RELIABILITY_CTE + """
             SELECT metric, fold_index, mae, rmse, mape, smape, bias FROM fold_m
         """,
+        "dedup_exact": f"""
+            WITH dd AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents),
+            fps AS (
+                SELECT doc_id,
+                       {_H60.format(expr="TRIM(REGEXP_REPLACE(LOWER(text), '" + _NORM_RE + "', ' ', 'g'))")} AS fingerprint
+                FROM dd)
+            SELECT fingerprint, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+            FROM fps GROUP BY fingerprint
+        """,
+        "minhash_bands": _TEXT_CTE + _SHINGLE_CTE + _minhash_sig_cte()
+        + _minhash_band_cte() + """
+            SELECT doc_id, band, bucket FROM bb
+        """,
+        "minhash_pairs": _TEXT_CTE + _SHINGLE_CTE + _minhash_sig_cte()
+        + _minhash_band_cte() + """
+            , pairs AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM bb l JOIN bb r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                 AND l.doc_id < r.doc_id)
+            SELECT p.doc_a, p.doc_b,
+                   ("""
+        + " + ".join(
+            f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+            for i in range(len(DD.MINHASH_PARAMS))
+        )
+        + """) / 16.0 AS est_jaccard
+            FROM pairs p
+            JOIN sig a ON a.doc_id = p.doc_a
+            JOIN sig b ON b.doc_id = p.doc_b
+        """,
+        "ngram_jaccard_pairs": _TEXT_CTE + _SHINGLE_CTE + """
+            , ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i.doc_a, i.doc_b, i.n_inter,
+                   i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes na ON na.doc_id = i.doc_a
+            JOIN sizes nb ON nb.doc_id = i.doc_b
+            WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.05
+        """,
+        "simhash": _TEXT_CTE + _simhash_select() + """
+            SELECT doc_id, simhash FROM sx
+        """,
+        "simhash_pairs": _TEXT_CTE + _simhash_select() + """
+            , blocks AS ("""
+        + " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 15}) & 32767 AS block FROM sx"
+            for b in range(4)
+        )
+        + """)
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   bit_count(xor(l.simhash, r.simhash)) AS hamming
+            FROM blocks l JOIN blocks r
+              ON l.band = r.band AND l.block = r.block AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 20
+        """,
         "text_token_stats": _TEXT_CTE + """
             SELECT doc_id,
                    CASE WHEN len(toks) = 1
@@ -794,6 +901,61 @@ def _lang_score_cte() -> str:
 
 
 _LANG_SCORE_CTE = _lang_score_cte()
+
+_NORM_RE = "[^a-z0-9\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]+"
+_H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+#: 3-gram shingle-set CTE (appended to _TEXT_CTE)
+_SHINGLE_CTE = """
+    , g AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   generate_series(0, GREATEST(len(toks) - 3, 0)),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+        FROM t)
+"""
+
+
+def _minhash_sig_cte() -> str:
+    """MinHash signature CTE generated from the SAME hash family the
+    Spark side uses (functions/dedup.py MINHASH_PARAMS, p = 2^31-1)."""
+    h = _H60.format(expr="s")
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % 2147483647)) AS m{i}"
+        for i, (a, b) in enumerate(DD.MINHASH_PARAMS)
+    )
+    return f"""
+    , hs AS (SELECT doc_id, list_transform(sh, s -> {h} % 2147483647) AS h FROM g),
+    sig AS (SELECT doc_id, {mins} FROM hs)
+    """
+
+
+def _minhash_band_cte(bands: int = 4, rows: int = 4) -> str:
+    pieces = []
+    for b in range(bands):
+        cat = " || ',' || ".join(
+            f"m{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        bucket = _H60.format(expr=f"({cat})")
+        pieces.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig"
+        )
+    return ", bb AS (" + " UNION ALL ".join(pieces) + ")"
+
+
+def _simhash_select(src: str = "t") -> str:
+    """60-bit simhash expression generated to mirror functions/dedup.simhash."""
+    h = _H60.format(expr="x")
+    terms = " + ".join(
+        f"CASE WHEN list_reduce(list_transform(h, x2 -> CASE WHEN (x2 >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (1::BIGINT << {j}) "
+        f"ELSE 0::BIGINT END"
+        for j in range(60)
+    )
+    return f"""
+    , hs2 AS (SELECT doc_id, list_transform(list_distinct(toks), x -> {h}) AS h
+              FROM {src}),
+    sx AS (SELECT doc_id, ({terms}) AS simhash FROM hs2)
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard (BASELINE.json north star;
+no reference equivalent — semantics defined here, pinned by oracles).
+
+Scale design (the whole point of these):
+
+- **exact**: hash-groupBy on a 60-bit content fingerprint. One shuffle
+  on the fingerprint; representative = min(doc_id) per group.
+- **MinHash+LSH**: shingle → k hash functions → per-doc signature →
+  b bands of r rows → band-bucket join. Candidate generation touches
+  only docs sharing a band bucket (the classic S-curve), so the
+  pairwise work is proportional to true-ish duplicates, not n².
+- **SimHash**: 60-bit sign-aggregated token hashes; banding on bit
+  ranges gives candidate pairs for a Hamming-distance filter.
+- **n-gram Jaccard**: exact set similarity on shingle sets for candidate
+  pairs that share ≥ 1 shingle (sound only at moderate vocabularies;
+  MinHash-LSH is the 100 TB path — this is the verifier/oracle).
+
+Hashing discipline: md5-hex → 60-bit int (engine-portable; murmur/xxhash
+are not), then affine re-hashes ``(a·(H mod p) + b) mod p`` with
+p = 2^31 − 1 so every product stays far inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.functions.text import normalize_text, tokens
+
+P31 = 2_147_483_647  # 2^31 - 1 (prime)
+
+#: affine re-hash parameters for the MinHash family (fixed, public).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1 + 4 * i, 7 + 11 * i) for i in range(16)
+]
+
+
+def h60(col: Column) -> Column:
+    """portable 60-bit string hash: first 15 md5 hex chars as int."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """word k-gram shingle array of the normalized text (may repeat;
+    use array_distinct for the set)."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: one hash
+    aggregation. Output: (fingerprint, rep_id = min id, n_docs)."""
+    fp = h60(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """MinHash signature: for each of the 16 hash functions, the min over
+    the doc's distinct shingles of ``(a·(H mod p) + b) mod p``.
+
+    Computed entirely with array expressions — no explode, no shuffle:
+    each row maps its shingle array through the hash family in place.
+    Output: (id, sig array<long> length 16).
+    """
+    sh = F.array_distinct(shingles(F.col(text_col), k))
+    hs = F.transform(sh, lambda s: h60(s) % P31)
+    mins = F.array(
+        *[
+            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % P31))
+            for a, b in MINHASH_PARAMS
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), mins.alias("sig"))
+
+
+def minhash_bands(
+    sig_df: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """LSH banding: signature → ``bands`` buckets of ``rows`` hashes each,
+    bucket key = md5 of the joined band values. Output long-form:
+    (doc_id, band, bucket)."""
+    assert bands * rows <= len(MINHASH_PARAMS)
+    band_cols = []
+    for b in range(bands):
+        piece = F.concat_ws(
+            ",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)]
+        )
+        band_cols.append(h60(piece).alias(f"_b{b}"))
+    wide = sig_df.select("doc_id", *band_cols)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket"))
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    return wide.select("doc_id", stack).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket (a < b),
+    deduplicated across bands, with the signature-estimated Jaccard
+    (fraction of the 16 minhashes that agree).
+
+    The join is bucket-to-bucket — the n² pair space is never formed.
+    """
+    sig = minhash_signature(df, id_col, text_col, k).cache()
+    bb = minhash_bands(sig, bands, rows)
+    left = bb.alias("l")
+    right = bb.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    est = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m
+        )
+    ) / F.lit(float(len(MINHASH_PARAMS)))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥ 1 shingle:
+    |A∩B| as a count over the shared-shingle join, |A∪B| = |A|+|B|−|A∩B|.
+
+    All-integer set algebra ⇒ engine-exact. This is the verification
+    path; candidate generation at scale belongs to MinHash-LSH above.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over distinct tokens: bit j of the fingerprint is
+    the sign of Σ_tokens (±1 by bit j of the token hash).
+
+    Pure array expressions per row (fold the token-hash array once per
+    bit) — no explode, no shuffle, scan-speed at 100 TB.
+    Output: (doc_id, simhash long).
+    """
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    hs = F.transform(tok, lambda t: h60(t))
+    bit_sums = [
+        F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for j in range(60)
+    ]
+    fp = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 60 bits into ``bands`` 15-bit
+    blocks (pigeonhole: any pair within Hamming ≤ bands−1 shares a block;
+    wider radii trade recall), join per block, filter on true Hamming
+    distance. Output: (doc_a, doc_b, hamming)."""
+    s = simhash(df, id_col, text_col)
+    width = 60 // bands
+    mask = (1 << width) - 1
+    blocks = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.block").alias("block"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
