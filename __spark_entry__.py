@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions import dedup as DD
+from smartdatapipeline_spark.functions import multimodal as MM
+from smartdatapipeline_spark.functions import similarity as SIM
 from smartdatapipeline_spark.functions import numeric as N
 from smartdatapipeline_spark.functions import text as TX
 from smartdatapipeline_spark.operators import anomaly as A
@@ -334,6 +336,21 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column + Arrow-batched mapInPandas
+    feature extraction (md5-derived deterministic features stand in for
+    a model forward pass; decode stubs are gated NotImplementedError)."""
+    d = MM.attach_blob(_docs(spark, sf_dir))
+    return MM.extract_features(d)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-analog frame sampling: 4 evenly-spaced 16-byte windows per
+    payload, hashed — pure binary column expressions."""
+    d = MM.attach_blob(_docs(spark, sf_dir))
+    return MM.sample_frames(d, n_frames=4, frame_bytes=16)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint. The corpus is self-unioned
     with shifted ids so every group genuinely has 2 members — exercising
@@ -370,6 +387,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=20)
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 50th vector as query —
+    the exact baseline every ANN variant is measured against."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: sign-LSH bucket (8 bits) + exact re-rank within bucket —
+    the 100 TB path (corpus partitioned by bucket, per-query probe)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ann_bucketed_topk(emb, queries, k=10, nbits=8)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    return SIM.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.25, nbits=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -393,6 +435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest_summary": q_backtest_summary,
         "reliability_folds": q_reliability_folds,
         "reliability_summary": q_reliability_summary,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "cosine_topk": q_cosine_topk,
+        "ann_bucketed_topk": q_ann_bucketed_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
@@ -652,6 +699,62 @@ def oracle_sql() -> dict[str, str]:
         "reliability_folds": _GOLD_CTE + _RELIABILITY_CTE + """
             SELECT metric, fold_index, mae, rmse, mape, smape, bias FROM fold_m
         """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS header_hash,
+                   ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS feat_0,
+                   ('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0 AS feat_1,
+                   ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0 AS feat_2,
+                   ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS feat_3
+            FROM documents
+        """,
+        "frame_sample": """
+            WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+                       FROM documents),
+            frames AS (
+                SELECT doc_id, text, n, CAST(t.k AS INTEGER) AS frame_idx,
+                       CAST(FLOOR((t.k * GREATEST(n - 16, 0)) / 3.0) AS INTEGER) AS byte_offset
+                FROM d CROSS JOIN generate_series(0, 3) t(k))
+            SELECT doc_id, frame_idx, byte_offset,
+                   ('0x' || substr(md5(substr(text, byte_offset + 1, 16)), 1, 15))::BIGINT
+                       AS frame_hash
+            FROM frames
+        """,
+        "cosine_topk": _EMB_CTE + """
+            , q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e
+                    WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       """ + _DOT.format(a="q.qv", b="e.v") + """ / (q.qn * e.n) AS cos_sim
+                FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 10
+        """,
+        "ann_bucketed_topk": _EMB_CTE + """
+            , q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, bucket FROM e
+                    WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+                       """ + _DOT.format(a="q.qv", b="e.v") + """ / (q.qn * e.n) AS cos_sim
+                FROM e JOIN q USING (bucket) WHERE e.vec_id != q.query_id),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank, cos_sim, bucket
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_dup": _EMB_CTE + """
+            , pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       """ + _DOT.format(a="a.v", b="b.v") + """ / (a.n * b.n) AS cos_sim
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+        """,
         "dedup_exact": f"""
             WITH dd AS (
                 SELECT doc_id, text FROM documents
@@ -903,6 +1006,26 @@ def _lang_score_cte() -> str:
 _LANG_SCORE_CTE = _lang_score_cte()
 
 _NORM_RE = "[^a-z0-9\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]+"
+
+#: strict left-fold dot product (mirrors similarity.dot: float→double
+#: widening then index-order accumulation)
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> s[1]::DOUBLE * s[2]::DOUBLE), (x, y) -> x + y)"
+)
+
+#: embeddings with precomputed L2 norm and 8-bit sign-LSH bucket
+_EMB_CTE = """
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               SQRT(list_reduce(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS n,
+               """ + " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+    for i in range(8)
+) + """ AS bucket
+        FROM embeddings)
+"""
 _H60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 #: 3-gram shingle-set CTE (appended to _TEXT_CTE)

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k (baseline/verifier) and bucketed ANN variants
+(the scale path). BASELINE.json north-star extension — no reference
+equivalent; semantics pinned by DuckDB oracles + tests.
+
+Scale design:
+
+- **Brute force** is a broadcast nested-loop: broadcast the (small)
+  query set against the corpus, keep per-query top-k with a window
+  rank. Exact, O(|Q|·N) — the verifier for everything else.
+- **Sign-LSH buckets**: bucket = sign bits of the first ``nbits``
+  dimensions (a fixed axis-aligned random-hyperplane family — public
+  and engine-portable, no RNG state). Join queries to their bucket
+  only; at 100 TB, repartition the corpus by bucket once and every
+  query probes one partition.
+- **IVF-style coarse quantization** would replace the sign buckets with
+  trained centroids; the plumbing (bucket → candidates → exact re-rank)
+  is identical, so the sign-LSH pipeline is the structural template.
+
+Determinism: dot products are computed with an explicit left fold over
+``zip_with`` (index order), in double after exact float→double widening;
+ties in top-k rank break on ``vec_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """⟨a, b⟩ as a strict left fold in index order (deterministic —
+    a parallel sum of float products is not)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (broadcast nested-loop + windowed
+    rank). Output: (query_id, neighbor_id, rank, cos_sim); the query
+    itself is excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def sign_bucket(vec: Column, nbits: int = 8) -> Column:
+    """axis-aligned sign-LSH bucket id: bit i = (vec[i] > 0)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(nbits):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact re-rank within the query's sign-LSH bucket only.
+
+    Recall < 1 by construction (bucket boundaries); at scale the corpus
+    is partitioned by bucket so each query scans ~N/2^nbits vectors.
+    Output: (query_id, neighbor_id, rank, cos_sim, bucket).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "bucket")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign-LSH buckets:
+    (vec_a, vec_b, cos_sim ≥ threshold), a < b. The bucket join keeps
+    the pair space near-linear; near-identical vectors land in the same
+    bucket with high probability."""
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .withColumn("cos_sim", cosine(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("l._id").alias("vec_a"),
+            F.col("r._id").alias("vec_b"),
+            "cos_sim",
+        )
+    )

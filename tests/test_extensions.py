@@ -1,0 +1,138 @@
+"""Tests for the training-data-pipeline extensions: text analysis,
+dedup, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.functions import dedup as DD
+from smartdatapipeline_spark.functions import multimodal as MM
+from smartdatapipeline_spark.functions import similarity as SIM
+from smartdatapipeline_spark.functions import text as TX
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+# ----------------------------------------------------------------- text
+
+def test_token_count_and_normalize(spark):
+    df = _docs(spark, ["Hello, World! 42", "", "  one  two  "])
+    out = df.select(TX.token_count(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in out] == [3, 0, 2]
+
+
+def test_predict_lang_profiles(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog of the house",
+            "der hund und die katze ist nicht da",
+            "el perro que la casa es un gato",
+            "xyzzy qwerty plugh",
+        ],
+    )
+    out = [r["p"] for r in df.select(TX.predict_lang(F.col("text")).alias("p")).collect()]
+    assert out == ["en", "de", "es", "und"]
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_dedup_groups_identical_content(spark):
+    df = _docs(spark, ["a b c", "A  b C!", "totally different words"])
+    out = DD.exact_dedup(df).collect()
+    groups = {r["n_docs"] for r in out}
+    assert len(out) == 2 and groups == {1, 2}
+    dup = next(r for r in out if r["n_docs"] == 2)
+    assert dup["rep_id"] == 0  # min doc_id representative
+
+
+def test_minhash_identical_docs_share_all_buckets(spark):
+    df = _docs(spark, ["w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6", "a b c d e f"])
+    pairs = DD.minhash_candidate_pairs(df).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # shingles(3): doc0 {a b c, b c d}, doc1 {a b c, b c x} -> J = 1/3
+    df = _docs(spark, ["a b c d", "a b c x"])
+    out = DD.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_simhash_identical_equal_and_near(spark):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
+    hashes = [r["simhash"] for r in DD.simhash(df).collect()]
+    assert hashes[0] == hashes[1]
+    pairs = DD.simhash_near_pairs(df, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+# ----------------------------------------------------------- similarity
+
+def _vecs(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    corpus = _vecs(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    queries = _vecs(spark, [[1, 0]]).filter(F.col("vec_id") == 0)
+    out = SIM.brute_force_topk(corpus, queries, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # cos: ~0.994, 0, -1
+    assert out[0]["query_id"] == 0
+
+
+def test_ann_bucket_restricts_candidates(spark):
+    corpus = _vecs(spark, [[1, 1], [2, 1], [-1, -1], [-2, -1]])
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = SIM.ann_bucketed_topk(corpus, queries, k=10, nbits=2).collect()
+    # bucket of [1,1] (bits 11) contains only vec 1; negatives are bits 00
+    assert [r["neighbor_id"] for r in out] == [1]
+
+
+def test_embedding_near_dup_threshold(spark):
+    corpus = _vecs(spark, [[1, 0.01], [1, 0.012], [0.5, 0.9]])
+    out = SIM.embedding_near_dup_pairs(corpus, threshold=0.99, nbits=2).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in out] == [(0, 1)]
+
+
+# ----------------------------------------------------------- multimodal
+
+def test_attach_blob_and_features_deterministic(spark):
+    import hashlib
+
+    df = MM.attach_blob(_docs(spark, ["hello world"]))
+    row = df.select("blob", "media_meta").collect()[0]
+    assert bytes(row["blob"]) == b"hello world"
+    assert row["media_meta"]["n_bytes"] == 11
+
+    feats = MM.extract_features(df).collect()[0]
+    d = hashlib.md5(b"hello world").hexdigest()
+    assert feats["header_hash"] == int(d[:15], 16)
+    assert feats["feat_0"] == int(d[:8], 16) / 4294967296.0
+
+
+def test_decode_stubs_raise_not_implemented(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(F.lit(b"x"))
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(F.lit(b"x"))
+
+
+def test_frame_sample_shape(spark):
+    df = MM.attach_blob(_docs(spark, ["0123456789" * 10]))  # 100 bytes
+    out = MM.sample_frames(df, n_frames=4, frame_bytes=16).collect()
+    assert len(out) == 4
+    offsets = sorted(r["byte_offset"] for r in out)
+    assert offsets == [0, 28, 56, 84]  # evenly spaced over n-16
