@@ -1,0 +1,101 @@
+"""Structured Streaming ingest (SURVEY §2.8 — additive extension).
+
+The reference's ingest is request-scoped batch: parse → clean → upsert →
+recompute affected KPIs (routers/ingest.py:183-189,301-306). The
+streaming analog reproduces that loop continuously:
+
+    readStream(files|kafka) → clean_rows → watermarked dedup →
+    foreachBatch: anti-join upsert silver + recompute affected gold days
+
+- ``withWatermark`` bounds the dedup state exactly like the reference's
+  UNIQUE constraint bounds re-ingest: duplicates within the late-data
+  horizon are dropped by ``dropDuplicates`` state; older re-sends are
+  caught by the anti-join against stored silver inside foreachBatch.
+- Each micro-batch recomputes gold ONLY for the (metric_date) partitions
+  it touched — the streaming twin of "recompute affected (source,
+  metric) pairs per request".
+
+At cluster scale this runs with exactly-once file sinks per micro-batch
+(parquet + checkpointing); state size = O(events within the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.operators.kpi import run_daily_kpis
+from smartdatapipeline_spark.sources.ingest import clean_rows
+
+
+def stream_csv_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    silver_path: str,
+    gold_path: str,
+    checkpoint: str,
+    schema: str = "timestamp string, value string, metric string",
+    default_metric: str | None = "events_total",
+    watermark: str = "1 day",
+    source_id: int = 1,
+):
+    """File-source streaming ingest. Returns the started StreamingQuery.
+
+    Every micro-batch is the reference's request loop: clean → dedup →
+    append silver → recompute the touched gold partitions.
+    """
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 16)
+        .csv(input_dir)
+    )
+    cleaned = (
+        clean_rows(raw, default_metric=default_metric)
+        .filter(F.col("_warn").isNull())
+        .drop("_warn")
+        .withColumn("source_id", F.lit(source_id))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["source_id", "ts", "metric"])
+    )
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark_b = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch = batch.cache()
+        # S8 upsert: anti-join against stored silver (cross-batch dedup
+        # beyond the watermark horizon)
+        if os.path.exists(silver_path):
+            existing = spark_b.read.parquet(silver_path)
+            to_insert = batch.join(
+                existing.select("source_id", "ts", "metric"),
+                ["source_id", "ts", "metric"],
+                "left_anti",
+            )
+        else:
+            to_insert = batch
+        to_insert.write.mode("append").parquet(silver_path)
+        # recompute gold ONLY for the touched days (the reference's
+        # "recompute affected metrics" loop, routers/ingest.py:301-306)
+        touched = [r["d"] for r in batch.select(F.to_date("ts").alias("d")).distinct().collect()]
+        silver = spark_b.read.parquet(silver_path).filter(
+            F.to_date("ts").isin(touched)
+        )
+        gold = run_daily_kpis(silver)
+        (
+            gold.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("metric_date")
+            .parquet(gold_path)
+        )
+        batch.unpersist()
+
+    return (
+        cleaned.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
