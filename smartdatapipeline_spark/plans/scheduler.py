@@ -1,0 +1,76 @@
+"""Scheduler parity layer (SURVEY §2.8).
+
+The reference registers three APScheduler cron jobs whose bodies are
+logging stubs (backend/app/scheduler/setup.py:22-77,
+backend/app/scheduler/jobs.py:7-51):
+
+- nightly KPI rollup, 02:15
+- weekly forecast retrain, Sun 03:30
+- daily housekeeping, 04:00
+
+Parity is the registry + trigger wiring, not new computation: each job
+maps to an engine entry point (A1 daily KPIs / M1 forecast). On a real
+cluster these are submitted by any external scheduler (Airflow, cron,
+Databricks jobs); this module keeps the same three-job contract and
+runs them in-process for tests.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Job:
+    job_id: str
+    cron: str  # standard 5-field cron expression
+    fn: Callable[..., object]
+    description: str = ""
+
+
+@dataclass
+class Scheduler:
+    """Minimal job registry mirroring the reference's setup.py contract."""
+
+    jobs: dict[str, Job] = field(default_factory=dict)
+
+    def register(self, job_id: str, cron: str, fn: Callable[..., object], description: str = "") -> Job:
+        job = Job(job_id, cron, fn, description)
+        self.jobs[job_id] = job
+        logger.info("scheduler.registered %s (%s)", job_id, cron)
+        return job
+
+    def run(self, job_id: str, *args, **kwargs):
+        """Fire a job immediately (tests / external trigger integration)."""
+        return self.jobs[job_id].fn(*args, **kwargs)
+
+
+def default_scheduler(run_kpis: Callable[..., object] | None = None,
+                      run_forecast: Callable[..., object] | None = None,
+                      housekeeping: Callable[..., object] | None = None) -> Scheduler:
+    """The reference's three jobs (setup.py:22-77) wired to engine entry
+    points; bodies default to logging stubs exactly like jobs.py:7-51."""
+    s = Scheduler()
+    s.register(
+        "nightly_kpis",
+        "15 2 * * *",
+        run_kpis or (lambda: logger.info("job.nightly_kpis (stub)")),
+        "nightly KPI rollup (A1)",
+    )
+    s.register(
+        "weekly_retrain",
+        "30 3 * * 0",
+        run_forecast or (lambda: logger.info("job.weekly_retrain (stub)")),
+        "weekly forecast retrain (M1)",
+    )
+    s.register(
+        "daily_housekeeping",
+        "0 4 * * *",
+        housekeeping or (lambda: logger.info("job.daily_housekeeping (stub)")),
+        "daily housekeeping",
+    )
+    return s
