@@ -41,14 +41,35 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """word k-gram shingle array of the normalized text (may repeat;
-    use array_distinct for the set)."""
-    t = tokens(col)
-    n = F.size(t)
+def shingles(tokens_col: Column, k: int = 3) -> Column:
+    """word k-gram shingle array from a MATERIALIZED token-array column.
+
+    Pass a plain column reference (``F.col("toks")``), not a computed
+    expression: higher-order-function lambdas re-evaluate their captured
+    argument tree per element, so handing ``tokens(text)`` directly here
+    turns the O(T) tokenization into O(T²) per row (measured 4×+ slower
+    at sf0.1). ``exploded_shingles`` below does the materialization.
+    """
+    n = F.size(tokens_col)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k))
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, k))
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh): exploded distinct word k-gram shingles, with the
+    token array materialized in its own projection so tokenization runs
+    once per doc. ``explode_outer`` keeps empty docs as a null shingle
+    (downstream mins/hashes of null stay null, matching per-row array
+    semantics for empty inputs)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(shingles(F.col("_toks"), k))).alias("sh"),
     )
 
 
@@ -74,19 +95,30 @@ def minhash_signature(
     """MinHash signature: for each of the 16 hash functions, the min over
     the doc's distinct shingles of ``(a·(H mod p) + b) mod p``.
 
-    Computed entirely with array expressions — no explode, no shuffle:
-    each row maps its shingle array through the hash family in place.
+    Physical shape: explode shingles → hash once per (doc, shingle) row →
+    ``groupBy(doc).agg(min × 16)``. The 16 mins are plain aggregate
+    columns, so Spark does map-side partial aggregation and the shuffle
+    carries 16 longs per doc per partition — not the shingle set. (An
+    earlier all-array-expression form with no shuffle blew past the
+    whole-stage-codegen method limit and fell back to interpreted eval,
+    ~30× slower; the explode shape keeps every expression codegen'd.)
     Output: (id, sig array<long> length 16).
     """
-    sh = F.array_distinct(shingles(F.col(text_col), k))
-    hs = F.transform(sh, lambda s: h60(s) % P31)
-    mins = F.array(
-        *[
-            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % P31))
-            for a, b in MINHASH_PARAMS
-        ]
+    ex = exploded_shingles(df, id_col, text_col, k)
+    h = (h60(F.col("sh")) % P31).alias("h")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"_m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return (
+        ex.select("doc_id", h)
+        .groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"_m{i}" for i in range(len(MINHASH_PARAMS))]).alias("sig"),
+        )
     )
-    return df.select(F.col(id_col).alias("doc_id"), mins.alias("sig"))
 
 
 def minhash_bands(
@@ -169,18 +201,27 @@ def ngram_jaccard_pairs(
 
     All-integer set algebra ⇒ engine-exact. This is the verification
     path; candidate generation at scale belongs to MinHash-LSH above.
+
+    The self-join key is the 60-bit shingle hash, not the shingle
+    string: the shuffle carries (long, long) rows instead of raw
+    shingle text, and the sort/compare side of the join is integer
+    work. Collisions (~2^-60 per distinct pair) are negligible.
     """
     sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
-        )
+        exploded_shingles(df, id_col, text_col, k)
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", h60(F.col("sh")).alias("sh_h"))
+        # Shuffle on the join key ABOVE the hashing: the three consumers
+        # below (self-join a/b + per-doc sizes) canonicalize to the same
+        # exchange, so ReusedExchange computes the shingle hashes ONCE
+        # and the self-join needs no further shuffle.
+        .repartition("sh_h")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -204,41 +245,50 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """60-bit SimHash over distinct tokens: bit j of the fingerprint is
     the sign of Σ_tokens (±1 by bit j of the token hash).
 
-    Pure array expressions per row (fold the token-hash array once per
-    bit) — no explode, no shuffle, scan-speed at 100 TB.
+    Physical shape: explode distinct tokens → hash once per (doc, token)
+    row → ``groupBy(doc)`` with 60 bit-count sums (c_j = Σ (h>>j)&1) plus
+    the token count n; the ±1 sum is then 2·c_j − n, so bit j is set iff
+    2·c_j > n. Plain integer aggregates ⇒ map-side partial agg + full
+    codegen. (The per-row 60×``F.aggregate`` array-fold variant exceeded
+    the codegen method limit and ran interpreted, ~20× slower.)
     Output: (doc_id, simhash long).
     """
-    tok = F.array_distinct(tokens(F.col(text_col)))
-    hs = F.transform(tok, lambda t: h60(t))
-    bit_sums = [
-        F.aggregate(
-            hs,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = h60(F.col("tok")).alias("h")
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
         for j in range(60)
-    ]
+    ] + [F.count(F.col("h")).alias("_n")]
     fp = None
-    for j, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
+    for j in range(60):
+        term = F.when(
+            F.lit(2) * F.col(f"_c{j}") > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    return (
+        ex.select("doc_id", h)
+        .groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.coalesce(fp, F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 12,
+    max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 60 bits into ``bands`` 15-bit
-    blocks (pigeonhole: any pair within Hamming ≤ bands−1 shares a block;
-    wider radii trade recall), join per block, filter on true Hamming
-    distance. Output: (doc_a, doc_b, hamming)."""
+    blocks (pigeonhole: any pair within Hamming ≤ bands−1 shares a block,
+    so the default radius bands−1 = 3 has EXACT recall; wider radii trade
+    recall), join per block, filter on true Hamming distance.
+    Output: (doc_a, doc_b, hamming)."""
     s = simhash(df, id_col, text_col)
     width = 60 // bands
     mask = (1 << width) - 1
