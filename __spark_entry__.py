@@ -199,6 +199,46 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sourced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a synthetic 3-way source dimension (user_id % 3) so the
+    read path can exercise the source-name broadcast join (SURVEY J1)."""
+    return _events(spark, sf_dir).withColumn(
+        "source_id", (F.col("user_id") % 3).cast("int")
+    )
+
+
+_SOURCES_ROWS = [(0, "alpha"), (1, "beta"), (2, "gamma")]
+
+
+def q_metrics_read_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7/W8/J1: the metrics read path — gold slice fetched by
+    (source_name via broadcast dim join, metric, inclusive date range),
+    ordered desc with a deterministic limit, then output-normalized with
+    the unified ``value`` column for agg=avg."""
+    gold = K.run_daily_kpis(_sourced_events(spark, sf_dir), metric_col="event_type")
+    sources = spark.createDataFrame(_SOURCES_ROWS, "id int, name string")
+    out = M.fetch_metric_daily(
+        gold,
+        metric="purchase",
+        source_name="beta",
+        sources=sources,
+        start_date="2024-01-03",
+        end_date="2024-02-10",
+        limit=20,
+        descending=True,
+    )
+    return M.normalize_metric_rows(out, agg="avg")
+
+
+def q_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P7: CSV-export projection — fixed header order
+    (metric_date, source_id, metric, value, value_count, value_sum,
+    value_avg) with ``value`` mirroring ``value_sum``; callers stream it
+    with df.write.csv."""
+    gold = K.run_daily_kpis(_sourced_events(spark, sf_dir), metric_col="event_type")
+    return M.export_csv_frame(gold, metric="signup", start_date="2024-01-01", end_date="2024-01-31")
+
+
 def q_rolling_zscore_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: strict prior-window z-score (window=7, pstdev, all-present gate)."""
     return A.rolling_zscore_strict(_gold(spark, sf_dir), window=7, z_thresh=3.0)
@@ -318,11 +358,11 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-document 60-bit md5 fingerprint +
     min-k-gram (winnowing-style) robust fingerprint."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
     return d.select(
         "doc_id",
         TX.fingerprint64(F.col("text")).alias("fp64"),
-        TX.winnow_fingerprint(F.col("text"), k=5).alias("winnow_fp"),
+        TX.winnow_fingerprint(F.col("_toks"), k=5).alias("winnow_fp"),
     )
 
 
@@ -334,11 +374,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID via stopword profiles; deterministic
     first-profile-wins argmax."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
-        TX.predict_lang(F.col("text")).alias("lang_pred"),
+        TX.predict_lang(F.col("_toks")).alias("lang_pred"),
     ).withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
 
 
@@ -426,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpi_daily": q_kpi_daily,
         "kpi_daily_window": q_kpi_daily_window,
         "metric_names": q_metric_names,
+        "metrics_read_norm": q_metrics_read_norm,
+        "metrics_export": q_metrics_export,
         "ingest_stats": q_ingest_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -490,6 +532,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "metric_names": """
             SELECT DISTINCT event_type AS metric FROM events ORDER BY metric
+        """,
+        "metrics_read_norm": """
+            WITH gold AS (
+                SELECT CAST(ts AS DATE) AS metric_date,
+                       CAST(user_id % 3 AS INT) AS source_id,
+                       event_type AS metric,
+                       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                       COUNT(*) AS value_count
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT metric_date, source_id, metric, value_sum,
+                   value_sum / NULLIF(value_count, 0) AS value_avg,
+                   value_count,
+                   value_sum / NULLIF(value_count, 0) AS value
+            FROM gold
+            WHERE metric = 'purchase' AND source_id = 1
+              AND metric_date >= DATE '2024-01-03'
+              AND metric_date <= DATE '2024-02-10'
+            ORDER BY metric_date DESC
+            LIMIT 20
+        """,
+        "metrics_export": """
+            WITH gold AS (
+                SELECT CAST(ts AS DATE) AS metric_date,
+                       CAST(user_id % 3 AS INT) AS source_id,
+                       event_type AS metric,
+                       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                       COUNT(*) AS value_count
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT metric_date, source_id, metric,
+                   value_sum AS value,
+                   value_count, value_sum,
+                   value_sum / NULLIF(value_count, 0) AS value_avg
+            FROM gold
+            WHERE metric = 'signup'
+              AND metric_date >= DATE '2024-01-01'
+              AND metric_date <= DATE '2024-01-31'
         """,
         "ingest_stats": """
             SELECT COUNT(*) AS ingested,

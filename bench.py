@@ -20,13 +20,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E
 from smartdatapipeline_spark.session import get_spark
 
-#: queries() keys to time; extended as operators land.
+#: queries() keys to time — one headline per operator family (SURVEY §2).
 BENCH_QUERIES: list[str] = [
+    # core KPI / relational
     "kpi_daily",
     "kpi_daily_window",
+    "metrics_read_norm",
+    "metrics_export",
     "pricing_summary",
-    "metric_names",
+    "revenue_by_nation",
+    "top_customers",
     "ingest_stats",
+    # anomaly / forecast
+    "rolling_zscore_api",
+    "anomaly_iforest",
+    "forecast_contract",
+    "backtest_summary",
+    "reliability_summary",
+    # training-data extensions
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "ann_bucketed_topk",
+    "text_quality",
+    "text_langid",
+    "multimodal_features",
 ]
 
 

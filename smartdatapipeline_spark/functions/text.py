@@ -69,29 +69,30 @@ def count_token(col_tokens: Column, word: str) -> Column:
     return F.size(F.filter(col_tokens, lambda t: t == F.lit(word)))
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    """per-language stopword-hit counts."""
-    t = tokens(col)
+def lang_scores(tokens_col: Column) -> dict[str, Column]:
+    """per-language stopword-hit counts from a MATERIALIZED token-array
+    column (see ``shingles`` in functions/dedup.py for why: HOF lambdas
+    re-evaluate a computed argument tree per reference, so passing
+    ``tokens(text)`` here re-tokenized the doc ~35× per row — measured
+    13.9s → 0.9s at sf0.1 after materializing).
+
+    One filter pass per language: a token scores iff it is any of the
+    profile's stopwords — identical to summing exact-match counts per
+    word because the profile words are distinct."""
     return {
-        lang: sum(
-            (count_token(t, w) for w in words), F.lit(0)
+        lang: F.size(
+            F.filter(tokens_col, lambda tk: tk.isin(*words))
         ).alias(f"score_{lang}")
         for lang, words in LANG_PROFILES.items()
     }
 
 
-def predict_lang(col: Column) -> Column:
+def predict_lang(tokens_col: Column) -> Column:
     """argmax language with deterministic tiebreak (profile order en, de,
-    es, fr, zh — first max wins, 'und' when every score is 0)."""
-    scores = lang_scores(col)
+    es, fr, zh — first max wins, 'und' when every score is 0). Takes a
+    materialized token-array column (see ``lang_scores``)."""
+    scores = lang_scores(tokens_col)
     langs = list(LANG_PROFILES)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # iterate reversed so earlier profiles win ties (strict > comparison)
-    for lang in reversed(langs):
-        s = scores[lang]
-        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.greatest(s, best_score)
     # two passes: first find max score, then first lang achieving it
     max_score = scores[langs[0]]
     for lang in langs[1:]:
@@ -111,14 +112,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - stop_ratio: english stopword hits / tokens
     - quality: 0-1 composite (length-capped, alpha-heavy, stopword-aware)
     """
+    # materialize the token array once (HOF lambdas re-evaluate computed
+    # argument trees per reference — see lang_scores)
+    df = df.withColumn("_toks", tokens(F.col(text_col)))
     c = F.col(text_col)
-    t = tokens(c)
+    t = F.col("_toks")
     n_chars = F.length(c)
     n_tokens = F.size(t)
     alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]+", ""))
     digits = F.length(F.regexp_replace(c, "[^0-9]+", ""))
     spaces = F.length(F.regexp_replace(c, "[^ ]+", ""))
-    stop_hits = sum((count_token(t, w) for w in LANG_PROFILES["en"]), F.lit(0))
+    stop_hits = F.size(F.filter(t, lambda tk: tk.isin(*LANG_PROFILES["en"])))
     alpha_ratio = alpha / F.greatest(n_chars, F.lit(1)).cast("double")
     digit_ratio = digits / F.greatest(n_chars, F.lit(1)).cast("double")
     space_ratio = spaces / F.greatest(n_chars, F.lit(1)).cast("double")
@@ -150,15 +154,17 @@ def fingerprint64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(normalize_text(col)), 1, 15), 16, 10).cast("long")
 
 
-def winnow_fingerprint(col: Column, k: int = 5) -> Column:
+def winnow_fingerprint(tokens_col: Column, k: int = 5) -> Column:
     """robust document fingerprint: minimum k-gram hash (the min-sampling
     half of winnowing) — stable under small edits away from the minimum,
-    unlike the whole-document hash."""
-    t = tokens(col)
+    unlike the whole-document hash. Takes a MATERIALIZED token-array
+    column (see ``lang_scores`` for why)."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - k, F.lit(0))),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))), 1, 15), 16, 10
+            F.substring(F.md5(F.concat_ws(" ", F.slice(tokens_col, i + 1, k))), 1, 15),
+            16,
+            10,
         ).cast("long"),
     )
     return F.array_min(grams)

@@ -37,7 +37,8 @@ def test_predict_lang_profiles(spark):
             "xyzzy qwerty plugh",
         ],
     )
-    out = [r["p"] for r in df.select(TX.predict_lang(F.col("text")).alias("p")).collect()]
+    toks = df.withColumn("_toks", TX.tokens(F.col("text")))
+    out = [r["p"] for r in toks.select(TX.predict_lang(F.col("_toks")).alias("p")).collect()]
     assert out == ["en", "de", "es", "und"]
 
 
