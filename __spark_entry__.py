@@ -437,7 +437,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # Repartition: a single-row-group file otherwise leaves the whole
+    # pairwise dot-product space on one scan task (see _docs).
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,16 +59,26 @@ def brute_force_topk(
     """Exact cosine top-k per query (broadcast nested-loop + windowed
     rank). Output: (query_id, neighbor_id, rank, cos_sim); the query
     itself is excluded."""
+    # precompute each vector's norm ONCE (outside the pair space — the
+    # naive cosine() per pair recomputes both norms |Q|·N times); float
+    # multiply is IEEE-commutative so qn·cn is bit-identical either way
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm2(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm2(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -107,17 +117,22 @@ def ann_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        norm2(F.col(vec_col)).alias("_cn"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm2(F.col(vec_col)).alias("_qn"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -143,6 +158,7 @@ def embedding_near_dup_pairs(
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm2(F.col(vec_col)).alias("_n"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
@@ -152,7 +168,10 @@ def embedding_near_dup_pairs(
             (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .withColumn("cos_sim", cosine(F.col("l._v"), F.col("r._v")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col("l._id").alias("vec_a"),
