@@ -34,8 +34,13 @@ SF0001 = "/root/testdata/sf0.001"
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet mapped to the silver clean_events shape
-    (FIXTURES.md F3): event_type → metric, user_id → distinct field."""
-    return read_events(spark, sf_dir)
+    (FIXTURES.md F3): event_type → metric, user_id → distinct field.
+
+    Repartitioned off the single-row-group test file so the decimal
+    partial aggregations run on every core (a real cluster gets this
+    parallelism from scan splits; see _docs)."""
+    df = read_events(spark, sf_dir)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------- queries
