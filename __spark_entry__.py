@@ -464,6 +464,15 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_bucketed_topk(emb, queries, k=10, nbits=8)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: fixed-centroid coarse quantization (vec_id < 16),
+    nprobe=1 cell probe, exact cosine re-rank — the trained-quantizer
+    pipeline with a deterministic stand-in quantizer."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_topk(emb, queries, k=10, n_centroids=16)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within sign-LSH buckets."""
     return SIM.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.25, nbits=8)
@@ -498,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "cosine_topk": q_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -843,6 +853,30 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
                 FROM scored)
             SELECT query_id, neighbor_id, rank, cos_sim, bucket
+            FROM ranked WHERE rank <= 10
+        """,
+        "ivf_topk": _EMB_CTE + """
+            , cents AS (SELECT vec_id AS cent_id, v AS cv, n AS cn FROM e
+                        WHERE vec_id < 16),
+            assign AS (
+                SELECT e.vec_id, e.v, e.n, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY """ + _DOT.format(a="e.v", b="c.cv") + """
+                                    / (e.n * c.cn) DESC,
+                                    c.cent_id ASC) AS rn
+                FROM e CROSS JOIN cents c),
+            cells AS (SELECT vec_id, v, n, cent_id AS cell FROM assign WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, cell FROM cells
+                  WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id, c.cell,
+                       """ + _DOT.format(a="q.qv", b="c.v") + """ / (q.qn * c.n) AS cos_sim
+                FROM cells c JOIN q USING (cell) WHERE c.vec_id != q.query_id),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank, cos_sim, cell
             FROM ranked WHERE rank <= 10
         """,
         "embedding_near_dup": _EMB_CTE + """

@@ -44,6 +44,7 @@ BENCH_QUERIES: list[str] = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "ann_bucketed_topk",
+    "ivf_topk",
     "text_quality",
     "text_langid",
     "multimodal_features",

@@ -144,6 +144,93 @@ def ann_bucketed_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid (deterministic tiebreak: lowest centroid id).
+
+    ``centroids`` is a small (cent_id, _cv, _cn) frame — broadcast, so
+    assignment is one scan over the corpus with |C| fold evaluations per
+    row and a per-vector argmax window. At 100 TB this is the single
+    repartition-by-cell pass that builds the inverted file.
+    Output: (id, _v, _n, cell)."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm2(F.col(vec_col)).alias("_n"),
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            "_v",
+            "_n",
+            F.col("cent_id").alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize corpus and queries to ``n_centroids``
+    cells, probe the query's own cell (nprobe=1), exact cosine re-rank.
+
+    Centroids here are the fixed vectors ``id < n_centroids`` —
+    deterministic plumbing-first quantizer; swapping in trained k-means
+    centroids changes only the ``centroids`` frame, not the pipeline.
+    Output: (query_id, neighbor_id, rank, cos_sim, cell)."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("_cv"),
+        norm2(F.col(vec_col)).alias("_cn"),
+    )
+    cells = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("_nv"),
+        F.col("_n").alias("_nn"),
+        "cell",
+    )
+    qcells = ivf_assign(queries, cents, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "cell")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -102,6 +102,17 @@ def test_ann_bucket_restricts_candidates(spark):
     assert [r["neighbor_id"] for r in out] == [1]
 
 
+def test_ivf_assigns_cells_and_reranks(spark):
+    # centroids = vec_id < 2: c0=[1,0], c1=[0,1]; vecs 2,3 near c0, vec 4 near c1
+    corpus = _vecs(spark, [[1, 0], [0, 1], [0.9, 0.1], [0.95, 0.05], [0.1, 0.9]])
+    queries = corpus.filter(F.col("vec_id") == 2)
+    out = SIM.ivf_topk(corpus, queries, k=10, n_centroids=2).collect()
+    # query 2 lands in cell 0 with {0, 3}; vec 4 (cell 1) is never probed
+    assert all(r["cell"] == 0 for r in out)
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [3, 0]
+
+
 def test_embedding_near_dup_threshold(spark):
     corpus = _vecs(spark, [[1, 0.01], [1, 0.012], [0.5, 0.9]])
     out = SIM.embedding_near_dup_pairs(corpus, threshold=0.99, nbits=2).collect()
