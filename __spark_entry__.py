@@ -244,6 +244,25 @@ def q_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.export_csv_frame(gold, metric="signup", start_date="2024-01-01", end_date="2024-01-31")
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window KPIs (6h) — the Structured Streaming
+    aggregation operator run in batch mode (same code path; a streaming
+    caller adds a watermark to bound state)."""
+    from smartdatapipeline_spark.streaming.windows import windowed_kpis
+
+    ev = _events(spark, sf_dir).withColumnRenamed("event_type", "metric")
+    return windowed_kpis(ev, window="6 hours")
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user — batch twin of the
+    applyInPandasWithState streaming operator (identical semantics,
+    pinned by tests/test_streaming.py)."""
+    from smartdatapipeline_spark.operators.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
 def q_rolling_zscore_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: strict prior-window z-score (window=7, pstdev, all-present gate)."""
     return A.rolling_zscore_strict(_gold(spark, sf_dir), window=7, z_thresh=3.0)
@@ -485,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_names": q_metric_names,
         "metrics_read_norm": q_metrics_read_norm,
         "metrics_export": q_metrics_export,
+        "windowed_counts": q_windowed_counts,
+        "sessionization": q_sessionization,
         "ingest_stats": q_ingest_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -643,6 +664,40 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
                    COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
             FROM events GROUP BY event_type
+        """,
+        "windowed_counts": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+                   event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       / NULLIF(COUNT(*), 0) AS value_avg,
+                   COUNT(*) AS value_count
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "sessionization": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            tagged AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM tagged GROUP BY user_id, session_id
         """,
         "rolling_zscore_strict": _GOLD_CTE + _stats_cte(7) + """
             , derived AS (

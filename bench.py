@@ -31,6 +31,8 @@ BENCH_QUERIES: list[str] = [
     "revenue_by_nation",
     "top_customers",
     "ingest_stats",
+    "windowed_counts",
+    "sessionization",
     # anomaly / forecast
     "rolling_zscore_api",
     "anomaly_iforest",

@@ -1,0 +1,56 @@
+"""Gap-based sessionization — a training-pipeline operator the
+reference lacks (BASELINE.json north star; semantics pinned here by the
+DuckDB oracle + tests).
+
+A session is a maximal run of a user's events where consecutive gaps are
+≤ ``gap``. Two implementations with identical semantics:
+
+- batch (this module): two window functions over (user, ts) — a lag-gap
+  flag and its running sum — then one aggregation. Cost: one shuffle on
+  ``user_id``, sort within partitions; scales with user cardinality.
+- streaming (streaming/sessions.py): ``applyInPandasWithState`` keeping
+  one open session per user as state — O(users-in-watermark) state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign gap-based sessions and aggregate one row per session.
+
+    Output: (user_id, session_id [1-based per user, ordered by start],
+    session_start, session_end, n_events). Gap comparison is in exact
+    integer microseconds (``unix_micros``) — float seconds would drift
+    between engines.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > F.lit(gap_us))
+    ).cast("int")
+    sess_id = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            sess_id.alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,10 +1,12 @@
-"""Structured Streaming ingest test: files arrive → silver dedup →
-gold recompute, across two micro-batch rounds with duplicate rows."""
+"""Structured Streaming tests: file ingest → silver dedup → gold
+recompute; windowed event-time aggregation batch/stream equivalence;
+stateful sessionization (applyInPandasWithState) vs its batch twin."""
 
 from __future__ import annotations
 
 import datetime as dt
 import os
+import time
 
 from smartdatapipeline_spark.streaming.ingest import stream_csv_ingest
 
@@ -43,3 +45,81 @@ def test_stream_ingest_end_to_end(spark, tmp_path):
     assert out[dt.date(2025, 1, 1)]["value_sum"] == 35.0
     assert out[dt.date(2025, 1, 1)]["value_count"] == 3
     assert spark.read.parquet(silver).count() == 3
+
+
+def test_windowed_kpis_stream_matches_batch(spark, tmp_path):
+    """The same windowed_kpis call runs on a readStream source with a
+    watermark and must produce the batch answer once the stream drains."""
+    from smartdatapipeline_spark.streaming.windows import windowed_kpis
+
+    inp = tmp_path / "win_in"
+    inp.mkdir()
+    (inp / "f1.json").write_text(
+        '{"ts": "2025-01-01T00:10:00Z", "metric": "m", "value": 1.0}\n'
+        '{"ts": "2025-01-01T00:50:00Z", "metric": "m", "value": 2.0}\n'
+        '{"ts": "2025-01-01T01:10:00Z", "metric": "m", "value": 4.0}\n'
+        '{"ts": "2025-01-01T03:00:00Z", "metric": "n", "value": 8.0}\n'
+    )
+    schema = "ts timestamp, metric string, value double"
+    batch = windowed_kpis(spark.read.schema(schema).json(str(inp)), window="1 hour")
+    stream = windowed_kpis(
+        spark.readStream.schema(schema).json(str(inp)),
+        window="1 hour",
+        watermark="1 minute",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["window_start"], r["metric"])  # noqa: E731
+    got = {key(r): (r["value_sum"], r["value_count"]) for r in spark.table("win_test").collect()}
+    want = {key(r): (r["value_sum"], r["value_count"]) for r in batch.collect()}
+    assert got == want and len(want) == 3
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by a later
+    event emit immediately; open sessions flush by event-time timeout
+    when the watermark passes session_end + gap."""
+    from smartdatapipeline_spark.operators.sessions import sessionize
+    from smartdatapipeline_spark.streaming.sessions import sessionize_stream
+
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    (inp / "f1.json").write_text(
+        '{"user_id": 1, "ts": "2025-01-01T10:00:00Z"}\n'
+        '{"user_id": 1, "ts": "2025-01-01T10:10:00Z"}\n'
+        '{"user_id": 1, "ts": "2025-01-01T11:30:00Z"}\n'
+        '{"user_id": 2, "ts": "2025-01-01T10:05:00Z"}\n'
+    )
+    time.sleep(1.1)  # file-source batches order by modification time
+    (inp / "f2.json").write_text('{"user_id": 99, "ts": "2025-01-01T20:00:00Z"}\n')
+
+    schema = "user_id bigint, ts timestamp"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp))
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_test").collect()
+    }
+    # users 1 and 2 fully flush (u99's late event advances the watermark
+    # past their timeouts); u99's own session stays open — never emitted
+    batch_df = spark.read.schema(schema).json(str(inp))
+    want = {
+        (r["user_id"], r["session_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, gap_minutes=30).collect()
+        if r["user_id"] != 99
+    }
+    assert got == want and len(want) == 3
