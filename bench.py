@@ -53,6 +53,72 @@ BENCH_QUERIES: list[str] = [
 ]
 
 
+def pipeline_e2e(spark, sf_dir: str) -> dict[str, float]:
+    """BASELINE.md's declared comparison: end-to-end pipeline wall-clock
+    (ingest → silver dedup → gold KPI → anomaly → forecast → export),
+    per stage. Materializes real parquet/CSV staging in a temp dir —
+    the write path is part of the cost at 100 TB, not an artifact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.operators.anomaly import rolling_zscore_api
+    from smartdatapipeline_spark.operators.forecast import forecast, normalize_forecast_contract
+    from smartdatapipeline_spark.operators.kpi import run_daily_kpis
+    from smartdatapipeline_spark.operators.metrics import export_csv_frame
+    from smartdatapipeline_spark.session import read_events
+
+    work = tempfile.mkdtemp(prefix="sdp_bench_")
+    t: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        ev = (
+            read_events(spark, sf_dir)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "ts",
+                F.col("event_type").alias("metric"),
+                "value",
+                F.lit(1).alias("source_id"),
+            )
+            .dropDuplicates(["source_id", "ts", "metric"])
+        )
+        ev.write.mode("overwrite").parquet(f"{work}/silver")
+        t["pipeline/ingest_silver"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        silver = spark.read.parquet(f"{work}/silver")
+        gold = run_daily_kpis(silver)
+        gold.write.mode("overwrite").partitionBy("metric_date").parquet(f"{work}/gold")
+        t["pipeline/gold_kpis"] = round(time.perf_counter() - t0, 4)
+
+        gold_series = (
+            spark.read.parquet(f"{work}/gold")
+            .select("metric_date", "metric", F.col("value_sum").alias("value"))
+        )
+        t0 = time.perf_counter()
+        rolling_zscore_api(gold_series, window=7).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t["pipeline/anomaly"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        normalize_forecast_contract(
+            forecast(gold_series, horizon_days=7)
+        ).write.format("noop").mode("overwrite").save()
+        t["pipeline/forecast"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        export_csv_frame(spark.read.parquet(f"{work}/gold")).write.mode(
+            "overwrite"
+        ).option("header", True).csv(f"{work}/export")
+        t["pipeline/export_csv"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -71,6 +137,8 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    timings.update(pipeline_e2e(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     print(
