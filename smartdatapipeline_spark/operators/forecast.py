@@ -120,23 +120,24 @@ def forecast_naive(
     )
 
 
-def forecast(
+def forecast_with_model(
     series: DataFrame,
+    model_fn,
+    model_version: str,
     horizon_days: int = 7,
     partition_cols: tuple[str, ...] = ("metric",),
     date_col: str = "metric_date",
     value_col: str = "value",
 ) -> DataFrame:
-    """M1 — SARIMAX(1,1,1)(0,0,0,0) per group via ``applyInPandas`` when
-    statsmodels is importable (reference services/forecast.py:39-92:
-    enforce_stationarity=False, enforce_invertibility=False, CI ffill→0),
-    else the M2 naive ladder. Series with < 14 points always take the
-    naive path (:110-127)."""
-    try:
-        import statsmodels.tsa.statespace.sarimax  # noqa: F401
-    except ImportError:
-        return forecast_naive(series, horizon_days, partition_cols, date_col, value_col)
+    """M1 plumbing — per-group model fitting via ``applyInPandas``.
 
+    ``model_fn(s: pd.Series[day-indexed], horizon: int) -> pd.DataFrame``
+    with columns (yhat, yhat_lower, yhat_upper) and ``horizon`` rows.
+    Inside the UDF, the reference's M2 ladder applies: series with
+    < MIN_POINTS(14) points or all-zero sum, and any model exception,
+    fall back to last-value repetition (services/forecast.py:45-66,
+    110-129). NaN/inf in model output are ffill→0 like the SARIMAX CI
+    handling (:88-91)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -152,9 +153,6 @@ def forecast(
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        from statsmodels.tsa.statespace.sarimax import SARIMAX
-
         pdf = pdf.sort_values(date_col)
         s = pd.Series(
             pdf[value_col].to_numpy(dtype=float),
@@ -163,33 +161,28 @@ def forecast(
         keys = {c: pdf[c].iloc[0] for c in partition_cols}
         last = s.index.max()
         idx = pd.date_range(last + pd.Timedelta(days=1), periods=horizon_days, freq="D")
-        if len(s) < MIN_POINTS or float(s.sum()) == 0.0:
+        out = None
+        version = model_version
+        if len(s) >= MIN_POINTS and float(s.sum()) != 0.0:
+            try:
+                m = model_fn(s, horizon_days)
+                out = pd.DataFrame(
+                    {
+                        "yhat": m["yhat"].to_numpy(),
+                        "yhat_lower": m["yhat_lower"].to_numpy(),
+                        "yhat_upper": m["yhat_upper"].to_numpy(),
+                    },
+                    index=idx,
+                ).ffill().fillna(0.0)
+            except Exception:
+                out = None  # M2: model blew up ⇒ naive
+        if out is None:
             last_val = 0.0 if float(s.sum()) == 0.0 else float(s.iloc[-1])
             out = pd.DataFrame(
                 {"yhat": last_val, "yhat_lower": last_val, "yhat_upper": last_val},
                 index=idx,
             )
             version = "naive-0.1"
-        else:
-            model = SARIMAX(
-                s,
-                order=(1, 1, 1),
-                seasonal_order=(0, 0, 0, 0),
-                enforce_stationarity=False,
-                enforce_invertibility=False,
-            )
-            fitted = model.fit(disp=False)
-            fc = fitted.get_forecast(steps=horizon_days)
-            ci = fc.conf_int()
-            out = pd.DataFrame(
-                {
-                    "yhat": fc.predicted_mean.to_numpy(),
-                    "yhat_lower": ci.iloc[:, 0].to_numpy(),
-                    "yhat_upper": ci.iloc[:, 1].to_numpy(),
-                },
-                index=idx,
-            ).ffill().fillna(0.0)
-            version = "sarimax-0.1"
         out = out.reset_index(names="target_date")
         out["target_date"] = out["target_date"].dt.date
         for k, v in keys.items():
@@ -198,6 +191,55 @@ def forecast(
         return out[[*partition_cols, "target_date", "yhat", "yhat_lower", "yhat_upper", "model_version"]]
 
     return series.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
+
+
+def forecast(
+    series: DataFrame,
+    horizon_days: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M1 — SARIMAX(1,1,1)(0,0,0,0) per group when statsmodels is
+    importable (reference services/forecast.py:39-92:
+    enforce_stationarity=False, enforce_invertibility=False, CI ffill→0),
+    else the M2 naive ladder. Series with < 14 points always take the
+    naive path (:110-127)."""
+    try:
+        import statsmodels.tsa.statespace.sarimax  # noqa: F401
+    except ImportError:
+        return forecast_naive(series, horizon_days, partition_cols, date_col, value_col)
+
+    def sarimax_fn(s, horizon: int):
+        import pandas as pd
+        from statsmodels.tsa.statespace.sarimax import SARIMAX
+
+        fitted = SARIMAX(
+            s,
+            order=(1, 1, 1),
+            seasonal_order=(0, 0, 0, 0),
+            enforce_stationarity=False,
+            enforce_invertibility=False,
+        ).fit(disp=False)
+        fc = fitted.get_forecast(steps=horizon)
+        ci = fc.conf_int()
+        return pd.DataFrame(
+            {
+                "yhat": fc.predicted_mean.to_numpy(),
+                "yhat_lower": ci.iloc[:, 0].to_numpy(),
+                "yhat_upper": ci.iloc[:, 1].to_numpy(),
+            }
+        )
+
+    return forecast_with_model(
+        series,
+        sarimax_fn,
+        "sarimax-0.1",
+        horizon_days,
+        partition_cols,
+        date_col,
+        value_col,
+    )
 
 
 # ------------------------------------------------------------------ C1–C3

@@ -68,6 +68,51 @@ def test_naive_all_zero_series_forecasts_zero(spark):
     assert all(r["yhat"] == 0.0 and r["yhat_lower"] == 0.0 and r["yhat_upper"] == 0.0 for r in out)
 
 
+def test_forecast_with_model_grouped_map_plumbing(spark):
+    """M1 applyInPandas machinery with an injected deterministic model:
+    per-group fitting, strictly-future anchor, schema, version tag."""
+    import pandas as pd
+
+    def const_model(s, horizon):
+        return pd.DataFrame(
+            {
+                "yhat": [42.0] * horizon,
+                "yhat_lower": [40.0] * horizon,
+                "yhat_upper": [44.0] * horizon,
+            }
+        )
+
+    long = _series(spark, range(1, 21), metric="long")          # 20 pts ≥ 14
+    short = _series(spark, range(1, 6), metric="short")         # 5 pts < 14
+    out = FC.forecast_with_model(
+        long.unionByName(short), const_model, "const-1", horizon_days=7
+    ).collect()
+    by_metric: dict[str, list] = {}
+    for r in out:
+        by_metric.setdefault(r["metric"], []).append(r)
+    lr = sorted(by_metric["long"], key=lambda r: r["target_date"])
+    assert len(lr) == 7 and lr[0]["target_date"] == dt.date(2025, 1, 21)
+    assert all(r["yhat"] == 42.0 and r["model_version"] == "const-1" for r in lr)
+    # short series: M2 ladder inside the UDF — last value, naive tag
+    sr = by_metric["short"]
+    assert len(sr) == 7
+    assert all(r["yhat"] == 5.0 and r["model_version"] == "naive-0.1" for r in sr)
+
+
+def test_forecast_with_model_exception_falls_back_naive(spark):
+    """M2: a model that throws ⇒ last-value naive inside the UDF
+    (reference services/forecast.py:110-129)."""
+
+    def broken_model(s, horizon):
+        raise RuntimeError("fit diverged")
+
+    out = FC.forecast_with_model(
+        _series(spark, range(1, 21)), broken_model, "broken-1", horizon_days=3
+    ).collect()
+    assert len(out) == 3
+    assert all(r["yhat"] == 20.0 and r["model_version"] == "naive-0.1" for r in out)
+
+
 def test_contract_widens_bounds_and_pads_to_seven(spark):
     """C1: inverted bounds swapped then widened to include yhat; short
     groups padded forward with zero rows to exactly 7."""
