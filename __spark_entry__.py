@@ -244,6 +244,22 @@ def q_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.export_csv_frame(gold, metric="signup", start_date="2024-01-01", end_date="2024-01-31")
 
 
+def q_value_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: unified-value coalesce chain value → value_sum → value_avg →
+    value_count (reference routers/anomaly_iforest.py:67-72). The gold
+    frame is sparsified so every fallback stage is exercised."""
+    gold = K.run_daily_kpis(_events(spark, sf_dir), metric_col="event_type", source_col=None)
+    staged = gold.select(
+        "metric_date",
+        "metric",
+        # null out value_sum on even days, value_avg too on day%3==0
+        F.when(F.dayofmonth("metric_date") % 2 == 1, F.col("value_sum")).alias("value_sum"),
+        F.when(F.dayofmonth("metric_date") % 3 != 0, F.col("value_avg")).alias("value_avg"),
+        F.col("value_count"),
+    )
+    return M.value_fallback(staged)
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window KPIs (6h) — the Structured Streaming
     aggregation operator run in batch mode (same code path; a streaming
@@ -504,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_names": q_metric_names,
         "metrics_read_norm": q_metrics_read_norm,
         "metrics_export": q_metrics_export,
+        "value_fallback": q_value_fallback,
         "windowed_counts": q_windowed_counts,
         "sessionization": q_sessionization,
         "ingest_stats": q_ingest_stats,
@@ -664,6 +681,28 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
                    COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
             FROM events GROUP BY event_type
+        """,
+        "value_fallback": """
+            WITH gold AS (
+                SELECT CAST(ts AS DATE) AS metric_date,
+                       event_type AS metric,
+                       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS vs,
+                       COUNT(*) AS value_count
+                FROM events GROUP BY 1, 2
+            ),
+            staged AS (
+                SELECT metric_date, metric,
+                       CASE WHEN date_part('day', metric_date) % 2 = 1 THEN vs END
+                           AS value_sum,
+                       CASE WHEN date_part('day', metric_date) % 3 != 0
+                            THEN vs / NULLIF(value_count, 0) END AS value_avg,
+                       value_count
+                FROM gold
+            )
+            SELECT metric_date, metric, value_sum, value_avg, value_count,
+                   COALESCE(value_sum, value_avg,
+                            CAST(value_count AS DOUBLE)) AS value
+            FROM staged
         """,
         "windowed_counts": """
             SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
