@@ -323,6 +323,8 @@ def simhash_near_pairs(
             F.col("r.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so filtering before the
+        # cross-band dedup is equivalent and shrinks the distinct input
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

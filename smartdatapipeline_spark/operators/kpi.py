@@ -62,6 +62,7 @@ def run_daily_kpis(
     metric_col: str = "metric",
     value_col: str = "value",
     source_col: str | None = "source_id",
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """The daily KPI group-by (reference services/kpi.py:13-232).
 
@@ -92,8 +93,16 @@ def run_daily_kpis(
         F.count(F.lit(1)).alias("value_count"),
     ]
     if distinct_field is not None:
-        # exact distinct — reference tests assert equality with row counts
-        aggs.append(F.countDistinct(F.col(distinct_field)).alias("value_distinct"))
+        # exact distinct by default — reference tests assert equality with
+        # row counts (SURVEY A2). approx_distinct=True swaps in HLL++
+        # (one aggregation pass, no expand) for 100 TB interactive use
+        # where ±2% beats the exact double-shuffle.
+        d = (
+            F.approx_count_distinct(F.col(distinct_field))
+            if approx_distinct
+            else F.countDistinct(F.col(distinct_field))
+        )
+        aggs.append(d.alias("value_distinct"))
 
     return df.groupBy(*keys).agg(*aggs)
 

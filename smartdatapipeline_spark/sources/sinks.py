@@ -51,6 +51,27 @@ def overwrite_gold_partitions(df: DataFrame, path: str) -> None:
     )
 
 
+def write_bucketed_gold(
+    df: DataFrame,
+    table: str,
+    buckets: int = 32,
+    bucket_cols: tuple[str, ...] = ("metric",),
+    sort_cols: tuple[str, ...] = ("metric_date",),
+) -> None:
+    """Gold as a bucketed+sorted table: repeated aggregations/joins on the
+    bucket key read pre-clustered data and plan WITHOUT an Exchange —
+    the 100 TB pattern for a hot grouping key (PERF.md "bucketing both
+    sides on the key deletes the shuffle"). Requires a metastore-backed
+    table (``saveAsTable``), not a bare path."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def overwrite_forecast_horizon(
     df: DataFrame, path: str, spark: SparkSession
 ) -> None:

@@ -176,3 +176,29 @@ def test_end_to_end_file_to_gold(spark, tmpfile, tmp_path):
     # idempotent re-upsert: same gold recompute overwrites same partitions
     S.overwrite_gold_partitions(gold, gold_path)
     assert spark.read.parquet(gold_path).count() == 2
+
+
+def test_bucketed_gold_aggregation_plans_without_exchange(spark, tmp_path):
+    """Bucketed+sorted gold: a groupBy on the bucket key must NOT add an
+    Exchange (the co-location pattern that deletes the shuffle at scale)."""
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.operators import kpi as K
+
+    rows = [
+        Row(ts=dt.datetime(2025, 1, 1 + i % 3, 10, 0, 0), source_id=1,
+            metric=f"m{i % 5}", value=float(i))
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(rows)
+    gold = K.run_daily_kpis(events)
+    table = "gold_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    S.write_bucketed_gold(gold, table, buckets=4, bucket_cols=("metric",))
+    try:
+        agg = spark.table(table).groupBy("metric").agg(F.sum("value_sum").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -72,3 +72,18 @@ def test_metric_names_sorted(spark):
     )
     names = [r["metric"] for r in K.metric_names(ev).collect()]
     assert names == ["a", "b"]
+
+
+def test_approx_distinct_option_close_to_exact(spark):
+    """A2 scale option: HLL++ approx distinct within rsd of the exact
+    count (exact countDistinct stays the default — tests pin equality)."""
+    ev = _mk_events(
+        spark,
+        [(1, dt.datetime(2025, 1, 1, h, m), "m", 1) for h in range(10) for m in range(30)],
+    )
+    exact = K.run_daily_kpis(ev, distinct_field="rid").collect()[0]["value_distinct"]
+    approx = K.run_daily_kpis(ev, distinct_field="rid", approx_distinct=True).collect()[0][
+        "value_distinct"
+    ]
+    assert exact == 300
+    assert abs(approx - exact) / exact < 0.1
