@@ -202,3 +202,37 @@ def test_bucketed_gold_aggregation_plans_without_exchange(spark, tmp_path):
         assert agg.count() == 5
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ingest_and_refresh_end_to_end(spark, tmp_path):
+    """§3.1 orchestration: two successive ingests — duplicate counting,
+    scoped gold refresh, stats contract."""
+    from smartdatapipeline_spark.operators.pipeline import ingest_and_refresh
+
+    silver, gold = str(tmp_path / "silver"), str(tmp_path / "gold")
+    p1 = str(tmp_path / "a.csv")
+    open(p1, "w").write(
+        "timestamp,value,metric\n"
+        "2025-01-01T00:00:00Z,10,m\n"
+        "2025-01-01T01:00:00Z,20,m\n"
+        "bad-ts,99,m\n"
+    )
+    s1 = ingest_and_refresh(spark, R.read_csv(spark, p1), silver, gold)
+    assert s1["ingested_rows"] == 2 and s1["skipped_rows"] == 1
+    assert s1["duplicate_rows"] == 0
+    out = {r["metric_date"]: r for r in spark.read.parquet(gold).collect()}
+    assert out[dt.date(2025, 1, 1)]["value_sum"] == 30.0
+
+    # second ingest: one duplicate + one new event on a new day
+    p2 = str(tmp_path / "b.csv")
+    open(p2, "w").write(
+        "timestamp,value,metric\n"
+        "2025-01-01T00:00:00Z,10,m\n"
+        "2025-01-02T00:00:00Z,5,m\n"
+    )
+    s2 = ingest_and_refresh(spark, R.read_csv(spark, p2), silver, gold)
+    assert s2["ingested_rows"] == 2 and s2["duplicate_rows"] == 1
+    out = {r["metric_date"]: r for r in spark.read.parquet(gold).collect()}
+    assert out[dt.date(2025, 1, 1)]["value_sum"] == 30.0  # day 1 unchanged
+    assert out[dt.date(2025, 1, 2)]["value_sum"] == 5.0
+    assert spark.read.parquet(silver).count() == 3
