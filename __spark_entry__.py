@@ -422,6 +422,33 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data cleaning recipe as ONE pipeline:
+    quality gate (composite ≥ 0.5) → language filter (predicted en) →
+    exact-dedup representative selection (min doc_id per fingerprint).
+    Each stage is the already-oracle-checked operator; this pins their
+    composition."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
+    pred = d.select(
+        "doc_id",
+        TX.predict_lang(F.col("_toks")).alias("lang_pred"),
+        TX.fingerprint64(F.col("text")).alias("fingerprint"),
+    )
+    qf = TX.quality_features(_docs(spark, sf_dir)).select("doc_id", "n_tokens", "quality")
+    filt = (
+        pred.join(qf, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        filt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang_pred", "n_tokens", "quality", "fingerprint")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + Arrow-batched mapInPandas
     feature extraction (md5-derived deterministic features stand in for
@@ -557,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1090,6 +1118,47 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * LEAST((stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
                        AS quality
             FROM feats
+        """,
+        "corpus_curation": _TEXT_CTE + _LANG_SCORE_CTE + """
+            , feats AS (
+                SELECT doc_id,
+                       LENGTH(text) AS n_chars,
+                       len(toks) AS n_tokens,
+                       LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]+', '', 'g')) AS alpha,
+                       len(list_filter(toks, x -> x = 'the'))
+                       + len(list_filter(toks, x -> x = 'and'))
+                       + len(list_filter(toks, x -> x = 'of'))
+                       + len(list_filter(toks, x -> x = 'to'))
+                       + len(list_filter(toks, x -> x = 'a'))
+                       + len(list_filter(toks, x -> x = 'in'))
+                       + len(list_filter(toks, x -> x = 'is')) AS stop_hits
+                FROM t),
+            q AS (
+                SELECT doc_id, n_tokens,
+                       0.4 * (alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+                       + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                       + 0.3 * LEAST((stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
+                           AS quality
+                FROM feats),
+            pred AS (
+                SELECT s.doc_id,
+                       CASE WHEN mx > 0 THEN
+                            CASE WHEN s_en = mx THEN 'en'
+                                 WHEN s_de = mx THEN 'de'
+                                 WHEN s_es = mx THEN 'es'
+                                 WHEN s_fr = mx THEN 'fr'
+                                 ELSE 'zh' END
+                            ELSE 'und' END AS lang_pred,
+                       ('0x' || substr(md5(d.norm), 1, 15))::BIGINT AS fingerprint
+                FROM scored s JOIN d ON s.doc_id = d.doc_id),
+            filt AS (
+                SELECT p.doc_id, p.lang_pred, q.n_tokens, q.quality, p.fingerprint,
+                       ROW_NUMBER() OVER (PARTITION BY p.fingerprint
+                                          ORDER BY p.doc_id) AS rn
+                FROM pred p JOIN q USING (doc_id)
+                WHERE q.quality >= 0.5 AND p.lang_pred = 'en')
+            SELECT doc_id, lang_pred, n_tokens, quality, fingerprint
+            FROM filt WHERE rn = 1
         """,
         "text_langid": _TEXT_CTE + _LANG_SCORE_CTE + """
             SELECT doc_id, lang AS lang_true,

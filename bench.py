@@ -49,6 +49,7 @@ BENCH_QUERIES: list[str] = [
     "ivf_topk",
     "text_quality",
     "text_langid",
+    "corpus_curation",
     "multimodal_features",
 ]
 
