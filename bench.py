@@ -129,8 +129,14 @@ def main() -> None:
     qs = E.queries()
     names = [n for n in BENCH_QUERIES if n in qs] or list(qs)
 
-    # warmup: spin the JVM + codegen on a trivial job (untimed)
+    # warmup: spin the JVM + codegen on a trivial job, and touch each
+    # table's parquet footer (untimed) — on a long-running cluster the
+    # footer/listing caches are warm; without this the first query in
+    # the list absorbs every cold-start cost and skews per-query numbers
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            spark.read.parquet(os.path.join(sf_dir, f)).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in names:
