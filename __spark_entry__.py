@@ -449,6 +449,28 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distribution stats: exact continuous percentiles (p50/p90)
+    of the quality score per true language — the corpus-health dashboard
+    aggregate. Exact ``percentile`` (both engines interpolate identically
+    on sorted doubles); at 100 TB swap to approx_percentile and drop the
+    oracle."""
+    qf = TX.quality_features(_docs(spark, sf_dir))
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        qf.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(quality, 0.5)").alias("q50"),
+            F.expr("percentile(quality, 0.9)").alias("q90"),
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + Arrow-batched mapInPandas
     feature extraction (md5-derived deterministic features stand in for
@@ -585,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "corpus_curation": q_corpus_curation,
+        "quality_percentiles": q_quality_percentiles,
     }
 
 
@@ -1118,6 +1141,34 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * LEAST((stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
                        AS quality
             FROM feats
+        """,
+        "quality_percentiles": _TEXT_CTE + """
+            , feats AS (
+                SELECT doc_id, lang,
+                       LENGTH(text) AS n_chars,
+                       len(toks) AS n_tokens,
+                       LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]+', '', 'g')) AS alpha,
+                       len(list_filter(toks, x -> x = 'the'))
+                       + len(list_filter(toks, x -> x = 'and'))
+                       + len(list_filter(toks, x -> x = 'of'))
+                       + len(list_filter(toks, x -> x = 'to'))
+                       + len(list_filter(toks, x -> x = 'a'))
+                       + len(list_filter(toks, x -> x = 'in'))
+                       + len(list_filter(toks, x -> x = 'is')) AS stop_hits
+                FROM t),
+            q AS (
+                SELECT lang,
+                       0.4 * (alpha / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+                       + 0.3 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                       + 0.3 * LEAST((stop_hits / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) * 4.0, 1.0)
+                           AS quality
+                FROM feats)
+            SELECT lang, COUNT(*) AS n_docs,
+                   quantile_cont(quality, 0.5) AS q50,
+                   quantile_cont(quality, 0.9) AS q90,
+                   MIN(quality) AS q_min,
+                   MAX(quality) AS q_max
+            FROM q GROUP BY lang ORDER BY lang
         """,
         "corpus_curation": _TEXT_CTE + _LANG_SCORE_CTE + """
             , feats AS (

@@ -99,3 +99,33 @@ def stream_csv_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: str = "timestamp string, value string, metric string",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source → cleaned event stream (the cluster ingest path; the
+    file source above is the test/demo path — both feed the SAME
+    clean/dedup/upsert pipeline).
+
+    Returns the cleaned streaming DataFrame; the caller wires it to
+    ``writeStream.foreachBatch`` exactly like ``stream_csv_ingest``.
+    Requires the spark-sql-kafka package on the cluster (not in this
+    container — no broker to test against), so any failure surfaces at
+    ``load()`` with Spark's own missing-data-source error.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("j")
+    ).select("j.*")
+    return clean_rows(parsed)
