@@ -252,20 +252,58 @@ def _iforest_fallback_rolling_z(
     return scored.unionByName(nulls)
 
 
+def anomaly_iforest_4d(
+    df: DataFrame,
+    contamination: float = 0.05,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M7 — the service-variant Isolation Forest (reference
+    services/anomaly_iforest.py:25-47, written but NOT routed): 4-D
+    features from the W3 rolling block (value, roll_mean_7, roll_std_7,
+    diff_1), ``n_estimators=100``, same seed. Kept as an explicit code
+    path for parity; gated exactly like the 1-D router variant —
+    sklearn absent ⇒ NotImplementedError (the reference's unrouted
+    variant has no fallback ladder of its own)."""
+    try:
+        import sklearn  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "anomaly_iforest_4d requires scikit-learn, which is not "
+            "available in this container; the W3 feature block it "
+            "consumes (iforest_features) is real and oracle-tested"
+        ) from exc
+    feats = iforest_features(df, partition_cols, date_col, value_col)
+    return _iforest_sklearn(
+        feats,
+        contamination,
+        partition_cols,
+        date_col,
+        value_col,
+        feature_cols=(value_col, "roll_mean_7", "roll_std_7", "diff_1"),
+        n_estimators=100,
+    )
+
+
 def _iforest_sklearn(
     df: DataFrame,
     contamination: float,
     partition_cols: tuple[str, ...],
     date_col: str,
     value_col: str,
+    feature_cols: tuple[str, ...] | None = None,
+    n_estimators: int = 200,
 ) -> DataFrame:
     """Grouped-map fit: one IsolationForest per (source, metric) series —
     the idiomatic Spark shape for many small independent models. Each
     group is one pandas DataFrame in one task; thousands of series train
-    in parallel across the cluster."""
+    in parallel across the cluster. ``feature_cols`` defaults to the 1-D
+    router variant (value only); M7 passes the 4-D W3 block."""
     import pandas as pd
     from pyspark.sql import types as T
 
+    feats = tuple(feature_cols or (value_col,))
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -285,14 +323,18 @@ def _iforest_sklearn(
             pdf["is_outlier"] = False
             pdf["score"] = None
             return pdf
-        x = vals.copy()
-        x[~finite] = float(np.nanmean(np.where(finite, vals, np.nan)))
+        x = pdf[list(feats)].astype(float).to_numpy()
+        col_means = np.nanmean(np.where(np.isfinite(x), x, np.nan), axis=0)
+        bad = ~np.isfinite(x)
+        x[bad] = np.take(col_means, np.nonzero(bad)[1])
         model = IsolationForest(
-            contamination=contamination, n_estimators=200, random_state=42
+            contamination=contamination,
+            n_estimators=n_estimators,
+            random_state=42,
         )
-        model.fit(x.reshape(-1, 1))
-        pdf["is_outlier"] = model.predict(x.reshape(-1, 1)) == -1
-        pdf["score"] = model.decision_function(x.reshape(-1, 1))
+        model.fit(x)
+        pdf["is_outlier"] = model.predict(x) == -1
+        pdf["score"] = model.decision_function(x)
         return pdf
 
     return df.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)

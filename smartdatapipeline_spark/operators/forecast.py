@@ -244,6 +244,16 @@ def forecast(
 
 # ------------------------------------------------------------------ C1–C3
 
+def derive_horizon(last_obs, end_date, cap: int = 30) -> int:
+    """C3 — horizon from a requested end_date:
+    ``clamp((end_date − last_obs).days, 0, cap)``; ≤ 0 means "nothing to
+    forecast" and callers return an empty result
+    (reference routers/forecast.py:183-187). Driver-side scalar logic —
+    the horizon parameterizes the plan, it is not data."""
+    days = (end_date - last_obs).days
+    return max(0, min(cap, days))
+
+
 def strictly_future(
     forecasts: DataFrame,
     last_observed: DataFrame,

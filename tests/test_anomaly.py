@@ -121,3 +121,35 @@ def test_iforest_fallback_windows_over_nonnull_history(spark):
     spike = out["2025-01-10"]
     assert spike["is_outlier"] is True
     assert spike["score"] is not None and abs(spike["score"]) >= 3.0
+
+
+def test_iforest_4d_gated_without_sklearn(spark):
+    """M7 code-path parity: the unrouted 4-D service variant is gated on
+    sklearn exactly like the decode stubs."""
+    import pytest
+
+    from smartdatapipeline_spark.operators.anomaly import anomaly_iforest_4d
+
+    df = spark.createDataFrame(
+        [("m", dt.date(2025, 1, 1 + i), float(i)) for i in range(10)],
+        "metric string, metric_date date, value double",
+    )
+    try:
+        import sklearn  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            anomaly_iforest_4d(df)
+    else:
+        out = anomaly_iforest_4d(df)
+        assert {"is_outlier", "score"} <= set(out.columns)
+
+
+def test_derive_horizon_clamps():
+    """C3: clamp((end_date - last_obs).days, 0, 30)."""
+    from smartdatapipeline_spark.operators.forecast import derive_horizon
+
+    last = dt.date(2025, 1, 10)
+    assert derive_horizon(last, dt.date(2025, 1, 17)) == 7
+    assert derive_horizon(last, dt.date(2025, 1, 10)) == 0
+    assert derive_horizon(last, dt.date(2025, 1, 1)) == 0
+    assert derive_horizon(last, dt.date(2025, 6, 1)) == 30
