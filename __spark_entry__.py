@@ -385,6 +385,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation: SimHash radius-3 pairs → connected
+    components (iterative min-label propagation) → (doc_id, cluster)
+    where cluster = min reachable doc id — the dedup keep-list's
+    representative assignment."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.simhash_near_pairs(d, max_hamming=3)
+    return DD.duplicate_clusters(pairs, d)
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace token count + BPE-ish piece estimate."""
     d = _docs(spark, sf_dir)
@@ -602,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "text_token_stats": q_text_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
@@ -1078,6 +1089,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = i.doc_a
             JOIN sizes nb ON nb.doc_id = i.doc_b
             WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.05
+        """,
+        "dup_clusters": _TEXT_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+        + _simhash_select() + """
+            , blocks AS ("""
+        + " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 15}) & 32767 AS block FROM sx"
+            for b in range(4)
+        )
+        + """),
+            sp AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM blocks l JOIN blocks r
+                  ON l.band = r.band AND l.block = r.block AND l.doc_id < r.doc_id
+                WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM sp
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM sp),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS r FROM documents
+                UNION
+                SELECT e.src AS id, reach.r AS r
+                FROM edges e JOIN reach ON reach.id = e.dst)
+            SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
         """,
         "simhash": _TEXT_CTE + _simhash_select() + """
             SELECT doc_id, simhash FROM sx

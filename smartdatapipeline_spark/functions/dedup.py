@@ -241,6 +241,69 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc labeled with
+    the MIN doc id reachable through the pair graph — the cluster
+    representative a dedup keep-list selects.
+
+    Iterative min-label propagation (the GraphFrames/Pregel CC shape in
+    plain DataFrames): each round, a node's label becomes the min of its
+    own and its neighbors' labels; converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so typically < 5. Each round
+    is one join + one aggregation; ``localCheckpoint`` cuts the growing
+    lineage (and the convergence check is the same count that would be
+    read anyway). Deterministic: min is order-independent.
+
+    Output: (id_col, cluster) — isolated docs label themselves.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .withColumn("_label", F.col("_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["_dst"] == labels["_id"])
+            .groupBy("_src")
+            .agg(F.min("_label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["_id"] == nbr_min["_src"], "left")
+            .select(
+                F.col("_id"),
+                F.least(
+                    F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
+                ).alias("_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_id")
+            .filter(F.col("n._label") != F.col("o._label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("cluster"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over distinct tokens: bit j of the fingerprint is
     the sign of Σ_tokens (±1 by bit j of the token hash).

@@ -148,3 +148,24 @@ def test_frame_sample_shape(spark):
     assert len(out) == 4
     offsets = sorted(r["byte_offset"] for r in out)
     assert offsets == [0, 28, 56, 84]  # evenly spaced over n-16
+
+
+def test_duplicate_clusters_connected_components(spark):
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 10, 11, 20]])
+    out = {r["doc_id"]: r["cluster"] for r in DD.duplicate_clusters(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_duplicate_clusters_chain_diameter(spark):
+    """A long chain exercises multi-round propagation (diameter 5)."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(5, 0, -1)])
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(1, 7)])
+    out = {r["doc_id"]: r["cluster"] for r in DD.duplicate_clusters(pairs, nodes).collect()}
+    assert out == {i: 1 for i in range(1, 7)}
