@@ -70,6 +70,24 @@ FORECAST_RESULTS = T.StructType(
     ]
 )
 
+#: model registry (reference backend/app/models/forecast_model.py:11-27);
+#: model_params JSON/JSONB → MapType(string, string)
+FORECAST_MODELS = T.StructType(
+    [
+        T.StructField("source_id", T.LongType(), True),
+        T.StructField("metric", T.StringType(), True),
+        T.StructField("model_name", T.StringType(), True),
+        T.StructField("model_params", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("window_n", T.IntegerType(), True),
+        T.StructField("horizon_n", T.IntegerType(), True),
+        T.StructField("trained_at", T.TimestampType(), True),
+        T.StructField("train_start", T.DateType(), True),
+        T.StructField("train_end", T.DateType(), True),
+        T.StructField("mape", T.DoubleType(), True),
+        T.StructField("notes", T.StringType(), True),
+    ]
+)
+
 FORECAST_RELIABILITY = T.StructType(
     [
         T.StructField("source_name", T.StringType(), True),

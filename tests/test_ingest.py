@@ -236,3 +236,23 @@ def test_ingest_and_refresh_end_to_end(spark, tmp_path):
     assert out[dt.date(2025, 1, 1)]["value_sum"] == 30.0  # day 1 unchanged
     assert out[dt.date(2025, 1, 2)]["value_sum"] == 5.0
     assert spark.read.parquet(silver).count() == 3
+
+
+def test_partitioned_gold_prunes_date_filter(spark, tmp_path):
+    """The partitioned gold layout must turn date filters into partition
+    pruning — the scan's PartitionFilters, not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.operators import kpi as K
+
+    rows = [
+        Row(ts=dt.datetime(2025, 1, 1 + i % 5, 8), source_id=1, metric="m", value=1.0)
+        for i in range(50)
+    ]
+    gold = K.run_daily_kpis(spark.createDataFrame(rows))
+    path = str(tmp_path / "gold")
+    S.overwrite_gold_partitions(gold, path)
+    q = spark.read.parquet(path).filter(F.col("metric_date") == "2025-01-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2025-01-03" in plan, plan
+    assert q.count() == 1
