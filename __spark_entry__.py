@@ -385,6 +385,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash —
+    stable under appends and identical on any engine/cluster size."""
+    from smartdatapipeline_spark.functions.sampling import hash_split
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(d, weights={"train": 90, "val": 5, "test": 5})
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster formation: SimHash radius-3 pairs → connected
     components (iterative min-label propagation) → (doc_id, cluster)
@@ -613,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "dataset_split": q_dataset_split,
         "text_token_stats": q_text_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
@@ -1089,6 +1099,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = i.doc_a
             JOIN sizes nb ON nb.doc_id = i.doc_b
             WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.05
+        """,
+        "dataset_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                           AS bucket
+                FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "dup_clusters": _TEXT_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
         + _simhash_select() + """

@@ -169,3 +169,25 @@ def test_duplicate_clusters_chain_diameter(spark):
     nodes = spark.createDataFrame([Row(doc_id=i) for i in range(1, 7)])
     out = {r["doc_id"]: r["cluster"] for r in DD.duplicate_clusters(pairs, nodes).collect()}
     assert out == {i: 1 for i in range(1, 7)}
+
+
+def test_hash_split_stable_under_append(spark):
+    """A doc's split must not change when the corpus grows."""
+    from smartdatapipeline_spark.functions.sampling import hash_split
+
+    small = spark.createDataFrame([Row(doc_id=i) for i in range(50)])
+    big = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    s_small = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert sum(w == "train" for w in s_big.values()) > 400  # ~98%
+
+
+def test_deterministic_shuffle_reproducible_and_salted(spark):
+    from smartdatapipeline_spark.functions.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(100)])
+    o1 = [r["doc_id"] for r in deterministic_shuffle(df).collect()]
+    o2 = [r["doc_id"] for r in deterministic_shuffle(df).collect()]
+    o3 = [r["doc_id"] for r in deterministic_shuffle(df, salt="epoch-2").collect()]
+    assert o1 == o2 and o1 != sorted(o1) and o1 != o3
