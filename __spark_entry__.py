@@ -449,6 +449,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition."""
     from pyspark.sql import Window
 
+    # Deliberately a JOIN of two feature branches, not one fused
+    # projection: predicate pushdown substitutes full expression trees
+    # into pushed filter conditions (no cost guard), so a fused plan
+    # re-evaluates predict_lang/quality in the filter AND the project —
+    # measured 2× slower than splitting the branches and filtering each.
     d = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
     pred = d.select(
         "doc_id",

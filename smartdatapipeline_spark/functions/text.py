@@ -103,7 +103,9 @@ def predict_lang(tokens_col: Column) -> Column:
     return F.when(max_score > 0, out).otherwise(F.lit("und"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """per-document quality features + composite score:
 
     - n_chars, n_tokens, avg token length
@@ -142,6 +144,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         space_ratio.alias("space_ratio"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
+        # passthrough columns (composite pipelines fuse lang/fingerprint
+        # into this projection instead of joining a second scan)
+        *keep,
     )
 
 
