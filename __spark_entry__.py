@@ -385,6 +385,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate word-3-gram fraction
+    (per-row array math) + most-frequent-2-gram fraction (explode +
+    two-level aggregation)."""
+    return TX.repetition_features(_docs(spark, sf_dir))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (explode → count →
+    TakeOrdered; deterministic tiebreak on token)."""
+    d = _docs(spark, sf_dir).select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return (
+        d.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by salted id hash —
     stable under appends and identical on any engine/cluster size."""
@@ -628,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "dataset_split": q_dataset_split,
+        "repetition_features": q_repetition_features,
+        "vocab_topk": q_vocab_topk,
         "text_token_stats": q_text_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
@@ -1116,6 +1138,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "repetition_features": _TEXT_CTE + """
+            , g3 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 1 THEN
+                           list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                       ELSE [] END AS grams
+                FROM t),
+            g2 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 1 THEN
+                           list_transform(range(1, GREATEST(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(toks[i:i+1], ' '))
+                       ELSE [] END AS grams
+                FROM t),
+            row3 AS (
+                SELECT doc_id, len(grams) AS n_3grams,
+                       1.0 - len(list_distinct(grams))
+                           / CAST(GREATEST(len(grams), 1) AS DOUBLE) AS dup_3gram_frac
+                FROM g3),
+            ex2 AS (SELECT doc_id, unnest(grams) AS g FROM g2),
+            cnt2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ex2 GROUP BY doc_id, g),
+            top2 AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_2grams
+                     FROM cnt2 GROUP BY doc_id)
+            SELECT r.doc_id, r.n_3grams, r.dup_3gram_frac,
+                   COALESCE(t2.n_2grams, 0) AS n_2grams,
+                   COALESCE(t2.top_c, 0)
+                       / CAST(GREATEST(COALESCE(t2.n_2grams, 0), 1) AS DOUBLE)
+                       AS top_2gram_frac
+            FROM row3 r LEFT JOIN top2 t2 ON r.doc_id = t2.doc_id
+        """,
+        "vocab_topk": _TEXT_CTE + """
+            , ex AS (SELECT unnest(toks) AS token FROM t)
+            SELECT token, COUNT(*) AS n FROM ex
+            WHERE token != ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
         """,
         "dup_clusters": _TEXT_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
         + _simhash_select() + """

@@ -50,6 +50,8 @@ BENCH_QUERIES: list[str] = [
     "text_quality",
     "text_langid",
     "corpus_curation",
+    "repetition_features",
+    "vocab_topk",
     "multimodal_features",
 ]
 

@@ -150,6 +150,62 @@ def quality_features(
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals:
+
+    - dup_3gram_frac: 1 − distinct/total word 3-grams (array ops per
+      row — no explode, scan-speed)
+    - top_2gram_frac: occurrences of the most frequent word 2-gram over
+      total 2-grams (explode → per-(doc, gram) count → max per doc;
+      map-side partial aggregation keeps the shuffle at
+      O(distinct grams))
+
+    High values flag boilerplate/spam/looped generations. Output:
+    (doc_id, n_3grams, dup_3gram_frac, n_2grams, top_2gram_frac).
+    """
+    from smartdatapipeline_spark.functions.dedup import shingles
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    g3 = shingles(F.col("_toks"), 3)
+    per_row = base.select(
+        "doc_id",
+        F.size(g3).alias("n_3grams"),
+        (
+            1.0
+            - F.size(F.array_distinct(g3))
+            / F.greatest(F.size(g3), F.lit(1)).cast("double")
+        ).alias("dup_3gram_frac"),
+        shingles(F.col("_toks"), 2).alias("_g2"),
+    )
+    g2 = per_row.select("doc_id", F.explode("_g2").alias("g"))
+    top2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("n_2grams"))
+    )
+    return (
+        per_row.drop("_g2")
+        .join(top2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_3grams",
+            "dup_3gram_frac",
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            (
+                F.coalesce(F.col("_top"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_2grams"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
 def fingerprint64(col: Column) -> Column:
     """60-bit content fingerprint of the normalized text: md5-hex → int.
 

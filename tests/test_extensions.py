@@ -191,3 +191,13 @@ def test_deterministic_shuffle_reproducible_and_salted(spark):
     o2 = [r["doc_id"] for r in deterministic_shuffle(df).collect()]
     o3 = [r["doc_id"] for r in deterministic_shuffle(df, salt="epoch-2").collect()]
     assert o1 == o2 and o1 != sorted(o1) and o1 != o3
+
+
+def test_repetition_features_flags_loops(spark):
+    df = _docs(spark, ["a b a b a b a b", "w1 w2 w3 w4 w5 w6"])
+    out = {r["doc_id"]: r for r in TX.repetition_features(df).collect()}
+    # doc0: 3-grams = [aba, bab]*3 -> 6 total, 2 distinct -> dup frac 2/3
+    assert abs(out[0]["dup_3gram_frac"] - 2 / 3) < 1e-12
+    # doc1: all distinct
+    assert out[1]["dup_3gram_frac"] == 0.0
+    assert out[0]["top_2gram_frac"] > out[1]["top_2gram_frac"]
