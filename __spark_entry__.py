@@ -385,6 +385,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: 32-token windows, 8-token overlap —
+    array expressions + posexplode, no shuffle."""
+    return TX.chunk_tokens(_docs(spark, sf_dir), chunk_tokens_n=32, overlap=8)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/phone redaction with typed placeholders + match
+    counts. Every 5th doc gets synthetic PII appended so the redaction
+    path is exercised, not just the zero-match fast path."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" contact: jane.doe@example.com or +1 555-123-4567"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.scrub_pii(d).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("scrubbed_md5"),
+        "n_email",
+        "n_phone",
+    )
+
+
 def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate word-3-gram fraction
     (per-row array math) + most-frequent-2-gram fraction (explode +
@@ -648,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "dataset_split": q_dataset_split,
+        "chunk_tokens": q_chunk_tokens,
+        "pii_scrub": q_pii_scrub,
         "repetition_features": q_repetition_features,
         "vocab_topk": q_vocab_topk,
         "text_token_stats": q_text_token_stats,
@@ -1138,6 +1168,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "chunk_tokens": _TEXT_CTE + """
+            , base AS (
+                SELECT doc_id, toks,
+                       GREATEST(CAST(CEIL((len(toks) - 8) / 24.0) AS INT), 1)
+                           AS n_chunks
+                FROM t),
+            ex AS (
+                SELECT doc_id, toks,
+                       unnest(range(n_chunks)) AS chunk_idx
+                FROM base)
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(chunk_idx * 24 AS INT) AS chunk_start,
+                   len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_tokens,
+                   array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+                       AS chunk_text
+            FROM ex
+        """,
+        "pii_scrub": """
+            WITH d2 AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 5 = 0
+                               THEN ' contact: jane.doe@example.com or +1 555-123-4567'
+                               ELSE '' END AS text
+                FROM documents)
+            SELECT doc_id,
+                   md5(regexp_replace(
+                        regexp_replace(text,
+                            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                            '<EMAIL>', 'g'),
+                        '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+                        '<PHONE>', 'g')) AS scrubbed_md5,
+                   len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                        '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS n_phone
+            FROM d2
         """,
         "repetition_features": _TEXT_CTE + """
             , g3 AS (

@@ -52,6 +52,8 @@ BENCH_QUERIES: list[str] = [
     "corpus_curation",
     "repetition_features",
     "vocab_topk",
+    "chunk_tokens",
+    "pii_scrub",
     "multimodal_features",
 ]
 

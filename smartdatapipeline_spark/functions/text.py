@@ -150,6 +150,81 @@ def quality_features(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    chunk_tokens_n: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    training-sequence preparation. Stride = chunk − overlap; the last
+    chunk keeps the tail (may be short). Pure array expressions + one
+    posexplode; at 100 TB this runs at scan speed with no shuffle.
+
+    Output: (doc_id, chunk_idx, chunk_start, n_tokens, chunk_text).
+    """
+    assert 0 <= overlap < chunk_tokens_n
+    stride = chunk_tokens_n - overlap
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    # chunk starts: 0, stride, 2*stride, … while start < n (≥1 chunk even
+    # for empty docs so every doc appears; empty text → one empty chunk)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(F.col("_toks"), s + 1, chunk_tokens_n).alias("toks"),
+        ),
+    )
+    ex = base.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "_c"))
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("_c.start").alias("chunk_start"),
+        F.size("_c.toks").alias("n_tokens"),
+        F.concat_ws(" ", "_c.toks").alias("chunk_text"),
+    )
+
+
+#: simple, RE2-and-Java-compatible patterns (no lookaround) so the
+#: DuckDB oracle matches byte-for-byte
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone": "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+}
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails/phones with typed placeholders and count removals —
+    the standard pre-training scrub pass. Pure regexp column expressions.
+
+    Output: input + (scrubbed text_col, n_email, n_phone).
+    """
+    c = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            # idx=0 = whole match (the default idx=1 requires a capture group)
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0)),
+        )
+    scrubbed = c
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn(text_col, scrubbed)
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -201,3 +201,27 @@ def test_repetition_features_flags_loops(spark):
     # doc1: all distinct
     assert out[1]["dup_3gram_frac"] == 0.0
     assert out[0]["top_2gram_frac"] > out[1]["top_2gram_frac"]
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [text])
+    out = sorted(
+        TX.chunk_tokens(df, chunk_tokens_n=4, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 3, n=10: ceil((10-1)/3) = 3 chunks at 0,3,6 — the last one
+    # (w6..w9) already covers the tail, so no 4th chunk
+    assert [r["chunk_start"] for r in out] == [0, 3, 6]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"].startswith("w3")  # overlap of 1
+    assert out[2]["chunk_text"] == "w6 w7 w8 w9"
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = _docs(spark, ["mail me: a.b@x.io or call +1 555-123-4567 twice a.c@y.org"])
+    row = TX.scrub_pii(df).collect()[0]
+    assert row["n_email"] == 2 and row["n_phone"] == 1
+    assert "<EMAIL>" in row["text"] and "<PHONE>" in row["text"]
+    assert "a.b@x.io" not in row["text"] and "555" not in row["text"]
