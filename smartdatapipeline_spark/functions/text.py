@@ -242,42 +242,38 @@ def repetition_features(
     """
     from smartdatapipeline_spark.functions.dedup import shingles
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    def gram_rows(k: int) -> DataFrame:
+        # explode → groupBy, the codegen-safe shape (see dedup.py: array
+        # folds over a collapsed tokens expression re-tokenize per
+        # element; measured 15s → 2s at sf0.1 for this operator)
+        return df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        ).select("doc_id", F.explode(shingles(F.col("_toks"), k)).alias("g"))
+
+    stats3 = gram_rows(3).groupBy("doc_id").agg(
+        F.count("g").alias("n_3grams"),
+        F.countDistinct("g").alias("_d3"),
     )
-    g3 = shingles(F.col("_toks"), 3)
-    per_row = base.select(
-        "doc_id",
-        F.size(g3).alias("n_3grams"),
-        (
-            1.0
-            - F.size(F.array_distinct(g3))
-            / F.greatest(F.size(g3), F.lit(1)).cast("double")
-        ).alias("dup_3gram_frac"),
-        shingles(F.col("_toks"), 2).alias("_g2"),
-    )
-    g2 = per_row.select("doc_id", F.explode("_g2").alias("g"))
-    top2 = (
-        g2.groupBy("doc_id", "g")
+    stats2 = (
+        gram_rows(2)
+        .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("doc_id")
         .agg(F.max("_c").alias("_top"), F.sum("_c").alias("n_2grams"))
     )
-    return (
-        per_row.drop("_g2")
-        .join(top2, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_3grams",
-            "dup_3gram_frac",
-            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
-            (
-                F.coalesce(F.col("_top"), F.lit(0))
-                / F.greatest(F.coalesce(F.col("n_2grams"), F.lit(0)), F.lit(1)).cast(
-                    "double"
-                )
-            ).alias("top_2gram_frac"),
-        )
+    return stats3.join(stats2, "doc_id", "left").select(
+        "doc_id",
+        "n_3grams",
+        (
+            1.0 - F.col("_d3") / F.greatest("n_3grams", F.lit(1)).cast("double")
+        ).alias("dup_3gram_frac"),
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        (
+            F.coalesce(F.col("_top"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_2grams"), F.lit(0)), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("top_2gram_frac"),
     )
 
 
