@@ -185,6 +185,54 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_days_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 days by value_sum per metric (row_number
+    with deterministic tiebreak) — beyond the reference's surface, a
+    standard analytics ability."""
+    from pyspark.sql import Window
+
+    g = _gold(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy(
+        F.col("value").desc(), F.col("metric_date").asc()
+    )
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("metric", "metric_date", "value", "rnk")
+    )
+
+
+def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(metric, metric_date) subtotals + grand
+    total in one pass (partial aggregation handles every grouping set
+    map-side)."""
+    g = _gold(spark, sf_dir)
+    return (
+        g.rollup("metric", "metric_date")
+        .agg(
+            # grouping() must be evaluated inside the rollup aggregation
+            F.grouping("metric").alias("g_metric"),
+            F.grouping("metric_date").alias("g_date"),
+            N.dsum("value", scale=4).alias("total"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            # label subtotal keys explicitly: NULL date/metric rows are
+            # the ROLLUP subtotals ('ALL'), and string keys keep the
+            # value-hash comparison engine-neutral (NULL dates stringify
+            # differently across frames)
+            F.coalesce(F.col("metric"), F.lit("ALL")).alias("metric"),
+            F.coalesce(F.col("metric_date").cast("string"), F.lit("ALL")).alias(
+                "metric_date"
+            ),
+            "g_metric",
+            "g_date",
+            "total",
+            "n_days",
+        )
+    )
+
+
 def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/P9: semi-structured payload handling — parse the bronze-style
     JSON ``props`` column on demand (reference stores raw payloads as
@@ -649,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "json_payload_extract": q_json_payload_extract,
+        "topk_days_per_metric": q_topk_days_per_metric,
+        "kpi_rollup": q_kpi_rollup,
         "rolling_zscore_strict": q_rolling_zscore_strict,
         "rolling_zscore_api": q_rolling_zscore_api,
         "iforest_features": q_iforest_features,
@@ -866,6 +916,23 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end,
                    COUNT(*) AS n_events
             FROM tagged GROUP BY user_id, session_id
+        """,
+        "topk_days_per_metric": _GOLD_CTE + """
+            , r AS (
+                SELECT metric, metric_date, value,
+                       ROW_NUMBER() OVER (PARTITION BY metric
+                           ORDER BY value DESC, metric_date ASC) AS rnk
+                FROM gold)
+            SELECT metric, metric_date, value, rnk FROM r WHERE rnk <= 3
+        """,
+        "kpi_rollup": _GOLD_CTE + """
+            SELECT COALESCE(metric, 'ALL') AS metric,
+                   COALESCE(CAST(metric_date AS VARCHAR), 'ALL') AS metric_date,
+                   GROUPING(metric) AS g_metric,
+                   GROUPING(metric_date) AS g_date,
+                   CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total,
+                   COUNT(*) AS n_days
+            FROM gold GROUP BY ROLLUP(metric, metric_date)
         """,
         "rolling_zscore_strict": _GOLD_CTE + _stats_cte(7) + """
             , derived AS (

@@ -34,7 +34,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # bit-identical floats, so compare at 17 significant digits
             out[c] = col.map(lambda v: "null" if pd.isna(v) else f"{v:.17g}")
         elif pd.api.types.is_datetime64_any_dtype(col):
-            out[c] = col.astype("datetime64[us]").astype(str)
+            out[c] = col.astype("datetime64[us]").astype(str).replace("NaT", "null")
         else:
             out[c] = col.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
