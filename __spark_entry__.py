@@ -545,18 +545,29 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition."""
     from pyspark.sql import Window
 
-    # Deliberately a JOIN of two feature branches, not one fused
-    # projection: predicate pushdown substitutes full expression trees
-    # into pushed filter conditions (no cost guard), so a fused plan
-    # re-evaluates predict_lang/quality in the filter AND the project —
-    # measured 2× slower than splitting the branches and filtering each.
+    # Two feature branches, each sealed behind a trivial groupBy(doc_id):
+    # predicate pushdown substitutes full expression trees into pushed
+    # filter conditions (no cost guard), so filtering directly on the
+    # projections re-evaluates predict_lang/quality once per predicate.
+    # An aggregation is a pushdown BARRIER — non-key predicates stay
+    # above it — and costs only a shuffle of 3 compact columns, after
+    # which the doc_id join is co-partitioned for free.
     d = _docs(spark, sf_dir).withColumn("_toks", TX.tokens(F.col("text")))
-    pred = d.select(
-        "doc_id",
-        TX.predict_lang(F.col("_toks")).alias("lang_pred"),
-        TX.fingerprint64(F.col("text")).alias("fingerprint"),
+    pred = (
+        d.select(
+            "doc_id",
+            TX.predict_lang(F.col("_toks")).alias("lang_pred"),
+            TX.fingerprint64(F.col("text")).alias("fingerprint"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("lang_pred").alias("lang_pred"), F.first("fingerprint").alias("fingerprint"))
     )
-    qf = TX.quality_features(_docs(spark, sf_dir)).select("doc_id", "n_tokens", "quality")
+    qf = (
+        TX.quality_features(_docs(spark, sf_dir))
+        .select("doc_id", "n_tokens", "quality")
+        .groupBy("doc_id")
+        .agg(F.first("n_tokens").alias("n_tokens"), F.first("quality").alias("quality"))
+    )
     filt = (
         pred.join(qf, "doc_id")
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
