@@ -231,6 +231,71 @@ def ivf_topk(
     )
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN index layout: corpus written as parquet
+    PARTITIONED BY sign-LSH bucket, with the per-vector norm
+    precomputed. A probe for one query bucket then reads exactly one
+    partition directory (partition pruning — check ``PartitionFilters``
+    in the probe's scan), i.e. ~N/2^nbits of the corpus, which is the
+    entire point of the index at 100 TB."""
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            norm2(F.col(vec_col)).alias("norm"),
+            sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def probe_ann_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over the materialized index: each query joins only its own
+    bucket partition (broadcast queries → partition-pruned scan via the
+    bucket join key)."""
+    idx = spark.read.parquet(path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm2(F.col(vec_col)).alias("_qn"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    scored = (
+        idx.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("_qv"), F.col("embedding")) / (F.col("_qn") * F.col("norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim", "bucket"
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

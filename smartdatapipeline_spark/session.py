@@ -105,3 +105,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         if os.path.exists(path):
             out[n] = read_events(spark, sf_dir) if n == "events" else spark.read.parquet(path)
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view so users can work in
+    pure SQL (``spark.sql("SELECT … FROM lineitem JOIN orders …")``) —
+    same Catalyst plans as the DataFrame API, pushdown/pruning included.
+    Returns the registered names."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return sorted(tables)

@@ -225,3 +225,23 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert row["n_email"] == 2 and row["n_phone"] == 1
     assert "<EMAIL>" in row["text"] and "<PHONE>" in row["text"]
     assert "a.b@x.io" not in row["text"] and "555" not in row["text"]
+
+
+def test_ann_index_layout_prunes_and_matches_inline(spark, tmp_path):
+    """The materialized index must (a) return the same top-k as the
+    inline bucketed ANN and (b) prune the scan to the probed bucket."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    SIM.build_ann_index(emb, path, nbits=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    got = SIM.probe_ann_index(spark, path, queries, k=5, nbits=8)
+    want = SIM.ann_bucketed_topk(emb, queries, k=5, nbits=8)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"]) for r in got.collect()]
+    ) == sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in want.collect()])
+
+    one_bucket = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    plan = one_bucket._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

@@ -59,3 +59,26 @@ def test_salted_join_all_keys_salted(spark):
         ("b", 2, 20),
         ("a", 3, 10),
     ]
+
+
+def test_register_views_enables_pure_sql(spark):
+    """SQL-surface parity: registered views answer spark.sql with the
+    same results as the DataFrame path."""
+    from smartdatapipeline_spark.session import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert {"events", "lineitem", "orders", "documents"} <= set(names)
+    row = spark.sql(
+        """
+        SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY n DESC, d, event_type LIMIT 1
+        """
+    ).collect()[0]
+    assert row["n"] > 0
+    joined = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+        """
+    ).collect()[0]
+    assert joined["n"] > 0
