@@ -490,6 +490,31 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, weights={"train": 90, "val": 5, "test": 5})
 
 
+def q_crossmodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup consensus: full-outer join of text-side MinHash
+    candidate pairs and embedding-side cosine near-dup pairs (vec_id ≡
+    doc_id in the testdata) with an agreement class per pair — the
+    signal fusion step a production dedup pipeline runs before deciding
+    what to drop."""
+    text_pairs = DD.minhash_candidate_pairs(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    emb_pairs = SIM.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.25, nbits=8
+    ).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cos_sim",
+    )
+    j = text_pairs.join(emb_pairs, ["doc_a", "doc_b"], "full_outer")
+    agreement = (
+        F.when(F.col("est_jaccard").isNotNull() & F.col("cos_sim").isNotNull(), "both")
+        .when(F.col("est_jaccard").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return j.select("doc_a", "doc_b", "est_jaccard", "cos_sim", agreement.alias("agreement"))
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster formation: SimHash radius-3 pairs → connected
     components (iterative min-label propagation) → (doc_id, cluster)
@@ -735,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "crossmodal_consensus": q_crossmodal_consensus,
         "dup_clusters": q_dup_clusters,
         "dataset_split": q_dataset_split,
         "chunk_tokens": q_chunk_tokens,
@@ -1321,6 +1347,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n FROM ex
             WHERE token != ''
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "crossmodal_consensus": _TEXT_CTE + _SHINGLE_CTE + _minhash_sig_cte()
+        + _minhash_band_cte()
+        + _EMB_CTE.replace("WITH", ",", 1) + """
+            , tpairs AS (
+                SELECT p.doc_a, p.doc_b,
+                       ("""
+        + " + ".join(
+            f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+            for i in range(len(DD.MINHASH_PARAMS))
+        )
+        + """) / 16.0 AS est_jaccard
+                FROM (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                      FROM bb l JOIN bb r
+                        ON l.band = r.band AND l.bucket = r.bucket
+                       AND l.doc_id < r.doc_id) p
+                JOIN sig a ON a.doc_id = p.doc_a
+                JOIN sig b ON b.doc_id = p.doc_b),
+            epairs AS (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                       """ + _DOT.format(a="a.v", b="b.v") + """ / (a.n * b.n) AS cos_sim
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                WHERE """ + _DOT.format(a="a.v", b="b.v") + """ / (a.n * b.n) >= 0.25)
+            SELECT COALESCE(t.doc_a, x.doc_a) AS doc_a,
+                   COALESCE(t.doc_b, x.doc_b) AS doc_b,
+                   t.est_jaccard, x.cos_sim,
+                   CASE WHEN t.doc_a IS NOT NULL AND x.doc_a IS NOT NULL THEN 'both'
+                        WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                        ELSE 'embedding_only' END AS agreement
+            FROM tpairs t FULL OUTER JOIN epairs x
+              ON t.doc_a = x.doc_a AND t.doc_b = x.doc_b
         """,
         "dup_clusters": _TEXT_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
         + _simhash_select() + """
