@@ -5,7 +5,6 @@ validation reasons, dedup, stats."""
 from __future__ import annotations
 
 import datetime as dt
-import os
 
 import pytest
 from pyspark.sql import Row

@@ -5,7 +5,6 @@ stateful sessionization (applyInPandasWithState) vs its batch twin."""
 from __future__ import annotations
 
 import datetime as dt
-import os
 import time
 
 from smartdatapipeline_spark.streaming.ingest import stream_csv_ingest
