@@ -490,6 +490,48 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, weights={"train": 90, "val": 5, "test": 5})
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample of the corpus (salted-hash
+    rank within stratum) — reproducible balanced subsets."""
+    from smartdatapipeline_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, "lang", 20)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per metric (width_bucket over [0, 100],
+    10 bins) — the distribution profile behind quality dashboards."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.col("event_type").alias("metric"),
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("metric", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_top_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly triage: the 5 most severe points per metric by |z| from
+    the API rolling z-score (W2 + ranking window)."""
+    from pyspark.sql import Window
+
+    z = A.rolling_zscore_api(_gold(spark, sf_dir), window=7, z_thresh=3.0)
+    w = Window.partitionBy("metric").orderBy(
+        F.abs(F.col("z")).desc(), F.col("metric_date").asc()
+    )
+    return (
+        z.filter(F.col("z").isNotNull())
+        .withColumn("sev_rank", F.row_number().over(w))
+        .filter(F.col("sev_rank") <= 5)
+        .select("metric", "metric_date", "value", "z", "is_outlier", "sev_rank")
+    )
+
+
 def q_crossmodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup consensus: full-outer join of text-side MinHash
     candidate pairs and embedding-side cosine near-dup pairs (vec_id ≡
@@ -760,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "stratified_sample": q_stratified_sample,
+        "value_histogram": q_value_histogram,
+        "top_anomalies": q_top_anomalies,
         "crossmodal_consensus": q_crossmodal_consensus,
         "dup_clusters": q_dup_clusters,
         "dataset_split": q_dataset_split,
@@ -1347,6 +1392,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n FROM ex
             WHERE token != ''
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                           ('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               % 2147483647,
+                           doc_id) AS sample_rank
+                FROM documents)
+            SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 20
+        """,
+        "value_histogram": """
+            SELECT event_type AS metric,
+                   CASE WHEN value < 0.0 THEN 0
+                        WHEN value >= 100.0 THEN 11
+                        ELSE CAST(FLOOR((value - 0.0) / 10.0) AS BIGINT) + 1
+                   END AS bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "top_anomalies": _GOLD_CTE + _stats_cte(7) + """
+            , derived AS (
+                SELECT metric, metric_date, value, n,
+                       s / n AS mu,
+                       CASE WHEN (sq - (s * s) / n) / (n - 1) > 0
+                            THEN SQRT((sq - (s * s) / n) / (n - 1)) ELSE 0.0 END AS sigma
+                FROM stats
+            ),
+            zt AS (
+                SELECT metric, metric_date, value,
+                       CASE WHEN value IS NOT NULL AND n >= 2 AND sigma = 0 AND value != mu THEN 1e9
+                            WHEN value IS NOT NULL AND n >= 2 AND sigma = 0 THEN 0.0
+                            WHEN value IS NOT NULL AND n >= 2 THEN (value - mu) / sigma
+                       END AS z,
+                       CASE WHEN value IS NOT NULL AND n >= 2 AND sigma = 0 THEN value != mu
+                            WHEN value IS NOT NULL AND n >= 2
+                                 THEN ABS((value - mu) / sigma) >= 3.0
+                            ELSE FALSE
+                       END AS is_outlier
+                FROM derived
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY metric
+                          ORDER BY ABS(z) DESC, metric_date ASC) AS sev_rank
+                FROM zt WHERE z IS NOT NULL)
+            SELECT metric, metric_date, value, z, is_outlier, sev_rank
+            FROM ranked WHERE sev_rank <= 5
         """,
         "crossmodal_consensus": _TEXT_CTE + _SHINGLE_CTE + _minhash_sig_cte()
         + _minhash_band_cte()

@@ -31,10 +31,12 @@ BENCH_QUERIES: list[str] = [
     "revenue_by_nation",
     "top_customers",
     "ingest_stats",
+    "value_histogram",
     "windowed_counts",
     "sessionization",
     # anomaly / forecast
     "rolling_zscore_api",
+    "top_anomalies",
     "anomaly_iforest",
     "forecast_contract",
     "backtest_summary",

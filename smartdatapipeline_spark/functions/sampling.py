@@ -49,6 +49,28 @@ def hash_split(
     return df.withColumn("bucket", b).withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic N-per-group sample: rank rows within each stratum
+    by salted id hash and keep the first N — a reproducible balanced
+    subset (per-lang / per-domain caps in corpus building). One shuffle
+    on the stratum key. Output: input + sample_rank."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(id_col), salt, buckets=2_147_483_647), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str = "doc_id", salt: str = "shuffle-v1"
 ) -> DataFrame:
