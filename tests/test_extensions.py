@@ -245,3 +245,18 @@ def test_ann_index_layout_prunes_and_matches_inline(spark, tmp_path):
     one_bucket = spark.read.parquet(path).filter(F.col("bucket") == 3)
     plan = one_bucket._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    from smartdatapipeline_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "de") for i in range(100)]
+    )
+    out1 = stratified_sample(df, "lang", 5).collect()
+    out2 = stratified_sample(df, "lang", 5).collect()
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 5 for v in by_lang.values())
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
