@@ -715,6 +715,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train/val docs whose 3-gram
+    shingles overlap the held-out test split (broadcast semi-join of the
+    tiny eval shingle set against the corpus scan)."""
+    from smartdatapipeline_spark.functions.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    split = hash_split(d.select("doc_id", "text"), weights={"train": 90, "val": 5, "test": 5})
+    eval_docs = split.filter(F.col("split") == "test").select("doc_id", "text")
+    train_docs = split.filter(F.col("split") != "test").select("doc_id", "text")
+    return DD.decontaminate(train_docs, eval_docs, min_overlap_frac=0.2)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-and-split layout of docs into 64-token
+    context windows across 8 shards (per-shard prefix-sum window)."""
+    return TX.pack_sequences(_docs(spark, sf_dir), ctx_len=64, n_shards=8)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via 15-bit block banding + Hamming filter."""
     # radius 3 = bands−1: the 4×15-bit pigeonhole banding has EXACT
@@ -802,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "value_histogram": q_value_histogram,
         "top_anomalies": q_top_anomalies,
@@ -1305,6 +1326,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = i.doc_a
             JOIN sizes nb ON nb.doc_id = i.doc_b
             WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.05
+        """,
+        "decontaminate": _TEXT_CTE + _SHINGLE_CTE + """
+            , split AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                           AS bucket
+                FROM documents),
+            ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+            eval_sh AS (
+                SELECT DISTINCT s FROM ex JOIN split USING (doc_id)
+                WHERE bucket >= 95 AND s <> ''),
+            train AS (
+                SELECT ex.doc_id, ex.s FROM ex JOIN split USING (doc_id)
+                WHERE bucket < 95),
+            agg AS (
+                SELECT t.doc_id,
+                       COUNT(CASE WHEN t.s <> '' THEN 1 END) AS n_shingles,
+                       COUNT(CASE WHEN t.s <> '' AND e.s IS NOT NULL THEN 1 END)
+                           AS n_overlap
+                FROM train t LEFT JOIN eval_sh e ON t.s = e.s
+                GROUP BY t.doc_id)
+            SELECT doc_id, n_shingles, n_overlap,
+                   CASE WHEN n_shingles > 0
+                        THEN n_overlap / CAST(n_shingles AS DOUBLE)
+                        ELSE 0.0 END AS overlap_frac,
+                   (CASE WHEN n_shingles > 0
+                         THEN n_overlap / CAST(n_shingles AS DOUBLE)
+                         ELSE 0.0 END) >= 0.2 AS contaminated
+            FROM agg
+        """,
+        "pack_sequences": _TEXT_CTE + """
+            , n AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT)
+                           AS n_tokens,
+                       CAST(doc_id % 8 AS BIGINT) AS shard
+                FROM t),
+            o AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS offset_start
+                FROM n)
+            SELECT doc_id, shard, n_tokens, offset_start,
+                   offset_start // 64 AS pack_id,
+                   offset_start % 64 AS pack_offset,
+                   (offset_start % 64) + n_tokens > 64 AS crosses_boundary
+            FROM o
         """,
         "dataset_split": """
             WITH b AS (

@@ -56,6 +56,8 @@ BENCH_QUERIES: list[str] = [
     "vocab_topk",
     "chunk_tokens",
     "pii_scrub",
+    "decontaminate",
+    "pack_sequences",
     "multimodal_features",
 ]
 

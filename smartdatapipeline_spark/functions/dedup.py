@@ -398,3 +398,52 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap_frac: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose word k-gram
+    shingles overlap an eval/benchmark set (the safeguard every
+    training-data pipeline runs before a corpus ships).
+
+    Output, one row per training doc:
+    ``(doc_id, n_shingles, n_overlap, overlap_frac, contaminated)``
+    where ``overlap_frac = n_overlap / n_shingles`` (0.0 for shingle-less
+    docs) and ``contaminated = overlap_frac >= min_overlap_frac``.
+
+    Physical shape for 100 TB: the eval shingle set is tiny (benchmarks
+    are MBs, the corpus is TBs), so it is distinct-ed once and
+    **broadcast**; the training side is a scan → explode → broadcast
+    left join → ``groupBy(doc_id)`` — the only corpus-sized shuffle is
+    the per-doc count aggregation, and callers that pre-partition by
+    ``doc_id`` (see ``__spark_entry__._docs``) pay no shuffle at all.
+    """
+    eval_sh = F.broadcast(
+        exploded_shingles(eval_docs, id_col, text_col, k)
+        .filter(F.col("sh").isNotNull() & (F.col("sh") != ""))
+        .select(F.col("sh").alias("_esh"))
+        .distinct()
+    )
+    ex = exploded_shingles(docs, id_col, text_col, k)
+    joined = ex.join(eval_sh, ex["sh"] == eval_sh["_esh"], "left")
+    valid = F.col("sh").isNotNull() & (F.col("sh") != "")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.when(valid, 1)).alias("n_shingles"),
+        F.count(F.when(valid & F.col("_esh").isNotNull(), 1)).alias("n_overlap"),
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(min_overlap_frac)).alias("contaminated"),
+    )

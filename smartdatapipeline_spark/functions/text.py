@@ -300,3 +300,57 @@ def winnow_fingerprint(tokens_col: Column, k: int = 5) -> Column:
         ).cast("long"),
     )
     return F.array_min(grams)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing: lay documents end-to-end inside shards and cut
+    fixed ``ctx_len``-token context windows (the concat-and-split packing
+    LM training uses — docs may span a window boundary).
+
+    Deterministic layout: shard = ``doc_id % n_shards``; within a shard
+    docs are concatenated in ``doc_id`` order, so every doc gets a stable
+    ``(shard, pack_id, pack_offset)`` address independent of cluster
+    size or partitioning.
+
+    Output, one row per doc: ``(doc_id, shard, n_tokens, offset_start,
+    pack_id, pack_offset, crosses_boundary)``.
+
+    Scale shape: one window function partitioned by shard — the running
+    offset is a prefix sum per shard, so parallelism = ``n_shards``. At
+    100 TB you'd shard by (split, date-bucket, hash-bucket) so each
+    shard is one executor-sized slice; the semantics are per-shard and
+    unchanged. No joins, no corpus-sized broadcast; the only shuffle is
+    the shard repartition.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = base.withColumn(
+        "offset_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return with_off.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "offset_start",
+        F.floor(F.col("offset_start") / ctx_len).cast("long").alias("pack_id"),
+        (F.col("offset_start") % ctx_len).cast("long").alias("pack_offset"),
+        ((F.col("offset_start") % ctx_len) + F.col("n_tokens") > ctx_len).alias(
+            "crosses_boundary"
+        ),
+    )

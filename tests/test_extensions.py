@@ -260,3 +260,52 @@ def test_stratified_sample_caps_and_determinism(spark):
         by_lang.setdefault(r["lang"], []).append(r["doc_id"])
     assert all(len(v) == 5 for v in by_lang.values())
     assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    eval_docs = _docs(spark, ["the quick brown fox jumps over the lazy dog"])
+    train = spark.createDataFrame(
+        [
+            # verbatim leak: every shingle overlaps
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            # partial leak: shares the "quick brown fox" opening only
+            Row(doc_id=11, text="quick brown fox went home early today again"),
+            # clean doc: no shared 3-grams
+            Row(doc_id=12, text="completely unrelated sentence about spark engines"),
+            # empty doc: no shingles at all
+            Row(doc_id=13, text=""),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.decontaminate(train, eval_docs, min_overlap_frac=0.2).collect()
+    }
+    assert len(out) == 4
+    assert out[10]["overlap_frac"] == 1.0 and out[10]["contaminated"]
+    assert 0 < out[11]["n_overlap"] < out[11]["n_shingles"]
+    assert out[12]["n_overlap"] == 0 and not out[12]["contaminated"]
+    assert out[13]["n_shingles"] == 0 and out[13]["overlap_frac"] == 0.0
+    assert not out[13]["contaminated"]
+
+
+def test_pack_sequences_layout(spark):
+    # one shard so the layout is a single running concatenation
+    texts = ["a b c", "d e", "f g h i", ""]  # 3, 2, 4, 0 tokens
+    out = {
+        r["doc_id"]: r
+        for r in TX.pack_sequences(
+            _docs(spark, texts), ctx_len=4, n_shards=1
+        ).collect()
+    }
+    assert [out[i]["offset_start"] for i in range(4)] == [0, 3, 5, 9]
+    assert [out[i]["pack_id"] for i in range(4)] == [0, 0, 1, 2]
+    assert [out[i]["pack_offset"] for i in range(4)] == [0, 3, 1, 1]
+    # doc 1 starts at offset 3 with 2 tokens -> spills into window 1
+    assert out[1]["crosses_boundary"] and not out[0]["crosses_boundary"]
+    # doc 2: offset 5 (window 1, slot 1) + 4 tokens -> crosses into window 2
+    assert out[2]["crosses_boundary"]
+    # sharding is doc_id % n_shards and offsets restart per shard
+    sharded = TX.pack_sequences(_docs(spark, texts), ctx_len=4, n_shards=2)
+    rows = {r["doc_id"]: r for r in sharded.collect()}
+    assert rows[0]["shard"] == 0 and rows[1]["shard"] == 1
+    assert rows[1]["offset_start"] == 0  # first doc of shard 1
