@@ -779,6 +779,163 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.25, nbits=8)
 
 
+# ------------------------------------------------- temporal joins / sketches
+
+def q_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond reference surface; SURVEY §2.3 notes their
+    absence): attach to every event the most recent per-metric
+    "checkpoint" at-or-before its timestamp. Checkpoints are the sparse
+    set of above-average gold days, so match distance genuinely varies
+    and early events drop (inner ASOF semantics). Oracle: DuckDB's
+    native ASOF JOIN. One shuffle on (metric), no pair space —
+    operators/temporal.py."""
+    from pyspark.sql import Window
+
+    from smartdatapipeline_spark.operators import temporal as T
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("metric"), "ts", "value"
+    )
+    g = _gold(spark, sf_dir)
+    wm = Window.partitionBy("metric")
+    ck = (
+        g.withColumn(
+            "_avg",
+            F.sum(F.col("value").cast("decimal(38,4)")).over(wm).cast("double")
+            / F.count(F.lit(1)).over(wm),
+        )
+        .filter(F.col("value") > F.col("_avg"))
+        .select(
+            "metric",
+            F.col("metric_date").cast("timestamp").alias("ck_ts"),
+            F.col("value").alias("ck_value"),
+        )
+    )
+    out = T.asof_join(
+        ev, ck, left_ts="ts", right_ts="ck_ts", by=["metric"],
+        right_cols=["ck_value"], how="inner",
+    )
+    return out.select("metric", "event_id", "ts", "ck_ts", "ck_value")
+
+
+def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (beyond reference surface): keyless
+    [start, end) windows around the top-3 revenue days, joined to raw
+    events via bucket-explode + equi-join instead of the
+    BroadcastNestedLoopJoin a naive inequality join plans —
+    operators/temporal.py."""
+    from smartdatapipeline_spark.operators import temporal as T
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(N.dsum("value", scale=4).alias("total"))
+    )
+    camp = (
+        daily.orderBy(F.col("total").desc(), F.col("d").asc())
+        .limit(3)
+        .select(
+            F.col("d").alias("peak_day"),
+            (F.col("d").cast("timestamp") - F.expr("INTERVAL 2 DAYS")).alias("start"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 3 DAYS")).alias("end"),
+        )
+    )
+    joined = T.range_join_bucketed(ev, camp, left_ts="ts", start="start", end="end")
+    return (
+        joined.groupBy("peak_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.dsum("value", scale=4).alias("value_sum"),
+        )
+    )
+
+
+def q_kpi_monthly_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: monthly KPIs re-aggregated FROM
+    the daily gold partials (sum of sums, sum of counts, avg recomputed)
+    — the continuous-aggregate pattern. The oracle aggregates straight
+    from raw events at month grain, so a hash match proves the cascade
+    is lossless (decimal partials are associative)."""
+    ev = _events(spark, sf_dir)
+    daily = K.run_daily_kpis(ev, metric_col="event_type", source_col=None)
+    return (
+        daily.groupBy(
+            F.date_trunc("month", F.col("metric_date")).cast("date").alias("month"),
+            "metric",
+        )
+        .agg(
+            F.sum(F.col("value_sum").cast("decimal(38,4)")).cast("double").alias("value_sum"),
+            F.sum("value_count").alias("value_count"),
+        )
+        .withColumn("value_avg", F.col("value_sum") / F.nullif(F.col("value_count"), F.lit(0)))
+    )
+
+
+def q_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch (novel-sketch extension): one-pass
+    power sums per group → mean/var/std/skew/kurtosis, exact and
+    parallelism-invariant — functions/sketch.py."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sk = SK.moments_sketch(li, "l_quantity", by=["l_returnflag"], scale=2)
+    return SK.moments_stats(sk, by=["l_returnflag"])
+
+
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left SEMI join (absent from the reference, SURVEY §2.3): orders
+    having at least one near-full-quantity lineitem, counted per
+    priority — the TPC-H Q4 shape (EXISTS ⇒ semi join, no fact-row
+    duplication before the aggregate)."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    orders, li = T("orders"), T("lineitem")
+    hits = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+    return (
+        orders.join(hits, orders.o_orderkey == hits.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left OUTER join + double aggregate (TPC-H Q13 shape): order count
+    per customer including zero-order customers, then the distribution
+    of those counts."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    cust, orders = T("customer"), T("orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a dim join (TPC-H Q14 shape): PROMO
+    revenue share for one shipment month — date predicate pushed to the
+    lineitem scan, part broadcast, CASE inside the decimal sum."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, part = T("lineitem"), T("part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            N.dsum(promo, scale=4).alias("promo_revenue"),
+            N.dsum(rev, scale=4).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -839,6 +996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "corpus_curation": q_corpus_curation,
         "quality_percentiles": q_quality_percentiles,
+        "asof_checkpoint": q_asof_checkpoint,
+        "range_join_campaigns": q_range_join_campaigns,
+        "kpi_monthly_cascade": q_kpi_monthly_cascade,
+        "dist_moments": q_dist_moments,
+        "order_priority_semi": q_order_priority_semi,
+        "cust_order_dist": q_cust_order_dist,
+        "promo_share": q_promo_share,
     }
 
 
@@ -1728,6 +1892,120 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(GREATEST(0.0, LEAST(100.0,
                         100.0 - mape_agg / 2.0 - instability))) AS INTEGER) AS score
             FROM avgs
+        """,
+        # DuckDB's native ASOF JOIN is the oracle for our union+window
+        # as-of implementation (operators/temporal.py)
+        "asof_checkpoint": _GOLD_CTE + """
+            , ck AS (
+                SELECT metric,
+                       CAST(metric_date AS TIMESTAMP) AS ck_ts,
+                       value AS ck_value
+                FROM (
+                    SELECT metric, metric_date, value,
+                           CAST(SUM(CAST(value AS DECIMAL(38,4)))
+                                OVER (PARTITION BY metric) AS DOUBLE)
+                               / COUNT(*) OVER (PARTITION BY metric) AS avg_v
+                    FROM gold)
+                WHERE value > avg_v)
+            SELECT e.event_type AS metric, e.event_id, e.ts,
+                   ck.ck_ts, ck.ck_value
+            FROM events e
+            ASOF JOIN ck
+              ON e.event_type = ck.metric AND e.ts >= ck.ck_ts
+        """,
+        "range_join_campaigns": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+                FROM events GROUP BY 1),
+            camp AS (
+                SELECT d AS peak_day,
+                       CAST(d AS TIMESTAMP) - INTERVAL 2 DAY AS s,
+                       CAST(d AS TIMESTAMP) + INTERVAL 3 DAY AS e
+                FROM daily ORDER BY total DESC, d ASC LIMIT 3)
+            SELECT c.peak_day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ev.value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+            FROM events ev JOIN camp c
+              ON ev.ts >= c.s AND ev.ts < c.e
+            GROUP BY 1
+        """,
+        # oracle aggregates straight from raw events at month grain; the
+        # Spark side cascades monthly FROM daily partials — a hash match
+        # proves the rollup cascade is lossless
+        "kpi_monthly_cascade": """
+            SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+                   event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                   COUNT(*) AS value_count,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       / NULLIF(COUNT(*), 0) AS value_avg
+            FROM events GROUP BY 1, 2
+        """,
+        "dist_moments": """
+            WITH sk AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n,
+                       SUM(CAST(l_quantity AS DECIMAL(38,2))) AS s1,
+                       SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS s2,
+                       SUM(CAST((l_quantity * l_quantity) * l_quantity AS DECIMAL(38,6))) AS s3,
+                       SUM(CAST((l_quantity * l_quantity) * (l_quantity * l_quantity)
+                                AS DECIMAL(38,8))) AS s4
+                FROM lineitem GROUP BY 1),
+            m AS (
+                -- decimal -> double via VARCHAR: DuckDB's direct
+                -- int128-decimal -> double cast is not correctly rounded
+                -- (e.g. 25918681405.00000000 -> ...404.999996); string
+                -- parse is, matching Spark's BigDecimal.doubleValue
+                SELECT l_returnflag, n,
+                       CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mu,
+                       CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n AS r2,
+                       CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n AS r3,
+                       CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n AS r4
+                FROM sk),
+            c AS (
+                SELECT l_returnflag, n, mu,
+                       r2 - mu * mu AS m2,
+                       r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                       r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                          - 3.0 * mu * mu * mu * mu AS m4
+                FROM m)
+            SELECT l_returnflag, n, mu AS mean,
+                   m2 AS var_pop,
+                   SQRT(m2) AS std_pop,
+                   m3 / (m2 * SQRT(m2)) AS skewness,
+                   m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+            FROM c
+        """,
+        "order_priority_semi": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+            GROUP BY 1
+        """,
+        "cust_order_dist": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY 1)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "promo_share": """
+            WITH j AS (
+                SELECT CASE WHEN p.p_type LIKE 'PROMO%'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END AS promo_rev,
+                       l.l_extendedprice * (1 - l.l_discount) AS rev
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00')
+            SELECT CAST(SUM(CAST(promo_rev AS DECIMAL(28,4))) AS DOUBLE) AS promo_revenue,
+                   CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+                   100.0 * CAST(SUM(CAST(promo_rev AS DECIMAL(28,4))) AS DOUBLE)
+                         / CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) AS promo_share
+            FROM j
         """,
     }
 

@@ -1,0 +1,166 @@
+"""Temporal join operators — as-of join and interval/range join.
+
+The reference has no as-of or range joins (SURVEY §2.3: equi joins only);
+these are the canonical "operator Spark lacks" extensions named in the
+build brief, implemented as compositions of built-in DataFrame ops so
+Catalyst/Tungsten keep the whole plan JVM-side.
+
+## As-of join (`asof_join`)
+
+For each left row, attach the most recent right row at-or-before its
+timestamp (direction="backward"; "forward" = earliest at-or-after),
+optionally within a tolerance. pandas calls this ``merge_asof``; DuckDB
+has native ``ASOF JOIN`` (the correctness oracle).
+
+Scale design: the naive formulation is an inequality join — a
+nested-loop O(|L|·|R|) disaster. Instead both sides are UNIONed into one
+frame tagged by side and the match is a running ``last(right_value)
+IGNORE NULLS`` over a window partitioned by the equi keys and ordered by
+(ts, side). That is ONE shuffle on the equi keys — the same exchange a
+sort-merge equi join would do — and the pair space is never formed.
+Right rows sort before left rows at equal ts, making the match
+at-or-before-INCLUSIVE (ASOF JOIN's convention). Skewed keys are split
+by AQE like any other exchange; without equi keys the window degrades to
+a single partition, so keyless as-of joins should bucket time first
+(see `range_join_bucketed` for the pattern).
+
+## Range/interval join (`range_join_bucketed`)
+
+Join fact rows to (possibly overlapping) [start, end) intervals. Naive
+Spark plans a BroadcastNestedLoopJoin (O(|L|·|I|)). The scale path:
+explode each interval into its covered coarse buckets (days), equi-join
+on bucket — each fact row lands in exactly one bucket so no dedup is
+needed — then apply the exact half-open bound as a post-filter. Cost is
+O(|L| + |I|·span/bucket) shuffled rows, all hash-join co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Attach to each left row the nearest right row per `by` group.
+
+    direction="backward": most recent right with right_ts <= left_ts
+    (inclusive, DuckDB ASOF JOIN semantics); "forward": earliest right
+    with right_ts >= left_ts. `right_cols` are the payload columns to
+    carry (default: all non-key, non-ts columns). `how` is "inner"
+    (drop unmatched, ASOF JOIN default) or "left" (keep with nulls).
+    `tolerance_seconds` nulls/drops matches farther than the bound.
+
+    Output: every left column, plus `right_ts` and each right payload
+    column (names must not collide with left's).
+    """
+    by = by or []
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(by) | {right_ts}]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    left_payload = [c for c in left.columns if c not in set(by) | {left_ts}]
+    ts_t = dict(left.dtypes)[left_ts]
+
+    # one unioned frame: _ts axis, _side tag, left payload ∪ right payload
+    lhs = left.select(
+        *by,
+        F.col(left_ts).cast(ts_t).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+    )
+    rhs = right.select(
+        *by,
+        F.col(right_ts).cast(ts_t).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    u = lhs.unionByName(rhs)
+
+    # right rows first at equal _ts in match order ⇒ inclusive match
+    order = (
+        [F.col("_ts").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_side").asc()]
+    )
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in ["_rts", *right_cols]]
+    matched = u.select(*by, "_ts", "_side", *left_payload, *carried).filter(
+        F.col("_side") == 1
+    )
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_ts").cast("double") - F.col("_rts").cast("double")
+        )
+        ok = gap <= F.lit(float(tolerance_seconds))
+        matched = matched.select(
+            *by,
+            "_ts",
+            *left_payload,
+            *[F.when(ok, F.col(c)).alias(c) for c in ["_rts", *right_cols]],
+        )
+
+    out = matched.select(
+        *by,
+        F.col("_ts").alias(left_ts),
+        *left_payload,
+        F.col("_rts").alias(right_ts),
+        *right_cols,
+    )
+    if how == "inner":
+        out = out.filter(F.col(right_ts).isNotNull())
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Half-open interval join: left rows where `start <= left_ts < end`
+    per matching `by` keys, via bucket-explode + equi-join (no
+    nested-loop pair space). Intervals may overlap; a left row matching
+    k intervals yields k rows. `bucket` is any `date_trunc` unit that
+    is NOT finer than the interval grid (day for date-grained
+    intervals).
+
+    Output: all interval columns + all left columns.
+    """
+    by = by or []
+    binned = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start)),
+                # end is exclusive: last covered instant is end - 1s
+                F.date_trunc(bucket, F.col(end) - F.expr("INTERVAL 1 SECOND")),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ),
+    )
+    tagged = left.withColumn("_bucket", F.date_trunc(bucket, F.col(left_ts)))
+    joined = tagged.join(binned, on=[*by, "_bucket"], how="inner").filter(
+        (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
+    )
+    return joined.drop("_bucket")
