@@ -936,6 +936,123 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- retrieval / reshape / set ops
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (rational-odds idf for cross-engine bit
+    determinism — see functions/retrieval.py): top-10 docs for a
+    3-term query, scored fully JVM-side from exploded postings."""
+    from smartdatapipeline_spark.functions import retrieval as R
+
+    return R.bm25_topk(_docs(spark, sf_dir), ["spark", "hash", "merge"], k=10)
+
+
+def q_metrics_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide (operators/reshape.py): daily KPI sums, one
+    column per metric, via conditional decimal aggregation — single
+    shuffle, no value-discovery pass."""
+    from smartdatapipeline_spark.operators import reshape as RS
+
+    return RS.pivot_wide(
+        _gold(spark, sf_dir),
+        index=["metric_date"],
+        on="metric",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long over the pivoted frame — the oracle is the
+    plain long-form aggregate, so a hash match proves the
+    pivot→unpivot round trip is lossless."""
+    from smartdatapipeline_spark.operators import reshape as RS
+
+    wide = q_metrics_pivot(spark, sf_dir)
+    return RS.unpivot_long(
+        wide,
+        index=["metric_date"],
+        value_cols=["click", "error", "purchase", "signup", "view"],
+        var_name="metric",
+        value_name="value_sum",
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery shape (TPC-H Q17): revenue from
+    lineitems under 20% of their part's average quantity. The
+    correlation is decorrelated by hand into a per-part aggregate +
+    equi-join — the plan Catalyst produces for the subquery form, made
+    explicit."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, part = T("lineitem"), T("part")
+    pq = li.groupBy("l_partkey").agg(
+        (N.dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#19").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((N.dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-over-join shape (TPC-H Q18): orders whose total quantity
+    exceeds 300, with customer attribution — the aggregate runs first
+    on (orderkey) so the join back to orders/customer touches only
+    qualifying keys."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, orders, cust = T("lineitem"), T("orders"), T("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(N.dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile distribution (ranking-window family): per metric,
+    10 equal-frequency buckets of the daily values with count and
+    bounds. Total order (value, metric_date) makes bucket assignment
+    deterministic."""
+    from pyspark.sql import Window
+
+    g = _gold(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy(F.col("value").asc(), F.col("metric_date").asc())
+    return (
+        g.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("metric", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+def q_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, SURVEY §2.8):
+    high-value purchasers active in the first half of the month but
+    not the second (EXCEPT) and in both halves (INTERSECT), as counts.
+    Distinct sets are tiny after aggregation, so the set ops run on
+    compact inputs."""
+    ev = _events(spark, sf_dir)
+    base = ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+    h1 = base.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")).select("user_id").distinct()
+    h2 = base.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).select("user_id").distinct()
+    churned = h1.subtract(h2).agg(F.count(F.lit(1)).alias("churned_users"))
+    retained = h1.intersect(h2).agg(F.count(F.lit(1)).alias("retained_users"))
+    return churned.crossJoin(retained)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -1003,6 +1120,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_semi": q_order_priority_semi,
         "cust_order_dist": q_cust_order_dist,
         "promo_share": q_promo_share,
+        "bm25_search": q_bm25_search,
+        "metrics_pivot": q_metrics_pivot,
+        "unpivot_roundtrip": q_unpivot_roundtrip,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_orders": q_big_orders,
+        "value_deciles": q_value_deciles,
+        "user_churn": q_user_churn,
     }
 
 
@@ -2006,6 +2130,111 @@ def oracle_sql() -> dict[str, str]:
                    100.0 * CAST(SUM(CAST(promo_rev AS DECIMAL(28,4))) AS DOUBLE)
                          / CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) AS promo_share
             FROM j
+        """,
+        # BM25 with rational-odds idf: identical expression trees to
+        # functions/retrieval.py (ln() rounds differently across
+        # engines, so the idf stays rational; term sums in decimal)
+        "bm25_search": _TEXT_CTE + """
+            , post AS (
+                SELECT doc_id, token AS term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+                WHERE token != '' GROUP BY 1, 2),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+            hits AS (SELECT * FROM post
+                     WHERE term IN ('spark', 'hash', 'merge')),
+            dft AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+            scored AS (
+                SELECT h.doc_id,
+                       CAST(SUM(CAST(
+                           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                           * (CAST(h.tf AS DOUBLE) * 2.2
+                              / (CAST(h.tf AS DOUBLE)
+                                 + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                          / (CAST(sum_dl AS DOUBLE)
+                                             / CAST(n_docs AS DOUBLE)))))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS score
+                FROM hits h
+                JOIN dft USING (term)
+                JOIN dl USING (doc_id), stats
+                GROUP BY 1)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "metrics_pivot": _GOLD_CTE + """
+            SELECT metric_date,
+                   CAST(SUM(CAST(CASE WHEN metric = 'click' THEN value END
+                        AS DECIMAL(28,4))) AS DOUBLE) AS click,
+                   CAST(SUM(CAST(CASE WHEN metric = 'error' THEN value END
+                        AS DECIMAL(28,4))) AS DOUBLE) AS error,
+                   CAST(SUM(CAST(CASE WHEN metric = 'purchase' THEN value END
+                        AS DECIMAL(28,4))) AS DOUBLE) AS purchase,
+                   CAST(SUM(CAST(CASE WHEN metric = 'signup' THEN value END
+                        AS DECIMAL(28,4))) AS DOUBLE) AS signup,
+                   CAST(SUM(CAST(CASE WHEN metric = 'view' THEN value END
+                        AS DECIMAL(28,4))) AS DOUBLE) AS view
+            FROM gold GROUP BY 1
+        """,
+        # oracle is the plain long-form daily aggregate: hash match
+        # proves pivot -> unpivot is lossless end-to-end
+        "unpivot_roundtrip": """
+            SELECT CAST(ts AS DATE) AS metric_date,
+                   event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "small_qty_revenue": """
+            WITH pq AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                           / COUNT(*) AS avg_qty
+                FROM lineitem GROUP BY 1)
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                       / 7.0 AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN pq ON l.l_partkey = pq.l_partkey
+            WHERE p.p_brand = 'Brand#19'
+              AND l.l_quantity < 0.2 * pq.avg_qty
+        """,
+        "big_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) > 300)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, big.sum_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20
+        """,
+        "value_deciles": _GOLD_CTE + """
+            , d AS (
+                SELECT metric, value,
+                       NTILE(10) OVER (PARTITION BY metric
+                                       ORDER BY value ASC, metric_date ASC) AS decile
+                FROM gold)
+            SELECT metric, decile, COUNT(*) AS n,
+                   MIN(value) AS lo, MAX(value) AS hi
+            FROM d GROUP BY 1, 2
+        """,
+        "user_churn": """
+            WITH h1 AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value >= 150
+                  AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+            h2 AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value >= 150
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00')
+            SELECT
+              (SELECT COUNT(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))
+                  AS churned_users,
+              (SELECT COUNT(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))
+                  AS retained_users
         """,
     }
 

@@ -1,0 +1,109 @@
+"""Ranked retrieval over the documents table — TF/BM25 scoring.
+
+Beyond the reference surface (it has no text search; SURVEY §2.8 notes
+no user-facing UDF surface): keyword retrieval is a standard corpus
+-analytics capability, implemented as pure DataFrame ops — explode to
+postings, aggregate term/document statistics, score, top-k. Everything
+stays JVM-side (no UDFs), so Catalyst keeps the postings build inside
+whole-stage codegen and the query-term filter is pushed below the
+posting aggregation.
+
+## Scoring — BM25 with rational-odds idf
+
+Per (doc, term): ``idf_r · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+with ``idf_r = (N − df + 0.5)/(df + 0.5) + 1`` — the *argument* of the
+textbook Robertson–Spärck-Jones ``ln`` idf, used raw. Deliberate: JVM
+``Math.log`` is only within-1-ulp (not correctly rounded), so a
+log-idf score cannot hash-match a C-libm oracle bit-for-bit (measured:
+~6% of idf inputs differ in the last ulp between Spark and DuckDB).
+Rational arithmetic on exact integer stats (tf, dl, df, N) uses only
+IEEE-correctly-rounded ops, so identical expression trees give
+identical bits on every engine. Swap ``idf_r`` for
+``F.log(idf_r)`` when textbook BM25 matters more than cross-engine
+reproducibility — the ranking is term-wise monotone either way.
+
+Per-doc term-score sums go through DECIMAL(38,12) (order-independent;
+functions/numeric.py discipline).
+
+## Scale
+
+Postings are the big intermediate (~tokens ≈ corpus volume), but the
+query-term ``isin`` filter collapses them before the only wide shuffle
+(groupBy doc,term); df/avgdl are scalar/near-scalar aggregates
+broadcast back. At 100 TB: one map-side-combined shuffle over rows
+that contain query terms — no inverted index needed for ad-hoc
+queries; for repeated querying, materialize `postings(term ⇒ doc, tf)`
+bucketed by term once and reuse (the build is this same plan minus the
+filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.functions import text as TX
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term, tf) term frequencies, empty tokens dropped."""
+    return (
+        docs.select(F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(post: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, dl) token counts per doc, from a postings frame."""
+    return post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs for a bag-of-terms query; ties broken by id asc.
+
+    Output: (id_col, score double). Docs with no query term never
+    appear (their score is 0 and they are filtered out before the
+    aggregate — at scale this is what keeps the shuffle proportional
+    to matching rows, not corpus rows). Corpus stats (N, avgdl) are
+    computed over docs with ≥1 token.
+    """
+    post = postings(docs, id_col, text_col)
+    dl = doc_lengths(post, id_col)
+    # scalar corpus stats, broadcast into every row
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = post.filter(F.col("term").isin(list(query_terms)))
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    tf = F.col("tf").cast("double")
+    dlen = F.col("dl").cast("double")
+    idf_r = (n - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    ) + F.lit(1.0)
+    term_score = idf_r * (
+        tf * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlen / avgdl))
+    )
+
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), term_score.cast("decimal(38,12)").alias("s"))
+        .groupBy(id_col)
+        .agg(F.sum("s").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
