@@ -1053,6 +1053,194 @@ def q_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return churned.crossJoin(retained)
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate shape (TPC-H Q19): revenue under an
+    OR-of-ANDs condition mixing part and lineitem columns. The mixed
+    disjunction can't push below the join, so the single-table
+    envelopes each disjunct implies (qty ∈ [1,30]; brand ∈ {...},
+    size ≤ 15) are applied explicitly pre-join — those DO reach the
+    parquet scans, and the join then runs on the pruned inputs with
+    the exact disjunction as a post-join filter."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, part = T("lineitem"), T("part")
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    li_env = li.filter(F.col("l_quantity").between(1, 30))
+    part_env = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 15)
+    )
+    return (
+        li_env.join(F.broadcast(part_env), li_env.l_partkey == part_env.p_partkey)
+        .filter(disj)
+        .agg(
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-join-topk shape (TPC-H Q3): unshipped revenue by order for
+    one market segment. Both date filters and the segment filter push
+    to their scans; customer broadcasts; TakeOrderedAndProject caps
+    the result without a global sort."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    li = T("lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = T("orders").filter(F.col("o_orderdate") < cutoff)
+    cust = T("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-max subquery shape (TPC-H Q15): supplier(s) with maximum
+    revenue over a quarter. The revenue aggregate is computed once and
+    reused for both the max and the final rows (no correlated rescan);
+    the one-row max broadcasts. The equality join on the revenue double
+    is deterministic because revenue is an exact decimal sum."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, supp = T("lineitem"), T("supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exists / not-exists chain (TPC-H Q21 shape, adapted to this
+    schema: "late" = shipped > 90 days after order date): suppliers who
+    were the sole late supplier on a multi-supplier finalized order.
+    The classic formulation is a semi-join plus an anti-self-join on
+    lineitem; here both exists-tests decorrelate into ONE per-order
+    aggregate (distinct suppliers, distinct late suppliers) — a single
+    shuffle of the fact table instead of two self-joins, the plan that
+    survives at 100 TB."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, orders, supp = T("lineitem"), T("orders"), T("supplier")
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + scalar-avg subquery (TPC-H Q22 shape, keyed on
+    market segment instead of the schema's missing phone column):
+    above-average-balance customers in three segments with no order
+    since 2000 (lapsed). The global average is one broadcast row; the
+    no-recent-orders test is a left-anti join against the date-filtered
+    orders (filter + single-column projection both push to the scan, so
+    the anti build side is narrow)."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    cust = T("customer").filter(F.col("c_mktsegment").isin(segs))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        N.davg("c_acctbal").alias("_avg_bal")
+    )
+    recent = (
+        T("orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            N.dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-directional nation-pair volume (TPC-H Q7 shape): shipping
+    revenue between two nations by year, in both directions. The
+    nation filter is pushed into the two dimension lookups BEFORE the
+    fact join — only customers/suppliers of the two nations survive to
+    broadcast — and the pair disjunction runs post-join on two tiny
+    string columns."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    n1, n2 = "NATION_3", "NATION_7"
+    nat = T("nation").filter(F.col("n_name").isin(n1, n2))
+    cn = (
+        T("customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    sn = (
+        T("supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li, orders = T("lineitem"), T("orders")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -1127,6 +1315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "value_deciles": q_value_deciles,
         "user_churn": q_user_churn,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "shipping_priority": q_shipping_priority,
+        "top_supplier": q_top_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
+        "bination_volume": q_bination_volume,
     }
 
 
@@ -2235,6 +2429,94 @@ def oracle_sql() -> dict[str, str]:
                   AS churned_users,
               (SELECT COUNT(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))
                   AS retained_users
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "waiting_suppliers": """
+            WITH lo AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'),
+            po AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+                       MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+                FROM lo GROUP BY 1)
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
+            WHERE po.n_supp >= 2 AND po.n_late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 10
+        """,
+        "idle_customers": """
+            WITH seg AS (
+                SELECT * FROM customer
+                WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')),
+            ab AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                           / COUNT(*) AS avg_bal
+                FROM seg WHERE c_acctbal > 0)
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS totacctbal
+            FROM seg, ab
+            WHERE c_acctbal > ab.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = seg.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "bination_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+               OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
     }
 

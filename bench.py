@@ -30,6 +30,9 @@ BENCH_QUERIES: list[str] = [
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
+    "shipping_priority",
+    "waiting_suppliers",
+    "disjunctive_revenue",
     "ingest_stats",
     "value_histogram",
     "windowed_counts",
