@@ -362,6 +362,15 @@ def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FC.forecast(_gold(spark, sf_dir), horizon_days=7)
 
 
+def q_forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 grouped-map path with REAL per-group numpy math: the drift
+    model (yhat = last + h·slope, Gaussian drift CIs) runs inside the
+    same ``applyInPandas`` plumbing the reference's SARIMAX slot uses
+    (services/forecast.py:39-92), so the model-fit path is validated
+    end-to-end against the SQL oracle — not just injected constants."""
+    return FC.forecast_drift(_gold(spark, sf_dir), horizon_days=7)
+
+
 def q_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: public contract — bounds widened to include yhat, 7 rows padded
     forward with zeros, UTC-midnight Z strings. Input trimmed to 4 rows
@@ -1264,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_iforest": q_anomaly_iforest,
         "date_spine_fill": q_date_spine_fill,
         "forecast_naive": q_forecast_naive,
+        "forecast_drift": q_forecast_drift,
         "forecast_contract": q_forecast_contract,
         "strictly_future": q_strictly_future,
         "persistence_mape": q_persistence_mape,
@@ -1442,8 +1452,10 @@ def oracle_sql() -> dict[str, str]:
         "json_payload_extract": """
             SELECT event_type AS metric,
                    COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
-                   COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+                   -- DuckDB SUM(BIGINT) surfaces HUGEINT; pin to BIGINT so
+                   -- the driver's hash renderer sees the same type as Spark
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
             FROM events GROUP BY event_type
         """,
         "value_fallback": """
@@ -1491,9 +1503,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             tagged AS (
                 SELECT user_id, ts,
-                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       -- DuckDB windowed SUM(INT) widens to HUGEINT (pandas
+                       -- float64); pin to BIGINT to match Spark's hash input
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS session_id
+                           AS BIGINT) AS session_id
                 FROM flagged
             )
             SELECT user_id, session_id,
@@ -1606,6 +1620,60 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s = 0.0 THEN 0.0 WHEN n < 14 THEN last_val ELSE 0.0 END AS yhat_upper,
                    'naive-0.1' AS model_version
             FROM per CROSS JOIN generate_series(1, 7) t(k)
+        """,
+        # drift model: σ over centi-quantized diffs (exact BIGINT sums both
+        # engines) then the same double expression tree as drift_model_fn —
+        # bit-identical floats with no summation-order dependence
+        "forecast_drift": _GOLD_CTE + """
+            , d AS (
+                SELECT metric,
+                       value - LAG(value) OVER (PARTITION BY metric
+                                                ORDER BY metric_date) AS d
+                FROM gold),
+            m AS (
+                SELECT metric, CAST(ROUND(d * 100.0) AS BIGINT) AS m
+                FROM d WHERE d IS NOT NULL),
+            ds AS (
+                SELECT metric, COUNT(*) AS nd,
+                       CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS sum_m,
+                       CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE) AS sum_m2
+                FROM m GROUP BY metric),
+            per AS (
+                SELECT metric, MAX(metric_date) AS last_date,
+                       arg_max(value, metric_date) AS last_val,
+                       arg_min(value, metric_date) AS first_val,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS s
+                FROM gold GROUP BY metric),
+            calc AS (
+                SELECT per.*, ds.nd,
+                       (last_val - first_val) / CAST(nd AS DOUBLE) AS slope,
+                       CASE WHEN nd < 2 THEN 0.0
+                            ELSE sqrt(GREATEST(
+                                   (sum_m2 - sum_m * sum_m / CAST(nd AS DOUBLE))
+                                     / CAST(nd - 1 AS DOUBLE), 0.0)) / 100.0
+                       END AS sigma
+                FROM per JOIN ds USING (metric))
+            SELECT metric,
+                   last_date + CAST(t.k AS INTEGER) AS target_date,
+                   CASE WHEN s = 0.0 THEN 0.0
+                        WHEN n < 14 THEN last_val
+                        ELSE last_val + slope * CAST(t.k AS DOUBLE) END AS yhat,
+                   CASE WHEN s = 0.0 THEN 0.0
+                        WHEN n < 14 THEN last_val
+                        ELSE (last_val + slope * CAST(t.k AS DOUBLE))
+                             - 1.96 * (sigma * sqrt(CAST(t.k AS DOUBLE)
+                                 * (1.0 + CAST(t.k AS DOUBLE) / CAST(nd AS DOUBLE))))
+                   END AS yhat_lower,
+                   CASE WHEN s = 0.0 THEN 0.0
+                        WHEN n < 14 THEN last_val
+                        ELSE (last_val + slope * CAST(t.k AS DOUBLE))
+                             + 1.96 * (sigma * sqrt(CAST(t.k AS DOUBLE)
+                                 * (1.0 + CAST(t.k AS DOUBLE) / CAST(nd AS DOUBLE))))
+                   END AS yhat_upper,
+                   CASE WHEN s = 0.0 OR n < 14 THEN 'naive-0.1'
+                        ELSE 'drift-0.1' END AS model_version
+            FROM calc CROSS JOIN generate_series(1, 7) t(k)
         """,
         "forecast_contract": _GOLD_CTE + """
             , per AS (
@@ -1933,7 +2001,7 @@ def oracle_sql() -> dict[str, str]:
             top2 AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_2grams
                      FROM cnt2 GROUP BY doc_id)
             SELECT r.doc_id, r.n_3grams, r.dup_3gram_frac,
-                   COALESCE(t2.n_2grams, 0) AS n_2grams,
+                   CAST(COALESCE(t2.n_2grams, 0) AS BIGINT) AS n_2grams,
                    COALESCE(t2.top_c, 0)
                        / CAST(GREATEST(COALESCE(t2.n_2grams, 0), 1) AS DOUBLE)
                        AS top_2gram_frac

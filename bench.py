@@ -149,14 +149,26 @@ def main() -> None:
         if f.endswith(".parquet"):
             spark.read.parquet(os.path.join(sf_dir, f)).limit(1).count()
 
+    # fail-soft: one broken query must never zero the round's evidence
+    # (round 1 lost ALL timings to a single AnalysisException). Errors go
+    # to stderr + an `errors` field; timings stay partial but parseable.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    timings.update(pipeline_e2e(spark, sf_dir))
+    try:
+        timings.update(pipeline_e2e(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: pipeline_e2e FAILED: {errors['pipeline_e2e']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -167,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

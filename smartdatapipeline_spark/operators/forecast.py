@@ -193,6 +193,72 @@ def forecast_with_model(
     return series.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
 
 
+def drift_model_fn(s, horizon: int):
+    """Deterministic drift model — real per-group numpy math for the M1
+    grouped-map path (the reference's SARIMAX slot,
+    services/forecast.py:39-92, needs statsmodels, absent here; this is
+    the first-class deterministic stand-in the plumbing is validated
+    with).
+
+    Forecast: yhat(h) = y_n + h·(y_n − y_1)/nd  (classic drift), with
+    Gaussian drift intervals yhat ± 1.96·σ_d·sqrt(h·(1 + h/nd)) where
+    σ_d is the sample std-dev of the one-step differences.
+
+    Cross-engine bit-parity: σ_d is computed on CENTI-QUANTIZED diffs
+    (m_i = round(100·d_i) as exact int64) so both engines sum exact
+    integers — order-independent — and then run the *same* double
+    expression tree ((Σm² − (Σm)²/nd)/(nd−1), sqrt, /100). Input values
+    are 2-decimal daily sums, so quantization is lossless. At 2^53-scale
+    sums this would need a wider quantum — documented, not hit at any SF
+    here.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    v = s.to_numpy(dtype=float)
+    nd = len(v) - 1
+    first, last = float(v[0]), float(v[-1])
+    slope = (last - first) / float(nd)
+    if nd >= 2:
+        m = np.rint(np.diff(v) * 100.0).astype(np.int64)
+        sum_m = float(int(m.sum()))
+        sum_m2 = float(int((m * m).sum()))
+        var_m = (sum_m2 - sum_m * sum_m / float(nd)) / float(nd - 1)
+        sigma = math.sqrt(var_m if var_m > 0.0 else 0.0) / 100.0
+    else:
+        sigma = 0.0
+    rows = []
+    for h in range(1, horizon + 1):
+        hf = float(h)
+        yhat = last + slope * hf
+        se = sigma * math.sqrt(hf * (1.0 + hf / float(nd)))
+        rows.append((yhat, yhat - 1.96 * se, yhat + 1.96 * se))
+    return pd.DataFrame(rows, columns=["yhat", "yhat_lower", "yhat_upper"])
+
+
+def forecast_drift(
+    series: DataFrame,
+    horizon_days: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M1 via the drift model — exercises the exact ``applyInPandas``
+    grouped-map plumbing SARIMAX would use (same fallback ladder, same
+    output contract), with deterministic math an SQL oracle can verify."""
+    return forecast_with_model(
+        series,
+        drift_model_fn,
+        "drift-0.1",
+        horizon_days,
+        partition_cols,
+        date_col,
+        value_col,
+    )
+
+
 def forecast(
     series: DataFrame,
     horizon_days: int = 7,

@@ -33,11 +33,12 @@ def sessionize(
     """
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    is_new = (
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_us) > F.lit(gap_us))
-    ).cast("int")
+    # NTZ-safe: parquet scans can surface TIMESTAMP_NTZ (Spark 4 infer),
+    # and unix_micros requires TIMESTAMP. Session tz is pinned UTC, so the
+    # cast is instant-preserving. (Round-1 driver crash was this exact gap.)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    is_new = (prev_us.isNull() | ((ts_us - prev_us) > F.lit(gap_us))).cast("int")
     sess_id = F.sum(is_new).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

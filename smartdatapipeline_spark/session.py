@@ -78,6 +78,24 @@ def read_events(spark: SparkSession, sf_dir: str):
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return canonicalize_timestamps(df)
+
+
+def canonicalize_timestamps(df):
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session tz is pinned
+    UTC, so the instant is unchanged — same interpretation DuckDB applies
+    to naive timestamps).
+
+    Load-bearing at every scan boundary: Spark 4 reads parquet timestamps
+    without tz annotation as TIMESTAMP_NTZ (`inferTimestampNTZ`), and
+    several time functions (`unix_micros`, watermarks) require TIMESTAMP —
+    the round-1 `sessionization` crash was exactly this type drift.
+    """
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -103,7 +121,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
-            out[n] = read_events(spark, sf_dir) if n == "events" else spark.read.parquet(path)
+            out[n] = (
+                read_events(spark, sf_dir)
+                if n == "events"
+                else canonicalize_timestamps(spark.read.parquet(path))
+            )
     return out
 
 

@@ -80,6 +80,14 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
             continue
+        # driver-strictness probe: the driver hashes with dtype awareness
+        # (round 1: DuckDB HUGEINT vs Spark BIGINT hashed differently with
+        # equal values), so surface any dtype divergence loudly.
+        s_dt = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
+        o_dt = {c: str(odf[c].dtype) for c in sorted(odf.columns)}
+        for c in s_dt:
+            if c in o_dt and s_dt[c] != o_dt[c]:
+                print(f"TYPEWARN {name}.{c}: spark={s_dt[c]} duckdb={o_dt[c]}")
         ns, no = normalize(sdf), normalize(odf)
         if len(ns) != len(no):
             print(f"FAIL {name}: rowcount spark={len(ns)} duckdb={len(no)}")
