@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from smartdatapipeline_spark.functions import crypto as CR
 from smartdatapipeline_spark.functions import dedup as DD
 from smartdatapipeline_spark.functions import multimodal as MM
 from smartdatapipeline_spark.functions import similarity as SIM
@@ -247,6 +248,29 @@ def q_json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("k_sum"),
             F.countDistinct("k").alias("k_distinct"),
+        )
+        .withColumnRenamed("event_type", "metric")
+    )
+
+
+def q_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-payload parity (reference db/types.py:15-34 EncryptedJSON,
+    security/crypto.py:38-63): AES-GCM encrypt the raw props payload and
+    decrypt it back, all JVM-side — n_roundtrip_ok counts decrypt∘encrypt
+    = identity per metric, which the oracle pins to COUNT(*). GCM IVs are
+    random (semantic security, like Fernet) so the oracle verifies the
+    round-trip, not ciphertext bytes."""
+    ev = _events(spark, sf_dir)
+    rt = CR.decrypt_payload(CR.encrypt_payload("props")).cast("string")
+    return (
+        ev.withColumn("rt", rt)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("rt").eqNullSafe(F.col("props")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.octet_length("props")).cast("bigint").alias("payload_bytes"),
         )
         .withColumnRenamed("event_type", "metric")
     )
@@ -681,7 +705,8 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + Arrow-batched mapInPandas
     feature extraction (md5-derived deterministic features stand in for
-    a model forward pass; decode stubs are gated NotImplementedError)."""
+    a model forward pass; real header decode is `image_decode` /
+    `audio_decode`; pixel decode stays PIL-gated)."""
     d = MM.attach_blob(_docs(spark, sf_dir))
     return MM.extract_features(d)
 
@@ -691,6 +716,71 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, hashed — pure binary column expressions."""
     d = MM.attach_blob(_docs(spark, sf_dir))
     return MM.sample_frames(d, n_frames=4, frame_bytes=16)
+
+
+def _be_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Big-endian fixed-width hex of an int column (JVM-side)."""
+    return F.lpad(F.hex(col), 2 * nbytes, "0")
+
+
+def _le_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Little-endian fixed-width hex of an int column (JVM-side)."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.pmod(F.floor(col / F.lit(256 ** i)), 256)), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: Spark builds valid PNG/GIF/BMP/JPEG
+    headers from doc_id with JVM binary expressions (unhex of hex
+    concat), then the stdlib parser (functions/multimodal.py
+    parse_image_header) decodes them inside Arrow-batched mapInPandas.
+    The oracle recomputes (format, width, height) from doc_id directly —
+    any decode bug breaks the match."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    w = (F.pmod(F.col("doc_id"), 509) + 16).cast("long")
+    h = (F.pmod(F.col("doc_id"), 253) + 16).cast("long")
+    fmt = F.pmod(F.col("doc_id"), 4)
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        _be_hex(w, 4), _be_hex(h, 4), F.lit("0806000000"),
+    )
+    gif = F.concat(F.lit("474946383961"), _le_hex(w, 2), _le_hex(h, 2), F.lit("00"))
+    bmp = F.concat(
+        F.lit("424D1A000000000000001A00000028000000"),
+        _le_hex(w, 4), _le_hex(h, 4),
+    )
+    jpeg = F.concat(F.lit("FFD8FFC0001108"), _be_hex(h, 2), _be_hex(w, 2))
+    blob = F.unhex(
+        F.when(fmt == 0, png).when(fmt == 1, gif).when(fmt == 2, bmp).otherwise(jpeg)
+    )
+    return MM.decode_image_features(d.withColumn("blob", blob))
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode end-to-end: Spark builds RIFF/WAVE headers from
+    doc_id (channels/rate/sample-count formulas), the stdlib chunk
+    walker (parse_wav_header) decodes them in mapInPandas, and the
+    oracle recomputes every field from doc_id."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    channels = (F.pmod(F.col("doc_id"), 2) + 1).cast("long")
+    rate = ((F.pmod(F.col("doc_id"), 3) + 1) * 8000).cast("long")
+    block = channels * 2  # 16-bit samples
+    n_samples = (F.pmod(F.col("doc_id"), 1000) + 1).cast("long")
+    data_size = n_samples * block
+    blob = F.unhex(
+        F.concat(
+            F.lit("52494646"), _le_hex(data_size + 36, 4), F.lit("57415645"),
+            F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+            _le_hex(channels, 2), _le_hex(rate, 4), _le_hex(rate * block, 4),
+            _le_hex(block, 2), F.lit("1000"),
+            F.lit("64617461"), _le_hex(data_size, 4),
+        )
+    )
+    return MM.decode_audio_features(d.withColumn("blob", blob))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "json_payload_extract": q_json_payload_extract,
+        "payload_roundtrip": q_payload_roundtrip,
         "topk_days_per_metric": q_topk_days_per_metric,
         "kpi_rollup": q_kpi_rollup,
         "rolling_zscore_strict": q_rolling_zscore_strict,
@@ -1283,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_summary": q_reliability_summary,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         "cosine_topk": q_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ivf_topk": q_ivf_topk,
@@ -1456,6 +1549,16 @@ def oracle_sql() -> dict[str, str]:
                    -- the driver's hash renderer sees the same type as Spark
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_distinct
+            FROM events GROUP BY event_type
+        """,
+        # round-trip identity is the invariant (GCM ciphertext is
+        # IV-randomized): every row must decrypt back to its plaintext
+        "payload_roundtrip": """
+            SELECT event_type AS metric,
+                   COUNT(*) AS n,
+                   COUNT(*) AS n_roundtrip_ok,
+                   CAST(SUM(octet_length(CAST(props AS BLOB))) AS BIGINT)
+                       AS payload_bytes
             FROM events GROUP BY event_type
         """,
         "value_fallback": """
@@ -1770,6 +1873,26 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(md5(substr(text, byte_offset + 1, 16)), 1, 15))::BIGINT
                        AS frame_hash
             FROM frames
+        """,
+        # decode oracles: recompute the expected header fields straight
+        # from doc_id (the Spark side must CONSTRUCT the binary, then
+        # PARSE it back — a bug in either direction breaks the match)
+        "image_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+                   CAST(doc_id % 509 + 16 AS INTEGER) AS width,
+                   CAST(doc_id % 253 + 16 AS INTEGER) AS height
+            FROM documents
+        """,
+        "audio_decode": """
+            SELECT doc_id,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+                   CAST((doc_id % 3 + 1) * 8000 AS INTEGER) AS sample_rate,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST(doc_id % 1000 + 1 AS DOUBLE)
+                       / CAST((doc_id % 3 + 1) * 8000 AS DOUBLE) AS duration_sec
+            FROM documents
         """,
         "cosine_topk": _EMB_CTE + """
             , q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e

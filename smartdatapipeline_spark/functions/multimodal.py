@@ -49,33 +49,149 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("blob", blob).withColumn("media_meta", meta)
 
 
-def decode_image(blob_col: Column) -> Column:
-    """STUB — image decode (PIL is not installed in this container).
+def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL image decode (header level), pure stdlib — no PIL needed.
 
-    Real implementation: a pandas UDF mapping blob → struct(width,
-    height, mode, pixels array) via PIL.Image.open over Arrow batches.
+    Returns (format, width, height) for PNG / GIF / BMP / JPEG payloads,
+    (None, None, None) for anything unrecognized or truncated. This is
+    the driver-side kernel the Arrow-batched decoder below runs per blob;
+    full pixel decode stays gated on PIL (``decode_image_pixels``).
     """
+    import struct
+
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h
+    if len(data) >= 26 and data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", abs(w), abs(h)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first SOF0/1/2 frame header
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+            i += 2 + seglen
+        return "jpeg", None, None
+    return None, None, None
+
+
+def parse_wav_header(
+    data: bytes,
+) -> tuple[int | None, int | None, int | None, float | None]:
+    """REAL audio decode (header level), pure stdlib — no soundfile.
+
+    Returns (channels, sample_rate, bits_per_sample, duration_sec) for
+    RIFF/WAVE payloads, all-None otherwise. Walks RIFF chunks, so fmt/
+    data need not be at fixed offsets."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None, None, None, None
+    i = 12
+    channels = rate = bits = block = None
+    data_size = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            _, channels, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", data[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen & 1)
+    if rate and block and data_size is not None:
+        dur = (data_size // block) / float(rate)
+    else:
+        dur = None
+    return channels, rate, bits, dur
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched image header decode over the binary column — the
+    real (stdlib) decoder wired through ``mapInPandas``. One Python loop
+    per Arrow batch; bytes never leave the executor."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(_decode, schema=schema)
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched WAV header decode over the binary column."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("duration_sec", T.DoubleType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "channels": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "bits": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "duration_sec": [p[3] for p in parsed],
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(_decode, schema=schema)
+
+
+def decode_image_pixels(blob_col: Column) -> Column:
+    """Full pixel decode stays gated on PIL (not in this container);
+    header decode is real — see ``parse_image_header``/
+    ``decode_image_features`` above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "decode_image requires Pillow, which is not available in this "
-            "container; the Spark-side plumbing (attach_blob/extract_features/"
-            "sample_frames) is real and tested"
+            "decode_image_pixels requires Pillow, which is not available in "
+            "this container; header-level decode (format/width/height) is "
+            "implemented in parse_image_header/decode_image_features"
         ) from exc
-    raise NotImplementedError("PIL present but decoder not wired yet")
-
-
-def decode_audio(blob_col: Column) -> Column:
-    """STUB — audio decode (no soundfile/librosa in this container)."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "decode_audio requires soundfile, which is not available in this "
-            "container"
-        ) from exc
-    raise NotImplementedError("soundfile present but decoder not wired yet")
+    raise NotImplementedError("PIL present but pixel decoder not wired yet")
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -193,3 +193,27 @@ def ingest_stats_from_clean(clean: DataFrame) -> dict:
         "min_ts": agg["min_ts"].isoformat() + "+00:00" if agg["min_ts"] else None,
         "max_ts": agg["max_ts"].isoformat() + "+00:00" if agg["max_ts"] else None,
     }
+
+
+def kpi_recompute_scope(stats: dict, surface: str = "ingest") -> list[str]:
+    """Which metrics each ingestion surface recomputes KPIs for — a
+    deliberate reference QUIRK, pinned here so parity is explicit:
+
+    - ``ingest`` (reference routers/ingest.py:183-189): ALL metrics seen
+      in the batch, falling back to [first metric] if the set is empty.
+    - ``upload`` (reference routers/upload.py:96-102): ONLY the FIRST
+      metric (``stats["metric"]``, min-by-ts) — multi-metric uploads
+      leave the other metrics' gold rows stale until the next ingest.
+
+    Callers feed the result to per-metric gold recompute (streaming/
+    ingest.py recomputes by touched day instead, which covers both)."""
+    if surface == "upload":
+        m = stats.get("metric")
+        return [m] if m else []
+    if surface == "ingest":
+        metrics = stats.get("metrics") or []
+        if metrics:
+            return list(metrics)
+        m = stats.get("metric")
+        return [m] if m else []
+    raise ValueError(f"surface must be ingest|upload, got {surface!r}")

@@ -3,6 +3,9 @@ dedup, similarity search, multimodal plumbing."""
 
 from __future__ import annotations
 
+import base64
+import struct
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -135,11 +138,77 @@ def test_attach_blob_and_features_deterministic(spark):
     assert feats["feat_0"] == int(d[:8], 16) / 4294967296.0
 
 
-def test_decode_stubs_raise_not_implemented(spark):
+def test_pixel_decode_gate_raises_not_implemented(spark):
     with pytest.raises(NotImplementedError):
-        MM.decode_image(F.lit(b"x"))
-    with pytest.raises(NotImplementedError):
-        MM.decode_audio(F.lit(b"x"))
+        MM.decode_image_pixels(F.lit(b"x"))
+
+
+# golden media payloads for the REAL (stdlib) header decoders
+_PNG_1x1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+_GIF_1x1 = (
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff!\xf9\x04"
+    b"\x01\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+)
+
+
+def _bmp(width: int, height: int) -> bytes:
+    return (
+        b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack("<I", 40)
+        + struct.pack("<ii", width, height)
+    )
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_golden():
+    assert MM.parse_image_header(_PNG_1x1) == ("png", 1, 1)
+    assert MM.parse_image_header(_GIF_1x1) == ("gif", 1, 1)
+    assert MM.parse_image_header(_bmp(640, 480)) == ("bmp", 640, 480)
+    assert MM.parse_image_header(_bmp(640, -480)) == ("bmp", 640, 480)  # top-down
+    assert MM.parse_image_header(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert MM.parse_image_header(b"not an image") == (None, None, None)
+    assert MM.parse_image_header(b"\x89PNG\r\n\x1a\n trunc") == (None, None, None)
+
+
+def test_parse_wav_header_golden():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00\x00\x00" * 44100)  # 1.0 s stereo
+    ch, rate, bits, dur = MM.parse_wav_header(buf.getvalue())
+    assert (ch, rate, bits) == (2, 44100, 16)
+    assert dur == pytest.approx(1.0)
+    assert MM.parse_wav_header(b"RIFFxxxxNOPE") == (None, None, None, None)
+
+
+def test_decode_features_on_spark(spark):
+    rows = [
+        (0, _PNG_1x1),
+        (1, _GIF_1x1),
+        (2, _bmp(320, 200)),
+        (3, _jpeg(64, 32)),
+        (4, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r["doc_id"]: r for r in MM.decode_image_features(df).collect()}
+    assert (out[0]["format"], out[0]["width"], out[0]["height"]) == ("png", 1, 1)
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("gif", 1, 1)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("bmp", 320, 200)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("jpeg", 64, 32)
+    assert out[4]["format"] is None and out[4]["width"] is None
 
 
 def test_frame_sample_shape(spark):

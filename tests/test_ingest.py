@@ -145,6 +145,30 @@ def test_ingest_stats_contract(spark, tmpfile):
     assert stats["min_ts"].startswith("2025-01-01T05:00:00")
 
 
+def test_kpi_recompute_scope_quirk(spark, tmpfile):
+    """Pins the reference's surface asymmetry: the /upload endpoint
+    recomputes KPIs for ONLY the first metric (routers/upload.py:96-102)
+    while /ingest recomputes ALL metrics seen (routers/ingest.py:183-189)
+    — a multi-metric upload leaves later metrics' gold stale."""
+    path = tmpfile(
+        "q.csv",
+        "timestamp,value,metric\n"
+        "2025-01-01T05:00:00Z,1,beta\n"
+        "2025-01-02T06:00:00Z,2,alpha\n",
+    )
+    stats = I.ingest_stats_from_clean(I.clean_rows(R.read_csv(spark, path)))
+    # ingest path: every metric in the batch
+    assert I.kpi_recompute_scope(stats, "ingest") == ["alpha", "beta"]
+    # upload path: first metric only (min-by-ts), alpha's gold stays stale
+    assert I.kpi_recompute_scope(stats, "upload") == ["beta"]
+    # empty batch: nothing to recompute on either surface
+    empty = {"metric": None, "metrics": []}
+    assert I.kpi_recompute_scope(empty, "ingest") == []
+    assert I.kpi_recompute_scope(empty, "upload") == []
+    with pytest.raises(ValueError):
+        I.kpi_recompute_scope(stats, "bulk")
+
+
 def test_end_to_end_file_to_gold(spark, tmpfile, tmp_path):
     """§7.1 minimum slice: CSV -> clean -> dedup -> silver -> daily KPI ->
     gold partition overwrite -> read back golden values."""
