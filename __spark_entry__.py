@@ -395,6 +395,15 @@ def q_forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FC.forecast_drift(_gold(spark, sf_dir), horizon_days=7)
 
 
+def q_anomaly_iforest_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 with real model math: from-scratch numpy isolation forest
+    (200 trees, per-series crc32 seed) through the same applyInPandas
+    shape as the sklearn path. Randomized-ensemble scores are not
+    SQL-expressible — driver records the rows-only check; the math is
+    pinned by tests/test_anomaly.py goldens."""
+    return A.anomaly_iforest_numpy(_gold(spark, sf_dir))
+
+
 def q_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: public contract — bounds widened to include yhat, 7 rows padded
     forward with zeros, UTC-midnight Z strings. Input trimmed to 4 rows
@@ -1355,7 +1364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "json_payload_extract": q_json_payload_extract,
-        "payload_roundtrip": q_payload_roundtrip,
         "topk_days_per_metric": q_topk_days_per_metric,
         "kpi_rollup": q_kpi_rollup,
         "rolling_zscore_strict": q_rolling_zscore_strict,
@@ -1364,7 +1372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_iforest": q_anomaly_iforest,
         "date_spine_fill": q_date_spine_fill,
         "forecast_naive": q_forecast_naive,
-        "forecast_drift": q_forecast_drift,
         "forecast_contract": q_forecast_contract,
         "strictly_future": q_strictly_future,
         "persistence_mape": q_persistence_mape,
@@ -1374,8 +1381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_summary": q_reliability_summary,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
         "cosine_topk": q_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ivf_topk": q_ivf_topk,
@@ -1424,6 +1429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
         "bination_volume": q_bination_volume,
+        # round-2 additions — appended so the driver-visible registry
+        # order of pre-existing queries stays stable across rounds
+        "payload_roundtrip": q_payload_roundtrip,
+        "forecast_drift": q_forecast_drift,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "anomaly_iforest_numpy": q_anomaly_iforest_numpy,
     }
 
 

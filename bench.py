@@ -62,6 +62,10 @@ BENCH_QUERIES: list[str] = [
     "decontaminate",
     "pack_sequences",
     "multimodal_features",
+    "image_decode",
+    "audio_decode",
+    "payload_roundtrip",
+    "forecast_drift",
 ]
 
 
@@ -145,6 +149,13 @@ def main() -> None:
     # footer/listing caches are warm; without this the first query in
     # the list absorbs every cold-start cost and skews per-query numbers
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the Python UDF workers too (one interpreter per core) — on a
+    # long-running cluster these are resident; without this the first
+    # pandas-UDF query absorbs ~10 s of interpreter spawn and skews its
+    # number (round-2 finding: multimodal_features 12.3 s cold vs ~2 s warm)
+    spark.range(256, numPartitions=int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
             spark.read.parquet(os.path.join(sf_dir, f)).limit(1).count()

@@ -286,6 +286,107 @@ def anomaly_iforest_4d(
     )
 
 
+def anomaly_iforest_numpy(
+    df: DataFrame,
+    contamination: float = 0.05,
+    n_estimators: int = 200,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M6 with REAL model math, no sklearn: a from-scratch isolation
+    forest (Liu/Ting/Zhou 2008) in pure numpy, fitted per series inside
+    ``applyInPandas`` — the same grouped-map shape the sklearn path uses
+    (reference routers/anomaly_iforest.py:96-126: contamination default
+    0.05, n_estimators=200, seeded).
+
+    Determinism: each group seeds its RNG from crc32(group-key) so scores
+    are independent of partitioning/scheduling — re-running at any
+    parallelism is bit-identical. Isolation-forest scores are inherently
+    non-SQL-expressible (randomized ensemble), so this query carries a
+    rows-only driver check plus a pinned golden test
+    (tests/test_anomaly.py) instead of a DuckDB oracle.
+
+    Semantics mirrored from the reference ladder: < 5 finite values ⇒
+    all-inlier with NULL score; NaN features filled with the series'
+    finite mean; ``score`` = anomaly score in [0,1] (higher = more
+    anomalous); outlier = top-``contamination`` quantile per series.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("is_outlier", T.BooleanType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(date_col).reset_index(drop=True)
+        vals = pdf[value_col].astype(float).to_numpy()
+        finite = np.isfinite(vals)
+        if int(finite.sum()) < 5:
+            pdf["is_outlier"] = False
+            pdf["score"] = None
+            return pdf
+        x = np.where(finite, vals, float(vals[finite].mean()))
+        key = "\x1f".join(str(pdf[c].iloc[0]) for c in partition_cols)
+        scores = _iforest_scores_1d(x, n_estimators, key)
+        thresh = float(np.quantile(scores, 1.0 - contamination))
+        pdf["is_outlier"] = scores >= thresh
+        pdf["score"] = scores
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
+
+
+def _iforest_scores_1d(x, n_estimators: int, seed_key: str):
+    """Anomaly scores s(x) = 2^(−E[h(x)]/c(ψ)) from ``n_estimators``
+    1-D isolation trees on ψ=min(256,n) subsamples. A 1-D isolation
+    tree is a random recursive partition of [min,max]; path length of a
+    point = #splits to isolate it. Seeded from ``seed_key`` for
+    partition-invariant determinism."""
+    import math
+    import zlib
+
+    import numpy as np
+
+    n = len(x)
+    psi = min(256, n)
+    rng = np.random.RandomState(zlib.crc32(seed_key.encode()) & 0x7FFFFFFF)
+    depth_limit = int(math.ceil(math.log2(max(psi, 2))))
+
+    def c(m: int) -> float:
+        if m <= 1:
+            return 0.0
+        h = math.log(m - 1) + 0.5772156649015329
+        return 2.0 * h - 2.0 * (m - 1) / m
+
+    def path_len(pts, sample, depth):
+        """Vectorized: one random split per node, recurse on each side."""
+        m = len(sample)
+        if depth >= depth_limit or m <= 1 or sample.min() == sample.max():
+            return np.full(len(pts), depth + c(m), dtype=float)
+        split = rng.uniform(sample.min(), sample.max())
+        left = pts < split
+        sl, sr = sample[sample < split], sample[sample >= split]
+        out = np.empty(len(pts), dtype=float)
+        out[left] = path_len(pts[left], sl, depth + 1)
+        out[~left] = path_len(pts[~left], sr, depth + 1)
+        return out
+
+    total = np.zeros(n, dtype=float)
+    for _ in range(n_estimators):
+        sample = x[rng.choice(n, size=psi, replace=False)]
+        total += path_len(x, sample, 0)
+    e_h = total / float(n_estimators)
+    return np.power(2.0, -e_h / c(psi))
+
+
 def _iforest_sklearn(
     df: DataFrame,
     contamination: float,

@@ -153,3 +153,35 @@ def test_derive_horizon_clamps():
     assert derive_horizon(last, dt.date(2025, 1, 10)) == 0
     assert derive_horizon(last, dt.date(2025, 1, 1)) == 0
     assert derive_horizon(last, dt.date(2025, 6, 1)) == 30
+
+
+def test_iforest_numpy_flags_spike(spark):
+    """Real isolation-forest math (numpy, 200 trees): an obvious spike
+    gets the series' top anomaly score and the outlier flag."""
+    vals = [10.0, 11.0, 10.5, 9.8, 10.2, 10.9, 500.0, 10.1, 9.9, 10.4,
+            10.6, 10.3, 9.7, 10.8, 10.0, 10.2, 9.9, 10.5, 10.1, 10.7]
+    out = _by_date(A.anomaly_iforest_numpy(_series(spark, vals)).collect())
+    spike = out["2025-01-07"]
+    assert spike["is_outlier"] is True
+    assert spike["score"] == max(r["score"] for r in out.values())
+    normals = [r for d, r in out.items() if d != "2025-01-07"]
+    assert all(r["is_outlier"] is False for r in normals)
+    assert all(r["score"] < spike["score"] for r in normals)
+
+
+def test_iforest_numpy_deterministic_across_runs(spark):
+    """Per-group crc32 seeding: scores are identical run-to-run and
+    partition-count-independent."""
+    vals = [float(v) for v in [5, 6, 5, 7, 6, 50, 5, 6, 7, 5, 6, 5]]
+    a = _by_date(A.anomaly_iforest_numpy(_series(spark, vals)).collect())
+    b = _by_date(
+        A.anomaly_iforest_numpy(_series(spark, vals).repartition(7)).collect()
+    )
+    assert {d: r["score"] for d, r in a.items()} == {
+        d: r["score"] for d, r in b.items()
+    }
+
+
+def test_iforest_numpy_insufficient_data(spark):
+    out = A.anomaly_iforest_numpy(_series(spark, [1.0, 2.0, 3.0, 4.0])).collect()
+    assert all(r["is_outlier"] is False and r["score"] is None for r in out)
