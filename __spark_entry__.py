@@ -1349,6 +1349,188 @@ def q_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape, no partsupp in this
+    schema): NATION_3's share of PROMO-part revenue sold to EUROPE
+    customers, by order year. Part/customer/supplier dims all shrink
+    BEFORE broadcast; the ratio is decimal-sum / decimal-sum in double
+    (cross-engine exact)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    eur_nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(eur_nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                N.dsum(F.when(F.col("supp_nation") == "NATION_3", vol))
+                / N.dsum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; schema has no supplycost so
+    profit = discounted revenue): per supplier nation × order year over
+    parts named like '%gear%'. LIKE filter prunes the part dim before
+    broadcast; one fact shuffle for the group-by."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue (TPC-H Q10 shape): top 20 customers by
+    revenue lost to returns ('R' lineitems) for orders in 1996Q1.
+    Date filter pushes to the orders scan; returnflag pushes to the
+    lineitem scan; TakeOrderedAndProject caps the result."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority mix (TPC-H Q12 shape; no shipmode column,
+    returnflag stands in): lineitems shipped > 90 days after the order
+    date, counted per returnflag as high-priority (URGENT/HIGH) vs
+    lower-priority orders — the classic CASE-sum over one fact join."""
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            > 90
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part class (TPC-H Q16 shape; lineitem is the
+    part↔supplier bridge since this schema has no partsupp): distinct
+    suppliers per (p_brand, p_size) for non-PROMO parts of size ≤ 8,
+    excluding Brand#1. Exact countDistinct after a broadcast dim join."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 8)
+        & (F.col("p_brand") != "Brand#1")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average volume suppliers (TPC-H Q20 shape, decorrelated):
+    suppliers whose 1996 shipped quantity of 'small%'-named parts
+    exceeds the all-supplier average of that same quantity — the
+    correlated EXISTS+agg rewritten as one aggregate reused for both the
+    per-supplier rows and the scalar threshold (no rescan)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(N.dsum("l_quantity", scale=2).alias("qty"))
+    )
+    avg_qty = per_supp.agg(
+        (N.dsum("qty", scale=2) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("qty") > F.col("avg_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "s_acctbal", "qty")
+        .orderBy("s_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -1436,6 +1618,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "anomaly_iforest_numpy": q_anomaly_iforest_numpy,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_revenue": q_returned_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "supplier_part_variety": q_supplier_part_variety,
+        "top_volume_suppliers": q_top_volume_suppliers,
     }
 
 
@@ -2720,6 +2908,90 @@ def oracle_sql() -> dict[str, str]:
             WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
                OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "market_share": """
+            SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                            THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                      AS DECIMAL(28,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,4))) AS DOUBLE) AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "product_profit": """
+            SELECT ns.n_name AS nation,
+                   EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        "returned_revenue": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20
+        """,
+        "late_shipment_priority": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) > 90
+            GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_part_variety": """
+            SELECT p.p_brand, p.p_size,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type != 'PROMO' AND p.p_size <= 8
+              AND p.p_brand != 'Brand#1'
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+        """,
+        "top_volume_suppliers": """
+            WITH per_supp AS (
+                SELECT l.l_suppkey,
+                       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                           AS qty
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_name LIKE 'small%'
+                  AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+                GROUP BY 1),
+            thresh AS (
+                SELECT CAST(SUM(CAST(qty AS DECIMAL(28,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+                FROM per_supp)
+            SELECT s.s_name, s.s_acctbal, ps.qty
+            FROM per_supp ps, thresh t
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            WHERE ps.qty > t.avg_qty
+            ORDER BY s.s_name
         """,
     }
 

@@ -33,6 +33,8 @@ BENCH_QUERIES: list[str] = [
     "shipping_priority",
     "waiting_suppliers",
     "disjunctive_revenue",
+    "market_share",
+    "returned_revenue",
     "ingest_stats",
     "value_histogram",
     "windowed_counts",
