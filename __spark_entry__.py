@@ -1531,6 +1531,49 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate cleanup (Raffel et al. 2020
+    §2.2), validated end-to-end like the decode queries: Spark reflows
+    each doc's tokens into 8-word lines (every 3rd line gets terminal
+    punctuation), then `clean_lines` must keep exactly the ≥5-word
+    punctuated lines — the oracle reconstructs and filters the same
+    lines in SQL."""
+    d = _docs(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(8.0)).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.when(i % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = TX.clean_lines(lined, min_words=5, require_terminal_punct=True)
+    return out.select(
+        "doc_id",
+        "lines_total",
+        "lines_kept",
+        F.length("clean_text").alias("clean_len"),
+    )
+
+
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity (log-free unigram-LM quality signal):
+    fraction of each doc's tokens with corpus frequency < 3 — exact
+    integer ratios, no log() whose last ulp is engine-dependent."""
+    return TX.rare_token_fraction(_docs(spark, sf_dir), min_count=3)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture temperature reweighting over the documents
+    `source` domains (T=2 ⇒ sqrt scaling, IEEE-exact cross-engine;
+    denominator is an ordered fold in domain order)."""
+    from smartdatapipeline_spark.functions import sampling as SP
+
+    return SP.mixture_weights(_docs(spark, sf_dir), domain_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -1624,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": q_late_shipment_priority,
         "supplier_part_variety": q_supplier_part_variety,
         "top_volume_suppliers": q_top_volume_suppliers,
+        "clean_lines": q_clean_lines,
+        "rare_tokens": q_rare_tokens,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -2992,6 +3038,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON ps.l_suppkey = s.s_suppkey
             WHERE ps.qty > t.avg_qty
             ORDER BY s.s_name
+        """,
+        "clean_lines": _TEXT_CTE + """
+            , lined AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, GREATEST(CAST(CEIL(len(toks) / 8.0) AS INT), 1)),
+                           i -> array_to_string(toks[i*8+1 : i*8+8], ' ')
+                                || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END
+                       ) AS lines
+                FROM t),
+            cleaned AS (
+                SELECT doc_id, lines,
+                       list_filter(lines,
+                           l -> LENGTH(TRIM(l)) > 0
+                                AND len(string_split_regex(TRIM(l), ' +')) >= 5
+                                AND regexp_matches(TRIM(l), '[.!?"'']$')
+                       ) AS kept
+                FROM lined)
+            SELECT doc_id,
+                   CAST(len(lines) AS INTEGER) AS lines_total,
+                   CAST(len(kept) AS INTEGER) AS lines_kept,
+                   CAST(LENGTH(array_to_string(kept, chr(10))) AS INTEGER)
+                       AS clean_len
+            FROM cleaned
+        """,
+        "rare_tokens": _TEXT_CTE + """
+            , ex AS (
+                SELECT doc_id, unnest(toks) AS token FROM t),
+            nz AS (SELECT * FROM ex WHERE token != ''),
+            vocab AS (SELECT token, COUNT(*) AS tf FROM nz GROUP BY 1)
+            SELECT nz.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.tf < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rare,
+                   CAST(SUM(CASE WHEN v.tf < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+            FROM nz JOIN vocab v USING (token)
+            GROUP BY 1
+        """,
+        "mixture_weights": """
+            WITH per AS (
+                SELECT source AS domain, COUNT(*) AS n_docs
+                FROM documents GROUP BY 1),
+            tot AS (
+                SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                       list_reduce(
+                           list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY domain),
+                           (a, b) -> a + b) AS denom
+                FROM per)
+            SELECT domain, n_docs,
+                   CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+                   sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight
+            FROM per, tot ORDER BY domain
         """,
     }
 

@@ -61,6 +61,8 @@ BENCH_QUERIES: list[str] = [
     "vocab_topk",
     "chunk_tokens",
     "pii_scrub",
+    "clean_lines",
+    "rare_tokens",
     "decontaminate",
     "pack_sequences",
     "multimodal_features",

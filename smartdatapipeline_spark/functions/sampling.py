@@ -81,3 +81,56 @@ def deterministic_shuffle(
     return df.orderBy(
         _bucket(F.col(id_col), salt, buckets=2_147_483_647), F.col(id_col)
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Training-mixture reweighting (public multilingual-LM recipe:
+    sample domain d ∝ share_d^(1/T), temperature T flattening the
+    head): per-domain document counts → normalized sampling weights.
+
+    T=2 (the common default) is computed with ``sqrt`` — IEEE
+    correctly-rounded in every engine, so weights are bit-identical
+    cross-engine. Other temperatures go through ``pow`` whose last ulp
+    is libm-dependent; keep T=2 for oracle-checked paths. The weight
+    denominator is an ordered fold over domain name so partition count
+    and engine agree on summation order.
+
+    One tiny aggregation (|domains| rows); output (domain, n_docs,
+    share, weight) with Σweight = 1.
+    """
+    if temperature == 2.0:
+        scaled = lambda c: F.sqrt(c)  # noqa: E731
+    else:
+        scaled = lambda c: F.pow(c, 1.0 / temperature)  # noqa: E731
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    s = scaled(F.col("n_docs").cast("double"))
+    # one scalar row: exact total + ordered fold of sqrt(n_d) in
+    # domain-name order (deterministic summation, engine-agnostic)
+    totals = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("domain").alias("o"), s.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("denom"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+            (s / F.col("denom")).alias("weight"),
+        )
+        .orderBy("domain")
+    )

@@ -354,3 +354,70 @@ def pack_sequences(
             "crosses_boundary"
         ),
     )
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level boilerplate cleanup (no reference equivalent;
+    heuristics from the public C4 paper, Raffel et al. 2020 §2.2): keep
+    only lines with ≥ ``min_words`` words and (optionally) a terminal
+    punctuation mark — drops nav bars, cookie banners, list fragments.
+
+    Pure array expressions (split → filter → array_join): runs at scan
+    speed inside codegen, no shuffle, no Python. Adds ``lines_total``,
+    ``lines_kept``, ``clean_text``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        words = F.size(F.split(F.trim(line), " +"))
+        ok = (F.length(F.trim(line)) > 0) & (words >= min_words)
+        if require_terminal_punct:
+            ok = ok & F.trim(line).rlike("[.!?\"']$")
+        return ok
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn("lines_total", F.size(lines))
+        .withColumn("lines_kept", F.size(kept))
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )
+
+
+def rare_token_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-relative rarity signal (log-free unigram-LM stand-in): the
+    fraction of a doc's tokens whose CORPUS frequency is < ``min_count``.
+    High values flag gibberish/OCR noise/boilerplate-free junk the same
+    way high unigram cross-entropy does, but every number is an exact
+    integer ratio — no log(), whose last-ulp rounding differs across
+    engines.
+
+    Two shuffles, both corpus-bounded: token→count aggregation, then the
+    exploded-token join back (token-keyed, co-partitioned with the
+    vocab). Output: (id_col, n_tokens, n_rare, rare_frac).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tf") < min_count).cast("long")).alias("n_rare"),
+        )
+        .withColumn(
+            "rare_frac",
+            F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

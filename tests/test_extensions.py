@@ -378,3 +378,53 @@ def test_pack_sequences_layout(spark):
     rows = {r["doc_id"]: r for r in sharded.collect()}
     assert rows[0]["shard"] == 0 and rows[1]["shard"] == 1
     assert rows[1]["offset_start"] == 0  # first doc of shard 1
+
+
+def test_clean_lines_c4_heuristics(spark):
+    text = "\n".join(
+        [
+            "this line has enough words and punctuation.",  # keep
+            "short line.",                                  # < 5 words
+            "this line has enough words but no punctuation", # no terminal punct
+            "",                                              # empty
+            "keep me too because i end with a bang!",        # keep
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = TX.clean_lines(df, min_words=5, require_terminal_punct=True).first()
+    assert row["lines_total"] == 5
+    assert row["lines_kept"] == 2
+    assert row["clean_text"].splitlines() == [
+        "this line has enough words and punctuation.",
+        "keep me too because i end with a bang!",
+    ]
+    # punct not required: the unpunctuated long line comes back
+    row2 = TX.clean_lines(df, min_words=5, require_terminal_punct=False).first()
+    assert row2["lines_kept"] == 3
+
+
+def test_rare_token_fraction_exact(spark):
+    docs = [(1, "aa aa aa bb"), (2, "aa cc"), (3, "aa aa dd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # corpus tf: aa=6, bb=1, cc=1, dd=1  (min_count=2 ⇒ bb/cc/dd rare)
+    out = {r["doc_id"]: r for r in TX.rare_token_fraction(df, min_count=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_rare"]) == (4, 1)
+    assert (out[2]["n_tokens"], out[2]["n_rare"]) == (2, 1)
+    assert out[2]["rare_frac"] == 0.5
+    assert (out[3]["n_tokens"], out[3]["n_rare"]) == (3, 1)
+
+
+def test_mixture_weights_sum_to_one(spark):
+    from smartdatapipeline_spark.functions import sampling as SP
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(90)] + [(100, "src9")],
+        "doc_id long, source string",
+    )
+    rows = SP.mixture_weights(df, "source").collect()
+    assert sum(r["n_docs"] for r in rows) == 91
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-12
+    # temperature flattens: the tiny src9 domain gets MORE than its share
+    w = {r["domain"]: r for r in rows}
+    assert w["src9"]["weight"] > w["src9"]["share"]
+    assert w["src0"]["weight"] < w["src0"]["share"]
