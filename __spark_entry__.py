@@ -1531,6 +1531,25 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public recipe: Abbas et
+    al. 2023): embedding-cosine near-dup pairs within sign-LSH buckets
+    (≥ 0.25 here to get non-trivial clusters on the synthetic vectors)
+    → connected components → every vector labeled with its cluster
+    representative; keep-list = is_representative. Composes the two
+    oracle-proven primitives into the end-to-end dedup decision."""
+    emb = _emb(spark, sf_dir)
+    pairs = SIM.embedding_near_dup_pairs(emb, threshold=0.25, nbits=8)
+    clusters = DD.duplicate_clusters(
+        pairs, emb, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    )
+    return clusters.select(
+        "vec_id",
+        "cluster",
+        (F.col("cluster") == F.col("vec_id")).alias("is_representative"),
+    )
+
+
 def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level boilerplate cleanup (Raffel et al. 2020
     §2.2), validated end-to-end like the decode queries: Spark reflows
@@ -1670,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "rare_tokens": q_rare_tokens,
         "mixture_weights": q_mixture_weights,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3091,6 +3111,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
                    sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight
             FROM per, tot ORDER BY domain
+        """,
+        "semantic_dedup": _EMB_CTE.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+        + """
+            , sp AS (
+                SELECT l.vec_id AS a, r.vec_id AS b
+                FROM e l JOIN e r
+                  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+                WHERE """ + _DOT.format(a="l.v", b="r.v") + """
+                      / (l.n * r.n) >= 0.25),
+            edges AS (
+                SELECT a AS src, b AS dst FROM sp
+                UNION ALL
+                SELECT b AS src, a AS dst FROM sp),
+            reach AS (
+                SELECT vec_id AS id, vec_id AS r FROM embeddings
+                UNION
+                SELECT e2.src AS id, reach.r AS r
+                FROM edges e2 JOIN reach ON reach.id = e2.dst)
+            SELECT id AS vec_id, MIN(r) AS cluster,
+                   (MIN(r) = id) AS is_representative
+            FROM reach GROUP BY id
         """,
     }
 

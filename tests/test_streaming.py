@@ -122,3 +122,45 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         if r["user_id"] != 99
     }
     assert got == want and len(want) == 3
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving across
+    micro-batches inside the watermark horizon are emitted once; the
+    drained stream matches the batch twin exactly."""
+    from smartdatapipeline_spark.streaming.dedup import stream_dedup
+
+    inp = tmp_path / "dedup_in"
+    inp.mkdir()
+    (inp / "b1.json").write_text(
+        '{"ts": "2025-01-01T00:00:00Z", "metric": "m", "value": 1.0}\n'
+        '{"ts": "2025-01-01T00:00:00Z", "metric": "m", "value": 1.0}\n'
+        '{"ts": "2025-01-01T00:05:00Z", "metric": "n", "value": 2.0}\n'
+    )
+    (inp / "b2.json").write_text(
+        '{"ts": "2025-01-01T00:00:00Z", "metric": "m", "value": 1.0}\n'
+        '{"ts": "2025-01-01T00:30:00Z", "metric": "m", "value": 3.0}\n'
+    )
+    schema = "ts timestamp, metric string, value double"
+    stream = stream_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp)),
+        keys=("metric", "ts"),
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["metric"], r["ts"].isoformat()) for r in spark.table("dedup_test").collect()
+    )
+    batch = stream_dedup(
+        spark.read.schema(schema).json(str(inp)), keys=("metric", "ts")
+    )
+    want = sorted((r["metric"], r["ts"].isoformat()) for r in batch.collect())
+    assert got == want
+    assert len(got) == 3  # (m,00:00) once, (n,00:05), (m,00:30)

@@ -77,6 +77,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    from smartdatapipeline_spark.functions import text as TX
+    from smartdatapipeline_spark.operators.forecast import forecast_drift
+
+    def drift_series(n):
+        ev = scaled_events(spark, sf_dir, n)
+        g = run_daily_kpis(ev, metric_col="event_type", source_col=None)
+        return g.select(
+            "metric_date", "metric", F.col("value_sum").alias("value")
+        )
+
     ops = {
         "kpi_daily": lambda n: run_daily_kpis(
             scaled_events(spark, sf_dir, n),
@@ -96,6 +106,14 @@ def main() -> None:
             k=10,
             nbits=8,
         ),
+        # round-2 additions: scan-speed curation, corpus-bounded shuffle
+        # pair, and the grouped-map model path (scales with series count —
+        # user_id shifting multiplies metric×replica series via event_type)
+        "clean_lines": lambda n: TX.clean_lines(scaled_docs(spark, sf_dir, n)),
+        "rare_tokens": lambda n: TX.rare_token_fraction(
+            scaled_docs(spark, sf_dir, n)
+        ),
+        "forecast_drift": lambda n: forecast_drift(drift_series(n)),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
