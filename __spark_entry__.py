@@ -1531,6 +1531,13 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring-span dedup (Lee et al. 2022 shape
+    as a hash-window pass): 16-token spans appearing in ≥ 2 distinct
+    docs — the repeated boilerplate substring dedup removes."""
+    return DD.duplicate_spans(_docs(spark, sf_dir), window=16, min_docs=2)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (public recipe: Abbas et
     al. 2023): embedding-cosine near-dup pairs within sign-LSH buckets
@@ -1690,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_tokens": q_rare_tokens,
         "mixture_weights": q_mixture_weights,
         "semantic_dedup": q_semantic_dedup,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -3132,6 +3140,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS vec_id, MIN(r) AS cluster,
                    (MIN(r) = id) AS is_representative
             FROM reach GROUP BY id
+        """,
+        "duplicate_spans": _TEXT_CTE + """
+            , w AS (
+                SELECT doc_id, toks FROM t WHERE len(toks) >= 16),
+            spans AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       ('0x' || substr(md5(
+                            array_to_string(toks[i+1 : i+16], ' ')), 1, 15))::BIGINT
+                           AS span_hash
+                FROM w, LATERAL unnest(range(0, len(toks) - 16 + 1)) AS u(i)),
+            agg AS (
+                SELECT span_hash,
+                       COUNT(DISTINCT doc_id) AS n_docs,
+                       COUNT(*) AS n_occurrences,
+                       MIN(doc_id * (1 << 20) + pos) AS rep
+                FROM spans GROUP BY 1)
+            SELECT span_hash, n_docs, n_occurrences,
+                   CAST(rep // (1 << 20) AS BIGINT) AS rep_doc,
+                   CAST(rep % (1 << 20) AS BIGINT) AS rep_pos
+            FROM agg WHERE n_docs >= 2
         """,
     }
 

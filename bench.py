@@ -64,6 +64,7 @@ BENCH_QUERIES: list[str] = [
     "clean_lines",
     "rare_tokens",
     "decontaminate",
+    "duplicate_spans",
     "pack_sequences",
     "multimodal_features",
     "image_decode",

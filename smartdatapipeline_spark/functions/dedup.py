@@ -447,3 +447,70 @@ def decontaminate(
         frac.alias("overlap_frac"),
         (frac >= F.lit(min_overlap_frac)).alias("contaminated"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cross-document substring-span dedup (public recipe:
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array pass re-expressed as a hash-window
+    pass): every ``window``-token span is hashed; spans appearing in
+    ≥ ``min_docs`` DISTINCT docs are the repeated boilerplate/licensing
+    blocks substring dedup cuts.
+
+    Distributed shape: explode positions (n_tokens rows — linear, like
+    the tokenizer itself) → 60-bit span hash → one groupBy(hash) with
+    map-side partial aggregation. No pair space, no suffix array; the
+    shuffle carries (hash, doc, pos) triples only. Representative =
+    lexicographically smallest (doc, pos), encoded in one BIGINT so
+    both engines agree without struct-ordering semantics.
+
+    Output: (span_hash, n_docs, n_occurrences, rep_doc, rep_pos).
+    """
+    pos_cap = 1 << 20  # docs here are ≪ 1M tokens; widen for book-length corpora
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= window)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_toks") - window)
+        ).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("_toks", F.col("pos") + 1, window), " ")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("span_hash"),
+    )
+    rep_key = F.min(F.col("doc_id") * pos_cap + F.col("pos"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            rep_key.alias("_rep"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "span_hash",
+            "n_docs",
+            "n_occurrences",
+            F.expr(f"_rep DIV {pos_cap}").alias("rep_doc"),
+            (F.col("_rep") % pos_cap).cast("long").alias("rep_pos"),
+        )
+    )

@@ -428,3 +428,23 @@ def test_mixture_weights_sum_to_one(spark):
     w = {r["domain"]: r for r in rows}
     assert w["src9"]["weight"] > w["src9"]["share"]
     assert w["src0"]["weight"] < w["src0"]["share"]
+
+
+def test_duplicate_spans_finds_shared_boilerplate(spark):
+    license_block = " ".join(f"lic{i}" for i in range(16))
+    docs = [
+        (1, license_block + " unique one body text here"),
+        (2, license_block + " other tail entirely different"),
+        (3, "no shared content in this document at all " + " ".join(
+            f"w{i}" for i in range(16))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = DD.duplicate_spans(df, window=16, min_docs=2).collect()
+    # exactly the license block span is shared; rep = (doc 1, pos 0)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["rep_doc"], r["rep_pos"]) == (2, 1, 0)
+    assert r["n_occurrences"] == 2
+    # below-window docs and unique spans never appear
+    none = DD.duplicate_spans(df, window=16, min_docs=3).collect()
+    assert none == []
