@@ -193,6 +193,49 @@ def forecast_with_model(
     return series.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
 
 
+def forecast_requested(
+    series: DataFrame,
+    requested: DataFrame,
+    today,
+    horizon_days: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Forecasts for an explicit request list, including series with NO
+    history: the reference anchors an empty series at "today"+1 and
+    emits zeros (services/forecast.py:46-52 — ``pd.Timestamp.utcnow()``,
+    nondeterministic; SURVEY §7.4 risk 5 says make the clock
+    INJECTABLE, which ``today`` is — pass a date, never read the wall
+    clock in an operator).
+
+    ``requested`` carries the partition-col combinations the caller
+    asked for; series present in the data take the normal ladder, the
+    rest get the empty-series contract (7 zero rows from today+1).
+    """
+    present = forecast_naive(
+        series, horizon_days, partition_cols, date_col, value_col
+    )
+    absent = requested.select(*partition_cols).distinct().join(
+        series.select(*partition_cols).distinct(), list(partition_cols), "left_anti"
+    )
+    zeros = absent.select(
+        *partition_cols,
+        F.explode(
+            F.sequence(
+                F.date_add(F.lit(today), 1),
+                F.date_add(F.lit(today), horizon_days),
+                F.expr("interval 1 day"),
+            )
+        ).alias("target_date"),
+        F.lit(0.0).alias("yhat"),
+        F.lit(0.0).alias("yhat_lower"),
+        F.lit(0.0).alias("yhat_upper"),
+        F.lit("naive-0.1").alias("model_version"),
+    )
+    return present.unionByName(zeros)
+
+
 def drift_model_fn(s, horizon: int):
     """Deterministic drift model — real per-group numpy math for the M1
     grouped-map path (the reference's SARIMAX slot,

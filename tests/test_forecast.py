@@ -186,3 +186,34 @@ def test_reliability_fold_clamping_and_score(spark):
     assert len(fr) == 1 and fr[0]["fold_index"] == 1
     s = summary.collect()[0]
     assert isinstance(s["score"], int) and 0 <= s["score"] <= 100
+
+
+def test_forecast_requested_empty_series_injectable_clock(spark):
+    """Reference services/forecast.py:46-52: a requested series with NO
+    history gets 7 zero rows anchored at "today"+1 — here with the
+    clock injected so the contract is deterministic (SURVEY §7.4 #5)."""
+    import datetime as dt
+
+    from smartdatapipeline_spark.operators.forecast import forecast_requested
+
+    series = spark.createDataFrame(
+        [(dt.date(2025, 1, 1 + i), "have", 5.0 + i) for i in range(20)],
+        "metric_date date, metric string, value double",
+    )
+    requested = spark.createDataFrame([("have",), ("missing",)], "metric string")
+    out = forecast_requested(
+        series, requested, today=dt.date(2025, 2, 1), horizon_days=7
+    )
+    rows = {m: [r for r in out.collect() if r["metric"] == m] for m in ("have", "missing")}
+    # present series: normal ladder anchored at its own last date
+    assert len(rows["have"]) == 7
+    assert min(r["target_date"] for r in rows["have"]) == dt.date(2025, 1, 21)
+    assert all(r["yhat"] == 24.0 for r in rows["have"])  # last value repeated
+    # absent series: zeros anchored at the injected clock + 1
+    assert len(rows["missing"]) == 7
+    assert min(r["target_date"] for r in rows["missing"]) == dt.date(2025, 2, 2)
+    assert all(
+        r["yhat"] == 0.0 and r["yhat_lower"] == 0.0 and r["yhat_upper"] == 0.0
+        for r in rows["missing"]
+    )
+    assert all(r["model_version"] == "naive-0.1" for r in rows["missing"])
