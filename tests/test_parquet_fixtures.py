@@ -119,3 +119,20 @@ def test_range_join_on_parquet(spark):
     assert joined.count() == expected
     # half-open: nothing at-or-after end
     assert joined.filter(F.col("ts") >= F.col("end")).count() == 0
+
+
+def test_queries_survive_plain_driver_session(spark):
+    """The driver imports __spark_entry__ with its OWN plain session —
+    none of our factory configs. newSession() reproduces that (fresh
+    session-conf state over the shared JVM): the round-1 sessionization
+    crash only manifested in exactly this environment. Exercise one
+    query per scan family (events NTZ/nanos path, lineitem NTZ path,
+    documents, embeddings)."""
+    import __spark_entry__ as E
+
+    plain = spark.newSession()
+    qs = E.queries()
+    for name in ("sessionization", "kpi_daily", "market_share", "asof_checkpoint",
+                 "dedup_exact", "cosine_topk"):
+        n = qs[name](plain, SF_MED).limit(5).count()
+        assert n >= 0, name
