@@ -1531,6 +1531,25 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused with RRF (Cormack et al.
+    2009): BM25 top-20 for a fixed term query and exact-cosine top-20
+    for a fixed query vector, fused as Σ 1/(60+rank) — every term a
+    reciprocal of an integer, so the fusion is bit-exact cross-engine
+    with no score calibration."""
+    from pyspark.sql import Window
+
+    from smartdatapipeline_spark.functions import retrieval as RT
+
+    bm25 = RT.bm25_topk(_docs(spark, sf_dir), ["spark", "hash", "merge"], k=20)
+    wb = Window.orderBy(F.desc("score"), F.col("doc_id").asc())
+    bm25_r = bm25.select("doc_id", F.row_number().over(wb).alias("rank"))
+    emb = _emb(spark, sf_dir)
+    dense = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    dense_r = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return RT.rrf_fuse([bm25_r, dense_r], k=60, topk=10)
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document substring-span dedup (Lee et al. 2022 shape
     as a hash-window pass): 16-token spans appearing in ≥ 2 distinct
@@ -1698,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
+        "hybrid_retrieval": q_hybrid_retrieval,
     }
 
 
@@ -2793,31 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with rational-odds idf: identical expression trees to
         # functions/retrieval.py (ln() rounds differently across
         # engines, so the idf stays rational; term sums in decimal)
-        "bm25_search": _TEXT_CTE + """
-            , post AS (
-                SELECT doc_id, token AS term, COUNT(*) AS tf
-                FROM (SELECT doc_id, unnest(toks) AS token FROM t)
-                WHERE token != '' GROUP BY 1, 2),
-            dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
-            stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-            hits AS (SELECT * FROM post
-                     WHERE term IN ('spark', 'hash', 'merge')),
-            dft AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
-            scored AS (
-                SELECT h.doc_id,
-                       CAST(SUM(CAST(
-                           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-                           * (CAST(h.tf AS DOUBLE) * 2.2
-                              / (CAST(h.tf AS DOUBLE)
-                                 + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
-                                          / (CAST(sum_dl AS DOUBLE)
-                                             / CAST(n_docs AS DOUBLE)))))
-                         AS DECIMAL(38,12))) AS DOUBLE) AS score
-                FROM hits h
-                JOIN dft USING (term)
-                JOIN dl USING (doc_id), stats
-                GROUP BY 1)
+        "bm25_search": _BM25_SCORED + """
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
@@ -3161,6 +3157,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rep % (1 << 20) AS BIGINT) AS rep_pos
             FROM agg WHERE n_docs >= 2
         """,
+        "hybrid_retrieval": _BM25_SCORED + """
+            , b AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                           AS rank
+                FROM scored QUALIFY rank <= 20),
+            ev AS (
+                SELECT vec_id, embedding AS v,
+                       SQRT(list_reduce(list_transform(embedding,
+                            x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS n
+                FROM embeddings),
+            qv AS (SELECT v AS q, n AS qn FROM ev WHERE vec_id = 0),
+            sd AS (
+                SELECT ev.vec_id AS doc_id,
+                       """ + _DOT.format(a="qv.q", b="ev.v") + """
+                           / (qv.qn * ev.n) AS cos
+                FROM ev, qv WHERE ev.vec_id != 0),
+            dn AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+                           AS rank
+                FROM sd QUALIFY rank <= 20)
+            SELECT COALESCE(b.doc_id, dn.doc_id) AS doc_id,
+                   b.rank AS rank_0, dn.rank AS rank_1,
+                   COALESCE(1.0 / (60.0 + CAST(b.rank AS DOUBLE)), 0.0)
+                   + COALESCE(1.0 / (60.0 + CAST(dn.rank AS DOUBLE)), 0.0)
+                       AS rrf_score
+            FROM b FULL OUTER JOIN dn ON b.doc_id = dn.doc_id
+            ORDER BY rrf_score DESC, COALESCE(b.doc_id, dn.doc_id) ASC
+            LIMIT 10
+        """,
     }
 
 
@@ -3272,6 +3299,35 @@ _NORM_RE = "[^a-z0-9\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]+"
 
 #: strict left-fold dot product (mirrors similarity.dot: float→double
 #: widening then index-order accumulation)
+#: BM25 posting/scoring CTEs (ends with CTE `scored`), shared by the
+#: plain bm25_search oracle and the hybrid RRF fusion oracle
+_BM25_SCORED = _TEXT_CTE + """
+            , post AS (
+                SELECT doc_id, token AS term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+                WHERE token != '' GROUP BY 1, 2),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+            hits AS (SELECT * FROM post
+                     WHERE term IN ('spark', 'hash', 'merge')),
+            dft AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+            scored AS (
+                SELECT h.doc_id,
+                       CAST(SUM(CAST(
+                           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                           * (CAST(h.tf AS DOUBLE) * 2.2
+                              / (CAST(h.tf AS DOUBLE)
+                                 + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                          / (CAST(sum_dl AS DOUBLE)
+                                             / CAST(n_docs AS DOUBLE)))))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS score
+                FROM hits h
+                JOIN dft USING (term)
+                JOIN dl USING (doc_id), stats
+                GROUP BY 1)
+"""
+
 _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "s -> s[1]::DOUBLE * s[2]::DOUBLE), (x, y) -> x + y)"

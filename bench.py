@@ -63,6 +63,7 @@ BENCH_QUERIES: list[str] = [
     "pii_scrub",
     "clean_lines",
     "rare_tokens",
+    "hybrid_retrieval",
     "decontaminate",
     "duplicate_spans",
     "pack_sequences",

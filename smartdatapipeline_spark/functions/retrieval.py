@@ -107,3 +107,42 @@ def bm25_topk(
         .agg(F.sum("s").cast("double").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion over N rankers (public formula, Cormack
+    et al. 2009): score(d) = Σ_i 1/(k + rank_i(d)), documents missing
+    from a ranker contribute 0. The standard way to fuse lexical (BM25)
+    and dense (embedding) retrieval without score calibration — and,
+    unlike score mixing, every term is 1/(integer) so the result is
+    bit-identical on any engine with fixed addition order (the ranker
+    list order, encoded in the expression tree).
+
+    Full-outer joins on the id keep every candidate either ranker
+    surfaced; each ranking is top-k sized, so the join space is
+    O(N·topk) — never corpus-sized.
+
+    Output: (id_col, rrf_score, rank_0..rank_{N-1}), sorted by score
+    desc with id asc tiebreak, trimmed to ``topk`` when given.
+    """
+    out = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    fused = out.withColumn("rrf_score", score).orderBy(
+        F.desc("rrf_score"), F.col(id_col).asc()
+    )
+    return fused.limit(topk) if topk else fused

@@ -122,3 +122,19 @@ def test_unpivot_keeps_nulls_when_asked(spark):
         wide, index=["d"], value_cols=["x", "y"], drop_nulls=False
     )
     assert back.count() == 4  # 2 days x 2 columns, null cell retained
+
+
+def test_rrf_fuse_formula_and_missing_docs(spark):
+    from smartdatapipeline_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 2 in both rankers: 1/62 + 1/61
+    assert out[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    # docs in one ranker only: single reciprocal, missing rank is NULL
+    assert out[1]["rrf_score"] == 1.0 / 61 and out[1]["rank_1"] is None
+    assert out[3]["rrf_score"] == 1.0 / 62 and out[3]["rank_0"] is None
+    # fusion puts the doubly-ranked doc first
+    top = rrf_fuse([a, b], k=60, topk=1).collect()
+    assert top[0]["doc_id"] == 2
