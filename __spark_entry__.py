@@ -1531,6 +1531,44 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM counts with exact conditional probabilities
+    (integer ratios, no log): top-50 bigrams by count."""
+    return (
+        TX.bigram_counts(_docs(spark, sf_dir))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(50)
+    )
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster
+    (SimHash radius-3 connected components) keep the HIGHEST-quality
+    member (doc-id tiebreak) — the keep-list decision an LLM-corpus
+    dedup actually ships, not just the cluster labels."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    clusters = DD.duplicate_clusters(DD.simhash_near_pairs(d, max_hamming=3), d)
+    quality = TX.quality_features(d).select("doc_id", "quality")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.col("doc_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs_in_cluster",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("canonical_doc"),
+            "n_docs_in_cluster",
+            F.col("quality").alias("canonical_quality"),
+        )
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval fused with RRF (Cormack et al.
     2009): BM25 top-20 for a fixed term query and exact-cosine top-20
@@ -1718,10 +1756,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "bigram_lm": q_bigram_lm,
+        "canonical_docs": q_canonical_docs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_base()
+    # canonical_docs composes two proven oracles: cluster labels
+    # (dup_clusters, recursive CTE) × per-doc quality (text_quality) →
+    # quality-argmax per cluster with doc-id tiebreak
+    o["canonical_docs"] = f"""
+        WITH clusters AS (SELECT * FROM ({o["dup_clusters"]}) c),
+        q AS (SELECT doc_id, quality FROM ({o["text_quality"]}) t),
+        j AS (SELECT clusters.cluster, clusters.doc_id, q.quality
+              FROM clusters JOIN q USING (doc_id)),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                         ORDER BY quality DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster) AS n_docs_in_cluster
+              FROM j)
+        SELECT cluster, doc_id AS canonical_doc, n_docs_in_cluster,
+               quality AS canonical_quality
+        FROM r WHERE rn = 1
+    """
+    return o
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "kpi_daily": """
             SELECT CAST(ts AS DATE) AS metric_date,
@@ -3187,6 +3249,20 @@ def oracle_sql() -> dict[str, str]:
             FROM b FULL OUTER JOIN dn ON b.doc_id = dn.doc_id
             ORDER BY rrf_score DESC, COALESCE(b.doc_id, dn.doc_id) ASC
             LIMIT 10
+        """,
+        "bigram_lm": _TEXT_CTE + """
+            , w AS (SELECT toks FROM t WHERE len(toks) >= 2),
+            bg AS (
+                SELECT toks[i] AS w1, toks[i+1] AS w2
+                FROM w, LATERAL unnest(range(1, len(toks))) AS u(i)
+                WHERE toks[i] != '' AND toks[i+1] != ''),
+            counts AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+            tots AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1
+                     FROM counts GROUP BY 1)
+            SELECT c.w1, c.w2, c.n, tots.n_w1,
+                   CAST(c.n AS DOUBLE) / CAST(tots.n_w1 AS DOUBLE) AS cond_p
+            FROM counts c JOIN tots USING (w1)
+            ORDER BY c.n DESC, c.w1, c.w2 LIMIT 50
         """,
     }
 

@@ -64,6 +64,8 @@ BENCH_QUERIES: list[str] = [
     "clean_lines",
     "rare_tokens",
     "hybrid_retrieval",
+    "bigram_lm",
+    "canonical_docs",
     "decontaminate",
     "duplicate_spans",
     "pack_sequences",

@@ -421,3 +421,38 @@ def rare_token_fraction(
             F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language-model counts with exact conditional
+    probabilities: (w1, w2, n, n_w1, cond_p = n/n_w1) — the building
+    block for n-gram LM scoring / Kneser-Ney style smoothing, all
+    integer counts and one exact integer-ratio division (no log()).
+
+    Shape: one explode (linear in tokens) → one groupBy(w1, w2) with
+    map-side combine; unigram counts derive from the bigram table
+    (another map-side agg), so the corpus text is scanned once.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w1_tot = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    return counts.join(w1_tot, "w1").select(
+        "w1",
+        "w2",
+        "n",
+        "n_w1",
+        (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias("cond_p"),
+    )
