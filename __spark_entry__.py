@@ -1531,6 +1531,37 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with cumulative corpus coverage — the
+    context-length planning table (what share of tokens survive at
+    L=·?): 32-token buckets, integer sums, cumulative share as a ratio
+    of exact BIGINTs. One agg + one ordered window over ~30 buckets."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    b = d.groupBy(
+        ((F.col("n_tokens") / 32).cast("long") * 32).alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return b.select(
+        "bucket_start",
+        "n_docs",
+        "bucket_tokens",
+        (
+            F.sum("bucket_tokens").over(w).cast("double")
+            / F.sum("bucket_tokens").over(tot).cast("double")
+        ).alias("cum_token_share"),
+    ).orderBy("bucket_start")
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM counts with exact conditional probabilities
     (integer ratios, no log): top-50 bigrams by count."""
@@ -1758,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "bigram_lm": q_bigram_lm,
         "canonical_docs": q_canonical_docs,
+        "length_coverage": q_length_coverage,
     }
 
 
@@ -3263,6 +3295,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(tots.n_w1 AS DOUBLE) AS cond_p
             FROM counts c JOIN tots USING (w1)
             ORDER BY c.n DESC, c.w1, c.w2 LIMIT 50
+        """,
+        "length_coverage": _TEXT_CTE + """
+            , n AS (
+                SELECT CASE WHEN len(toks) = 1
+                            THEN CASE WHEN toks[1] != '' THEN 1 ELSE 0 END
+                            ELSE len(toks) END AS n_tokens
+                FROM t),
+            b AS (
+                SELECT (n_tokens // 32) * 32 AS bucket_start,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+                FROM n GROUP BY 1)
+            SELECT bucket_start, n_docs, bucket_tokens,
+                   CAST(SUM(bucket_tokens) OVER (ORDER BY bucket_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE)
+                   / CAST(SUM(bucket_tokens) OVER () AS DOUBLE)
+                       AS cum_token_share
+            FROM b ORDER BY bucket_start
         """,
     }
 

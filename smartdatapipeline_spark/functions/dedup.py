@@ -281,6 +281,10 @@ def duplicate_clusters(
             .groupBy("_src")
             .agg(F.min("_label").alias("_nbr"))
         )
+        # carry the previous label alongside the new one so convergence
+        # is a filter on the SAME checkpointed frame — one join + one
+        # count job per round instead of two joins (the old/new compare
+        # join cost ~30% of each round's wall-clock at bench scale)
         new_labels = (
             labels.join(nbr_min, labels["_id"] == nbr_min["_src"], "left")
             .select(
@@ -288,17 +292,14 @@ def duplicate_clusters(
                 F.least(
                     F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
                 ).alias("_label"),
+                F.col("_label").alias("_prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_id")
-            .filter(F.col("n._label") != F.col("o._label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("_label") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("cluster"))
