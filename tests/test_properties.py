@@ -123,3 +123,79 @@ def test_sessionize_matches_reference(spark, events, gap_minutes):
         for r in sessionize(df, gap_minutes=gap_minutes).collect()
     }
     assert got == _sessions_ref(events, gap_minutes)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=20, deadline=None)
+def test_duplicate_spans_matches_reference(spark, docs, window):
+    """duplicate_spans vs a plain-Python span counter on random corpora:
+    same spans flagged, same doc/occurrence counts, same representative."""
+    from collections import defaultdict
+
+    from smartdatapipeline_spark.functions.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["span_hash"]: (r["n_docs"], r["n_occurrences"], r["rep_doc"], r["rep_pos"])
+        for r in duplicate_spans(df, window=window, min_docs=2).collect()
+    }
+    # python reference on the same normalization (tokens are already clean)
+    spans = defaultdict(list)
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - window + 1):
+            spans[" ".join(toks[p : p + window])].append((i, p))
+    want = {}
+    for span, occ in spans.items():
+        ds = {d for d, _ in occ}
+        if len(ds) >= 2:
+            rep = min(occ)
+            want[span] = (len(ds), len(occ), rep[0], rep[1])
+    assert sorted(got.values()) == sorted(want.values())
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=10
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_bigram_counts_match_reference(spark, docs):
+    from collections import Counter
+
+    from smartdatapipeline_spark.functions.text import bigram_counts
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["n_w1"], r["cond_p"])
+        for r in bigram_counts(df).collect()
+    }
+    ref = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            ref[(a, b)] += 1
+    w1_tot = Counter()
+    for (a, _), n in ref.items():
+        w1_tot[a] += n
+    want = {k: (n, w1_tot[k[0]], n / w1_tot[k[0]]) for k, n in ref.items()}
+    assert got == want

@@ -164,3 +164,55 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     want = sorted((r["metric"], r["ts"].isoformat()) for r in batch.collect())
     assert got == want
     assert len(got) == 3  # (m,00:00) once, (n,00:05), (m,00:30)
+
+
+def test_stream_enrich_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: each event picks up the dim updates
+    published within the hour before it; drained stream == batch."""
+    from smartdatapipeline_spark.streaming.joins import stream_enrich
+
+    ev_dir, up_dir = tmp_path / "ev", tmp_path / "up"
+    ev_dir.mkdir(); up_dir.mkdir()
+    (ev_dir / "e.json").write_text(
+        '{"ts": "2025-01-01T10:30:00Z", "source_id": 1, "value": 10.0}\n'
+        '{"ts": "2025-01-01T12:00:00Z", "source_id": 1, "value": 20.0}\n'
+        '{"ts": "2025-01-01T10:40:00Z", "source_id": 2, "value": 30.0}\n'
+    )
+    (up_dir / "u.json").write_text(
+        '{"uts": "2025-01-01T10:00:00Z", "source_id": 1, "name": "alpha-v1"}\n'
+        '{"uts": "2025-01-01T11:30:00Z", "source_id": 1, "name": "alpha-v2"}\n'
+        '{"uts": "2025-01-01T09:00:00Z", "source_id": 2, "name": "beta-v1"}\n'
+    )
+    es = "ts timestamp, source_id int, value double"
+    us = "uts timestamp, source_id int, name string"
+
+    out = stream_enrich(
+        spark.readStream.schema(es).json(str(ev_dir)),
+        spark.readStream.schema(us).json(str(up_dir)),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["source_id"], r["ts"].isoformat(), r["name"])
+        for r in spark.table("enrich_test").collect()
+    )
+    batch = stream_enrich(
+        spark.read.schema(es).json(str(ev_dir)),
+        spark.read.schema(us).json(str(up_dir)),
+    )
+    want = sorted(
+        (r["source_id"], r["ts"].isoformat(), r["name"]) for r in batch.collect()
+    )
+    assert got == want
+    # event 1@10:30 sees only v1 (v2 is later); 1@12:00 sees only v2
+    # (v1 is >1h before); 2@10:40 sees nothing (beta-v1 >1h before)
+    assert [(s, t.split("+")[0], n) for s, t, n in want] == [
+        (1, "2025-01-01T10:30:00", "alpha-v1"),
+        (1, "2025-01-01T12:00:00", "alpha-v2"),
+    ]
