@@ -143,6 +143,65 @@ def pipeline_e2e(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
+    """The training-data pipeline end-to-end (the 100 TB story this
+    engine exists for): raw docs → line cleanup → quality filter →
+    exact dedup keep-list → benchmark decontamination → sequence
+    packing → training-set parquet. Staged timings with real
+    materialization, like pipeline_e2e."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.functions import dedup as DD
+    from smartdatapipeline_spark.functions import text as TX
+
+    work = tempfile.mkdtemp(prefix="sdp_corpus_")
+    t: dict[str, float] = {}
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+
+        t0 = time.perf_counter()
+        scored = TX.quality_features(
+            TX.clean_lines(docs, min_words=3, require_terminal_punct=False),
+            text_col="clean_text",
+            keep=("text",),
+        )
+        kept = scored.filter(F.col("quality") >= 0.2).select("doc_id", "text")
+        kept.write.mode("overwrite").parquet(f"{work}/filtered")
+        t["corpus/clean_filter"] = round(time.perf_counter() - t0, 4)
+
+        filtered = spark.read.parquet(f"{work}/filtered")
+        t0 = time.perf_counter()
+        reps = DD.exact_dedup(filtered).select(F.col("rep_id").alias("doc_id"))
+        deduped = filtered.join(reps, "doc_id")
+        deduped.write.mode("overwrite").parquet(f"{work}/deduped")
+        t["corpus/exact_dedup"] = round(time.perf_counter() - t0, 4)
+
+        deduped = spark.read.parquet(f"{work}/deduped")
+        t0 = time.perf_counter()
+        eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        clean = DD.decontaminate(deduped, eval_docs)
+        survivors = deduped.join(
+            clean.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+        survivors.write.mode("overwrite").parquet(f"{work}/decontaminated")
+        t["corpus/decontaminate"] = round(time.perf_counter() - t0, 4)
+
+        survivors = spark.read.parquet(f"{work}/decontaminated")
+        t0 = time.perf_counter()
+        TX.pack_sequences(survivors).write.mode("overwrite").parquet(
+            f"{work}/packed"
+        )
+        t["corpus/pack_sequences"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -188,6 +247,12 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"bench: pipeline_e2e FAILED: {errors['pipeline_e2e']}", file=sys.stderr)
+
+    try:
+        timings.update(corpus_e2e(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["corpus_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
