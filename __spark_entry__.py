@@ -1531,6 +1531,20 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly scoring: Iglewicz–Hoaglin modified z-score
+    (0.6745·(x−med)/MAD) per metric — median-based, so the outliers
+    being scored don't drag the location/scale estimate like they do in
+    W1/W2. Exact interpolated medians on both engines."""
+    return A.anomaly_mad(_gold(spark, sf_dir))
+
+
+def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast: ŷ(t+h) = y(t+h−7) — the weekly-pattern
+    baseline; last observed week shifted one period forward."""
+    return FC.forecast_seasonal_naive(_gold(spark, sf_dir), horizon_days=7)
+
+
 def q_length_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram with cumulative corpus coverage — the
     context-length planning table (what share of tokens survive at
@@ -1790,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "canonical_docs": q_canonical_docs,
         "length_coverage": q_length_coverage,
+        "anomaly_mad": q_anomaly_mad,
+        "forecast_snaive": q_forecast_snaive,
     }
 
 
@@ -3314,6 +3330,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    / CAST(SUM(bucket_tokens) OVER () AS DOUBLE)
                        AS cum_token_share
             FROM b ORDER BY bucket_start
+        """,
+        "anomaly_mad": _GOLD_CTE + """
+            , med AS (
+                SELECT metric, quantile_cont(value, 0.5) AS med
+                FROM gold GROUP BY metric),
+            wm AS (
+                SELECT g.metric_date, g.metric, g.value, med.med
+                FROM gold g JOIN med USING (metric)),
+            mad AS (
+                SELECT metric, quantile_cont(ABS(value - med), 0.5) AS mad
+                FROM wm GROUP BY metric)
+            SELECT wm.metric_date, wm.metric, wm.value,
+                   CASE WHEN mad.mad > 0
+                        THEN 0.6745 * (wm.value - wm.med) / mad.mad END AS mad_z,
+                   CASE WHEN mad.mad > 0
+                        THEN ABS(0.6745 * (wm.value - wm.med) / mad.mad) >= 3.5
+                        ELSE wm.value != wm.med END AS is_outlier
+            FROM wm JOIN mad USING (metric)
+        """,
+        "forecast_snaive": _GOLD_CTE + """
+            , per AS (SELECT metric, MAX(metric_date) AS last_date
+                      FROM gold GROUP BY metric)
+            SELECT g.metric,
+                   g.metric_date + 7 AS target_date,
+                   CAST(g.value AS DOUBLE) AS yhat,
+                   CAST(g.value AS DOUBLE) AS yhat_lower,
+                   CAST(g.value AS DOUBLE) AS yhat_upper,
+                   'snaive-0.1' AS model_version
+            FROM gold g JOIN per USING (metric)
+            WHERE g.metric_date > per.last_date - 7
+              AND g.metric_date + 7 <= per.last_date + 7
         """,
     }
 

@@ -439,3 +439,41 @@ def _iforest_sklearn(
         return pdf
 
     return df.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
+
+
+def anomaly_mad(
+    df: DataFrame,
+    threshold: float = 3.5,
+    partition_cols: tuple[str, ...] = ("metric",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust anomaly scoring via median absolute deviation (public
+    Iglewicz–Hoaglin modified z-score: 0.6745·(x−med)/MAD, outlier at
+    |z| ≥ 3.5) — the outlier detector that, unlike the mean/stddev
+    z-scores (W1/W2), is not itself dragged by the outliers it scores.
+
+    Exact medians via ``percentile`` (both engines interpolate sorted
+    doubles identically — proven by the percentile oracles); MAD = 0
+    degrades like the flat-window convention: outlier iff x ≠ median,
+    score NULL. Two grouped aggregations + broadcast joins back; the
+    group count (series), not the row count, sizes every shuffle.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*partition_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), list(partition_cols))
+    mad = (
+        with_med.withColumn("_absdev", F.abs(v - F.col("_med")))
+        .groupBy(*partition_cols)
+        .agg(F.expr("percentile(_absdev, 0.5)").alias("_mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), list(partition_cols))
+    z = F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad")
+    return scored.select(
+        *df.columns,
+        F.when(F.col("_mad") > 0, z).alias("mad_z"),
+        F.when(F.col("_mad") > 0, F.abs(z) >= threshold)
+        .otherwise(v != F.col("_med"))
+        .alias("is_outlier"),
+    )

@@ -736,3 +736,39 @@ def _ordered_sum_when(term_col: str, ord_col: str) -> Column:
         )
     )
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["t"])
+
+
+def forecast_seasonal_naive(
+    series: DataFrame,
+    horizon_days: int = 7,
+    period: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-naive baseline: ŷ(t+h) = y(t+h−period) — the standard
+    weekly-pattern forecaster the drift/naive ladder lacks. Takes the
+    last ``period`` observed rows per series and shifts them forward;
+    zero model state, one shuffle on the series key. Bounds repeat ŷ
+    (a deterministic baseline has no interval). Requires
+    horizon_days ≤ period (one season forward)."""
+    if horizon_days > period:
+        raise ValueError("seasonal naive emits at most one period ahead")
+    per = series.groupBy(*partition_cols).agg(F.max(date_col).alias("_last"))
+    tail = series.join(F.broadcast(per), list(partition_cols)).filter(
+        F.col(date_col) > F.date_sub(F.col("_last"), period)
+    )
+    yhat = F.col(value_col).cast("double")
+    return (
+        tail.select(
+            *partition_cols,
+            F.date_add(F.col(date_col), period).alias("target_date"),
+            yhat.alias("yhat"),
+            yhat.alias("yhat_lower"),
+            yhat.alias("yhat_upper"),
+            F.lit("snaive-0.1").alias("model_version"),
+            F.col("_last"),
+        )
+        .filter(F.col("target_date") <= F.date_add(F.col("_last"), horizon_days))
+        .drop("_last")
+    )

@@ -185,3 +185,20 @@ def test_iforest_numpy_deterministic_across_runs(spark):
 def test_iforest_numpy_insufficient_data(spark):
     out = A.anomaly_iforest_numpy(_series(spark, [1.0, 2.0, 3.0, 4.0])).collect()
     assert all(r["is_outlier"] is False and r["score"] is None for r in out)
+
+
+def test_anomaly_mad_flat_series_and_spike(spark):
+    """MAD=0 (flat series) degrades like the flat-window convention:
+    score NULL, outlier iff value differs from the median."""
+    out = _by_date(A.anomaly_mad(_series(spark, [5.0] * 9 + [9.0])).collect())
+    flat = out["2025-01-01"]
+    assert flat["mad_z"] is None and flat["is_outlier"] is False
+    spike = out["2025-01-10"]
+    assert spike["mad_z"] is None and spike["is_outlier"] is True
+    # non-degenerate series: the spike carries the max |modified z|
+    vals = [10.0, 11.0, 10.5, 9.8, 10.2, 10.9, 500.0, 10.1, 9.9, 10.4]
+    out2 = _by_date(A.anomaly_mad(_series(spark, vals)).collect())
+    assert out2["2025-01-07"]["is_outlier"] is True
+    assert all(
+        not r["is_outlier"] for d, r in out2.items() if d != "2025-01-07"
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 
 from smartdatapipeline_spark.operators import forecast as FC
@@ -217,3 +218,23 @@ def test_forecast_requested_empty_series_injectable_clock(spark):
         for r in rows["missing"]
     )
     assert all(r["model_version"] == "naive-0.1" for r in rows["missing"])
+
+
+def test_seasonal_naive_shifts_last_week(spark):
+    import datetime as dt
+
+    series = spark.createDataFrame(
+        [(dt.date(2025, 1, 1 + i), "m", float(i)) for i in range(14)],
+        "metric_date date, metric string, value double",
+    )
+    out = sorted(
+        FC.forecast_seasonal_naive(series, horizon_days=7).collect(),
+        key=lambda r: r["target_date"],
+    )
+    assert len(out) == 7
+    # y(t+h) = y(t+h-7): targets Jan 15..21 carry values from Jan 8..14
+    assert out[0]["target_date"] == dt.date(2025, 1, 15)
+    assert [r["yhat"] for r in out] == [7.0, 8.0, 9.0, 10.0, 11.0, 12.0, 13.0]
+    assert all(r["yhat_lower"] == r["yhat"] == r["yhat_upper"] for r in out)
+    with pytest.raises(ValueError):
+        FC.forecast_seasonal_naive(series, horizon_days=8, period=7)
