@@ -43,7 +43,10 @@ BENCH_QUERIES: list[str] = [
     "rolling_zscore_api",
     "top_anomalies",
     "anomaly_iforest",
+    "anomaly_iforest_numpy",
+    "anomaly_mad",
     "forecast_contract",
+    "forecast_snaive",
     "backtest_summary",
     "reliability_summary",
     # training-data extensions
@@ -66,6 +69,9 @@ BENCH_QUERIES: list[str] = [
     "hybrid_retrieval",
     "bigram_lm",
     "canonical_docs",
+    "semantic_dedup",
+    "mixture_weights",
+    "length_coverage",
     "decontaminate",
     "duplicate_spans",
     "pack_sequences",
