@@ -1539,6 +1539,12 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_mad(_gold(spark, sf_dir))
 
 
+def q_rolling_mad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust z: modified z against the prior-window median/MAD
+    (collect-sort frames; exact array-index medians on both engines)."""
+    return A.rolling_mad_zscore(_gold(spark, sf_dir), window=14)
+
+
 def q_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast: ŷ(t+h) = y(t+h−7) — the weekly-pattern
     baseline; last observed week shifted one period forward."""
@@ -1806,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_coverage": q_length_coverage,
         "anomaly_mad": q_anomaly_mad,
         "forecast_snaive": q_forecast_snaive,
+        "rolling_mad_zscore": q_rolling_mad_zscore,
     }
 
 
@@ -3348,6 +3355,38 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN ABS(0.6745 * (wm.value - wm.med) / mad.mad) >= 3.5
                         ELSE wm.value != wm.med END AS is_outlier
             FROM wm JOIN mad USING (metric)
+        """,
+        "rolling_mad_zscore": _GOLD_CTE + """
+            , fr AS (
+                SELECT metric_date, metric, value,
+                       list_sort(list(value) OVER (PARTITION BY metric
+                           ORDER BY metric_date
+                           ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) AS arr
+                FROM gold),
+            m AS (
+                SELECT *, len(arr) AS n,
+                       CASE WHEN len(arr) = 0 THEN NULL
+                            WHEN len(arr) % 2 = 1 THEN arr[len(arr) // 2 + 1]
+                            ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+                       END AS med
+                FROM fr),
+            d AS (
+                SELECT *, list_sort(list_transform(arr, x -> ABS(x - med))) AS devs
+                FROM m),
+            md AS (
+                SELECT *, CASE WHEN n = 0 THEN NULL
+                               WHEN n % 2 = 1 THEN devs[n // 2 + 1]
+                               ELSE (devs[n // 2] + devs[n // 2 + 1]) / 2.0
+                          END AS mad
+                FROM d)
+            SELECT metric_date, metric, value,
+                   CASE WHEN n >= 5 AND mad > 0
+                        THEN 0.6745 * (value - med) / mad END AS mad_z,
+                   CASE WHEN n >= 5 AND mad > 0
+                        THEN ABS(0.6745 * (value - med) / mad) >= 3.5
+                        WHEN n >= 5 THEN value != med
+                        ELSE FALSE END AS is_outlier
+            FROM md
         """,
         "forecast_snaive": _GOLD_CTE + """
             , per AS (SELECT metric, MAX(metric_date) AS last_date

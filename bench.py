@@ -45,6 +45,7 @@ BENCH_QUERIES: list[str] = [
     "anomaly_iforest",
     "anomaly_iforest_numpy",
     "anomaly_mad",
+    "rolling_mad_zscore",
     "forecast_contract",
     "forecast_snaive",
     "backtest_summary",

@@ -477,3 +477,59 @@ def anomaly_mad(
         .otherwise(v != F.col("_med"))
         .alias("is_outlier"),
     )
+
+
+def rolling_mad_zscore(
+    df: DataFrame,
+    window: int = 14,
+    threshold: float = 3.5,
+    min_periods: int = 5,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling robust z-score: Iglewicz–Hoaglin modified z against the
+    PRIOR-window median/MAD — the windowed twin of ``anomaly_mad`` and
+    the robust counterpart of W1/W2 (a spike entering the window never
+    drags a median the way it drags a mean/stddev).
+
+    A rolling MAD needs the median of deviations from each row's OWN
+    frame median, so it can't be two stacked window aggregates; instead
+    the frame is collected and sorted once per row (``collect_list``
+    over the frame → ``sort_array``) and both medians come from exact
+    array indexing with the same (a+b)/2 interpolation both engines
+    use. O(w log w) per row — fine for the daily-grain series this
+    serves (w ≤ 30); the global variant handles unwindowed scale.
+
+    Output: input + ``mad_z`` (NULL until min_periods / when MAD=0) and
+    ``is_outlier`` (MAD=0 ⇒ outlier iff v ≠ rolling median).
+    """
+    v = F.col(value_col)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(date_col)
+        .rowsBetween(-window, -1)
+    )
+
+    def _median(arr: Column, n: Column) -> Column:
+        # n > 0 guard first: ANSI mode (Spark 4 default) errors on
+        # out-of-bounds element_at, and CASE branches evaluate lazily
+        half = (n / 2).cast("int")
+        return F.when(n == 0, F.lit(None).cast("double")).when(
+            n % 2 == 1, F.element_at(arr, half + 1)
+        ).otherwise((F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2.0)
+
+    arr = F.sort_array(F.collect_list(v).over(w))
+    n = F.size(arr)
+    med = _median(arr, n)
+    devs = F.sort_array(F.transform(arr, lambda x: F.abs(x - med)))
+    mad = _median(devs, n)
+
+    eligible = v.isNotNull() & (n >= min_periods)
+    z = F.when(eligible & (mad > 0), F.lit(0.6745) * (v - med) / mad)
+    is_outlier = (
+        F.when(eligible & (mad > 0), F.abs(z) >= threshold)
+        .when(eligible, v != med)  # flat window: any deviation flags
+        .otherwise(F.lit(False))
+    )
+    return df.withColumn("mad_z", z).withColumn("is_outlier", is_outlier)

@@ -202,3 +202,28 @@ def test_anomaly_mad_flat_series_and_spike(spark):
     assert all(
         not r["is_outlier"] for d, r in out2.items() if d != "2025-01-07"
     )
+
+
+def test_rolling_mad_resists_window_contamination(spark):
+    """The point of a robust detector: a spike ALREADY IN the window
+    doesn't mask the next spike. Mean/stddev z (W2) gets dragged; the
+    rolling-median MAD z still flags the second spike."""
+    vals = [10.0, 10.5, 10.2, 9.8, 10.1, 10.3, 500.0, 10.2, 9.9, 480.0]
+    mad = _by_date(
+        A.rolling_mad_zscore(_series(spark, vals), window=7, min_periods=5).collect()
+    )
+    # second spike (index 9): prior window contains the 500 outlier but
+    # the median/MAD barely move -> flagged
+    assert mad["2025-01-10"]["is_outlier"] is True
+    assert mad["2025-01-10"]["mad_z"] > 100
+    # warmup rows below min_periods stay unflagged with NULL score
+    assert mad["2025-01-03"]["mad_z"] is None
+    assert mad["2025-01-03"]["is_outlier"] is False
+    # flat prior window (no deviation): non-median value flags, score NULL
+    flat = _by_date(
+        A.rolling_mad_zscore(
+            _series(spark, [5.0] * 8 + [7.0]), window=7, min_periods=5
+        ).collect()
+    )
+    assert flat["2025-01-09"]["mad_z"] is None
+    assert flat["2025-01-09"]["is_outlier"] is True
