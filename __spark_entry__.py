@@ -1539,6 +1539,35 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_mad(_gold(spark, sf_dir))
 
 
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-metric aggregates: mean/count computed over values
+    inside the exact [p05, p95] envelope (winsor bounds from the same
+    interpolated percentiles both engines share) — the KPI variant that
+    ignores tail glitches. Two passes over gold: tiny percentile agg
+    broadcast back, then one filtered decimal-sum aggregate."""
+    g = _gold(spark, sf_dir)
+    bounds = g.groupBy("metric").agg(
+        F.expr("percentile(value, 0.05)").alias("_lo"),
+        F.expr("percentile(value, 0.95)").alias("_hi"),
+    )
+    j = g.join(F.broadcast(bounds), "metric")
+    inside = (F.col("value") >= F.col("_lo")) & (F.col("value") <= F.col("_hi"))
+    return (
+        j.groupBy("metric")
+        .agg(
+            F.min("_lo").alias("p05"),
+            F.min("_hi").alias("p95"),
+            F.sum(inside.cast("long")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            (
+                N.dsum(F.when(inside, F.col("value")))
+                / F.sum(inside.cast("long"))
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("metric")
+    )
+
+
 def q_rolling_mad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling robust z: modified z against the prior-window median/MAD
     (collect-sort frames; exact array-index medians on both engines)."""
@@ -1813,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_mad": q_anomaly_mad,
         "forecast_snaive": q_forecast_snaive,
         "rolling_mad_zscore": q_rolling_mad_zscore,
+        "trimmed_stats": q_trimmed_stats,
     }
 
 
@@ -3355,6 +3385,25 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN ABS(0.6745 * (wm.value - wm.med) / mad.mad) >= 3.5
                         ELSE wm.value != wm.med END AS is_outlier
             FROM wm JOIN mad USING (metric)
+        """,
+        "trimmed_stats": _GOLD_CTE + """
+            , b AS (
+                SELECT metric,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM gold GROUP BY metric)
+            SELECT g.metric,
+                   MIN(b.lo) AS p05,
+                   MIN(b.hi) AS p95,
+                   CAST(SUM(CASE WHEN g.value BETWEEN b.lo AND b.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN g.value BETWEEN b.lo AND b.hi
+                            THEN CAST(g.value AS DECIMAL(28,4)) END) AS DOUBLE)
+                   / SUM(CASE WHEN g.value BETWEEN b.lo AND b.hi
+                         THEN 1 ELSE 0 END) AS trimmed_mean
+            FROM gold g JOIN b USING (metric)
+            GROUP BY g.metric ORDER BY g.metric
         """,
         "rolling_mad_zscore": _GOLD_CTE + """
             , fr AS (

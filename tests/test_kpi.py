@@ -110,3 +110,30 @@ def test_approx_distinct_conformance_on_parquet(spark):
     assert set(e) == set(a)
     for k, ve in e.items():
         assert abs(a[k] - ve) <= max(0.15 * ve, 2), (k, ve, a[k])
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Mergeable distinct sketches (hll_sketch_agg/hll_union_agg): the
+    union of per-day sketches must estimate EXACTLY what one sketch
+    over all rows estimates — same algorithm, same deterministic
+    registers — which is the property that lets 1000 executors build
+    daily sketches and a coordinator merge them at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.session import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.01").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    merged = (
+        ev.groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    assert merged == direct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(direct - exact) <= max(0.05 * exact, 2)
