@@ -1539,6 +1539,13 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_mad(_gold(spark, sf_dir))
 
 
+def q_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing baseline as a declarative ordered
+    fold (α=0.5, binary-exact): the recursive level update runs inside
+    one aggregation, no grouped-map Python."""
+    return FC.forecast_ewma(_gold(spark, sf_dir), horizon_days=7)
+
+
 def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-metric aggregates: mean/count computed over values
     inside the exact [p05, p95] envelope (winsor bounds from the same
@@ -1843,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_snaive": q_forecast_snaive,
         "rolling_mad_zscore": q_rolling_mad_zscore,
         "trimmed_stats": q_trimmed_stats,
+        "forecast_ewma": q_forecast_ewma,
     }
 
 
@@ -3385,6 +3393,21 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN ABS(0.6745 * (wm.value - wm.med) / mad.mad) >= 3.5
                         ELSE wm.value != wm.med END AS is_outlier
             FROM wm JOIN mad USING (metric)
+        """,
+        # SES fold: DuckDB list_reduce seeds with the first element —
+        # the Spark side mirrors that exactly (slice from 2, seed arr[1])
+        "forecast_ewma": _GOLD_CTE + """
+            , per AS (
+                SELECT metric, MAX(metric_date) AS last_date,
+                       list_reduce(list(CAST(value AS DOUBLE)
+                                        ORDER BY metric_date),
+                                   (a, x) -> 0.5 * x + 0.5 * a) AS level
+                FROM gold GROUP BY metric)
+            SELECT metric,
+                   last_date + CAST(t.k AS INTEGER) AS target_date,
+                   level AS yhat, level AS yhat_lower, level AS yhat_upper,
+                   'ses-0.1' AS model_version
+            FROM per CROSS JOIN generate_series(1, 7) t(k)
         """,
         "trimmed_stats": _GOLD_CTE + """
             , b AS (

@@ -48,6 +48,8 @@ BENCH_QUERIES: list[str] = [
     "rolling_mad_zscore",
     "forecast_contract",
     "forecast_snaive",
+    "forecast_ewma",
+    "trimmed_stats",
     "backtest_summary",
     "reliability_summary",
     # training-data extensions

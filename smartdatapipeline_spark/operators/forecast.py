@@ -772,3 +772,48 @@ def forecast_seasonal_naive(
         .filter(F.col("target_date") <= F.date_add(F.col("_last"), horizon_days))
         .drop("_last")
     )
+
+
+def forecast_ewma(
+    series: DataFrame,
+    horizon_days: int = 7,
+    alpha: float = 0.5,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Simple exponential smoothing baseline: level ← α·x + (1−α)·level
+    folded over the date-ordered series (level₀ = first value), flat
+    ŷ = level for the horizon. The recursion that usually forces
+    per-group Python runs here as a DECLARATIVE ordered fold —
+    ``aggregate`` over a sorted ``collect_list`` with the first element
+    as the seed — so the model is one aggregation, engine-exact when α
+    is binary-representable (default 0.5). Bounds repeat ŷ (baseline)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(date_col).alias("o"), F.col(value_col).cast("double").alias("t"))
+        )
+    )
+    vals = F.transform(arr, lambda s: s["t"])
+    level = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    per = series.groupBy(*partition_cols).agg(
+        F.max(date_col).alias("_last"), level.alias("_level")
+    )
+    return per.select(
+        *partition_cols,
+        F.explode(
+            F.sequence(
+                F.date_add("_last", 1),
+                F.date_add("_last", horizon_days),
+                F.expr("interval 1 day"),
+            )
+        ).alias("target_date"),
+        F.col("_level").alias("yhat"),
+        F.col("_level").alias("yhat_lower"),
+        F.col("_level").alias("yhat_upper"),
+        F.lit("ses-0.1").alias("model_version"),
+    )

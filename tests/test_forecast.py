@@ -238,3 +238,26 @@ def test_seasonal_naive_shifts_last_week(spark):
     assert all(r["yhat_lower"] == r["yhat"] == r["yhat_upper"] for r in out)
     with pytest.raises(ValueError):
         FC.forecast_seasonal_naive(series, horizon_days=8, period=7)
+
+
+def test_ewma_fold_matches_python(spark):
+    import datetime as dt
+
+    vals = [4.0, 8.0, 2.0, 6.0, 10.0]
+    series = spark.createDataFrame(
+        [(dt.date(2025, 1, 1 + i), "m", v) for i, v in enumerate(vals)],
+        "metric_date date, metric string, value double",
+    )
+    out = FC.forecast_ewma(series, horizon_days=3, alpha=0.5).collect()
+    level = vals[0]
+    for x in vals[1:]:
+        level = 0.5 * x + 0.5 * level
+    assert len(out) == 3
+    assert all(r["yhat"] == level for r in out)
+    assert min(r["target_date"] for r in out) == dt.date(2025, 1, 6)
+    # single-point series: level = the point itself (seed, empty fold)
+    one = spark.createDataFrame(
+        [(dt.date(2025, 1, 1), "m", 7.0)],
+        "metric_date date, metric string, value double",
+    )
+    assert FC.forecast_ewma(one, horizon_days=1).first()["yhat"] == 7.0
