@@ -1539,6 +1539,21 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_mad(_gold(spark, sf_dir))
 
 
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection (Page 1954) over the gold daily
+    series: prefix folds of max(0, S+(±(x−μ)−k)) per metric. Output is
+    signed-zero-normalized (+0.0) so both engines hash identically."""
+    out = A.cusum_changepoints(_gold(spark, sf_dir), k=0.0, h=50.0)
+    return out.select(
+        "metric",
+        "metric_date",
+        "value",
+        (F.col("cusum_pos") + F.lit(0.0)).alias("cusum_pos"),
+        (F.col("cusum_neg") + F.lit(0.0)).alias("cusum_neg"),
+        "is_changepoint",
+    )
+
+
 def q_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simple-exponential-smoothing baseline as a declarative ordered
     fold (α=0.5, binary-exact): the recursive level update runs inside
@@ -1851,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mad_zscore": q_rolling_mad_zscore,
         "trimmed_stats": q_trimmed_stats,
         "forecast_ewma": q_forecast_ewma,
+        "cusum_changepoints": q_cusum_changepoints,
     }
 
 
@@ -3393,6 +3409,41 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN ABS(0.6745 * (wm.value - wm.med) / mad.mad) >= 3.5
                         ELSE wm.value != wm.med END AS is_outlier
             FROM wm JOIN mad USING (metric)
+        """,
+        # CUSUM: prefix folds seeded by an explicit prepended 0.0 so the
+        # DuckDB reduce matches Spark's aggregate(zero=0.0) exactly; the
+        # negative branch is written (-1.0)*(x-mu) (not mu-x) to keep the
+        # same IEEE expression tree; +0.0 normalizes signed zeros
+        "cusum_changepoints": _GOLD_CTE + """
+            , per AS (
+                SELECT metric,
+                       list(CAST(value AS DOUBLE) ORDER BY metric_date) AS vals,
+                       list(metric_date ORDER BY metric_date) AS dates
+                FROM gold GROUP BY metric),
+            c AS (
+                SELECT metric, dates, vals, len(vals) AS n,
+                       list_reduce(list_prepend(0.0, vals), (a, x) -> a + x)
+                           / CAST(len(vals) AS DOUBLE) AS mu
+                FROM per),
+            s AS (
+                SELECT metric, dates, vals, mu,
+                       list_transform(range(1, n + 1), i ->
+                           list_reduce(list_prepend(0.0, vals[1:i]),
+                               (a, x) -> GREATEST(0.0, a + (1.0 * (x - mu) - 0.0)))
+                       ) AS sp,
+                       list_transform(range(1, n + 1), i ->
+                           list_reduce(list_prepend(0.0, vals[1:i]),
+                               (a, x) -> GREATEST(0.0, a + (-1.0 * (x - mu) - 0.0)))
+                       ) AS sn
+                FROM c)
+            SELECT metric,
+                   unnest(dates) AS metric_date,
+                   unnest(vals) AS value,
+                   unnest(sp) + 0.0 AS cusum_pos,
+                   unnest(sn) + 0.0 AS cusum_neg,
+                   unnest(list_transform(range(1, len(vals) + 1),
+                          i -> sp[i] > 50.0 OR sn[i] > 50.0)) AS is_changepoint
+            FROM s
         """,
         # SES fold: DuckDB list_reduce seeds with the first element —
         # the Spark side mirrors that exactly (slice from 2, seed arr[1])

@@ -533,3 +533,68 @@ def rolling_mad_zscore(
         .otherwise(F.lit(False))
     )
     return df.withColumn("mad_z", z).withColumn("is_outlier", is_outlier)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    k: float = 0.0,
+    h: float = 5.0,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSUM level-shift detection (public Page 1954 scheme): per
+    series, S⁺_i = max(0, S⁺_{i−1} + (x_i − μ − k)) and the mirrored
+    S⁻ accumulate sustained drift away from the series mean μ; a
+    changepoint fires when either exceeds ``h``. ``k`` (slack) and
+    ``h`` (threshold) are in the VALUE's units — callers scale them
+    from a reference period; nothing engine-variant is derived here
+    (μ is an ordered-fold mean).
+
+    The max(0,·) recursion doesn't linearize into window functions, so
+    each prefix is folded explicitly: O(n²) folds per series — n is
+    daily-grain (≤ a few hundred), and series fold independently across
+    the cluster after one shuffle. Output: one row per input point with
+    (cusum_pos, cusum_neg, is_changepoint).
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(date_col).alias("o"), F.col(value_col).cast("double").alias("t"))
+        )
+    )
+    per = df.groupBy(*partition_cols).agg(arr.alias("_arr"))
+    vals = F.transform(F.col("_arr"), lambda s: s["t"])
+    n = F.size(F.col("_arr"))
+    mu = (
+        F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / n.cast("double")
+    )
+
+    def _cusum(sign: int) -> Column:
+        # prefix folds: S_i over vals[1..i], seeded at 0.0
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.slice(vals, 1, i),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(
+                    F.lit(0.0), acc + (F.lit(float(sign)) * (x - mu) - F.lit(k))
+                ),
+            ),
+        )
+
+    exploded = per.select(
+        *partition_cols,
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_arr"), _cusum(+1).alias("sp"), _cusum(-1).alias("sn")
+            )
+        ).alias("_i", "_z"),
+    )
+    return exploded.select(
+        *partition_cols,
+        F.col("_z._arr.o").alias(date_col),
+        F.col("_z._arr.t").alias(value_col),
+        F.col("_z.sp").alias("cusum_pos"),
+        F.col("_z.sn").alias("cusum_neg"),
+        ((F.col("_z.sp") > h) | (F.col("_z.sn") > h)).alias("is_changepoint"),
+    )

@@ -227,3 +227,26 @@ def test_rolling_mad_resists_window_contamination(spark):
     )
     assert flat["2025-01-09"]["mad_z"] is None
     assert flat["2025-01-09"]["is_outlier"] is True
+
+
+def test_cusum_detects_level_shift(spark):
+    """A sustained level shift accumulates in S+ and crosses h, while a
+    single spike (which rolling z flags) decays back below threshold —
+    the complementary detector for drifts vs point anomalies."""
+    shift = [10.0] * 10 + [14.0] * 10  # sustained +4 shift at index 10
+    out = _by_date(
+        A.cusum_changepoints(_series(spark, shift), k=1.0, h=6.0).collect()
+    )
+    # around the pooled mean (12), the early regime drifts low (S-)
+    # and the late regime drifts high (S+) — the level-shift signature
+    assert out["2025-01-20"]["is_changepoint"] is True
+    assert out["2025-01-20"]["cusum_pos"] > 6.0
+    assert out["2025-01-10"]["cusum_neg"] > 6.0
+    assert out["2025-01-01"]["is_changepoint"] is False
+    # S+ is monotone-increasing through the shifted regime
+    tail = [out[f"2025-01-{d}"]["cusum_pos"] for d in range(14, 21)]
+    assert tail == sorted(tail)
+    # a single spike never crosses the same threshold
+    spike = [10.0] * 19 + [14.0]
+    out2 = A.cusum_changepoints(_series(spark, spike), k=1.0, h=6.0).collect()
+    assert all(not r["is_changepoint"] for r in out2)
