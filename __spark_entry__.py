@@ -1539,6 +1539,15 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_mad(_gold(spark, sf_dir))
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnostic on the events user_id key: cardinality,
+    hottest-key shares, Gini of the key-frequency distribution — exact
+    integer rank-sums, one tiny window over |keys| rows."""
+    from smartdatapipeline_spark.functions.skew import key_skew_report
+
+    return key_skew_report(_events(spark, sf_dir), "user_id")
+
+
 def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection (Page 1954) over the gold daily
     series: prefix folds of max(0, S+(±(x−μ)−k)) per metric. Output is
@@ -1867,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_stats": q_trimmed_stats,
         "forecast_ewma": q_forecast_ewma,
         "cusum_changepoints": q_cusum_changepoints,
+        "key_skew_report": q_key_skew_report,
     }
 
 
@@ -3409,6 +3419,26 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN ABS(0.6745 * (wm.value - wm.med) / mad.mad) >= 3.5
                         ELSE wm.value != wm.med END AS is_outlier
             FROM wm JOIN mad USING (metric)
+        """,
+        "key_skew_report": """
+            WITH counts AS (
+                SELECT user_id AS k, COUNT(*) AS c
+                FROM events GROUP BY 1),
+            ranked AS (
+                SELECT k, c,
+                       ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i,
+                       COUNT(*) OVER () AS n
+                FROM counts)
+            SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys,
+                   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top1_share,
+                   CAST(COALESCE(SUM(CASE WHEN i > n - 10 THEN c END), 0)
+                        AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top10_share,
+                   2.0 * CAST(SUM(i * c) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                   - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS gini
+            FROM ranked
         """,
         # CUSUM: prefix folds seeded by an explicit prepended 0.0 so the
         # DuckDB reduce matches Spark's aggregate(zero=0.0) exactly; the

@@ -55,3 +55,49 @@ def salted_join(
         .drop("_salts")
     )
     return lg.join(sm, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """The pre-flight skew diagnostic for a join/agg key: row count,
+    key cardinality, share held by the hottest 1 and 10 keys, and the
+    Gini coefficient of the key-frequency distribution — the numbers
+    that decide between a plain shuffle, AQE skew-split, bucketing, or
+    an explicit salt (``salted_join``).
+
+    Exact arithmetic end-to-end: counts are BIGINT, the Gini rank-sum
+    Σ(i·cᵢ) stays integer until one final double division
+    (G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n, ranks ascending with key
+    tiebreak). One groupBy(key) plus one tiny ordered window over the
+    key-frequency table — the window runs on |keys| rows, not |rows|.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_rank = Window.orderBy(F.col("_c").asc(), F.col("_k").asc())
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.withColumn("_i", F.row_number().over(w_rank)).withColumn(
+        "_n", F.count(F.lit(1)).over(w_all)
+    )
+    return ranked.agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias("top1_share"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("_i") > F.col("_n") - 10, F.col("_c"))), F.lit(0)
+            ).cast("double")
+            / F.sum("_c").cast("double")
+        ).alias("top10_share"),
+        (
+            F.lit(2.0) * F.sum(F.col("_i") * F.col("_c")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("_c").cast("double"))
+            - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("gini"),
+    )

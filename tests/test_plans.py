@@ -82,3 +82,21 @@ def test_register_views_enables_pure_sql(spark):
         """
     ).collect()[0]
     assert joined["n"] > 0
+
+
+def test_key_skew_report_known_distribution(spark):
+    """Gini and hot-key shares on a hand-computable distribution."""
+    from smartdatapipeline_spark.functions.skew import key_skew_report
+
+    # keys: a×6, b×3, c×1 → n_rows=10, ranks asc: c=1(i1), b=3(i2), a=6(i3)
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").first()
+    assert (r["n_rows"], r["n_keys"]) == (10, 3)
+    assert r["top1_share"] == 0.6
+    assert r["top10_share"] == 1.0  # fewer than 10 keys ⇒ everything
+    # G = 2*(1*1+2*3+3*6)/(3*10) - 4/3 = 50/30 - 40/30 = 1/3
+    assert abs(r["gini"] - 1 / 3) < 1e-12
+    # uniform distribution ⇒ Gini 0
+    uni = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    assert abs(key_skew_report(uni, "k").first()["gini"]) < 1e-12
