@@ -50,6 +50,8 @@ BENCH_QUERIES: list[str] = [
     "forecast_snaive",
     "forecast_ewma",
     "trimmed_stats",
+    "cusum_changepoints",
+    "key_skew_report",
     "backtest_summary",
     "reliability_summary",
     # training-data extensions
