@@ -199,3 +199,57 @@ def test_bigram_counts_match_reference(spark, docs):
         w1_tot[a] += n
     want = {k: (n, w1_tot[k[0]], n / w1_tot[k[0]]) for k, n in ref.items()}
     assert got == want
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=1000).map(float), min_size=1, max_size=25
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_ewma_fold_property(spark, values):
+    """forecast_ewma's declarative fold == the plain-Python recursion,
+    bit-exact (alpha=0.5 is binary-representable)."""
+    from smartdatapipeline_spark.operators.forecast import forecast_ewma
+
+    df = spark.createDataFrame(
+        [(dt.date(2025, 1, 1) + dt.timedelta(days=i), "m", v) for i, v in enumerate(values)],
+        "metric_date date, metric string, value double",
+    )
+    got = forecast_ewma(df, horizon_days=1).first()["yhat"]
+    level = values[0]
+    for x in values[1:]:
+        level = 0.5 * x + 0.5 * level
+    assert got == level
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=100).map(float), min_size=1, max_size=20
+    ),
+    k=st.sampled_from([0.0, 1.0, 2.5]),
+)
+@settings(max_examples=20, deadline=None)
+def test_cusum_fold_property(spark, values, k):
+    """cusum_changepoints' prefix folds == plain-Python CUSUM around the
+    fold-order mean, for both directions, every prefix."""
+    from smartdatapipeline_spark.operators.anomaly import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [(dt.date(2025, 1, 1) + dt.timedelta(days=i), "m", v) for i, v in enumerate(values)],
+        "metric_date date, metric string, value double",
+    )
+    rows = sorted(
+        cusum_changepoints(df, k=k, h=5.0).collect(), key=lambda r: r["metric_date"]
+    )
+    mu = 0.0
+    for x in values:
+        mu = mu + x
+    mu = mu / float(len(values))
+    sp = sn = 0.0
+    for i, x in enumerate(values):
+        sp = max(0.0, sp + (1.0 * (x - mu) - k))
+        sn = max(0.0, sn + (-1.0 * (x - mu) - k))
+        assert rows[i]["cusum_pos"] == sp
+        assert rows[i]["cusum_neg"] == sn
+        assert rows[i]["is_changepoint"] == (sp > 5.0 or sn > 5.0)
