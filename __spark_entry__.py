@@ -1539,6 +1539,43 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_mad(_gold(spark, sf_dir))
 
 
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: doc counts, contamination rate against
+    the eval split, and mean quality — the dashboard a curation run
+    reports per upstream domain. Mean quality is an ordered fold (by
+    doc_id) so parallel summation order can't perturb the double."""
+    from smartdatapipeline_spark.functions.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    split = hash_split(
+        d.select("doc_id", "text"), weights={"train": 90, "val": 5, "test": 5}
+    )
+    eval_docs = split.filter(F.col("split") == "test").select("doc_id", "text")
+    train_docs = split.filter(F.col("split") != "test").select("doc_id", "text")
+    cont = DD.decontaminate(train_docs, eval_docs, min_overlap_frac=0.2).select(
+        "doc_id", "contaminated"
+    )
+    quality = TX.quality_features(d).select("doc_id", "quality")
+    src = d.select("doc_id", "source")
+    j = src.join(cont, "doc_id").join(quality, "doc_id")
+    mean_q = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id").alias("o"), F.col("quality").alias("t")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["t"],
+    ) / F.count(F.lit(1)).cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            mean_q.alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight skew diagnostic on the events user_id key: cardinality,
     hottest-key shares, Gini of the key-frequency distribution — exact
@@ -1877,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ewma": q_forecast_ewma,
         "cusum_changepoints": q_cusum_changepoints,
         "key_skew_report": q_key_skew_report,
+        "source_quality_report": q_source_quality_report,
     }
 
 
@@ -1885,6 +1923,23 @@ def oracle_sql() -> dict[str, str]:
     # canonical_docs composes two proven oracles: cluster labels
     # (dup_clusters, recursive CTE) × per-doc quality (text_quality) →
     # quality-argmax per cluster with doc-id tiebreak
+    # source_quality_report composes decontaminate × text_quality ×
+    # documents.source; mean quality folds in doc_id order both engines
+    o["source_quality_report"] = f"""
+        WITH cont AS (SELECT doc_id, contaminated FROM ({o["decontaminate"]}) c),
+        q AS (SELECT doc_id, quality FROM ({o["text_quality"]}) t),
+        j AS (SELECT d.source, d.doc_id, cont.contaminated, q.quality
+              FROM documents d
+              JOIN cont USING (doc_id) JOIN q USING (doc_id))
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               list_reduce(list_prepend(0.0, list(quality ORDER BY doc_id)),
+                           (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_quality
+        FROM j GROUP BY source ORDER BY source
+    """
     o["canonical_docs"] = f"""
         WITH clusters AS (SELECT * FROM ({o["dup_clusters"]}) c),
         q AS (SELECT doc_id, quality FROM ({o["text_quality"]}) t),
