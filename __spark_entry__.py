@@ -395,6 +395,14 @@ def q_forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FC.forecast_drift(_gold(spark, sf_dir), horizon_days=7)
 
 
+def q_forecast_arima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: from-scratch numpy ARIMA(1,1,1), CSS lattice estimation —
+    the reference SARIMAX slot (services/forecast.py:39-92) with real
+    model math and no statsmodels; oracle = the identical recursion as a
+    DuckDB list_reduce + recursive-CTE program (bit-exact)."""
+    return FC.forecast_arima(_gold(spark, sf_dir), horizon_days=7)
+
+
 def q_anomaly_iforest_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 with real model math: from-scratch numpy isolation forest
     (200 trees, per-series crc32 seed) through the same applyInPandas
@@ -1915,6 +1923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "key_skew_report": q_key_skew_report,
         "source_quality_report": q_source_quality_report,
+        # round-3 additions (appended at the tail — registry order of
+        # pre-existing queries stays stable across rounds)
+        "forecast_arima": q_forecast_arima,
     }
 
 
@@ -1953,6 +1964,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT cluster, doc_id AS canonical_doc, n_docs_in_cluster,
                quality AS canonical_quality
         FROM r WHERE rn = 1
+    """
+    # forecast_arima — the exact arima_css_fn program in SQL: CSS over the
+    # (φ,θ) = (k/20, k/20) lattice via list_reduce (struct fields ordered
+    # sse→eps→w because DuckDB evaluates them sequentially against the
+    # updated accumulator), then the ψ-weight forecast recursion as a
+    # recursive CTE. Same IEEE op sequence as the numpy fit ⇒ bit-exact.
+    o["forecast_arima"] = _GOLD_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
+        , per AS (
+            SELECT metric, MAX(metric_date) AS last_date,
+                   arg_max(value, metric_date) AS last_val,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS s
+            FROM gold GROUP BY metric),
+        c AS (
+            SELECT metric, list(CAST(value AS DOUBLE) ORDER BY metric_date) AS vals,
+                   CAST(COUNT(*) AS INTEGER) AS n,
+                   arg_max(CAST(value AS DOUBLE), metric_date) AS last_val,
+                   MAX(metric_date) AS last_date
+            FROM gold GROUP BY metric
+            HAVING COUNT(*) >= 14
+               AND CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) <> 0.0),
+        wd AS (
+            SELECT *, list_transform(range(2, n + 1), i -> vals[i] - vals[i-1]) AS warr,
+                   n - 1 AS m
+            FROM c),
+        css AS (
+            SELECT metric, m, last_val, last_date, warr[m] AS w_last,
+                   CAST(p.k AS DOUBLE) / 20.0 AS phi,
+                   CAST(q.k AS DOUBLE) / 20.0 AS theta,
+                   p.k AS kphi, q.k AS ktheta,
+                   list_reduce(
+                     list_transform(warr, x -> {'sse': CAST(0.0 AS DOUBLE), 'eps': x, 'w': x}),
+                     (a, x) -> {'sse': a.sse
+                                  + ((x.w - (CAST(p.k AS DOUBLE) / 20.0) * a.w)
+                                      - (CAST(q.k AS DOUBLE) / 20.0) * a.eps)
+                                  * ((x.w - (CAST(p.k AS DOUBLE) / 20.0) * a.w)
+                                      - (CAST(q.k AS DOUBLE) / 20.0) * a.eps),
+                                'eps': (x.w - (CAST(p.k AS DOUBLE) / 20.0) * a.w)
+                                      - (CAST(q.k AS DOUBLE) / 20.0) * a.eps,
+                                'w': x.w}) AS st
+            FROM wd CROSS JOIN generate_series(-19, 19) p(k)
+                    CROSS JOIN generate_series(-19, 19) q(k)),
+        best AS (
+            SELECT metric, last_val, last_date, w_last, phi, theta,
+                   st.eps AS eps_m, st.sse / CAST(m - 1 AS DOUBLE) AS sigma2
+            FROM css
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY metric
+                                       ORDER BY st.sse, kphi, ktheta) = 1),
+        fc AS (
+            SELECT metric, 1 AS h,
+                   phi * w_last + theta * eps_m AS what,
+                   phi * w_last + theta * eps_m AS cum,
+                   CAST(1.0 AS DOUBLE) AS psi, CAST(1.0 AS DOUBLE) AS powp,
+                   CAST(1.0 AS DOUBLE) AS vs,
+                   phi, theta, sigma2, last_val, last_date
+            FROM best
+            UNION ALL
+            SELECT metric, h + 1, phi * what, cum + phi * what,
+                   psi + (phi + theta) * powp, phi * powp,
+                   vs + (psi + (phi + theta) * powp) * (psi + (phi + theta) * powp),
+                   phi, theta, sigma2, last_val, last_date
+            FROM fc WHERE h < 7)
+        SELECT metric,
+               last_date + CAST(h AS INTEGER) AS target_date,
+               last_val + cum AS yhat,
+               (last_val + cum) - 1.96 * sqrt(sigma2 * vs) AS yhat_lower,
+               (last_val + cum) + 1.96 * sqrt(sigma2 * vs) AS yhat_upper,
+               'arima-css-0.1' AS model_version
+        FROM fc
+        UNION ALL
+        SELECT metric,
+               last_date + CAST(t.k AS INTEGER) AS target_date,
+               CASE WHEN s = 0.0 THEN 0.0 ELSE last_val END AS yhat,
+               CASE WHEN s = 0.0 THEN 0.0 ELSE last_val END AS yhat_lower,
+               CASE WHEN s = 0.0 THEN 0.0 ELSE last_val END AS yhat_upper,
+               'naive-0.1' AS model_version
+        FROM per CROSS JOIN generate_series(1, 7) t(k)
+        WHERE s = 0.0 OR n < 14
     """
     return o
 

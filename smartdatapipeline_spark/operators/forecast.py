@@ -302,6 +302,105 @@ def forecast_drift(
     )
 
 
+#: ARIMA CSS grid: φ, θ ∈ {k/20 : k = −19 … 19} (|·| ≤ 0.95, step 0.05)
+ARIMA_GRID_K = 19
+ARIMA_GRID_DENOM = 20.0
+
+
+def arima_css_fn(s, horizon: int):
+    """From-scratch numpy ARIMA(1,1,1) — the reference's SARIMAX(1,1,1)
+    slot (services/forecast.py:39-92: order=(1,1,1), no seasonal part ⇒
+    plain ARIMA(1,1,1); strictly-future index; CI clamp) implemented with
+    no statsmodels dependency.
+
+    Estimation is **conditional sum of squares** (Box–Jenkins): on the
+    differenced series w_t = y_t − y_{t−1} the ARMA(1,1) residual
+    recursion ε_t = (w_t − φ·w_{t−1}) − θ·ε_{t−1} (conditioned on
+    ε_1 = w_1) is evaluated over a fixed (φ, θ) lattice
+    {k/20 : |k| ≤ 19}² and the CSS-minimizing pair wins (ties break to
+    the smaller (k_φ, k_θ)). A lattice argmin instead of a quasi-Newton
+    fit keeps the estimator DETERMINISTIC and exactly reproducible by a
+    DuckDB ``list_reduce`` oracle — same IEEE op sequence, bit-identical
+    floats — while still being a real CSS estimate (±0.025 of the
+    continuous optimum, far inside sampling noise at these series
+    lengths).
+
+    Forecast: ŵ_{m+1} = φ·w_m + θ·ε_m, ŵ_{m+h} = φ·ŵ_{m+h−1}, integrated
+    back as ŷ_{n+h} = y_n + Σŵ. Intervals are the standard ψ-weight
+    bands of the integrated process — Ψ_j = Ψ_{j−1} + (φ+θ)·φ^{j−1},
+    Var(h) = σ̂²·Σ_{j<h} Ψ_j², σ̂² = CSS/(m−1) — at ±1.96·SE (the
+    reference's 95% SARIMAX interval, services/forecast.py:81-87).
+
+    Not bit-identical to statsmodels (Kalman-filter ML vs CSS) — that
+    parity is environment-blocked; this is the honest from-scratch
+    replacement, exactly like the round-2 numpy isolation forest.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = s.to_numpy(dtype=float)
+    w = np.diff(v)
+    m = len(w)
+    ks = np.arange(-ARIMA_GRID_K, ARIMA_GRID_K + 1)
+    phis = ks / ARIMA_GRID_DENOM
+    P = phis[:, None]
+    T = phis[None, :]
+    # vectorized over the lattice, sequential in t: per-cell op sequence
+    # identical to the scalar recursion (and to the DuckDB oracle)
+    eps = np.full((len(ks), len(ks)), w[0])
+    sse = np.zeros((len(ks), len(ks)))
+    aw = w[0]
+    for t in range(1, m):
+        eps = (w[t] - P * aw) - T * eps
+        sse = sse + eps * eps
+        aw = w[t]
+    # row-major argmin == first exact minimum == smallest (k_phi, k_theta)
+    i, j = divmod(int(np.argmin(sse.ravel())), len(ks))
+    phi = float(ks[i]) / ARIMA_GRID_DENOM
+    theta = float(ks[j]) / ARIMA_GRID_DENOM
+    eps_m = float(eps[i, j])
+    sigma2 = float(sse[i, j]) / float(m - 1)
+    w_last = float(w[-1])
+    last_val = float(v[-1])
+    f1 = phi * w_last + theta * eps_m
+    what, cum, psi, powp, vs = f1, f1, 1.0, 1.0, 1.0
+    rows = []
+    for _h in range(horizon):
+        yhat = last_val + cum
+        se = np.sqrt(sigma2 * vs)
+        rows.append((yhat, yhat - 1.96 * se, yhat + 1.96 * se))
+        what = phi * what
+        cum = cum + what
+        psi = psi + (phi + theta) * powp
+        powp = phi * powp
+        vs = vs + psi * psi
+    return pd.DataFrame(rows, columns=["yhat", "yhat_lower", "yhat_upper"])
+
+
+def forecast_arima(
+    series: DataFrame,
+    horizon_days: int = 7,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """M1 — ARIMA(1,1,1) per (source, metric) series with NO statsmodels:
+    the from-scratch CSS estimator above through the same
+    ``applyInPandas`` grouped-map plumbing (and M2 fallback ladder) the
+    SARIMAX path uses. One shuffle on the series key; the lattice fit is
+    O(grid·n) numpy per group, embarrassingly parallel across series —
+    a million series fit in one stage on a cluster."""
+    return forecast_with_model(
+        series,
+        arima_css_fn,
+        "arima-css-0.1",
+        horizon_days,
+        partition_cols,
+        date_col,
+        value_col,
+    )
+
+
 def forecast(
     series: DataFrame,
     horizon_days: int = 7,
@@ -312,12 +411,15 @@ def forecast(
     """M1 — SARIMAX(1,1,1)(0,0,0,0) per group when statsmodels is
     importable (reference services/forecast.py:39-92:
     enforce_stationarity=False, enforce_invertibility=False, CI ffill→0),
-    else the M2 naive ladder. Series with < 14 points always take the
-    naive path (:110-127)."""
+    else the from-scratch numpy ARIMA(1,1,1) (``arima_css_fn``) — a
+    missing statsmodels wheel degrades the reference to last-value
+    repetition (:56-66), but here it only swaps the estimator, never the
+    model class. Series with < 14 points always take the naive path
+    (:110-127)."""
     try:
         import statsmodels.tsa.statespace.sarimax  # noqa: F401
     except ImportError:
-        return forecast_naive(series, horizon_days, partition_cols, date_col, value_col)
+        return forecast_arima(series, horizon_days, partition_cols, date_col, value_col)
 
     def sarimax_fn(s, horizon: int):
         import pandas as pd
