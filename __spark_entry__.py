@@ -412,6 +412,15 @@ def q_anomaly_iforest_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.anomaly_iforest_numpy(_gold(spark, sf_dir))
 
 
+def q_anomaly_iforest_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: the 4-D service-variant isolation forest (reference
+    services/anomaly_iforest.py:25-47, n_estimators=100) over the W3
+    feature block — from-scratch numpy forest when sklearn is absent.
+    Randomized ensemble ⇒ rows-only driver check (like
+    anomaly_iforest_numpy); the model math is pinned by golden tests."""
+    return A.anomaly_iforest_4d(_gold(spark, sf_dir))
+
+
 def q_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: public contract — bounds widened to include yhat, 7 rows padded
     forward with zeros, UTC-midnight Z strings. Input trimmed to 4 rows
@@ -1926,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions (appended at the tail — registry order of
         # pre-existing queries stays stable across rounds)
         "forecast_arima": q_forecast_arima,
+        "anomaly_iforest_4d": q_anomaly_iforest_4d,
     }
 
 

@@ -262,28 +262,137 @@ def anomaly_iforest_4d(
     """M7 — the service-variant Isolation Forest (reference
     services/anomaly_iforest.py:25-47, written but NOT routed): 4-D
     features from the W3 rolling block (value, roll_mean_7, roll_std_7,
-    diff_1), ``n_estimators=100``, same seed. Kept as an explicit code
-    path for parity; gated exactly like the 1-D router variant —
-    sklearn absent ⇒ NotImplementedError (the reference's unrouted
-    variant has no fallback ladder of its own)."""
+    diff_1), ``n_estimators=100``, same seed when sklearn is available.
+    sklearn absent ⇒ the from-scratch seeded numpy isolation forest
+    (``_iforest_scores_nd``) over the same 4-D block — real model math
+    either way; sklearn bit-parity remains environment-blocked but the
+    4-D path always executes. Numpy-path score convention follows
+    ``anomaly_iforest_numpy``: s(x) ∈ [0,1], higher = more anomalous,
+    outlier = top-``contamination`` quantile per series (the sklearn
+    path reports decision_function scores, sign-flipped semantics)."""
+    feature_cols = (value_col, "roll_mean_7", "roll_std_7", "diff_1")
+    feats = iforest_features(df, partition_cols, date_col, value_col)
     try:
         import sklearn  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "anomaly_iforest_4d requires scikit-learn, which is not "
-            "available in this container; the W3 feature block it "
-            "consumes (iforest_features) is real and oracle-tested"
-        ) from exc
-    feats = iforest_features(df, partition_cols, date_col, value_col)
-    return _iforest_sklearn(
-        feats,
-        contamination,
-        partition_cols,
-        date_col,
-        value_col,
-        feature_cols=(value_col, "roll_mean_7", "roll_std_7", "diff_1"),
-        n_estimators=100,
+
+        return _iforest_sklearn(
+            feats,
+            contamination,
+            partition_cols,
+            date_col,
+            value_col,
+            feature_cols=feature_cols,
+            n_estimators=100,
+        )
+    except ImportError:
+        return _iforest_numpy_nd(
+            feats,
+            contamination,
+            partition_cols,
+            date_col,
+            value_col,
+            feature_cols=feature_cols,
+            n_estimators=100,
+        )
+
+
+def _iforest_numpy_nd(
+    df: DataFrame,
+    contamination: float,
+    partition_cols: tuple[str, ...],
+    date_col: str,
+    value_col: str,
+    feature_cols: tuple[str, ...],
+    n_estimators: int,
+) -> DataFrame:
+    """Grouped-map numpy isolation forest over an arbitrary feature
+    block — the sklearn-free twin of ``_iforest_sklearn`` (same NaN
+    column-mean fill, same <5-finite-values all-inlier ladder)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("is_outlier", T.BooleanType()),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(date_col).reset_index(drop=True)
+        vals = pdf[value_col].astype(float).to_numpy()
+        finite = np.isfinite(vals)
+        if int(finite.sum()) < 5:
+            pdf["is_outlier"] = False
+            pdf["score"] = None
+            return pdf
+        x = pdf[list(feature_cols)].astype(float).to_numpy()
+        col_means = np.nanmean(np.where(np.isfinite(x), x, np.nan), axis=0)
+        bad = ~np.isfinite(x)
+        x[bad] = np.take(col_means, np.nonzero(bad)[1])
+        key = "\x1f".join(str(pdf[c].iloc[0]) for c in partition_cols)
+        scores = _iforest_scores_nd(x, n_estimators, key)
+        thresh = float(np.quantile(scores, 1.0 - contamination))
+        pdf["is_outlier"] = scores >= thresh
+        pdf["score"] = scores
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(fit, schema=out_schema)
+
+
+def _iforest_scores_nd(X, n_estimators: int, seed_key: str):
+    """Multi-dimensional isolation forest scores (Liu/Ting/Zhou 2008,
+    Algorithm 1-2): each tree node picks a uniformly random attribute q
+    and a uniform split in [min, max] of q over the node's subsample;
+    path length of a point = #splits to isolate it, scores
+    s(x) = 2^(−E[h(x)]/c(ψ)). Seeded from ``seed_key`` (crc32) so scores
+    are partition-invariant, like the 1-D variant."""
+    import math
+    import zlib
+
+    import numpy as np
+
+    X = np.asarray(X, dtype=float)
+    n, d = X.shape
+    psi = min(256, n)
+    rng = np.random.RandomState(zlib.crc32(seed_key.encode()) & 0x7FFFFFFF)
+    depth_limit = int(math.ceil(math.log2(max(psi, 2))))
+
+    def c(m: int) -> float:
+        if m <= 1:
+            return 0.0
+        h = math.log(m - 1) + 0.5772156649015329
+        return 2.0 * h - 2.0 * (m - 1) / m
+
+    def path_len(pts_idx, sample, depth):
+        m = len(sample)
+        if depth >= depth_limit or m <= 1:
+            return np.full(len(pts_idx), depth + c(m), dtype=float)
+        # attributes that still vary within this node's subsample
+        lo, hi = sample.min(axis=0), sample.max(axis=0)
+        varying = np.nonzero(hi > lo)[0]
+        if len(varying) == 0:
+            return np.full(len(pts_idx), depth + c(m), dtype=float)
+        q = int(varying[rng.randint(len(varying))])
+        split = rng.uniform(lo[q], hi[q])
+        left = X[pts_idx, q] < split
+        sl = sample[sample[:, q] < split]
+        sr = sample[sample[:, q] >= split]
+        out = np.empty(len(pts_idx), dtype=float)
+        out[left] = path_len(pts_idx[left], sl, depth + 1)
+        out[~left] = path_len(pts_idx[~left], sr, depth + 1)
+        return out
+
+    all_idx = np.arange(n)
+    total = np.zeros(n, dtype=float)
+    for _ in range(n_estimators):
+        sample = X[rng.choice(n, size=psi, replace=False)]
+        total += path_len(all_idx, sample, 0)
+    e_h = total / float(n_estimators)
+    return np.power(2.0, -e_h / c(psi))
 
 
 def anomaly_iforest_numpy(

@@ -123,25 +123,39 @@ def test_iforest_fallback_windows_over_nonnull_history(spark):
     assert spike["score"] is not None and abs(spike["score"]) >= 3.0
 
 
-def test_iforest_4d_gated_without_sklearn(spark):
-    """M7 code-path parity: the unrouted 4-D service variant is gated on
-    sklearn exactly like the decode stubs."""
-    import pytest
-
+def test_iforest_4d_executes_with_real_math(spark):
+    """M7: the 4-D service variant always runs — sklearn when present,
+    else the from-scratch numpy forest over the same W3 feature block.
+    A spike that distorts all four features gets the top score."""
     from smartdatapipeline_spark.operators.anomaly import anomaly_iforest_4d
 
-    df = spark.createDataFrame(
-        [("m", dt.date(2025, 1, 1 + i), float(i)) for i in range(10)],
-        "metric string, metric_date date, value double",
+    vals = [10.0, 11.0, 10.5, 9.8, 10.2, 10.9, 500.0, 10.1, 9.9, 10.4,
+            10.6, 10.3, 9.7, 10.8, 10.0, 10.2, 9.9, 10.5, 10.1, 10.7]
+    out = anomaly_iforest_4d(_series(spark, vals)).collect()
+    assert {"is_outlier", "score", "roll_mean_7", "roll_std_7", "diff_1"} <= set(
+        out[0].asDict()
     )
+    by = _by_date(out)
+    spike = by["2025-01-07"]
+    assert spike["is_outlier"] is True
     try:
         import sklearn  # noqa: F401
     except ImportError:
-        with pytest.raises(NotImplementedError):
-            anomaly_iforest_4d(df)
-    else:
-        out = anomaly_iforest_4d(df)
-        assert {"is_outlier", "score"} <= set(out.columns)
+        # numpy convention: [0,1], higher = more anomalous
+        assert spike["score"] == max(r["score"] for r in by.values())
+
+
+def test_iforest_4d_deterministic_across_partitioning(spark):
+    """The nd numpy forest seeds per group key: identical scores at any
+    partition count."""
+    from smartdatapipeline_spark.operators.anomaly import anomaly_iforest_4d
+
+    vals = [float(v) for v in [5, 6, 5, 7, 6, 50, 5, 6, 7, 5, 6, 5]]
+    a = _by_date(anomaly_iforest_4d(_series(spark, vals)).collect())
+    b = _by_date(anomaly_iforest_4d(_series(spark, vals).repartition(7)).collect())
+    assert {d: r["score"] for d, r in a.items()} == {
+        d: r["score"] for d, r in b.items()
+    }
 
 
 def test_derive_horizon_clamps():
