@@ -261,7 +261,7 @@ def q_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     random (semantic security, like Fernet) so the oracle verifies the
     round-trip, not ciphertext bytes."""
     ev = _events(spark, sf_dir)
-    rt = CR.decrypt_payload(CR.encrypt_payload("props")).cast("string")
+    rt = CR.decrypt_payload(CR.encrypt_payload("props", CR.TEST_KEY), CR.TEST_KEY).cast("string")
     return (
         ev.withColumn("rt", rt)
         .groupBy("event_type")
@@ -380,10 +380,12 @@ def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1/M2: 7-day forecast per metric. statsmodels is absent in this
-    container, so the reference's documented SARIMAX-unavailable path is
-    live: yhat = last value, bounds = 0.0 (services/forecast.py:57-66)."""
-    return FC.forecast(_gold(spark, sf_dir), horizon_days=7)
+    """M2: the naive-model ladder — the reference's documented
+    SARIMAX-unavailable degradation: yhat = last value, bounds = 0.0
+    (services/forecast.py:57-66). Called directly (the ``forecast``
+    dispatcher now degrades to the from-scratch ARIMA instead — see
+    ``forecast_arima`` for that path's oracle)."""
+    return FC.forecast_naive(_gold(spark, sf_dir), horizon_days=7)
 
 
 def q_forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,7 +429,7 @@ def q_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     per metric to exercise the pad path."""
     from pyspark.sql import Window
 
-    fc = FC.forecast(_gold(spark, sf_dir), horizon_days=7)
+    fc = FC.forecast_naive(_gold(spark, sf_dir), horizon_days=7)
     w = Window.partitionBy("metric").orderBy("target_date")
     short = fc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 4)
     return FC.normalize_forecast_contract(short.drop("_rn"))
@@ -1711,27 +1713,10 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SimHash radius-3 connected components) keep the HIGHEST-quality
     member (doc-id tiebreak) — the keep-list decision an LLM-corpus
     dedup actually ships, not just the cluster labels."""
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     clusters = DD.duplicate_clusters(DD.simhash_near_pairs(d, max_hamming=3), d)
     quality = TX.quality_features(d).select("doc_id", "quality")
-    j = clusters.join(quality, "doc_id")
-    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.col("doc_id").asc())
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_docs_in_cluster",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster",
-            F.col("doc_id").alias("canonical_doc"),
-            "n_docs_in_cluster",
-            F.col("quality").alias("canonical_quality"),
-        )
-    )
+    return DD.canonical_from_clusters(clusters, quality)
 
 
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,9 @@ BENCH_QUERIES: list[str] = [
     "audio_decode",
     "payload_roundtrip",
     "forecast_drift",
+    # round-3 additions
+    "forecast_arima",
+    "anomaly_iforest_4d",
 ]
 
 
@@ -208,6 +211,33 @@ def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
             f"{work}/packed"
         )
         t["corpus/pack_sequences"] = round(time.perf_counter() - t0, 4)
+
+        # cluster-index reuse: the iterative CC runs ONCE per corpus
+        # snapshot (build), and every downstream dedup decision — here
+        # canonical selection AND the near-dup keep-list — probes the
+        # materialized labels at join cost. Compare corpus/cluster_build
+        # vs the consumers to see the amortization the standalone
+        # canonical_docs query (which must stay self-contained for its
+        # oracle) cannot show.
+        t0 = time.perf_counter()
+        DD.build_cluster_index(
+            DD.simhash_near_pairs(docs, max_hamming=3), docs, f"{work}/clusters"
+        )
+        t["corpus/cluster_build"] = round(time.perf_counter() - t0, 4)
+
+        labels = DD.probe_cluster_index(spark, f"{work}/clusters")
+        t0 = time.perf_counter()
+        quality = TX.quality_features(docs).select("doc_id", "quality")
+        DD.canonical_from_clusters(labels, quality).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t["corpus/canonical_from_index"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        labels.filter(F.col("doc_id") == F.col("cluster")).select(
+            "doc_id"
+        ).write.format("noop").mode("overwrite").save()
+        t["corpus/keeplist_from_index"] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return t
@@ -241,17 +271,30 @@ def main() -> None:
     # fail-soft: one broken query must never zero the round's evidence
     # (round 1 lost ALL timings to a single AnalysisException). Errors go
     # to stderr + an `errors` field; timings stay partial but parseable.
+    #
+    # each query runs RUNS warm repetitions — `queries` reports the
+    # MEDIAN (robust round-over-round comparator), `queries_min` the
+    # floor (dispersion bound: median − min ≈ scheduler/GC noise).
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001 — harness boundary
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        reps: list[float] = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            try:
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+        if reps:
+            reps.sort()
+            timings[name] = round(reps[len(reps) // 2], 4)
+            timings_min[name] = round(reps[0], 4)
 
     try:
         timings.update(pipeline_e2e(spark, sf_dir))
@@ -273,6 +316,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "runs_per_query": RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
             }

@@ -171,7 +171,9 @@ def minhash_candidate_pairs(
     expansion (their members are near-identical by construction and are
     handled wholesale by the cheaper cluster-by-bucket / exact-dup
     path, one label per bucket instead of |bucket|² edges). Default
-    None keeps exact pair semantics for the oracle-checked path.
+    None keeps exact pair semantics for the oracle-checked path —
+    production callers should use ``dedup_pipeline`` below, where the
+    guard (and the star-edge wholesale path) is the default.
     """
     sig = minhash_signature(df, id_col, text_col, k).cache()
     bb = minhash_bands(sig, bands, rows)
@@ -205,6 +207,94 @@ def minhash_candidate_pairs(
     return (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Production near-dup dedup entry point — SCALE-MODE defaults.
+
+    The low-level primitives default to oracle-exact semantics
+    (``minhash_candidate_pairs(max_bucket_size=None)`` forms every
+    within-bucket pair); this wrapper is what a deployment calls, and
+    its default ``max_bucket_size=5000`` makes the mega-bucket guard
+    unskippable by accident — the one configuration that measured
+    super-linear (exponent ~1.09 on a 99%-duplicate probe corpus)
+    cannot be reached without explicitly passing ``None``.
+
+    Shape:
+      1. small buckets (≤ cap): pairwise candidates → keep pairs with
+         signature-estimated Jaccard ≥ ``min_est_jaccard``;
+      2. mega buckets (> cap): members are one boilerplate family by
+         construction — STAR edges to the bucket's min doc id, O(|bucket|)
+         edges instead of |bucket|², same connected components;
+      3. min-label connected components over both edge sets;
+      4. keep-list: representative = cluster label.
+
+    Output: (id_col, cluster, is_representative).
+    """
+    sig = minhash_signature(df, id_col, text_col, k).cache()
+    bb = minhash_bands(sig, bands, rows)
+    if max_bucket_size is not None:
+        counts = bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        bb_sized = bb.join(counts, ["band", "bucket"])
+        small_bb = bb_sized.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+        from pyspark.sql import Window
+
+        # hub = bucket min via an unbounded window — stays row-oriented
+        # (no per-bucket array materialization, mega buckets are exactly
+        # the case where that array would be huge)
+        wb = Window.partitionBy("band", "bucket")
+        mega_star = (
+            bb_sized.filter(F.col("_bn") > max_bucket_size)
+            .withColumn("_hub", F.min("doc_id").over(wb))
+            .filter(F.col("doc_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+    else:
+        small_bb, mega_star = bb, None
+    left, right = small_bb.alias("l"), small_bb.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    est = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(len(MINHASH_PARAMS)))
+    verified = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(est >= min_est_jaccard)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        verified.unionByName(mega_star) if mega_star is not None else verified
+    )
+    nodes = df.select(F.col(id_col).alias("doc_id")).distinct()
+    clusters = duplicate_clusters(edges, nodes)
+    return clusters.select(
+        F.col("doc_id").alias(id_col),
+        "cluster",
+        (F.col("cluster") == F.col(id_col)).alias("is_representative"),
     )
 
 
@@ -322,6 +412,62 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("cluster"))
+
+
+def build_cluster_index(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> None:
+    """Materialize the near-dup cluster labels ONCE (the
+    ``build_ann_index`` pattern, similarity.py): connected components
+    are the expensive iterative step every dedup decision shares —
+    keep-lists, canonical selection, cluster stats — so a deployment
+    runs CC one time per corpus snapshot and every consumer reads the
+    label frame back. Written bucketed-by-nothing, sorted within files
+    by cluster so per-cluster consumers get run-length locality."""
+    labels = duplicate_clusters(pairs, nodes, id_col, a_col, b_col)
+    labels.sortWithinPartitions("cluster").write.mode("overwrite").parquet(path)
+
+
+def probe_cluster_index(spark, path: str) -> DataFrame:
+    """Read the materialized cluster labels — (id, cluster)."""
+    return spark.read.parquet(path)
+
+
+def canonical_from_clusters(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection from a PRECOMPUTED cluster-label
+    frame: per cluster keep the highest-``quality`` member (id
+    tiebreak). This is the reuse half of the index pattern — CC runs
+    once (``build_cluster_index``); selection is a single window over
+    the label frame, ~join-cost instead of iterative-CC cost."""
+    from pyspark.sql import Window
+
+    j = clusters.join(quality.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(quality_col), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs_in_cluster", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster",
+            F.col(id_col).alias("canonical_doc"),
+            "n_docs_in_cluster",
+            F.col(quality_col).alias("canonical_quality"),
+        )
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -475,6 +621,7 @@ def duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pos_cap: int = 1 << 20,
 ) -> DataFrame:
     """Exact cross-document substring-span dedup (public recipe:
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -491,8 +638,12 @@ def duplicate_spans(
     both engines agree without struct-ordering semantics.
 
     Output: (span_hash, n_docs, n_occurrences, rep_doc, rep_pos).
+
+    ``pos_cap`` bounds the packed (doc, pos) key: positions must be
+    < pos_cap (default 1M tokens/doc — widen for book-length corpora)
+    and doc ids non-negative and < 2^63/pos_cap; violations RAISE at
+    execution instead of silently corrupting rep_doc/rep_pos.
     """
-    pos_cap = 1 << 20  # docs here are ≪ 1M tokens; widen for book-length corpora
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= window)
@@ -517,7 +668,25 @@ def duplicate_spans(
         .cast("long")
         .alias("span_hash"),
     )
-    rep_key = F.min(F.col("doc_id") * pos_cap + F.col("pos"))
+    doc_cap = (1 << 63) // pos_cap
+    bad = (
+        (F.col("pos") >= pos_cap)
+        | (F.col("doc_id") < 0)
+        | (F.col("doc_id") >= doc_cap)
+    )
+    packed = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "duplicate_spans: (doc_id, pos)=(%s, %s) overflows the "
+                + f"packed key (pos_cap={pos_cap}, doc_cap={doc_cap}); "
+                + "raise pos_cap or re-key the corpus",
+                F.col("doc_id"),
+                F.col("pos"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id") * pos_cap + F.col("pos"))
+    rep_key = F.min(packed)
     return (
         spans.groupBy("span_hash")
         .agg(

@@ -23,17 +23,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("header_hash", T.LongType()),
-        T.StructField("feat_0", T.DoubleType()),
-        T.StructField("feat_1", T.DoubleType()),
-        T.StructField("feat_2", T.DoubleType()),
-        T.StructField("feat_3", T.DoubleType()),
-    ]
-)
+def _id_field(df: DataFrame, id_col: str) -> "T.StructField":
+    """The id column's OWN StructField (name + type preserved) — decode
+    outputs key by whatever id the caller passed, string ids included,
+    instead of a hardcoded int64 'doc_id' (ADVICE round 2)."""
+    return T.StructField(id_col, df.schema[id_col].dataType)
+
+
+def _feature_schema(df: DataFrame, id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("header_hash", T.LongType()),
+            T.StructField("feat_0", T.DoubleType()),
+            T.StructField("feat_1", T.DoubleType()),
+            T.StructField("feat_2", T.DoubleType()),
+            T.StructField("feat_3", T.DoubleType()),
+        ]
+    )
 
 
 def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,7 +135,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            _id_field(df, id_col),
             T.StructField("format", T.StringType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
@@ -139,7 +147,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             parsed = [parse_image_header(bytes(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "format": [p[0] for p in parsed],
                     "width": pd.array([p[1] for p in parsed], dtype="Int32"),
                     "height": pd.array([p[2] for p in parsed], dtype="Int32"),
@@ -155,7 +163,7 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            _id_field(df, id_col),
             T.StructField("channels", T.IntegerType()),
             T.StructField("sample_rate", T.IntegerType()),
             T.StructField("bits", T.IntegerType()),
@@ -168,7 +176,7 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             parsed = [parse_wav_header(bytes(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "channels": pd.array([p[0] for p in parsed], dtype="Int32"),
                     "sample_rate": pd.array([p[1] for p in parsed], dtype="Int32"),
                     "bits": pd.array([p[2] for p in parsed], dtype="Int32"),
@@ -179,17 +187,94 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "blob").mapInPandas(_decode, schema=schema)
 
 
+def parse_bmp_pixels(data: bytes) -> tuple[int, int, bytes] | None:
+    """REAL pixel decode, pure stdlib: uncompressed 24-bpp BI_RGB BMP →
+    (width, height, RGB bytes row-major TOP-DOWN). Handles both
+    bottom-up (positive height — the common case) and top-down storage,
+    and the 4-byte row padding. Returns None for anything that is not
+    an uncompressed 24-bpp BMP (those need a codec — see
+    ``decode_image_pixels``)."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    _planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    height, bottom_up = abs(h), h > 0
+    row_size = ((w * 3 + 3) // 4) * 4
+    if offset + row_size * height > len(data):
+        return None
+    out = bytearray(w * height * 3)
+    for r in range(height):
+        src = height - 1 - r if bottom_up else r
+        start = offset + src * row_size
+        dst = r * w * 3
+        row = data[start : start + w * 3]
+        # BGR → RGB channel swap
+        out[dst + 0 : dst + w * 3 : 3] = row[2::3]
+        out[dst + 1 : dst + w * 3 : 3] = row[1::3]
+        out[dst + 2 : dst + w * 3 : 3] = row[0::3]
+    return w, height, bytes(out)
+
+
+def decode_bmp_pixels(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched pixel decode for uncompressed 24-bpp BMPs via
+    ``parse_bmp_pixels`` — same ``mapInPandas`` plumbing as the header
+    decoders; bytes never leave the executor. Non-BMP / compressed rows
+    yield NULL pixels (fail-soft for mixed media corpora).
+
+    Output: (id, width, height, pixels binary — RGB row-major top-down).
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_bmp_pixels(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "pixels": [p[2] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
+
+
 def decode_image_pixels(blob_col: Column) -> Column:
-    """Full pixel decode stays gated on PIL (not in this container);
-    header decode is real — see ``parse_image_header``/
-    ``decode_image_features`` above."""
+    """COMPRESSED-format pixel decode (PNG/GIF/JPEG) stays gated on PIL
+    (not in this container). Uncompressed 24-bpp BMP decodes with no
+    codec at all — use ``parse_bmp_pixels``/``decode_bmp_pixels``;
+    header decode for every format is real (``parse_image_header``)."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "decode_image_pixels requires Pillow, which is not available in "
-            "this container; header-level decode (format/width/height) is "
-            "implemented in parse_image_header/decode_image_features"
+            "pixel decode for COMPRESSED formats (png/gif/jpeg) requires "
+            "Pillow, which is not available in this container; uncompressed "
+            "24-bpp BMP pixels decode codec-free via decode_bmp_pixels, and "
+            "header-level decode for all formats is implemented in "
+            "parse_image_header/decode_image_features"
         ) from exc
     raise NotImplementedError("PIL present but pixel decoder not wired yet")
 
@@ -212,7 +297,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             digests = [hashlib.md5(bytes(b)).hexdigest() for b in blobs]
             out = pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "n_bytes": blobs.map(len).astype("int32"),
                     "header_hash": [int(d[:15], 16) for d in digests],
                 }
@@ -223,7 +308,9 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ]
             yield out
 
-    return df.select(id_col, "blob").mapInPandas(_fake_features, schema=FEATURE_SCHEMA)
+    return df.select(id_col, "blob").mapInPandas(
+        _fake_features, schema=_feature_schema(df, id_col)
+    )
 
 
 def sample_frames(

@@ -25,10 +25,16 @@ def stream_enrich(
     event_ts: str = "ts",
     update_ts: str = "uts",
     horizon: str = "1 hour",
-    horizon_expr: str = "INTERVAL 1 HOUR",
 ) -> DataFrame:
     """Join each event to the dim updates for its key published in the
     ``horizon`` BEFORE the event (half-open: update_ts ≤ event_ts).
+
+    The single ``horizon`` string drives BOTH the watermark eviction
+    bound and the join's time-range predicate (``INTERVAL <horizon>``) —
+    they must agree for state eviction to be sound, so there is one
+    knob, not two. The range bound is computed from the events side's
+    own column reference, so a shared timestamp column name across the
+    two streams stays unambiguous.
 
     An event matching k in-horizon updates yields k rows — downstream
     pick-latest (max_by over update_ts after the join, or a batch
@@ -40,6 +46,6 @@ def stream_enrich(
     cond = (
         (e[key] == u[key])
         & (u[update_ts] <= e[event_ts])
-        & (u[update_ts] >= F.expr(f"{event_ts} - {horizon_expr}"))
+        & (u[update_ts] >= e[event_ts] - F.expr(f"INTERVAL {horizon}"))
     )
     return e.join(u, cond, "inner").drop(u[key])

@@ -240,6 +240,33 @@ def test_duplicate_clusters_chain_diameter(spark):
     assert out == {i: 1 for i in range(1, 7)}
 
 
+def test_cluster_index_build_probe_and_canonical_reuse(spark, tmp_path):
+    """build_cluster_index materializes CC once; probe + selection from
+    the label frame equals the direct (cluster-then-window) path."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 10, 11, 20]])
+    quality = spark.createDataFrame(
+        [Row(doc_id=i, quality=q) for i, q in
+         [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.1), (11, 0.1), (20, 0.3)]]
+    )
+    path = str(tmp_path / "clusters")
+    DD.build_cluster_index(pairs, nodes, path)
+    labels = DD.probe_cluster_index(spark, path)
+    assert {r["doc_id"]: r["cluster"] for r in labels.collect()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20
+    }
+    got = {
+        r["cluster"]: (r["canonical_doc"], r["n_docs_in_cluster"], r["canonical_quality"])
+        for r in DD.canonical_from_clusters(labels, quality).collect()
+    }
+    # cluster 1: best quality 0.9 at doc 2; tie in cluster 10 → lower id
+    assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.1), 20: (20, 1, 0.3)}
+
+
 def test_hash_split_stable_under_append(spark):
     """A doc's split must not change when the corpus grows."""
     from smartdatapipeline_spark.functions.sampling import hash_split
@@ -450,6 +477,51 @@ def test_duplicate_spans_finds_shared_boilerplate(spark):
     assert none == []
 
 
+def test_dedup_pipeline_scale_mode_matches_exact_clusters(spark):
+    """The production wrapper (guard ON by default): a boilerplate
+    family that overflows the bucket cap still clusters together via
+    star edges — same components as the unguarded exact path."""
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    docs = [(i, boiler) for i in range(12)]  # one exact-dup family
+    docs += [(100, "completely different text " + " ".join(f"x{i}" for i in range(20)))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        r["doc_id"]: r["cluster"]
+        for r in DD.dedup_pipeline(df, max_bucket_size=None).collect()
+    }
+    guarded = {
+        r["doc_id"]: r["cluster"]
+        for r in DD.dedup_pipeline(df, max_bucket_size=3).collect()
+    }
+    assert guarded == exact
+    # family labeled by its min doc, outsider isolated and representative
+    assert guarded[100] == 100
+    fam = {v for k, v in guarded.items() if k != 100}
+    assert fam == {0}
+
+
+def test_duplicate_spans_pos_cap_guard_raises(spark):
+    """ADVICE: packed-key overflow must RAISE, not corrupt rep_doc/rep_pos
+    — a tiny pos_cap makes a legal doc overflow; negative ids too."""
+    import pytest
+
+    license_block = " ".join(f"lic{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, license_block + " pad pad pad"), (2, license_block + " x y z")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="overflows the packed key"):
+        DD.duplicate_spans(df, window=16, min_docs=2, pos_cap=2).collect()
+    neg = spark.createDataFrame(
+        [(-1, license_block), (2, license_block)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="overflows the packed key"):
+        DD.duplicate_spans(neg, window=16, min_docs=2).collect()
+    # default cap leaves the legal case untouched
+    ok = DD.duplicate_spans(df, window=16, min_docs=2).collect()
+    assert len(ok) == 1 and ok[0]["rep_doc"] == 1
+
+
 def test_minhash_mega_bucket_guard(spark):
     """max_bucket_size excludes boilerplate mega-buckets from pairwise
     expansion: a 12-copy family produces 66 pairs unguarded and none
@@ -464,3 +536,59 @@ def test_minhash_mega_bucket_guard(spark):
     assert all(r["doc_a"] not in fam_ids for r in guarded)
     # the small near-dup pair survives the guard
     assert any((r["doc_a"], r["doc_b"]) == (12, 13) for r in guarded)
+
+
+def _make_bmp_3x2() -> bytes:
+    """Hand-built uncompressed 24-bpp BMP, 3x2, bottom-up, padded rows.
+    Top row (stored LAST, bottom-up): red, green, blue.
+    Bottom row (stored first): white, black, gray(128)."""
+    import struct
+
+    def bgr(r, g, b):
+        return bytes([b, g, r])
+
+    row_bottom = bgr(255, 255, 255) + bgr(0, 0, 0) + bgr(128, 128, 128) + b"\x00\x00\x00"
+    row_top = bgr(255, 0, 0) + bgr(0, 255, 0) + bgr(0, 0, 255) + b"\x00\x00\x00"
+    pixel_data = row_bottom + row_top  # bottom-up storage
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + dib + pixel_data
+
+
+def test_parse_bmp_pixels_golden():
+    """Pure-stdlib BMP pixel decode: BGR->RGB swap, bottom-up flip,
+    row padding — all pinned on a hand-built 3x2 image."""
+    w, h, px = MM.parse_bmp_pixels(_make_bmp_3x2())
+    assert (w, h) == (3, 2)
+    # row-major top-down RGB
+    assert px == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255,  # red green blue
+         255, 255, 255, 0, 0, 0, 128, 128, 128]  # white black gray
+    )
+    # non-BMP and compressed formats decline (None), they don't crash
+    assert MM.parse_bmp_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 50) is None
+    assert MM.parse_bmp_pixels(b"BM" + b"\x00" * 10) is None
+
+
+def test_decode_bmp_pixels_on_spark(spark):
+    """mapInPandas plumbing: BMP rows decode, non-BMP rows yield NULLs."""
+    bmp = _make_bmp_3x2()
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"not an image"))],
+        "doc_id long, blob binary",
+    )
+    out = {r["doc_id"]: r for r in MM.decode_bmp_pixels(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (3, 2)
+    assert bytes(out[1]["pixels"])[:9] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    assert out[2]["width"] is None and out[2]["pixels"] is None
+
+
+def test_pixel_gate_narrowed_to_compressed_formats():
+    """The PIL gate message now scopes to compressed formats only."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="COMPRESSED"):
+            MM.decode_image_pixels(F.lit(b"x"))

@@ -3,11 +3,17 @@
 schema arity, and order-insensitive values (columns sorted by name,
 rows sorted by all columns) — a local stand-in for CORRECTNESS_r{N}.json.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a per-query artifact in the driver's
+CORRECTNESS shape (rows_match/schema_match/hash_match/spark_rows/
+oracle_rows/err) so the full-registry local sweep is committable and
+diffable round-over-round (the driver file caps at 50 entries).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -42,8 +48,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from smartdatapipeline_spark.session import get_spark
@@ -57,6 +69,20 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None, oracle=True):
+        records[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+            "oracle": oracle,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -66,6 +92,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            record(name, err=f"spark: {exc}")
             continue
         t_spark = time.time() - t0
         sql = oracles.get(name)
@@ -73,12 +100,14 @@ def main() -> int:
             print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check) [{t_spark:.1f}s]")
             if len(sdf) == 0:
                 failures.append(name)
+            record(name, rows_match=len(sdf) > 0, spark_rows=len(sdf), oracle=False)
             continue
         try:
             odf = con.sql(sql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            record(name, spark_rows=len(sdf), err=f"duckdb: {exc}")
             continue
         # driver-strictness probe: the driver hashes with dtype awareness
         # (round 1: DuckDB HUGEINT vs Spark BIGINT hashed differently with
@@ -89,15 +118,20 @@ def main() -> int:
             if c in o_dt and s_dt[c] != o_dt[c]:
                 print(f"TYPEWARN {name}.{c}: spark={s_dt[c]} duckdb={o_dt[c]}")
         ns, no = normalize(sdf), normalize(odf)
-        if len(ns) != len(no):
+        rows_ok = len(ns) == len(no)
+        cols_ok = list(ns.columns) == list(no.columns)
+        vals_ok = rows_ok and cols_ok and ns.equals(no)
+        record(name, rows_match=rows_ok, schema_match=cols_ok, hash_match=vals_ok,
+               spark_rows=len(ns), oracle_rows=len(no))
+        if not rows_ok:
             print(f"FAIL {name}: rowcount spark={len(ns)} duckdb={len(no)}")
             failures.append(name)
             continue
-        if list(ns.columns) != list(no.columns):
+        if not cols_ok:
             print(f"FAIL {name}: columns spark={list(ns.columns)} duckdb={list(no.columns)}")
             failures.append(name)
             continue
-        if not ns.equals(no):
+        if not vals_ok:
             neq = (ns != no).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())}/{len(ns)} rows differ; first:")
             idx = neq[neq].index[0]
@@ -108,6 +142,10 @@ def main() -> int:
         print(f"PASS {name}: rows={len(ns)} [{t_spark:.1f}s]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": records}, fh, indent=1)
+        print(f"wrote {json_out} ({len(records)} queries)")
     spark.stop()
     return 1 if failures else 0
 
