@@ -216,3 +216,59 @@ def test_stream_enrich_join_matches_batch(spark, tmp_path):
         (1, "2025-01-01T10:30:00", "alpha-v1"),
         (1, "2025-01-01T12:00:00", "alpha-v2"),
     ]
+
+
+def test_rolling_zscore_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming z-score == batch W2 operator on the same
+    ordered series (integer values ⇒ exact arithmetic both paths),
+    including a null row holding its frame slot and a flat-window
+    sentinel case."""
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.operators.anomaly import rolling_zscore_api
+    from smartdatapipeline_spark.streaming.anomaly import rolling_zscore_stream
+
+    rows = []
+    vals_m = [10, 10, 10, 50, 12, None, 11, 10, 13, 200]
+    vals_n = [5, 5, 5, 5, 5, 5, 7]  # flat window -> sentinel at the 7
+    for metric, vals in (("m", vals_m), ("n", vals_n)):
+        for i, v in enumerate(vals):
+            ts = f"2025-01-{i + 1:02d}T00:00:00Z"
+            vj = "null" if v is None else float(v)
+            rows.append(f'{{"metric": "{metric}", "ts": "{ts}", "value": {vj}}}')
+    inp = tmp_path / "z_in"
+    inp.mkdir()
+    (inp / "f1.json").write_text("\n".join(rows) + "\n")
+    schema = "metric string, ts timestamp, value double"
+
+    out = rolling_zscore_stream(
+        spark.readStream.schema(schema).json(str(inp)), window=7
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("zscore_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["metric"], r["ts"].isoformat()): (r["z"], r["is_outlier"])
+        for r in spark.table("zscore_stream_test").collect()
+    }
+
+    batch_in = spark.read.schema(schema).json(str(inp)).withColumn(
+        "metric_date", F.to_date("ts")
+    )
+    batch = rolling_zscore_api(batch_in, window=7, date_col="metric_date")
+    want = {
+        (r["metric"], r["ts"].isoformat()): (r["z"], r["is_outlier"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # the flat-window sentinel actually fired
+    sentinel = next(v for (m, t), v in want.items() if m == "n" and "01-07" in t)
+    assert sentinel == (1e9, True)
+    # and the spike scored as an outlier
+    spike = next(v for (m, t), v in want.items() if m == "m" and "01-10" in t)
+    assert spike[1] is True and spike[0] > 3.0
