@@ -1550,6 +1550,78 @@ def q_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part minimum-cost supplier in a region (TPC-H Q2 shape,
+    adapted: no partsupp table, so supply cost = exact unit price
+    Σprice/Σqty over lineitem). The correlated min-cost subquery is
+    decorrelated into one grouped aggregate + a broadcast per-part min;
+    the cost-equality join is deterministic because both sides are the
+    SAME exact-decimal-ratio double. Dims all broadcast; the only wide
+    shuffle is the (part, supplier) aggregate over lineitem."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, part, supp, nat, reg = (
+        T("lineitem"), T("part"), T("supplier"), T("nation"), T("region")
+    )
+    europe_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sized = part.filter(F.col("p_size") == 15).select("p_partkey", "p_name")
+    cost = (
+        li.join(F.broadcast(sized), li.l_partkey == sized.p_partkey)
+        .join(F.broadcast(europe_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            (N.dsum("l_extendedprice") / N.dsum("l_quantity", scale=2)).alias(
+                "unit_cost"
+            )
+        )
+    )
+    min_cost = cost.groupBy("p_partkey").agg(F.min("unit_cost").alias("_mc"))
+    return (
+        cost.join(F.broadcast(min_cost), "p_partkey")
+        .filter(F.col("unit_cost") == F.col("_mc"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock share (TPC-H Q11 shape, adapted: part value held
+    by one nation's suppliers = Σ extendedprice·(1−discount) from
+    lineitem). The scalar total broadcasts; HAVING value > 0.01% of it.
+    One wide shuffle (part aggregate); threshold compare is exact-
+    decimal-derived doubles on both sides."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, supp, nat = T("lineitem"), T("supplier"), T("nation")
+    nation_supp = (
+        supp.join(
+            F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = value.agg(N.dsum("value").alias("_total"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.0001)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly scoring: Iglewicz–Hoaglin modified z-score
     (0.6745·(x−med)/MAD) per metric — median-based, so the outliers
@@ -1921,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-existing queries stays stable across rounds)
         "forecast_arima": q_forecast_arima,
         "anomaly_iforest_4d": q_anomaly_iforest_4d,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
     }
 
 
@@ -2037,6 +2111,47 @@ def oracle_sql() -> dict[str, str]:
                'naive-0.1' AS model_version
         FROM per CROSS JOIN generate_series(1, 7) t(k)
         WHERE s = 0.0 OR n < 14
+    """
+    o["min_cost_supplier"] = """
+        WITH es AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        sized AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+        cost AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                       AS unit_cost
+            FROM lineitem
+            JOIN sized ON l_partkey = p_partkey
+            JOIN es ON l_suppkey = s_suppkey
+            GROUP BY 1, 2, 3, 4, 5, 6),
+        mc AS (SELECT p_partkey, MIN(unit_cost) AS _mc FROM cost GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM cost JOIN mc USING (p_partkey)
+        WHERE unit_cost = _mc
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+    o["important_stock"] = """
+        WITH ns AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'),
+        v AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS value
+            FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+            GROUP BY 1),
+        t AS (SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS _total FROM v)
+        SELECT l_partkey, value
+        FROM v CROSS JOIN t
+        WHERE value > _total * 0.0001
+        ORDER BY value DESC, l_partkey
     """
     return o
 

@@ -88,6 +88,8 @@ BENCH_QUERIES: list[str] = [
     # round-3 additions
     "forecast_arima",
     "anomaly_iforest_4d",
+    "min_cost_supplier",
+    "important_stock",
 ]
 
 
