@@ -1780,6 +1780,15 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality filter (Wenzek et al. 2020), log-free:
+    per-doc mean add-one-smoothed conditional bigram probability under
+    the corpus bigram LM + unseen-bigram fraction. Every term is an
+    exact integer ratio and the per-doc mean folds in position order —
+    bit-exact cross-engine with no transcendental functions."""
+    return TX.bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection: for every near-dup cluster
     (SimHash radius-3 connected components) keep the HIGHEST-quality
@@ -1995,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_iforest_4d": q_anomaly_iforest_4d,
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
+        "bigram_lm_score": q_bigram_lm_score,
     }
 
 
@@ -2152,6 +2162,38 @@ def oracle_sql() -> dict[str, str]:
         FROM v CROSS JOIN t
         WHERE value > _total * 0.0001
         ORDER BY value DESC, l_partkey
+    """
+    # bigram_lm_score — exact-integer-ratio LM scoring, position-ordered
+    # fold for the mean (no log(): ln is not correctly-rounded-portable)
+    o["bigram_lm_score"] = _TEXT_CTE + """
+        , w AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        corpus_bg AS (
+            SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM w, LATERAL unnest(range(1, len(toks))) AS u(i)
+            WHERE toks[i] != '' AND toks[i+1] != ''),
+        counts AS (SELECT w1, w2, COUNT(*) AS n FROM corpus_bg GROUP BY 1, 2),
+        tots AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM counts GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM counts),
+        doc_bg AS (
+            SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+            FROM w, LATERAL unnest(range(1, len(toks))) AS u(i)
+            WHERE toks[i] != '' AND toks[i+1] != ''),
+        scored AS (
+            SELECT d.doc_id, d.pos,
+                   CAST(COALESCE(c.n, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(tots.n_w1, 0) + vocab.v AS DOUBLE) AS p,
+                   CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS oov
+            FROM doc_bg d
+            LEFT JOIN counts c ON d.w1 = c.w1 AND d.w2 = c.w2
+            LEFT JOIN tots ON d.w1 = tots.w1
+            CROSS JOIN vocab)
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_frac,
+               list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                           (a, x) -> a + x) / COUNT(*) AS mean_p
+        FROM scored GROUP BY doc_id
     """
     return o
 

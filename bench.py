@@ -90,6 +90,7 @@ BENCH_QUERIES: list[str] = [
     "anomaly_iforest_4d",
     "min_cost_supplier",
     "important_stock",
+    "bigram_lm_score",
 ]
 
 

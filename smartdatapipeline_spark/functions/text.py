@@ -433,9 +433,14 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     map-side combine; unigram counts derive from the bigram table
     (another map-side agg), so the corpus text is scanned once.
     """
-    toks = df.select(tokens(F.col(text_col)).alias("_toks")).filter(
-        F.size("_toks") >= 2
+    return _bigram_counts_from(
+        df.select(tokens(F.col(text_col)).alias("_toks")).filter(
+            F.size("_toks") >= 2
+        )
     )
+
+
+def _bigram_counts_from(toks: DataFrame) -> DataFrame:
     bigrams = toks.select(
         F.explode(
             F.transform(
@@ -455,4 +460,81 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n",
         "n_w1",
         (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias("cond_p"),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 filter web
+    text by LM perplexity; here the score stays log-free so the DuckDB
+    oracle is bit-exact — ln() is not correctly-rounded-portable across
+    engines, exact integer ratios are):
+
+    per doc, the MEAN add-one-smoothed conditional bigram probability
+    under the corpus bigram LM, p(w2|w1) = (n+1)/(n_w1+V) with V the
+    corpus w2 vocabulary (unseen bigram ⇒ n=0; unseen w1 ⇒ n_w1=0),
+    plus the unseen-bigram fraction. High mean_p / low oov_frac =
+    in-distribution fluent text; boilerplate gibberish scores near the
+    uniform floor 1/V.
+
+    ``model`` defaults to ``bigram_counts(df)`` (self-scored corpus) —
+    pass a reference-corpus model to score candidate docs against clean
+    text, which is the actual CCNet deployment shape.
+
+    Scale: doc bigrams explode linearly in tokens; the only wide
+    shuffle is the (w1, w2) join against the model (hash-partitioned on
+    the same key the model aggregation already produced); the per-doc
+    mean folds in position order (order-independent determinism).
+
+    Output: (id_col, n_bigrams, n_oov, oov_frac, mean_p).
+    """
+    if model is None:
+        model = bigram_counts(df, text_col)
+    vocab = model.agg(F.countDistinct("w2").alias("_v"))
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    doc_bg = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.pos", "bg.w1", "bg.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    scored = (
+        doc_bg.join(model.select("w1", "w2", "n"), ["w1", "w2"], "left")
+        .join(
+            model.select("w1", "n_w1").groupBy("w1").agg(F.first("n_w1").alias("n_w1")),
+            "w1",
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_p",
+            (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("n_w1"), F.lit(0)) + F.col("_v")).cast("double"),
+        )
+        .withColumn("_oov", F.col("n").isNull().cast("int"))
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("o"), F.col("_p").alias("t")))
+    )
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["t"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_oov").cast("bigint").alias("n_oov"),
+        (F.sum("_oov") / F.count(F.lit(1))).alias("oov_frac"),
+        (total / F.count(F.lit(1))).alias("mean_p"),
     )

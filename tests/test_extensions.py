@@ -592,3 +592,23 @@ def test_pixel_gate_narrowed_to_compressed_formats():
     except ImportError:
         with pytest.raises(NotImplementedError, match="COMPRESSED"):
             MM.decode_image_pixels(F.lit(b"x"))
+
+
+def test_bigram_lm_score_exact_values(spark):
+    """Add-one-smoothed mean bigram probability + OOV fraction, pinned
+    by hand: corpus {a b a b, a b x} -> counts (a,b)=3,(b,a)=1,(b,x)=1,
+    tots a=3 b=2, V=3."""
+    corpus = _docs(spark, ["a b a b", "a b x"])
+    out = {r["doc_id"]: r for r in TX.bigram_lm_score(corpus).collect()}
+    m0 = (4 / 6 + 2 / 5 + 4 / 6) / 3
+    m1 = (4 / 6 + 2 / 5) / 2
+    assert out[0]["n_bigrams"] == 3 and out[0]["n_oov"] == 0
+    assert out[0]["mean_p"] == pytest.approx(m0, abs=1e-15)
+    assert out[1]["mean_p"] == pytest.approx(m1, abs=1e-15)
+    # external-model shape (the CCNet deployment): unseen bigram -> OOV,
+    # probability falls to the smoothed floor
+    model = TX.bigram_counts(corpus)
+    cand = spark.createDataFrame([Row(doc_id=9, text="a q")])
+    r = TX.bigram_lm_score(cand, model=model).collect()[0]
+    assert (r["n_bigrams"], r["n_oov"], r["oov_frac"]) == (1, 1, 1.0)
+    assert r["mean_p"] == pytest.approx(1 / 6, abs=1e-15)
