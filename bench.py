@@ -91,6 +91,9 @@ BENCH_QUERIES: list[str] = [
     "min_cost_supplier",
     "important_stock",
     "bigram_lm_score",
+    "funnel",
+    "retention_cohorts",
+    "discount_revenue",
 ]
 
 

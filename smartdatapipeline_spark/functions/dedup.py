@@ -298,6 +298,78 @@ def dedup_pipeline(
     )
 
 
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Materialize the corpus MinHash index for INCREMENTAL dedup: band
+    buckets written parquet PARTITIONED BY band and sorted by bucket
+    within files (scan pruning on the band partition + bucket row-group
+    min/max), plus the per-doc signatures for estimated-Jaccard
+    verification. A nightly ingest then dedups its NEW batch against
+    100 TB of corpus by probing buckets — corpus signatures are never
+    recomputed, and only index rows whose (band, bucket) collide with
+    the batch are read."""
+    sig = minhash_signature(df, id_col, text_col, k).cache()
+    bb = minhash_bands(sig, bands, rows)
+    (
+        bb.repartition("band")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    sig.unpersist()
+
+
+def probe_dedup_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch and the indexed
+    corpus: the batch's band buckets (small — broadcast) join the
+    band-partitioned index, then signature agreement scores each pair.
+    Returns (new_id, corpus_id, est_jaccard); batch-internal dups are
+    the ordinary ``minhash_candidate_pairs``/``dedup_pipeline`` job.
+
+    Scale: per batch the index side reads only colliding buckets; the
+    shuffle carries (band, bucket) hits, never the corpus."""
+    new_sig = minhash_signature(new_docs, id_col, text_col, k).cache()
+    new_bb = minhash_bands(new_sig, bands, rows).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    idx_bb = spark.read.parquet(f"{path}/bands")
+    hits = (
+        idx_bb.join(F.broadcast(new_bb), ["band", "bucket"])
+        .select(F.col("new_id"), F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    idx_sig = spark.read.parquet(f"{path}/sigs").select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("_sc")
+    )
+    ns = new_sig.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("_sn"))
+    est = F.size(
+        F.filter(F.zip_with("_sn", "_sc", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(len(MINHASH_PARAMS)))
+    return (
+        hits.join(F.broadcast(ns), "new_id")
+        .join(idx_sig, "corpus_id")
+        .select("new_id", "corpus_id", est.alias("est_jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

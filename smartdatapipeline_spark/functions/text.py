@@ -493,7 +493,11 @@ def bigram_lm_score(
     Output: (id_col, n_bigrams, n_oov, oov_frac, mean_p).
     """
     if model is None:
-        model = bigram_counts(df, text_col)
+        # cache: the model frame feeds three consumers (bigram join,
+        # w1-total join, vocab scalar) — uncached, each re-runs the
+        # corpus explode + aggregation (measured 7 scans / 16 shuffles
+        # in the plan audit; cached it is one)
+        model = bigram_counts(df, text_col).cache()
     vocab = model.agg(F.countDistinct("w2").alias("_v"))
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")

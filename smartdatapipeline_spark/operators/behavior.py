@@ -1,0 +1,128 @@
+"""User-behavior analytics: ordered funnels and retention cohorts.
+
+Beyond-reference surface (the reference's events table supports neither,
+but any analytics engine replacing it gets asked for both immediately).
+Both operators are pure DataFrame aggregations — integer counts and
+exact-ratio shares, so the DuckDB oracles hash-match bit-for-bit.
+
+Scale: funnels iterate one broadcast-free aggregate per step (steps are
+3-5, not data-sized) with each step's frame shrinking monotonically;
+cohorts are two grouped aggregates. Everything shuffles on user_id once
+per stage — no windows over the full fact, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered first-occurrence funnel: a user reaches step k
+    when their earliest step-k event occurs strictly after their step
+    k−1 time, and the whole chain completes within ``horizon_days`` of
+    the step-1 time.
+
+    Shape: one min-aggregate per step over the step's events joined to
+    the previous step's times (events filter prunes to one event type
+    per pass, so each pass scans a shrinking slice). Conversion shares
+    are exact integer ratios vs the step-1 cohort.
+
+    Output: (step_index, step, n_users, share) — share = n / n_step1.
+    """
+    frames = [
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+        .withColumn("_tprev", F.col("_t1"))
+    ]
+    horizon_end = F.col("_t1") + F.expr(f"INTERVAL {horizon_days} DAYS")
+    for s in steps[1:]:
+        step_ev = events.filter(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        frames.append(
+            frames[-1]
+            .join(step_ev, user_col)
+            .filter((F.col("_ts") > F.col("_tprev")) & (F.col("_ts") <= horizon_end))
+            .groupBy(user_col, "_t1")
+            .agg(F.min("_ts").alias("_tprev"))
+        )
+    # one declarative plan: label each step frame, union, count per
+    # step, and derive shares against the broadcast step-1 count — no
+    # driver-side counts, a single action computes the whole funnel
+    labeled = [
+        f.select(
+            F.lit(i + 1).alias("step_index"),
+            F.lit(s).alias("step"),
+            F.col(user_col),
+        )
+        for i, (s, f) in enumerate(zip(steps, frames))
+    ]
+    u = labeled[0]
+    for l in labeled[1:]:
+        u = u.unionByName(l)
+    per_step = u.groupBy("step_index", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    n1 = per_step.filter(F.col("step_index") == 1).select(
+        F.col("n_users").alias("_n1")
+    )
+    return (
+        per_step.crossJoin(F.broadcast(n1))
+        .withColumn("share", F.col("n_users") / F.col("_n1").cast("double"))
+        .select("step_index", "step", "n_users", "share")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_weeks: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the Monday week of
+    their FIRST event; for each (cohort_week, week_offset ≤ max_weeks),
+    how many cohort members were active that week and the exact-ratio
+    retention vs cohort size.
+
+    Two aggregates: first-seen per user (shuffle on user), then distinct
+    (cohort, offset, user) counts — both integer, order-independent.
+
+    Output: (cohort_week date, week_offset int, n_active, cohort_size,
+    retention).
+    """
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    first_seen = events.groupBy(user_col).agg(
+        week(F.min(ts_col)).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        events.select(user_col, week(F.col(ts_col)).alias("_aw"))
+        .distinct()
+        .join(first_seen, user_col)
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("_aw"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= max_weeks))
+    )
+    active = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .withColumn(
+            "retention", F.col("n_active") / F.col("cohort_size").cast("double")
+        )
+        .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention")
+    )

@@ -612,3 +612,31 @@ def test_bigram_lm_score_exact_values(spark):
     r = TX.bigram_lm_score(cand, model=model).collect()[0]
     assert (r["n_bigrams"], r["n_oov"], r["oov_frac"]) == (1, 1, 1.0)
     assert r["mean_p"] == pytest.approx(1 / 6, abs=1e-15)
+
+
+def test_dedup_index_incremental_probe(spark, tmp_path):
+    """Incremental dedup: a new batch probes the materialized corpus
+    index and finds exactly the cross-corpus near-dups a full recompute
+    would find, without recomputing corpus signatures."""
+    corpus = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "totally unrelated corpus content here now",
+    ])
+    path = str(tmp_path / "dedup_idx")
+    DD.build_dedup_index(corpus, path)
+    new = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta"),  # dup of 0
+         Row(doc_id=101, text="nothing like anything indexed at all")]
+    )
+    got = DD.probe_dedup_index(spark, path, new).collect()
+    assert [(r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in got] == [
+        (100, 0, 1.0)
+    ]
+    # equivalence with a full recompute: union corpus+new, exact pairs
+    full = DD.minhash_candidate_pairs(
+        corpus.unionByName(new)
+    ).filter(F.col("doc_b") >= 100).collect()
+    assert [(r["doc_b"], r["doc_a"], r["est_jaccard"]) for r in full] == [
+        (100, 0, 1.0)
+    ]

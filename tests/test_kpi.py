@@ -137,3 +137,55 @@ def test_hll_sketch_merge_equals_direct(spark):
     assert merged == direct
     exact = ev.select("user_id").distinct().count()
     assert abs(direct - exact) <= max(0.05 * exact, 2)
+
+
+def test_funnel_strict_ordering_and_horizon(spark):
+    """A click BEFORE the first view doesn't advance the funnel; a
+    purchase outside the 7-day horizon doesn't convert."""
+    import datetime as dt
+
+    from smartdatapipeline_spark.operators.behavior import funnel
+
+    rows = [
+        # u1: full ordered funnel inside horizon
+        (1, "view", "2025-01-01T00:00:00"), (1, "click", "2025-01-02T00:00:00"),
+        (1, "purchase", "2025-01-03T00:00:00"),
+        # u2: click precedes the first view -> stuck at view
+        (2, "click", "2025-01-01T00:00:00"), (2, "view", "2025-01-02T00:00:00"),
+        # u3: purchase beyond view+7d -> converts click only
+        (3, "view", "2025-01-01T00:00:00"), (3, "click", "2025-01-02T00:00:00"),
+        (3, "purchase", "2025-01-20T00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, dt.datetime.fromisoformat(s)) for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["step"]: r for r in funnel(ev).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2  # u1, u3
+    assert out["purchase"]["n_users"] == 1  # u1 only
+    assert out["purchase"]["share"] == 1 / 3
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+
+    from smartdatapipeline_spark.operators.behavior import retention_cohorts
+
+    rows = [
+        (1, "2025-01-06T10:00:00"), (1, "2025-01-14T10:00:00"),  # w0, w1
+        (2, "2025-01-07T10:00:00"),                               # w0 only
+        (3, "2025-01-13T10:00:00"), (3, "2025-01-27T10:00:00"),  # next cohort, w0+w2
+    ]
+    ev = spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(s)) for u, s in rows],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2025-01-06", 0)] == (2, 2, 1.0)
+    assert out[("2025-01-06", 1)] == (1, 2, 0.5)
+    assert out[("2025-01-13", 0)] == (1, 1, 1.0)
+    assert out[("2025-01-13", 2)] == (1, 1, 1.0)
