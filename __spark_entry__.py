@@ -1657,6 +1657,40 @@ def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table contracts (Deequ shape) in ONE aggregation
+    pass: null / range / regex checks as conditional counts plus a
+    grouped key-uniqueness check — exact integer ratios."""
+    from smartdatapipeline_spark.operators import quality as Q
+
+    ev = _events(spark, sf_dir)
+    checks = Q.check_expectations(
+        ev,
+        [
+            Q.not_null("user_id"),
+            Q.in_range("value", 0.0, 10000.0),
+            Q.matches("event_type", "^[a-z]+$"),
+        ],
+    )
+    uniq = Q.check_unique(ev, ["user_id", "ts", "event_type"])
+    return checks.unionByName(uniq)
+
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD from an update log (CDC compaction): signup events as
+    per-user attribute updates → half-open validity intervals +
+    is_current, one window over the key."""
+    from smartdatapipeline_spark.operators.quality import scd2_build
+
+    upd = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # collapse same-instant updates
+    )
+    return scd2_build(upd, key_cols=("user_id",), ts_col="ts")
+
+
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly scoring: Iglewicz–Hoaglin modified z-score
     (0.6745·(x−med)/MAD) per metric — median-based, so the outliers
@@ -2046,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "discount_revenue": q_discount_revenue,
+        "expectations": q_expectations,
+        "scd2_dimension": q_scd2_dimension,
     }
 
 
@@ -2296,6 +2332,49 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """
+    o["expectations"] = """
+        WITH base AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v0,
+                   CAST(SUM(CASE WHEN value BETWEEN 0.0 AND 10000.0
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+                   CAST(SUM(CASE WHEN regexp_matches(event_type, '^[a-z]+$')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS v2
+            FROM events),
+        per AS (
+            SELECT 'not_null(user_id)' AS check, n AS n_rows,
+                   v0 AS n_violations FROM base
+            UNION ALL
+            SELECT 'in_range(value,0.0,10000.0)', n, v1 FROM base
+            UNION ALL
+            SELECT 'matches(event_type)', n, v2 FROM base),
+        uniq AS (
+            SELECT 'unique(user_id,ts,event_type)' AS check,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(SUM(c - 1) AS BIGINT) AS n_violations
+            FROM (SELECT COUNT(*) AS c FROM events
+                  GROUP BY user_id, ts, event_type) g),
+        u AS (SELECT * FROM per UNION ALL SELECT * FROM uniq)
+        SELECT check, n_rows, n_violations,
+               CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   AS violation_frac,
+               n_violations <= n_rows * 0.0 AS passed
+        FROM u
+    """
+    o["scd2_dimension"] = """
+        WITH upd AS (
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts)
+        SELECT user_id, ts, value,
+               ts AS effective_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS effective_to,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   AS is_current
+        FROM upd
     """
     return o
 

@@ -94,6 +94,8 @@ BENCH_QUERIES: list[str] = [
     "funnel",
     "retention_cohorts",
     "discount_revenue",
+    "expectations",
+    "scd2_dimension",
 ]
 
 

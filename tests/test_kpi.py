@@ -189,3 +189,54 @@ def test_retention_cohorts_triangle(spark):
     assert out[("2025-01-06", 1)] == (1, 2, 0.5)
     assert out[("2025-01-13", 0)] == (1, 1, 1.0)
     assert out[("2025-01-13", 2)] == (1, 1, 1.0)
+
+
+def test_expectations_single_pass_and_thresholds(spark):
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, None, "ok"), (None, 50.0, "BAD"), (4, 7.0, "ok")],
+        "id long, v double, tag string",
+    )
+    out = {r["check"]: r for r in Q.check_expectations(
+        df,
+        [
+            Q.not_null("id"),
+            Q.in_range("v", 0.0, 10.0),
+            Q.matches("tag", "^[a-z]+$"),
+            Q.Expectation("soft_null(v)", F.col("v").isNotNull(), 0.5),
+        ],
+    ).collect()}
+    assert (out["not_null(id)"]["n_violations"], out["not_null(id)"]["passed"]) == (1, False)
+    # NULL v counts as a violation of in_range; 50.0 out of range -> 2
+    assert out["in_range(v,0.0,10.0)"]["n_violations"] == 2
+    assert out["matches(tag)"]["n_violations"] == 1
+    # soft threshold: 1/4 nulls <= 50% tolerated -> passes
+    assert out["soft_null(v)"]["passed"] is True
+
+    uniq = Q.check_unique(
+        spark.createDataFrame([(1,), (1,), (2,)], "k long"), ["k"]
+    ).collect()[0]
+    assert (uniq["n_rows"], uniq["n_violations"], uniq["passed"]) == (3, 1, False)
+
+
+def test_scd2_intervals_and_current_flag(spark):
+    import datetime as dt
+
+    from smartdatapipeline_spark.operators.quality import scd2_build
+
+    upd = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1), 10.0),
+         (1, dt.datetime(2025, 2, 1), 20.0),
+         (2, dt.datetime(2025, 1, 15), 5.0)],
+        "source_id long, uts timestamp, v double",
+    )
+    out = sorted(
+        scd2_build(upd).collect(), key=lambda r: (r["source_id"], r["uts"])
+    )
+    assert out[0]["effective_to"] == dt.datetime(2025, 2, 1)
+    assert out[0]["is_current"] is False
+    assert out[1]["effective_to"] is None and out[1]["is_current"] is True
+    assert out[2]["is_current"] is True
