@@ -53,3 +53,43 @@ def windowed_kpis(
             "value_count",
         )
     )
+
+
+def session_window_kpis(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN ``session_window``
+    — the declarative twin of the custom stateful operator
+    (streaming/sessions.py ``sessionize_stream``). Prefer this one: the
+    session merge runs inside the native streaming-aggregation state
+    store (no Python in the loop); the applyInPandasWithState variant
+    exists for session logic the built-in can't express (per-event
+    emission, custom merge rules).
+
+    Semantics match operators/sessions.sessionize for the session
+    BOUNDS: window.start = first event, window.end = last event + gap
+    (the built-in's convention — half-open to the gap horizon rather
+    than the last-event timestamp; subtract the gap from window_end to
+    recover last-event time, which the batch-equivalence test does).
+
+    Output: (user_id, session_start, session_end_gap, n_events).
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )

@@ -272,3 +272,65 @@ def test_rolling_zscore_stream_matches_batch(spark, tmp_path):
     # and the spike scored as an outlier
     spike = next(v for (m, t), v in want.items() if m == "m" and "01-10" in t)
     assert spike[1] is True and spike[0] > 3.0
+
+
+def test_session_window_builtin_matches_batch_sessionize(spark, tmp_path):
+    """Built-in session_window (streamed) == the batch sessionize
+    operator on session bounds and event counts (window_end − gap =
+    last event time)."""
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.operators.sessions import sessionize
+    from smartdatapipeline_spark.streaming.windows import session_window_kpis
+
+    rows = [
+        (1, "2025-01-01T00:00:00"), (1, "2025-01-01T00:10:00"),  # session A
+        (1, "2025-01-01T02:00:00"),                               # session B
+        (2, "2025-01-01T01:00:00"), (2, "2025-01-01T01:29:00"),  # one session
+    ]
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    (inp / "f.json").write_text(
+        "\n".join(
+            f'{{"user_id": {u}, "ts": "{t}Z"}}' for u, t in rows
+        ) + "\n"
+    )
+    time.sleep(1.1)  # file-source batches order by modification time
+    # watermark advancer in a LATER micro-batch so append mode finalizes
+    # every earlier session window (same pattern as the stateful test)
+    (inp / "g.json").write_text('{"user_id": 99, "ts": "2025-01-02T00:00:00Z"}\n')
+    schema = "user_id long, ts timestamp"
+    out = session_window_kpis(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp)),
+        gap="30 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_builtin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_start"].isoformat(),
+            (r["session_end_gap"] - __import__("datetime").timedelta(minutes=30)).isoformat(),
+            r["n_events"],
+        )
+        for r in spark.table("sess_builtin_test").collect()
+    )
+    batch = sessionize(spark.read.schema(schema).json(str(inp)), gap_minutes=30)
+    want = sorted(
+        (
+            r["user_id"],
+            r["session_start"].isoformat(),
+            r["session_end"].isoformat(),
+            r["n_events"],
+        )
+        for r in batch.collect()
+        if r["user_id"] != 99  # the advancer's own session never flushes
+    )
+    assert got == want and len(got) == 3
