@@ -2344,20 +2344,20 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 0 ELSE 1 END) AS BIGINT) AS v2
             FROM events),
         per AS (
-            SELECT 'not_null(user_id)' AS check, n AS n_rows,
+            SELECT 'not_null(user_id)' AS "check", n AS n_rows,
                    v0 AS n_violations FROM base
             UNION ALL
             SELECT 'in_range(value,0.0,10000.0)', n, v1 FROM base
             UNION ALL
             SELECT 'matches(event_type)', n, v2 FROM base),
         uniq AS (
-            SELECT 'unique(user_id,ts,event_type)' AS check,
+            SELECT 'unique(user_id,ts,event_type)' AS "check",
                    CAST(SUM(c) AS BIGINT) AS n_rows,
                    CAST(SUM(c - 1) AS BIGINT) AS n_violations
             FROM (SELECT COUNT(*) AS c FROM events
                   GROUP BY user_id, ts, event_type) g),
         u AS (SELECT * FROM per UNION ALL SELECT * FROM uniq)
-        SELECT check, n_rows, n_violations,
+        SELECT "check", n_rows, n_violations,
                CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
                    AS violation_frac,
                n_violations <= n_rows * 0.0 AS passed

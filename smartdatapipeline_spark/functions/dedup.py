@@ -457,26 +457,30 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["_dst"] == labels["_id"])
-            .groupBy("_src")
-            .agg(F.min("_label").alias("_nbr"))
-        )
-        # carry the previous label alongside the new one so convergence
-        # is a filter on the SAME checkpointed frame — one join + one
-        # count job per round instead of two joins (the old/new compare
-        # join cost ~30% of each round's wall-clock at bench scale)
-        new_labels = (
-            labels.join(nbr_min, labels["_id"] == nbr_min["_src"], "left")
-            .select(
-                F.col("_id"),
-                F.least(
-                    F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
-                ).alias("_label"),
-                F.col("_label").alias("_prev"),
+        # TWO propagation sub-steps per materialized round: same total
+        # shuffle work for the same propagation distance, but HALF the
+        # checkpoint + convergence-count jobs — locally those fixed
+        # per-round costs dominate (measured ~2× on the bench corpora).
+        # _prev carries the round-entry label so convergence is a filter
+        # on the SAME checkpointed frame (no old/new compare join).
+        cur = labels.select("_id", "_label", F.col("_label").alias("_prev"))
+        for _sub in range(2):
+            nbr_min = (
+                edges.join(cur, edges["_dst"] == cur["_id"])
+                .groupBy("_src")
+                .agg(F.min("_label").alias("_nbr"))
             )
-            .localCheckpoint(eager=True)
-        )
+            cur = (
+                cur.join(nbr_min, cur["_id"] == nbr_min["_src"], "left")
+                .select(
+                    F.col("_id"),
+                    F.least(
+                        F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
+                    ).alias("_label"),
+                    F.col("_prev"),
+                )
+            )
+        new_labels = cur.localCheckpoint(eager=True)
         changed = (
             new_labels.filter(F.col("_label") != F.col("_prev")).limit(1).count()
         )
