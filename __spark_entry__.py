@@ -908,6 +908,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- temporal joins / sketches
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED MLlib KMeans centroids (seeded) — the MLlib
+    integration route; randomized-init training ⇒ rows-only driver
+    check, semantics pinned by tests."""
+    emb = _emb(spark, sf_dir)
+    cents = SIM.kmeans_centroids(emb, k=16, seed=42)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_topk_with_centroids(emb, queries, cents, k=10)
+
+
+def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH approxSimilarityJoin candidate pairs (seeded;
+    MLlib's hash family isn't SQL-replicable ⇒ rows-only driver check;
+    the from-scratch minhash_pairs stays the oracle-checked path)."""
+    return DD.minhash_lsh_pairs_mllib(_docs(spark, sf_dir))
+
+
 def q_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond reference surface; SURVEY §2.3 notes their
     absence): attach to every event the most recent per-metric
@@ -2082,6 +2099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue": q_discount_revenue,
         "expectations": q_expectations,
         "scd2_dimension": q_scd2_dimension,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "minhash_lsh_mllib": q_minhash_lsh_mllib,
     }
 
 

@@ -96,6 +96,8 @@ BENCH_QUERIES: list[str] = [
     "discount_revenue",
     "expectations",
     "scd2_dimension",
+    "ivf_kmeans_topk",
+    "minhash_lsh_mllib",
 ]
 
 

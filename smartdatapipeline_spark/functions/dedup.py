@@ -298,6 +298,57 @@ def dedup_pipeline(
     )
 
 
+def minhash_lsh_pairs_mllib(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hash_tables: int = 4,
+    max_jaccard_distance: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Engine-native MinHash LSH via MLlib (the BASELINE.json "MLlib"
+    route): shingles → HashingTF sparse vectors → ``MinHashLSH``
+    (seeded) → ``approxSimilarityJoin`` under a Jaccard-distance
+    threshold. Same candidate-generation role as the from-scratch
+    ``minhash_candidate_pairs`` (which stays the oracle-checked path —
+    MLlib's hash family isn't SQL-replicable); this variant gets the
+    JVM-side LSH join implementation and its AND/OR amplification knobs
+    for free. Distance here is exact Jaccard on the hashed feature sets,
+    computed by the join itself.
+
+    Output: (doc_a, doc_b, jaccard) with a < b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "doc_id", F.array_distinct(shingles(F.col("_toks"), k)).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    tf = HashingTF(
+        inputCol="_sh", outputCol="features", numFeatures=num_features
+    )
+    feat = tf.transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    ).fit(feat)
+    joined = model.approxSimilarityJoin(
+        feat, feat, max_jaccard_distance, distCol="_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("_dist")).alias("jaccard"),
+        )
+        .distinct()
+    )
+
+
 def build_dedup_index(
     df: DataFrame,
     path: str,

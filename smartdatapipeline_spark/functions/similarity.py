@@ -231,6 +231,78 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED IVF coarse quantizer via MLlib KMeans (the BASELINE.json
+    "MLlib" integration point): fits k centers on the corpus (seeded —
+    k-means|| init is deterministic for a fixed seed and partitioning)
+    and returns them in the (cent_id, _cv, _cn) shape ``ivf_assign``/
+    ``ivf_topk_with_centroids`` consume — swapping the plumbing-first
+    quantizer for a trained one changes ONLY this frame, as promised in
+    ``ivf_topk``'s contract. Centers are |k| smalls rows — driver round
+    trip is k·dim floats, not data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = vectors.sparkSession.createDataFrame(
+        rows, "cent_id int, _cv array<double>"
+    )
+    return cents.select("cent_id", "_cv", norm2(F.col("_cv")).alias("_cn"))
+
+
+def ivf_topk_with_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` with an explicit (cent_id, _cv, _cn) centroid frame
+    (e.g. from ``kmeans_centroids``): corpus and queries quantize to the
+    same trained cells, probe the query's own cell, exact re-rank."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("_nv"),
+        F.col("_n").alias("_nn"),
+        "cell",
+    )
+    qcells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "cell")
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,

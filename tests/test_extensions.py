@@ -640,3 +640,30 @@ def test_dedup_index_incremental_probe(spark, tmp_path):
     assert [(r["doc_b"], r["doc_a"], r["est_jaccard"]) for r in full] == [
         (100, 0, 1.0)
     ]
+
+
+def test_mllib_minhash_lsh_pairs(spark):
+    """MLlib MinHashLSH route finds the exact-dup pair with jaccard 1.0
+    and skips unrelated docs (seeded, deterministic)."""
+    df = _docs(spark, [
+        "w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6",
+        "completely different doc text here now",
+    ])
+    out = DD.minhash_lsh_pairs_mllib(df, max_jaccard_distance=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(0, 1, 1.0)]
+
+
+def test_mllib_kmeans_ivf_centroids(spark):
+    """Trained KMeans centroids plug into the IVF machinery: two clear
+    clusters -> queries probe their own trained cell only."""
+    corpus = _vecs(spark, [
+        [1.0, 0.0], [0.95, 0.05], [0.9, 0.1],
+        [0.0, 1.0], [0.05, 0.95], [0.1, 0.9],
+    ])
+    cents = SIM.kmeans_centroids(corpus, k=2, seed=7)
+    assert cents.count() == 2
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = SIM.ivf_topk_with_centroids(corpus, queries, cents, k=10).collect()
+    # neighbors come only from vec 0's own cluster {1, 2}
+    assert sorted(r["neighbor_id"] for r in out) == [1, 2]
+    assert len({r["cell"] for r in out}) == 1
