@@ -925,6 +925,23 @@ def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs_mllib(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-shape model-based quality filter (Brown et al. 2020 Appx
+    A): LR trained on the corpus's own hand-score extremes (top vs
+    bottom tercile — deterministic weak labels), scores every doc, and
+    applies the hash-realized Pareto keep rule. L-BFGS training ⇒
+    rows-only driver check; separation pinned by tests."""
+    from smartdatapipeline_spark.functions import classify as CL
+
+    d = _docs(spark, sf_dir)
+    q = TX.quality_features(d).select("doc_id", "quality")
+    with_q = d.join(q, "doc_id")
+    pos = with_q.filter(F.col("quality") >= 0.62).select("doc_id", "text")
+    neg = with_q.filter(F.col("quality") <= 0.55).select("doc_id", "text")
+    model = CL.train_quality_classifier(pos, neg)
+    return CL.pareto_keep(CL.score_quality(d, model))
+
+
 def q_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond reference surface; SURVEY §2.3 notes their
     absence): attach to every event the most recent per-metric
@@ -2101,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dimension": q_scd2_dimension,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "minhash_lsh_mllib": q_minhash_lsh_mllib,
+        "quality_classifier": q_quality_classifier,
     }
 
 

@@ -98,6 +98,7 @@ BENCH_QUERIES: list[str] = [
     "scd2_dimension",
     "ivf_kmeans_topk",
     "minhash_lsh_mllib",
+    "quality_classifier",
 ]
 
 

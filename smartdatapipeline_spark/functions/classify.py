@@ -1,0 +1,108 @@
+"""Model-based document quality classification (the GPT-3 corpus-filter
+shape, Brown et al. 2020 Appendix A: a linear classifier trained to
+prefer reference-corpus documents, used to filter/importance-sample the
+web crawl).
+
+MLlib LogisticRegression over the deterministic hand features from
+``text.quality_features`` — no tokenizer/embedding dependency, so the
+feature pipeline is pure JVM column math and the only learned state is
+|features|+1 doubles that broadcast everywhere. The classic deployment:
+fit on (reference positives, random-crawl negatives), score the whole
+corpus, keep docs whose score clears a threshold or pass it to
+Pareto-style importance sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.functions.text import quality_features
+
+#: feature columns taken from text.quality_features
+FEATURES = (
+    "n_chars",
+    "n_tokens",
+    "alpha_ratio",
+    "digit_ratio",
+    "space_ratio",
+    "stop_ratio",
+)
+
+
+def _feature_frame(docs: DataFrame, text_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    feats = quality_features(docs, text_col=text_col)
+    arr = F.array(*[F.col(c).cast("double") for c in FEATURES])
+    return feats.select(
+        "doc_id", array_to_vector(arr).alias("features")
+    )
+
+
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    text_col: str = "text",
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+):
+    """Fit the reference-vs-crawl classifier. Returns the fitted MLlib
+    model (weights = |FEATURES| doubles + intercept; L-BFGS on a convex
+    objective — deterministic for fixed inputs). ``positives`` /
+    ``negatives`` each need (doc_id, text)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    train = _feature_frame(positives, text_col).withColumn(
+        "label", F.lit(1.0)
+    ).unionByName(
+        _feature_frame(negatives, text_col).withColumn("label", F.lit(0.0))
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=True,
+    )
+    return lr.fit(train)
+
+
+def score_quality(
+    docs: DataFrame, model, text_col: str = "text"
+) -> DataFrame:
+    """Score a corpus under a trained classifier.
+
+    Output: (doc_id, quality_prob) — P(reference-like). The transform is
+    a broadcast of |FEATURES|+1 doubles; scoring runs at scan speed."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(_feature_frame(docs, text_col))
+    return scored.select(
+        "doc_id",
+        F.element_at(vector_to_array("probability"), 2).alias("quality_prob"),
+    )
+
+
+def pareto_keep(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    prob_col: str = "quality_prob",
+    seed_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3's importance-sampling keep rule (Brown et al. 2020 Appx A):
+    keep a document iff ``alpha · (1 − score) < x`` with x drawn from a
+    Pareto(α)-ish tail — realized DETERMINISTICALLY per doc by hashing
+    the id into (0,1] (re-runs keep the same docs; no RNG state).
+
+    np.random.pareto(α) draws x with CDF 1−(1+x)^(−α); inverting with
+    u = hash-uniform gives x = u^(−1/α) − 1.
+    """
+    u = (
+        (F.abs(F.xxhash64(F.col(seed_col).cast("string"), F.lit(alpha))) % F.lit(1_000_000_000))
+        .cast("double")
+        / 1_000_000_000.0
+        + F.lit(5e-10)  # keep u strictly in (0, 1]
+    )
+    x = F.pow(u, -1.0 / alpha) - 1.0
+    return scored.withColumn("keep", (1.0 - F.col(prob_col)) < x)

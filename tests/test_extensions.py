@@ -667,3 +667,40 @@ def test_mllib_kmeans_ivf_centroids(spark):
     # neighbors come only from vec 0's own cluster {1, 2}
     assert sorted(r["neighbor_id"] for r in out) == [1, 2]
     assert len({r["cell"] for r in out}) == 1
+
+
+def test_quality_classifier_separates_and_pareto_keeps(spark):
+    """GPT-3-shape quality filter: LR trained on clean-prose positives
+    vs gibberish negatives ranks held-out prose above held-out noise;
+    pareto_keep is deterministic per doc id."""
+    from smartdatapipeline_spark.functions import classify as CL
+
+    prose = [
+        "the quick brown fox jumps over the lazy dog and the story continues with many common words",
+        "it was the best of times and it was the worst of times in the city by the river",
+        "a small house stood on the hill and the children walked to school in the morning light",
+    ]
+    noise = [
+        "x9z 00*** 8### @@@1 zz9x 77&& ^^^^ 0x0x0x",
+        "qqqq 1234567890 %%%% $$$$ #### !!!! 9999 0000",
+        "zxcv 8888 **** &&&& @@@@ 7777 !!!! ~~~~",
+    ]
+    pos = _docs(spark, prose)
+    neg = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(noise)]
+    )
+    model = CL.train_quality_classifier(pos, neg)
+    held = spark.createDataFrame(
+        [
+            Row(doc_id=500, text="the dog ran to the house and the man was there with a book"),
+            Row(doc_id=501, text="0x0 @@ ## 99 zz ** !! ~~ ^^ 77"),
+        ]
+    )
+    got = {r["doc_id"]: r["quality_prob"] for r in CL.score_quality(held, model).collect()}
+    assert got[500] > got[501]
+    assert got[500] > 0.5 and got[501] < 0.5
+
+    scored = CL.score_quality(held, model)
+    k1 = {r["doc_id"]: r["keep"] for r in CL.pareto_keep(scored).collect()}
+    k2 = {r["doc_id"]: r["keep"] for r in CL.pareto_keep(scored).collect()}
+    assert k1 == k2  # hash-realized draw: deterministic across runs
