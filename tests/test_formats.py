@@ -46,3 +46,45 @@ def test_ndjson_round_trip_value_exact(spark, tmp_path):
     gold.write.mode("overwrite").json(path)
     back = spark.read.schema(gold.schema).json(path)
     assert _rows(back) == _rows(gold)
+
+
+def test_compact_parquet_reduces_files_and_clusters_ranges(spark, tmp_path):
+    """Compaction: 24 shredded files rewrite to the byte-sized count;
+    range clustering yields disjoint per-file doc_id min/max (footer
+    pruning works)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from smartdatapipeline_spark.operators.maintenance import compact_parquet
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(24).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 24
+
+    n = compact_parquet(spark, src, dest, target_mb=128, cluster_cols=("doc_id",))
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) == n  # tiny data -> 1 file at 128 MB target
+    back = spark.read.parquet(dest)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("doc_id")).first()[0] == sum(range(10_000))
+
+    # force multi-file clustering and verify disjoint ranges
+    dest2 = str(tmp_path / "dest2")
+    df4 = spark.read.parquet(src).repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+    df4.write.parquet(dest2)
+    ranges = []
+    for f in glob.glob(f"{dest2}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint key ranges -> footer pruning

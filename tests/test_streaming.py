@@ -334,3 +334,44 @@ def test_session_window_builtin_matches_batch_sessionize(spark, tmp_path):
         if r["user_id"] != 99  # the advancer's own session never flushes
     )
     assert got == want and len(got) == 3
+
+
+def test_stream_corpus_ingest_incremental_dedup(spark, tmp_path):
+    """Streaming corpus ingest: batch 2's near-dups of batch 1 are
+    dropped by the index probe; survivors append to corpus AND index
+    (so later batches would see them)."""
+    from smartdatapipeline_spark.streaming.corpus import stream_corpus_ingest
+
+    inp = tmp_path / "docs_in"
+    inp.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    (inp / "b1.json").write_text(
+        '{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}\n'
+        '{"doc_id": 2, "text": "one two three four five six seven"}\n'
+        '{"doc_id": 3, "text": "one two three four five six seven"}\n'  # exact dup of 2
+    )
+    schema = "doc_id long, text string"
+    q = stream_corpus_ingest(
+        spark.readStream.schema(schema).json(str(inp)), corpus, index, ckpt
+    )
+    q.awaitTermination(120)
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got1 == [1, 2]  # batch-internal exact dup 3 dropped
+
+    time.sleep(1.1)
+    (inp / "b2.json").write_text(
+        '{"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta"}\n'  # dup of 1
+        '{"doc_id": 11, "text": "entirely new document text goes right here"}\n'
+    )
+    q2 = stream_corpus_ingest(
+        spark.readStream.schema(schema).json(str(inp)), corpus, index, ckpt
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got2 == [1, 2, 11]  # 10 caught by the index probe
+    # the index grew with the survivors only
+    sigs = sorted(r["doc_id"] for r in spark.read.parquet(f"{index}/sigs").collect())
+    assert sigs == [1, 2, 11]
