@@ -253,3 +253,47 @@ def test_cusum_fold_property(spark, values, k):
         assert rows[i]["cusum_pos"] == sp
         assert rows[i]["cusum_neg"] == sn
         assert rows[i]["is_changepoint"] == (sp > 5.0 or sn > 5.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=15, max_size=60
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_arima_css_fn_matches_scalar_recursion(deltas, horizon):
+    """The vectorized numpy ARIMA(1,1,1) CSS fit is bit-identical to a
+    plain scalar-Python recursion on random integer-valued random walks
+    (same lattice, same tie-break, same ψ-weight forecast loop)."""
+    import numpy as np
+    import pandas as pd
+
+    from smartdatapipeline_spark.operators.forecast import arima_css_fn
+    from tests.test_forecast import _arima_scalar_reference
+
+    values = [float(x) for x in np.cumsum([100] + deltas)]
+    _phi, _theta, want = _arima_scalar_reference(values, horizon)
+    s = pd.Series(values, index=pd.date_range("2025-01-01", periods=len(values)))
+    out = arima_css_fn(s, horizon)
+    got = list(zip(out["yhat"], out["yhat_lower"], out["yhat_upper"]))
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_parse_headers_never_crash_on_garbage(data):
+    """Decoders are total functions: random bytes (including adversarial
+    'BM'/'RIFF' prefixes) return None/None-tuples, never raise."""
+    from smartdatapipeline_spark.functions.multimodal import (
+        parse_bmp_pixels,
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    for prefix in (b"", b"BM", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
+        blob = prefix + data
+        parse_image_header(blob)
+        parse_wav_header(blob)
+        r = parse_bmp_pixels(blob)
+        assert r is None or (len(r) == 3 and len(r[2]) == r[0] * r[1] * 3)
