@@ -979,6 +979,31 @@ def q_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("metric", "event_id", "ts", "ck_ts", "ck_value")
 
 
+def q_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — the SCD2 + as-of composition: each
+    purchase picks up the dimension version (signup value) VALID AT its
+    event time. Half-open SCD2 intervals make interval containment
+    equivalent to a backward as-of on effective_from, which is one
+    union-sort pass per key (operators/temporal.py), not an interval
+    join. Oracle: DuckDB native ASOF JOIN."""
+    from smartdatapipeline_spark.operators import temporal as T
+
+    ev = _events(spark, sf_dir)
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("uts"))
+        .agg(F.max("value").alias("signup_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = T.asof_join(
+        purch, dim, left_ts="ts", right_ts="uts", by=["user_id"],
+        right_cols=["signup_value"], how="inner",
+    )
+    return out.select("user_id", "event_id", "ts", "value", "uts", "signup_value")
+
+
 def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join (beyond reference surface): keyless
     [start, end) windows around the top-3 revenue days, joined to raw
@@ -2119,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "minhash_lsh_mllib": q_minhash_lsh_mllib,
         "quality_classifier": q_quality_classifier,
+        "pit_enrichment": q_pit_enrichment,
     }
 
 
@@ -2399,6 +2425,18 @@ def oracle_sql() -> dict[str, str]:
                    AS violation_frac,
                n_violations <= n_rows * 0.0 AS passed
         FROM u
+    """
+    o["pit_enrichment"] = """
+        WITH dim AS (
+            SELECT user_id, ts AS uts, MAX(value) AS signup_value
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts),
+        p AS (
+            SELECT user_id, event_id, ts, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, p.event_id, p.ts, p.value, d.uts, d.signup_value
+        FROM p ASOF JOIN dim d
+          ON p.user_id = d.user_id AND p.ts >= d.uts
     """
     o["scd2_dimension"] = """
         WITH upd AS (

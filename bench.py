@@ -99,6 +99,7 @@ BENCH_QUERIES: list[str] = [
     "ivf_kmeans_topk",
     "minhash_lsh_mllib",
     "quality_classifier",
+    "pit_enrichment",
 ]
 
 
