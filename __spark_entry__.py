@@ -855,6 +855,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(train_docs, eval_docs, min_overlap_frac=0.2)
 
 
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination (PaLM-style 13-gram window removal):
+    contaminated windows are masked out of the text, the rest survives —
+    the surgical alternative to doc-level decontaminate. Pure column
+    math; oracle replicates the mask algebra in DuckDB list ops."""
+    from smartdatapipeline_spark.functions.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    split = hash_split(
+        d.select("doc_id", "text"), weights={"train": 90, "val": 5, "test": 5}
+    )
+    eval_docs = split.filter(F.col("split") == "test").select("doc_id", "text")
+    train_docs = split.filter(F.col("split") != "test").select("doc_id", "text")
+    return DD.scrub_contaminated_spans(train_docs, eval_docs, window=13, k=3)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concat-and-split layout of docs into 64-token
     context windows across 8 shards (per-shard prefix-sum window)."""
@@ -2145,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_mllib": q_minhash_lsh_mllib,
         "quality_classifier": q_quality_classifier,
         "pit_enrichment": q_pit_enrichment,
+        "scrub_spans": q_scrub_spans,
     }
 
 
@@ -2425,6 +2442,63 @@ def oracle_sql() -> dict[str, str]:
                    AS violation_frac,
                n_violations <= n_rows * 0.0 AS passed
         FROM u
+    """
+    # scrub_spans — the span-mask algebra in DuckDB list ops: positional
+    # shingle hits → contaminated starts (all span_len shingles hit) →
+    # covered-token mask → kept tokens rejoined. window=13, k=3 ⇒
+    # span_len=11.
+    o["scrub_spans"] = _TEXT_CTE + """
+        , split AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                       AS bucket
+            FROM documents),
+        ev_pos AS (
+            SELECT array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+            FROM t JOIN split USING (doc_id),
+                 LATERAL unnest(generate_series(0, len(toks) - 3)) AS u(i)
+            WHERE bucket >= 95 AND len(toks) >= 3),
+        eval_sh AS (SELECT DISTINCT s FROM ev_pos WHERE s <> ''),
+        pos_sh AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS s
+            FROM t JOIN split USING (doc_id),
+                 LATERAL unnest(generate_series(0, len(toks) - 3)) AS u(i)
+            WHERE bucket < 95 AND len(toks) >= 3),
+        hp AS (
+            SELECT doc_id, list_sort(list(pos)) AS hitpos
+            FROM pos_sh JOIN eval_sh USING (s)
+            GROUP BY doc_id),
+        base AS (
+            SELECT t.doc_id, t.toks, COALESCE(hp.hitpos, []) AS hitpos
+            FROM t JOIN split USING (doc_id)
+            LEFT JOIN hp ON t.doc_id = hp.doc_id
+            WHERE bucket < 95),
+        m AS (
+            SELECT doc_id, toks,
+                   list_filter(generate_series(0, len(toks) - 13),
+                       s -> len(list_filter(hitpos,
+                                p -> p >= s AND p < s + 11)) = 11) AS starts
+            FROM base),
+        k AS (
+            SELECT doc_id, toks, starts,
+                   list_filter(generate_series(1, len(toks)),
+                       idx -> len(list_filter(starts,
+                                s -> idx - 1 >= s AND idx - 1 < s + 13)) = 0)
+                       AS keep_idx
+            FROM m)
+        SELECT doc_id,
+               -- array_to_string([]) is NULL in DuckDB; Spark's
+               -- array_join([]) is '' — coalesce to match
+               COALESCE(array_to_string(
+                   list_transform(keep_idx, idx -> toks[idx]), ' '), '')
+                   AS clean_text,
+               len(toks) AS n_tokens,
+               len(toks) - len(keep_idx) AS n_masked,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(toks) - len(keep_idx) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS masked_frac
+        FROM k
     """
     o["pit_enrichment"] = """
         WITH dim AS (

@@ -100,6 +100,7 @@ BENCH_QUERIES: list[str] = [
     "minhash_lsh_mllib",
     "quality_classifier",
     "pit_enrichment",
+    "scrub_spans",
 ]
 
 

@@ -349,6 +349,103 @@ def minhash_lsh_pairs_mllib(
     )
 
 
+def scrub_contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 13,
+    k: int = 3,
+) -> DataFrame:
+    """SPAN-level decontamination (the PaLM/GPT-4-report convention:
+    drop the overlapping ~13-gram WINDOWS, keep the rest of the
+    document — doc-level ``decontaminate`` above is the blunt
+    instrument): any ``window``-token span of a training doc whose
+    k-gram shingles ALL appear in the eval shingle set is masked out;
+    the cleaned text is the remaining tokens rejoined.
+
+    A span is "contaminated" when every one of its k-gram shingles hits
+    the eval set — equivalent to an exact ``window``-token overlap for
+    contiguous eval text, robust to shingle-set reuse. All column math:
+    explode spans → broadcast-join eval shingles → per-span hit counts →
+    per-doc covered-position mask → filter + rejoin. The only
+    corpus-sized shuffle is the per-doc grouping.
+
+    Output: (id_col, clean_text, n_tokens, n_masked, masked_frac).
+    """
+    eval_sh = F.broadcast(
+        exploded_shingles(eval_docs, id_col, text_col, k)
+        .filter(F.col("sh").isNotNull() & (F.col("sh") != ""))
+        .select(F.col("sh").alias("_esh"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    per_pos = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.size("_toks") >= k,
+                F.sequence(F.lit(0), F.size("_toks") - k),
+            )
+        ).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, k)).alias("sh"),
+    )
+    hits = (
+        per_pos.join(eval_sh, per_pos["sh"] == eval_sh["_esh"], "left")
+        .select("doc_id", "pos", F.col("_esh").isNotNull().alias("_hit"))
+    )
+    # span starting at s (length `window`) is contaminated iff all its
+    # window-k+1 shingle positions hit; collect hit positions per doc
+    # and evaluate the mask as array logic (docs are KB-sized; the
+    # per-doc array is bounded by doc length, not corpus size)
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("_hit"), F.col("pos")))
+        ).alias("_hitpos")
+    )
+    with_toks = toks.join(per_doc, "doc_id", "left")
+    n = F.size("_toks")
+    span_len = window - k + 1  # shingle positions per span
+    hitpos = F.coalesce(F.col("_hitpos"), F.array())
+    # contaminated span starts: s where positions s..s+span_len-1 all
+    # hit (guard: Spark sequence() DESCENDS when stop < start, so short
+    # docs take an explicit empty array)
+    starts = F.filter(
+        F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: F.size(
+            F.filter(hitpos, lambda p: (p >= s) & (p < s + span_len))
+        )
+        == F.lit(span_len),
+    )
+    # token i is masked iff any contaminated span covers it
+    masked = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.exists(starts, lambda s: (i >= s) & (i < s + window)),
+    )
+    kept = F.filter(
+        F.zip_with(F.col("_toks"), masked, lambda t, m: F.when(~m, t)),
+        lambda x: x.isNotNull(),
+    )
+    n_masked = F.size(F.filter(masked, lambda m: m))
+    return with_toks.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        n.alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        F.when(n > 0, n_masked / n.cast("double")).otherwise(0.0).alias(
+            "masked_frac"
+        ),
+    )
+
+
 def build_dedup_index(
     df: DataFrame,
     path: str,

@@ -704,3 +704,26 @@ def test_quality_classifier_separates_and_pareto_keeps(spark):
     k1 = {r["doc_id"]: r["keep"] for r in CL.pareto_keep(scored).collect()}
     k2 = {r["doc_id"]: r["keep"] for r in CL.pareto_keep(scored).collect()}
     assert k1 == k2  # hash-realized draw: deterministic across runs
+
+
+def test_scrub_contaminated_spans_surgical(spark):
+    """Span-level decontamination: the 13-token eval window is masked
+    out of a train doc, surrounding text survives; a clean doc and a
+    shorter-than-window doc pass through untouched."""
+    ev = spark.createDataFrame(
+        [Row(doc_id=900, text=" ".join(f"e{i}" for i in range(13)))]
+    )
+    contaminated = (
+        " ".join(f"w{i}" for i in range(5))
+        + " " + " ".join(f"e{i}" for i in range(13)) + " tail1 tail2"
+    )
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=contaminated),
+        Row(doc_id=2, text=" ".join(f"c{i}" for i in range(20))),
+        Row(doc_id=3, text="too short"),
+    ])
+    out = {r["doc_id"]: r for r in DD.scrub_contaminated_spans(docs, ev).collect()}
+    assert out[1]["clean_text"] == "w0 w1 w2 w3 w4 tail1 tail2"
+    assert (out[1]["n_masked"], out[1]["n_tokens"]) == (13, 20)
+    assert out[2]["n_masked"] == 0 and out[2]["clean_text"].startswith("c0 c1")
+    assert out[3]["n_masked"] == 0 and out[3]["clean_text"] == "too short"
