@@ -1751,6 +1751,21 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.unionByName(uniq)
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitoring: event-type mix of the first half of
+    the time range vs the second — TV distance + chi², all log-free
+    exact ratios with category-ordered summary folds."""
+    from smartdatapipeline_spark.operators.quality import distribution_drift
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return distribution_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        key_col="event_type",
+    )
+
+
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD from an update log (CDC compaction): signup events as
     per-user attribute updates → half-open validity intervals +
@@ -2162,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "pit_enrichment": q_pit_enrichment,
         "scrub_spans": q_scrub_spans,
+        "distribution_drift": q_distribution_drift,
     }
 
 
@@ -2499,6 +2515,42 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(len(toks) - len(keep_idx) AS DOUBLE) / len(toks)
                     ELSE 0.0 END AS masked_frac
         FROM k
+    """
+    o["distribution_drift"] = """
+        WITH b AS (
+            SELECT event_type AS category, COUNT(*) AS n_baseline
+            FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        c AS (
+            SELECT event_type AS category, COUNT(*) AS n_current
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        j AS (
+            SELECT COALESCE(b.category, c.category) AS category,
+                   COALESCE(n_baseline, 0) AS n_baseline,
+                   COALESCE(n_current, 0) AS n_current
+            FROM b FULL OUTER JOIN c USING (category)),
+        tot AS (SELECT CAST(SUM(n_baseline) AS BIGINT) AS tb,
+                       CAST(SUM(n_current) AS BIGINT) AS tc FROM j),
+        terms AS (
+            SELECT category, n_baseline, n_current,
+                   n_baseline / CAST(tb AS DOUBLE) AS p_baseline,
+                   n_current / CAST(tc AS DOUBLE) AS p_current,
+                   ABS(n_baseline / CAST(tb AS DOUBLE)
+                       - n_current / CAST(tc AS DOUBLE)) AS abs_diff,
+                   CASE WHEN (n_baseline / CAST(tb AS DOUBLE)) * CAST(tc AS DOUBLE) > 0
+                        THEN (n_current - (n_baseline / CAST(tb AS DOUBLE)) * CAST(tc AS DOUBLE))
+                             * (n_current - (n_baseline / CAST(tb AS DOUBLE)) * CAST(tc AS DOUBLE))
+                             / ((n_baseline / CAST(tb AS DOUBLE)) * CAST(tc AS DOUBLE))
+                        ELSE 0.0 END AS chi_t
+            FROM j CROSS JOIN tot),
+        summ AS (
+            SELECT list_reduce(list_prepend(0.0, list(abs_diff ORDER BY category)),
+                               (a, x) -> a + x) / 2.0 AS tv_distance,
+                   list_reduce(list_prepend(0.0, list(chi_t ORDER BY category)),
+                               (a, x) -> a + x) AS chi2
+            FROM terms)
+        SELECT category, n_baseline, n_current, p_baseline, p_current,
+               abs_diff, tv_distance, chi2
+        FROM terms CROSS JOIN summ
     """
     o["pit_enrichment"] = """
         WITH dim AS (

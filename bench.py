@@ -101,6 +101,7 @@ BENCH_QUERIES: list[str] = [
     "quality_classifier",
     "pit_enrichment",
     "scrub_spans",
+    "distribution_drift",
 ]
 
 

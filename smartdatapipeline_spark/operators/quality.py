@@ -97,6 +97,80 @@ def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def distribution_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Categorical distribution drift between two table snapshots — the
+    monitoring check a pipeline runs before promoting a new corpus or
+    after a schema/source change. Reports, per distribution:
+
+    - ``tv_distance``: total-variation distance Σ|p−q|/2 (the log-free
+      drift metric — PSI/KL need ln(), which is not correctly-rounded
+      portable across engines; TV is exact integer-ratio arithmetic)
+    - ``chi2``: Pearson's Σ (n_cur − e)²/e with e = expected count under
+      the baseline share at the current total — also pure ratios
+    - per-category counts and shares for the drill-down
+
+    One grouped aggregate per side + a full-outer join on the category —
+    the category cardinality (small) sizes everything after the scans.
+
+    Output: (category, n_baseline, n_current, p_baseline, p_current,
+    abs_diff) plus summary columns (tv_distance, chi2) repeated per row
+    (window totals — keeps it one frame for the oracle).
+    """
+    b = baseline.groupBy(F.col(key_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_baseline")
+    )
+    c = current.groupBy(F.col(key_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_current")
+    )
+    j = (
+        b.join(c, "category", "full_outer")
+        .withColumn("n_baseline", F.coalesce("n_baseline", F.lit(0)))
+        .withColumn("n_current", F.coalesce("n_current", F.lit(0)))
+    )
+    # integer totals (deterministic), broadcast back
+    totals = j.agg(
+        F.sum("n_baseline").alias("_tb"), F.sum("n_current").alias("_tc")
+    )
+    t = j.crossJoin(F.broadcast(totals))
+    p = F.col("n_baseline") / F.col("_tb").cast("double")
+    q = F.col("n_current") / F.col("_tc").cast("double")
+    e = p * F.col("_tc").cast("double")  # expected current count
+    chi_term = F.when(
+        e > 0, (F.col("n_current") - e) * (F.col("n_current") - e) / e
+    ).otherwise(F.lit(0.0))
+    terms = (
+        t.withColumn("p_baseline", p)
+        .withColumn("p_current", q)
+        .withColumn("abs_diff", F.abs(p - q))
+        .withColumn("_chi_t", chi_term)
+    )
+    # summary sums fold in CATEGORY order (parallel SUM(double) is
+    # order-nondeterministic; the ordered fold is engine-exact)
+    def _ofold(col: str):
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(F.col("category").alias("o"), F.col(col).alias("t"))
+            )
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["t"])
+
+    summary = terms.agg(
+        (_ofold("abs_diff") / 2.0).alias("tv_distance"),
+        _ofold("_chi_t").alias("chi2"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(summary))
+        .select(
+            "category", "n_baseline", "n_current", "p_baseline", "p_current",
+            "abs_diff", "tv_distance", "chi2",
+        )
+    )
+
+
 def scd2_build(
     updates: DataFrame,
     key_cols: tuple[str, ...] = ("source_id",),

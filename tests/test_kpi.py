@@ -240,3 +240,19 @@ def test_scd2_intervals_and_current_flag(spark):
     assert out[0]["is_current"] is False
     assert out[1]["effective_to"] is None and out[1]["is_current"] is True
     assert out[2]["is_current"] is True
+
+
+def test_distribution_drift_metrics(spark):
+    from smartdatapipeline_spark.operators.quality import distribution_drift
+
+    base = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    # current: a shrank to 25%, b grew, c appeared
+    cur = spark.createDataFrame(
+        [("a",)] * 25 + [("b",)] * 60 + [("c",)] * 15, "k string"
+    )
+    out = {r["category"]: r for r in distribution_drift(base, cur, "k").collect()}
+    assert out["c"]["n_baseline"] == 0 and out["c"]["p_current"] == 0.15
+    # TV = (|.5-.25| + |.5-.6| + |0-.15|)/2 = 0.25
+    assert abs(out["a"]["tv_distance"] - 0.25) < 1e-12
+    # chi2 = (25-50)^2/50 + (60-50)^2/50 + c-term 0 (e=0) = 12.5+2
+    assert abs(out["a"]["chi2"] - 14.5) < 1e-12
