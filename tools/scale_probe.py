@@ -155,6 +155,18 @@ def _hybrid(spark, sf_dir, n):
     return RT.rrf_fuse([bm25_r, dense_r], k=60, topk=10)
 
 
+def _funnel(spark, sf_dir, n):
+    from smartdatapipeline_spark.operators.behavior import funnel
+
+    return funnel(scaled_events(spark, sf_dir, n))
+
+
+def _retention(spark, sf_dir, n):
+    from smartdatapipeline_spark.operators.behavior import retention_cohorts
+
+    return retention_cohorts(scaled_events(spark, sf_dir, n), max_weeks=200)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
@@ -219,6 +231,8 @@ def main() -> None:
         ),
         "hybrid_retrieval": lambda n: _hybrid(spark, sf_dir, n),
         "bigram_lm": lambda n: TX.bigram_counts(scaled_docs_salted(spark, sf_dir, n)),
+        "funnel": lambda n: _funnel(spark, sf_dir, n),
+        "retention_cohorts": lambda n: _retention(spark, sf_dir, n),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
