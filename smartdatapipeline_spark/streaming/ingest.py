@@ -38,11 +38,20 @@ def stream_csv_ingest(
     default_metric: str | None = "events_total",
     watermark: str = "1 day",
     source_id: int = 1,
+    dead_letter_path: str | None = None,
 ):
     """File-source streaming ingest. Returns the started StreamingQuery.
 
     Every micro-batch is the reference's request loop: clean → dedup →
     append silver → recompute the touched gold partitions.
+
+    ``dead_letter_path``: when set, invalid rows are QUARANTINED there
+    (parquet, with their ``reason``) instead of silently dropped — the
+    dead-letter-queue pattern; the reference only counts its skipped
+    rows in capped warning strings (P4). In this mode within-batch
+    dedup moves inside ``foreachBatch`` (bad rows may have no event
+    time, which watermarked stream state can't carry); cross-batch
+    dedup stays the silver anti-join either way.
     """
     raw = (
         spark.readStream.schema(schema)
@@ -50,14 +59,16 @@ def stream_csv_ingest(
         .option("maxFilesPerTrigger", 16)
         .csv(input_dir)
     )
-    cleaned = (
-        clean_rows(raw, default_metric=default_metric)
-        .filter(F.col("_warn").isNull())
-        .drop("_warn")
-        .withColumn("source_id", F.lit(source_id))
-        .withWatermark("ts", watermark)
-        .dropDuplicates(["source_id", "ts", "metric"])
+    cleaned = clean_rows(raw, default_metric=default_metric).withColumn(
+        "source_id", F.lit(source_id)
     )
+    if dead_letter_path is None:
+        cleaned = (
+            cleaned.filter(F.col("_warn").isNull())
+            .drop("_warn")
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["source_id", "ts", "metric"])
+        )
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
         import os
@@ -66,6 +77,21 @@ def stream_csv_ingest(
         if batch.isEmpty():
             return
         batch = batch.cache()
+        if dead_letter_path is not None:
+            (
+                batch.filter(F.col("_warn").isNotNull())
+                .withColumnRenamed("_warn", "reason")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(dead_letter_path)
+            )
+            batch = (
+                batch.filter(F.col("_warn").isNull())
+                .drop("_warn")
+                .dropDuplicates(["source_id", "ts", "metric"])
+            ).cache()
+            if batch.isEmpty():
+                return
         # S8 upsert: anti-join against stored silver (cross-batch dedup
         # beyond the watermark horizon)
         if os.path.exists(silver_path):

@@ -375,3 +375,33 @@ def test_stream_corpus_ingest_incremental_dedup(spark, tmp_path):
     # the index grew with the survivors only
     sigs = sorted(r["doc_id"] for r in spark.read.parquet(f"{index}/sigs").collect())
     assert sigs == [1, 2, 11]
+
+
+def test_stream_ingest_dead_letter_quarantine(spark, tmp_path):
+    """Dead-letter mode: invalid rows land in the quarantine parquet
+    with their reason; valid rows flow to silver/gold unchanged."""
+    inp = tmp_path / "dl_in"
+    inp.mkdir()
+    silver = str(tmp_path / "dl_silver")
+    gold = str(tmp_path / "dl_gold")
+    dl = str(tmp_path / "dl_quarantine")
+    ckpt = str(tmp_path / "dl_ckpt")
+
+    (inp / "f1.csv").write_text(
+        "timestamp,value,metric\n"
+        "2025-01-01T00:00:00Z,10,m\n"
+        "bad-ts,99,m\n"
+        "2025-01-01T01:00:00Z,not-a-number,m\n"
+        "2025-01-01T02:00:00Z,5,m\n"
+        "2025-01-01T02:00:00Z,5,m\n"  # within-batch duplicate
+    )
+    q = stream_csv_ingest(
+        spark, str(inp), silver, gold, ckpt, dead_letter_path=dl
+    )
+    q.awaitTermination(120)
+    out = {r["metric_date"]: r for r in spark.read.parquet(gold).collect()}
+    assert out[dt.date(2025, 1, 1)]["value_sum"] == 15.0
+    assert out[dt.date(2025, 1, 1)]["value_count"] == 2  # dup dropped too
+    quarantined = spark.read.parquet(dl).collect()
+    assert len(quarantined) == 2
+    assert all(r["reason"] is not None for r in quarantined)
