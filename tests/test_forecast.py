@@ -365,3 +365,22 @@ def test_forecast_dispatcher_statsmodels_absent_still_models(spark):
     out = FC.forecast(_series(spark, vals), horizon_days=7).collect()
     assert len(out) == 7
     assert all(r["model_version"] == "arima-css-0.1" for r in out)
+
+
+def test_uat_ramp_forecast_contract(spark):
+    """Reference UAT flow (tests/uat/test_forecast_daily_contract_ua.py:
+    37-80): 30-day ramp 100..129 → forecast → public contract. With the
+    from-scratch ARIMA live, the ramp's constant +1 drift extrapolates
+    ~linearly; the contract emits exactly 7 strictly-future rows with
+    UTC-midnight Z strings and widened bounds."""
+    vals = [100.0 + i for i in range(30)]
+    series = _series(spark, vals)
+    fc = FC.forecast(series, horizon_days=7)
+    out = FC.normalize_forecast_contract(fc).collect()
+    assert len(out) == 7
+    rows = sorted(out, key=lambda r: r["date"])
+    assert rows[0]["date"] == "2025-01-31" and rows[-1]["date"] == "2025-02-06"
+    assert all(r["metric_date"].endswith("T00:00:00Z") for r in rows)
+    for h, r in enumerate(rows, start=1):
+        assert abs(r["yhat"] - (129.0 + h)) < 2.0  # ramp continues ~ +1/day
+        assert r["yhat_lower"] <= r["yhat"] <= r["yhat_upper"]
