@@ -167,6 +167,12 @@ def _retention(spark, sf_dir, n):
     return retention_cohorts(scaled_events(spark, sf_dir, n), max_weeks=200)
 
 
+def _scrub(spark, sf_dir, n):
+    d = scaled_docs_salted(spark, sf_dir, n)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return DD.scrub_contaminated_spans(d, ev, window=13, k=3)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
@@ -233,6 +239,19 @@ def main() -> None:
         "bigram_lm": lambda n: TX.bigram_counts(scaled_docs_salted(spark, sf_dir, n)),
         "funnel": lambda n: _funnel(spark, sf_dir, n),
         "retention_cohorts": lambda n: _retention(spark, sf_dir, n),
+        # dedup_pipeline runs on the PATHOLOGICAL replica corpus
+        # (near-identical replicas — the 99%-dup family that measured
+        # exponent 1.09 on unguarded minhash at 128×) with the default
+        # mega-bucket guard ON: the probe demonstrates the guard keeps
+        # the production path sub-quadratic exactly where the unguarded
+        # pair generator goes super-linear.
+        "dedup_pipeline_guarded": lambda n: DD.dedup_pipeline(
+            scaled_docs(spark, sf_dir, n)
+        ),
+        "bigram_lm_score": lambda n: TX.bigram_lm_score(
+            scaled_docs_salted(spark, sf_dir, n)
+        ),
+        "scrub_spans": lambda n: _scrub(spark, sf_dir, n),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
