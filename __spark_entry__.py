@@ -2050,6 +2050,64 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.mixture_weights(_docs(spark, sf_dir), domain_col="source")
 
 
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (freq > total/(k+1)) found the 100 TB
+    way: per-partition Misra-Gries sketches (<=k counters per executor,
+    mergeable per Agarwal et al. PODS'12) yield a guaranteed candidate
+    SUPERSET without shuffling the vocabulary; a broadcast semi-join
+    recounts only candidates exactly. Integer threshold test, so the
+    output is bit-exact vs a plain SQL HAVING."""
+    from smartdatapipeline_spark.functions.sketch import heavy_hitters
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(toks, "token", k=100)
+
+
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value): min/max
+    scale both dims to 8 bits and interleave — the layout key behind
+    multi-dimensional file pruning (functions/layout.py; write path is
+    zorder_write, pruning evidence in tests/PERF.md). Pure codegen
+    shift/and arithmetic, oracle-checked bit-for-bit."""
+    from smartdatapipeline_spark.functions.layout import zorder_key
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    return zorder_key(ev, ["user_id", "value"], bits=8).select(
+        "event_id", F.col("_z").alias("zval")
+    )
+
+
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs on part names: block on the
+    first normalized token (pair space = sum of block^2, co-partitioned
+    self-join), verify with JVM-intrinsic levenshtein <= 10. Oracle mode
+    (no block-size guard) for bit-exact SQL parity; production callers
+    keep the default max_block_size guard."""
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    return DD.fuzzy_name_pairs(
+        part, id_col="p_partkey", name_col="p_name",
+        max_distance=3, max_block_size=None,
+    )
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence recommender over the events props payload:
+    per-user distinct items capped at 20 (first-touch order) bound the
+    pair fan-out, then distinct-user counts per pair and a per-item
+    top-5 via partitioned windows — the collaborative-filtering counting
+    step, power-user-safe."""
+    from smartdatapipeline_spark.operators.behavior import cooccurrence_topk
+
+    return cooccurrence_topk(
+        _events(spark, sf_dir), topk=5, max_items_per_user=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2178,6 +2236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_enrichment": q_pit_enrichment,
         "scrub_spans": q_scrub_spans,
         "distribution_drift": q_distribution_drift,
+        "heavy_hitters": q_heavy_hitters,
+        "zorder_curve": q_zorder_curve,
+        "fuzzy_part_pairs": q_fuzzy_part_pairs,
+        "cooccurrence": q_cooccurrence,
     }
 
 
@@ -2577,6 +2639,75 @@ def oracle_sql() -> dict[str, str]:
                    AS is_current
         FROM upd
     """
+    o["heavy_hitters"] = _TEXT_CTE + """
+        , ex AS (SELECT unnest(toks) AS token FROM t),
+        ex2 AS (SELECT token FROM ex WHERE token != ''),
+        tot AS (SELECT COUNT(*) AS n_tot FROM ex2)
+        SELECT token, COUNT(*) AS n
+        FROM ex2, tot
+        GROUP BY token, n_tot
+        HAVING COUNT(*) * 101 > n_tot
+    """
+    o["zorder_curve"] = """
+        WITH s AS (
+            SELECT CAST(MIN(user_id) AS DOUBLE) AS amin,
+                   CAST(MAX(user_id) AS DOUBLE) AS amax,
+                   CAST(MIN(value) AS DOUBLE) AS bmin,
+                   CAST(MAX(value) AS DOUBLE) AS bmax
+            FROM events),
+        sc AS (
+            SELECT event_id,
+                   CASE WHEN (amax - amin) <= 0 THEN 0
+                        ELSE LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - amin)
+                                 * 256.0 / (amax - amin)) AS BIGINT), 255)
+                   END AS sa,
+                   CASE WHEN (bmax - bmin) <= 0 THEN 0
+                        ELSE LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - bmin)
+                                 * 256.0 / (bmax - bmin)) AS BIGINT), 255)
+                   END AS sb
+            FROM events, s)
+        SELECT event_id, ZTERMS AS zval FROM sc
+    """.replace("ZTERMS", "(((sa >> 0) & 1) << 0) + (((sb >> 0) & 1) << 1) + (((sa >> 1) & 1) << 2) + (((sb >> 1) & 1) << 3) + (((sa >> 2) & 1) << 4) + (((sb >> 2) & 1) << 5) + (((sa >> 3) & 1) << 6) + (((sb >> 3) & 1) << 7) + (((sa >> 4) & 1) << 8) + (((sb >> 4) & 1) << 9) + (((sa >> 5) & 1) << 10) + (((sb >> 5) & 1) << 11) + (((sa >> 6) & 1) << 12) + (((sb >> 6) & 1) << 13) + (((sa >> 7) & 1) << 14) + (((sb >> 7) & 1) << 15)")
+    o["fuzzy_part_pairs"] = """
+        WITH k AS (
+            SELECT p_partkey AS id, p_name AS name,
+                   string_split(lower(trim(p_name)), ' ')[1] AS blk
+            FROM part)
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.name, b.name) AS distance
+        FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 3
+    """
+    o["cooccurrence"] = """
+        WITH it AS (
+            SELECT user_id AS u,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                   MIN(ts) AS first_ts
+            FROM events
+            GROUP BY u, item),
+        capped AS (
+            SELECT u, item FROM (
+                SELECT u, item,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                           ORDER BY first_ts ASC, item ASC) AS rk
+                FROM it WHERE item IS NOT NULL)
+            WHERE rk <= 20),
+        pairs AS (
+            SELECT a.item AS i, b.item AS j, COUNT(*) AS n_users
+            FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+            GROUP BY i, j),
+        sym AS (
+            SELECT i, j, n_users FROM pairs
+            UNION ALL
+            SELECT j AS i, i AS j, n_users FROM pairs)
+        SELECT i AS item, j AS co_item, n_users, rank FROM (
+            SELECT i, j, n_users,
+                   ROW_NUMBER() OVER (PARTITION BY i
+                       ORDER BY n_users DESC, j ASC) AS rank
+            FROM sym)
+        WHERE rank <= 5
+    """
+
     return o
 
 
@@ -3232,7 +3363,7 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS chunk_text
             FROM ex
         """,
-        "pii_scrub": """
+        "pii_scrub": r"""
             WITH d2 AS (
                 SELECT doc_id,
                        text || CASE WHEN doc_id % 5 = 0

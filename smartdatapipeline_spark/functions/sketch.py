@@ -23,6 +23,10 @@ integer-grained measures) and Σx⁴ fits DECIMAL(38, 4·scale) headroom.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,3 +108,110 @@ def moments_stats(sketch: DataFrame, by: list[str] | None = None) -> DataFrame:
         (m3 / (safe_m2 * F.sqrt(safe_m2))).alias("skewness"),
         (m4 / (safe_m2 * safe_m2) - F.lit(3.0)).alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: one streaming pass + exact candidate recount.
+#
+# The reference counts frequencies by materializing the full group-by
+# (e.g. vocabulary counts in pandas); at 100 TB the full key space of a
+# token/URL/user column can itself be too large to shuffle comfortably.
+# The classic answer (Misra & Gries 1982; merge rule from Agarwal et al.,
+# PODS'12 "Mergeable Summaries") keeps only k counters per partition:
+#
+#   * each executor summarizes its partition into <= k (key, est) rows —
+#     O(k) state, no shuffle of the raw key space;
+#   * partial sketches MERGE by summing counters and subtracting the
+#     (k+1)-th largest value — the same rule used within a partition —
+#     so map-side combine / tree aggregation stays valid;
+#   * ANY key with true frequency > n/(k+1) is guaranteed to survive in
+#     at least one partition sketch (if a key is absent from partition
+#     p's sketch its count there is <= n_p/(k+1); summing over
+#     partitions bounds its total by n/(k+1)) — the candidate union is a
+#     SUPERSET of the true heavy hitters;
+#   * a second, cheap pass recounts ONLY the <= partitions*k candidate
+#     keys exactly (broadcast semi-join reaches the scan as a pushed
+#     filter; the group-by shuffles <= P*k keys, not the vocabulary).
+#
+# Result: EXACT heavy-hitter output (keys with n*(k+1) > total, integer
+# comparison — no float threshold) at a fraction of the full group-by
+# shuffle, and an oracle can verify it with a plain SQL HAVING clause.
+# ---------------------------------------------------------------------------
+
+
+def _mg_fold(counters: dict, add: "pd.Series", k: int) -> dict:
+    """Merge a batch's value counts into an MG counter dict, keeping at
+    most k counters (subtract the (k+1)-th largest, drop <= 0)."""
+    for key, v in add.items():
+        counters[key] = counters.get(key, 0) + int(v)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {key: v - cut for key, v in counters.items() if v > cut}
+    return counters
+
+
+def misra_gries_partial(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """Per-partition Misra–Gries sketch: <= k rows ``(key, est)`` per
+    input partition (Arrow-batched; the raw column never leaves the
+    executor). ``est`` is the residual counter — a lower bound on the
+    key's in-partition frequency with error <= n_partition/(k+1)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_fold(counters, pdf[key_col].value_counts(), k)
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "est": list(counters.values())}
+        )
+
+    field = df.schema[key_col]
+    return df.select(key_col).mapInPandas(
+        gen, schema=f"`{key_col}` {field.dataType.simpleString()}, est long"
+    )
+
+
+def merge_mg(sketch: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """Merge partial MG sketches into one global <= k-row sketch using
+    the mergeable-summaries rule (sum, subtract (k+1)-th largest, drop
+    <= 0). The input is already tiny (<= partitions*k rows) so this is a
+    single small-shuffle aggregation + one ordered trim; the global sort
+    is safe because it runs on the sketch, never the data."""
+    from pyspark.sql.window import Window
+
+    summed = sketch.groupBy(key_col).agg(F.sum("est").alias("est"))
+    ranked = summed.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.col("est").desc(), F.col(key_col))),
+    )
+    # (k+1)-th largest counter, 0 when the sketch already fits in k keys
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rk") == k + 1, F.col("est"))), F.lit(0)
+        ).alias("_cut")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .withColumn("est", F.col("est") - F.col("_cut"))
+        .filter(F.col("est") > 0)
+        .select(key_col, "est")
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """EXACT keys with frequency > total/(k+1), via MG candidates + an
+    exact recount of only the candidate keys.
+
+    Returns ``(key_col, n)``. The threshold test is the integer
+    comparison ``n * (k+1) > total`` so the result is bit-exact on any
+    engine. Reference behavior anchor: the full-vocabulary counting the
+    reference does in pandas (SURVEY §2 text-analysis family); this is
+    the 100 TB-safe route to the same heavy tail.
+    """
+    total = df.count()
+    cands = misra_gries_partial(df, key_col, k).select(key_col).distinct()
+    exact = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.filter(F.col("n") * (k + 1) > F.lit(total))

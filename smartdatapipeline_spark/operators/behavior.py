@@ -126,3 +126,70 @@ def retention_cohorts(
         )
         .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention")
     )
+
+
+def cooccurrence_topk(
+    events: DataFrame,
+    topk: int = 5,
+    max_items_per_user: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_expr: str = "get_json_object(props, '$.k')",
+) -> DataFrame:
+    """Item-to-item co-occurrence recommender ("users who touched X also
+    touched Y"): count distinct users per unordered item pair, then keep
+    the top-``topk`` co-items per item.
+
+    The classic collaborative-filtering counting step, built to survive
+    power users: each user contributes at most ``max_items_per_user``
+    DISTINCT items (their earliest-seen ones — deterministic: ranked by
+    first-touch time, then item id), so the pair fan-out is bounded by
+    U·L²/2 instead of exploding quadratically on a user with a million
+    events. Stages: (1) first-touch per (user, item) — one shuffle on
+    user; (2) per-user rank + cap — partitioned window, never global;
+    (3) within-user self-join on the capped lists (co-partitioned by
+    user, ≤ L² rows out per user); (4) count per pair; (5) per-item
+    top-k via a partitioned window with a total deterministic order.
+
+    Output: (item, co_item, n_users, rank), both directions of each
+    pair, rank 1..topk per item.
+    """
+    from pyspark.sql.window import Window
+
+    items = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.expr(item_expr).cast("long").alias("_item"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .filter(F.col("_item").isNotNull())
+        .groupBy("_u", "_item")
+        .agg(F.min("_ts").alias("_first"))
+    )
+    w = Window.partitionBy("_u").orderBy(F.col("_first").asc(), F.col("_item").asc())
+    capped = (
+        items.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_items_per_user)
+        .select("_u", "_item")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, on="_u")
+        .filter(F.col("a._item") < F.col("b._item"))
+        .groupBy(F.col("a._item").alias("i"), F.col("b._item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n_users")
+    )
+    wr = Window.partitionBy("i").orderBy(F.col("n_users").desc(), F.col("j").asc())
+    return (
+        both.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("co_item"),
+            "n_users",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

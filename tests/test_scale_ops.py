@@ -1,0 +1,173 @@
+"""Round-3 scale operators: Misra-Gries heavy hitters, Z-order layout,
+blocked fuzzy ER, co-occurrence recommender."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from smartdatapipeline_spark.functions.layout import (
+    file_minmax_report,
+    files_overlapping,
+    zorder_key,
+    zorder_write,
+)
+from smartdatapipeline_spark.functions.sketch import (
+    heavy_hitters,
+    merge_mg,
+    misra_gries_partial,
+)
+from smartdatapipeline_spark.functions.dedup import fuzzy_name_pairs
+from smartdatapipeline_spark.operators.behavior import cooccurrence_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_keys(spark, n_hot=5, hot=500, tail=2000):
+    """5 hot keys (500 hits each) + 2000 singletons, shuffled across
+    partitions."""
+    hot_rows = [(f"hot{i}",) for i in range(n_hot) for _ in range(hot)]
+    tail_rows = [(f"tail{i}",) for i in range(tail)]
+    return spark.createDataFrame(hot_rows + tail_rows, "key string").repartition(8)
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    df = _skewed_keys(spark)
+    k = 20
+    total = df.count()
+    got = {r["key"]: r["n"] for r in heavy_hitters(df, "key", k=k).collect()}
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * (k + 1) > total)
+        .collect()
+    }
+    assert got == exact
+    assert set(got) == {f"hot{i}" for i in range(5)}
+
+
+def test_mg_candidates_are_superset_of_heavies(spark):
+    df = _skewed_keys(spark, n_hot=3, hot=300, tail=5000)
+    k = 10
+    total = df.count()
+    cands = {
+        r["key"] for r in misra_gries_partial(df, "key", k=k).collect()
+    }
+    heavies = {
+        r["key"]
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * (k + 1) > total)
+        .collect()
+    }
+    assert heavies <= cands
+
+
+def test_merge_mg_bounds_and_size(spark):
+    df = _skewed_keys(spark)
+    k = 12
+    merged = merge_mg(misra_gries_partial(df, "key", k=k), "key", k=k)
+    rows = merged.collect()
+    assert len(rows) <= k
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(exact.values())
+    for r in rows:
+        # MG estimate is a lower bound with error <= n/(k+1)
+        assert r["est"] <= exact[r["key"]]
+        assert exact[r["key"]] - r["est"] <= n / (k + 1)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_write(ev, zpath, ["user_id", "value"], bits=8, num_files=32)
+    # linear layout: globally sorted by user_id only
+    (
+        ev.repartitionByRange(32, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    zrep = file_minmax_report(spark, zpath, ["user_id", "value"])
+    lrep = file_minmax_report(spark, lpath, ["user_id", "value"])
+    assert sum(e["rows"] for e in zrep) == ev.count()
+    # point-ish predicates on each dimension
+    z_user = files_overlapping(zrep, "user_id", 3, 4)
+    l_user = files_overlapping(lrep, "user_id", 3, 4)
+    z_val = files_overlapping(zrep, "value", 10.0, 30.0)
+    l_val = files_overlapping(lrep, "value", 10.0, 30.0)
+    # user_id-sorted layout prunes user_id best, but reads EVERY file
+    # for a value predicate; z-order must prune on BOTH dimensions and
+    # win the worst case across dimensions.
+    assert l_val == len(lrep)
+    assert z_val < len(zrep)
+    assert z_user < len(zrep)
+    assert max(z_user, z_val) < max(l_user, l_val)
+
+
+def test_zorder_key_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(64)], "a int, b double"
+    )
+    rows = zorder_key(df, ["a", "b"], bits=4).collect()
+    amin, amax = 0, 63
+    bmin, bmax = 0.0, 6.0
+
+    def scale(x, lo, hi):
+        return min(int((float(x) - lo) * 16.0 / (hi - lo)), 15)
+
+    def interleave(sa, sb):
+        z = 0
+        for i in range(4):
+            z |= ((sa >> i) & 1) << (2 * i)
+            z |= ((sb >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["_z"] == interleave(
+            scale(r["a"], amin, amax), scale(r["b"], bmin, bmax)
+        )
+
+
+def test_fuzzy_pairs_block_guard_and_symmetry(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamna"),   # distance 1 from id 1
+            (3, "alpha zeta theta"),   # same block, far name
+            (4, "omega one two"),      # different block
+            (5, "omega one two"),      # exact duplicate of id 4
+        ],
+        "p_partkey long, p_name string",
+    )
+    pairs = fuzzy_name_pairs(df, max_distance=2, max_block_size=None).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs}
+    assert got == {(1, 2): 1, (4, 5): 0}
+    # block guard: alpha-block has 3 members -> capped at 2 drops it
+    guarded = fuzzy_name_pairs(df, max_distance=2, max_block_size=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in guarded} == {(4, 5)}
+
+
+def test_cooccurrence_cap_bounds_power_users(spark):
+    # one power user touching 50 items; cap at 5 -> pairs only among the
+    # 5 earliest items
+    rows = [
+        (i, "2024-01-01T00:%02d:00" % i, 1, "e", 1.0, '{"k": %d}' % i)
+        for i in range(50)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cooccurrence_topk(ev, topk=10, max_items_per_user=5).collect()
+    items = {r["item"] for r in out} | {r["co_item"] for r in out}
+    assert items == {0, 1, 2, 3, 4}
+    # each item pairs with the other 4
+    assert len(out) == 5 * 4
