@@ -2085,7 +2085,7 @@ def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs on part names: block on the
     first normalized token (pair space = sum of block^2, co-partitioned
-    self-join), verify with JVM-intrinsic levenshtein <= 10. Oracle mode
+    self-join), verify with JVM-intrinsic levenshtein <= 3. Oracle mode
     (no block-size guard) for bit-exact SQL parity; production callers
     keep the default max_block_size guard."""
     part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
@@ -2106,6 +2106,37 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_topk(
         _events(spark, sf_dir), topk=5, max_items_per_user=20
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lead() in a user-partitioned window (shuffle key = user, state = one
+    user's history), grouped counts, exact-ratio probabilities."""
+    from smartdatapipeline_spark.operators.behavior import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two activity snapshots (first vs second half of the
+    time range): one co-partitioned full-outer join on the key,
+    fingerprint comparison computed scan-side so wide payloads never
+    shuffle twice. Exercises all four change classes."""
+    from smartdatapipeline_spark.operators.quality import snapshot_diff
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    old = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    new = (
+        ev.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return snapshot_diff(old, new, ["user_id"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2240,6 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
         "cooccurrence": q_cooccurrence,
+        "event_transitions": q_event_transitions,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2706,6 +2739,36 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_users DESC, j ASC) AS rank
             FROM sym)
         WHERE rank <= 5
+    """
+
+    o["event_transitions"] = """
+        WITH chain AS (
+            SELECT event_type AS cur,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_type ASC) AS nxt
+            FROM events),
+        counts AS (
+            SELECT cur, nxt, COUNT(*) AS n FROM chain
+            WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        tot AS (SELECT cur, SUM(n) AS t FROM counts GROUP BY cur)
+        SELECT c.cur, c.nxt, c.n, c.n / CAST(t.t AS DOUBLE) AS p
+        FROM counts c JOIN tot t ON c.cur = t.cur
+    """
+    o["snapshot_diff"] = """
+        WITH o AS (
+            SELECT user_id, md5(CAST(COUNT(*) AS VARCHAR)) AS old_fp
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+            GROUP BY user_id),
+        n AS (
+            SELECT user_id, md5(CAST(COUNT(*) AS VARCHAR)) AS new_fp
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+            GROUP BY user_id)
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id, old_fp, new_fp,
+               CASE WHEN old_fp IS NULL THEN 'inserted'
+                    WHEN new_fp IS NULL THEN 'deleted'
+                    WHEN old_fp != new_fp THEN 'updated'
+                    ELSE 'unchanged' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
     """
 
     return o

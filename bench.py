@@ -102,6 +102,10 @@ BENCH_QUERIES: list[str] = [
     "pit_enrichment",
     "scrub_spans",
     "distribution_drift",
+    "heavy_hitters",
+    "zorder_curve",
+    "fuzzy_part_pairs",
+    "cooccurrence",
 ]
 
 

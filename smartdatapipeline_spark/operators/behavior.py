@@ -193,3 +193,39 @@ def cooccurrence_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next = b | current = a) with exact-ratio probabilities.
+
+    One partitioned window per user (lead over the user's time-ordered
+    events — ties broken by event_id-free total order on (ts, type) so
+    the chain is deterministic), then a single grouped count. The
+    shuffle key is the user, so state never exceeds one user's history
+    per task; probabilities divide exact integer counts.
+
+    Output: (cur, nxt, n, p) where p = n / Σ_b n(cur, b).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(type_col).asc()
+    )
+    chain = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = chain.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("cur").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "cur")
+        .withColumn("p", F.col("n") / F.col("_tot").cast("double"))
+        .select("cur", "nxt", "n", "p")
+    )

@@ -199,3 +199,48 @@ def scd2_build(
         )
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same table:
+    full outer join on the key, classify each key as inserted / deleted
+    / updated / unchanged by comparing a deterministic row fingerprint
+    of the non-key columns.
+
+    The 100 TB shape: ONE co-partitioned join on the key (both sides
+    shuffle once on the same key — or zero shuffles if both snapshots
+    are bucketed on it), and the value comparison is a single md5 over
+    a canonical string encoding computed scan-side, so wide rows never
+    shuffle twice. Emits only key + change_type + both fingerprints;
+    callers join back to either snapshot for payloads, keeping the diff
+    frame narrow.
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+
+    def fp(df: DataFrame) -> Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("\x01", *parts))
+
+    o = old.select(*key_cols, fp(old).alias("old_fp"))
+    n = new.select(*key_cols, fp(new).alias("new_fp"))
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        "old_fp",
+        "new_fp",
+        F.when(F.col("old_fp").isNull(), F.lit("inserted"))
+        .when(F.col("new_fp").isNull(), F.lit("deleted"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )

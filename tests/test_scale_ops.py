@@ -171,3 +171,59 @@ def test_cooccurrence_cap_bounds_power_users(spark):
     assert items == {0, 1, 2, 3, 4}
     # each item pairs with the other 4
     assert len(out) == 5 * 4
+
+
+def test_event_transitions_probabilities(spark):
+    rows = [
+        (1, "2024-01-01T00:00:00", 1, "a", 0.0, "{}"),
+        (2, "2024-01-01T00:01:00", 1, "b", 0.0, "{}"),
+        (3, "2024-01-01T00:02:00", 1, "a", 0.0, "{}"),
+        (4, "2024-01-01T00:03:00", 1, "c", 0.0, "{}"),
+        (5, "2024-01-01T00:00:00", 2, "a", 0.0, "{}"),
+        (6, "2024-01-01T00:01:00", 2, "b", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from smartdatapipeline_spark.operators.behavior import event_transitions
+
+    got = {(r["cur"], r["nxt"]): (r["n"], r["p"]) for r in event_transitions(ev).collect()}
+    # chains: u1 a->b->a->c, u2 a->b
+    assert got[("a", "b")] == (2, 2.0 / 3.0)
+    assert got[("a", "c")] == (1, 1.0 / 3.0)
+    assert got[("b", "a")] == (1, 1.0)
+    # per-state probabilities sum to 1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (cur, _), (_, p) in got.items():
+        sums[cur] += p
+    for cur, s in sums.items():
+        assert abs(s - 1.0) < 1e-12, (cur, s)
+
+
+def test_snapshot_diff_all_change_classes(spark):
+    from smartdatapipeline_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, 30, "z")], "k long, v long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "x"), (2, 99, "y"), (4, 40, "w")], "k long, v long, s string"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "updated", 3: "deleted", 4: "inserted"}
+
+
+def test_snapshot_diff_null_vs_literal_disambiguation(spark):
+    # NULL and the string "\\x00null" sentinel must not collide; and a
+    # column-boundary shift ("ab","c") vs ("a","bc") must differ
+    from smartdatapipeline_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame([(1, "ab", "c")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "a", "bc")], "k long, a string, b string")
+    assert snapshot_diff(old, new, ["k"]).collect()[0]["change_type"] == "updated"
+    old2 = spark.createDataFrame([(1, None, "c")], "k long, a string, b string")
+    new2 = spark.createDataFrame([(1, "", "c")], "k long, a string, b string")
+    assert snapshot_diff(old2, new2, ["k"]).collect()[0]["change_type"] == "updated"

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions import dedup as DD
+from smartdatapipeline_spark.functions import layout as LY
+from smartdatapipeline_spark.functions import sketch as SK
+from smartdatapipeline_spark.operators import behavior as BH
 from smartdatapipeline_spark.functions import similarity as SIM
 from smartdatapipeline_spark.operators.kpi import run_daily_kpis
 from smartdatapipeline_spark.operators.sessions import sessionize
@@ -114,6 +117,29 @@ def scaled_emb(spark, sf_dir, n):
     for r in reps[1:]:
         out = out.unionByName(r)
     return out.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
+
+def scaled_parts(spark, sf_dir, n):
+    """Replica parts with per-replica letter rotation on names — block
+    keys differ per replica, so block COUNT scales with volume while
+    block SIZE stays constant (the healthy-catalog shape; the
+    same-name mega-block case is what the guard is for)."""
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    v, c = "aeiou", "tnsr"
+    reps = []
+    for i in range(n):
+        rv = v[i % 5 :] + v[: i % 5]
+        rc = c[i % 4 :] + c[: i % 4]
+        reps.append(
+            p.withColumn("p_partkey", F.col("p_partkey") + 1_000_000 * i)
+            .withColumn(
+                "p_name", F.translate(F.translate(F.col("p_name"), v, rv), c, rc)
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _canonical(spark, sf_dir, n):
@@ -252,6 +278,28 @@ def main() -> None:
             scaled_docs_salted(spark, sf_dir, n)
         ),
         "scrub_spans": lambda n: _scrub(spark, sf_dir, n),
+        # round-3 scale ops: MG sketch (scan + O(P*k) shuffle), Morton
+        # key (pure scan), guarded blocked ER (block count scales, block
+        # size constant), capped co-occurrence (users scale, per-user
+        # item cap bounds the pair fan-out)
+        "heavy_hitters": lambda n: SK.heavy_hitters(
+            scaled_docs(spark, sf_dir, n)
+            .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+            .filter(F.col("token") != ""),
+            "token",
+            k=100,
+        ),
+        "zorder_curve": lambda n: LY.zorder_key(
+            scaled_events(spark, sf_dir, n).select("event_id", "user_id", "value"),
+            ["user_id", "value"],
+            bits=8,
+        ),
+        "fuzzy_pairs_guarded": lambda n: DD.fuzzy_name_pairs(
+            scaled_parts(spark, sf_dir, n)
+        ),
+        "cooccurrence": lambda n: BH.cooccurrence_topk(
+            scaled_events(spark, sf_dir, n)
+        ),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
