@@ -2139,6 +2139,36 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["user_id"])
 
 
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast (double exponential smoothing,
+    α=β=0.5 binary-exact): the coupled level/trend recursion as one
+    declarative ordered fold with a struct accumulator — no grouped-map
+    Python, per-series state only."""
+    return FC.forecast_holt(_gold(spark, sf_dir), horizon_days=7)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample (Efraimidis-Spirakis
+    A-Res): integer weights realized as max-of-w salted md5 draws —
+    same distribution as the u^(1/w) key, zero transcendentals, so the
+    sample is bit-identical on any engine and stable under appends."""
+    from smartdatapipeline_spark.functions.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 5).alias("weight")
+    )
+    return weighted_sample(d, k=50)
+
+
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 15-minute event intervals per (event_type, day):
+    sweep-line +1/−1 deltas with a running sum inside a PARTITIONED
+    window — interval-overlap analytics with per-group-day state."""
+    from smartdatapipeline_spark.operators.temporal import concurrency_profile
+
+    return concurrency_profile(_events(spark, sf_dir), duration_minutes=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2273,6 +2303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "event_transitions": q_event_transitions,
         "snapshot_diff": q_snapshot_diff,
+        "forecast_holt": q_forecast_holt,
+        "weighted_sample": q_weighted_sample,
+        "concurrency_profile": q_concurrency_profile,
     }
 
 
@@ -2769,6 +2802,65 @@ def oracle_sql() -> dict[str, str]:
                     WHEN old_fp != new_fp THEN 'updated'
                     ELSE 'unchanged' END AS change_type
         FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+    """
+
+    o["forecast_holt"] = _GOLD_CTE + """
+        , per AS (
+            SELECT metric, MAX(metric_date) AS last_date,
+                   list(CAST(value AS DOUBLE) ORDER BY metric_date) AS v
+            FROM gold GROUP BY metric),
+        st AS (
+            -- (level, trend) pair as a 2-element list: DuckDB 1.0's
+            -- list_reduce miscompiles multi-field struct_pack lambdas
+            -- (fields contaminate each other), list accumulators fold
+            -- correctly
+            SELECT metric, last_date,
+                   list_reduce(
+                       [[v[1], CASE WHEN len(v) >= 2
+                               THEN v[2] - v[1] ELSE 0.0 END]]
+                       || list_transform(v[2:], x -> [x, 0.0]),
+                       (a, x) -> [0.5 * x[1] + 0.5 * (a[1] + a[2]),
+                                  0.5 * ((0.5 * x[1] + 0.5 * (a[1] + a[2]))
+                                         - a[1]) + 0.5 * a[2]]
+                   ) AS s
+            FROM per)
+        SELECT metric,
+               last_date + CAST(t.k AS INTEGER) AS target_date,
+               s[1] + CAST(t.k AS DOUBLE) * s[2] AS yhat,
+               s[1] + CAST(t.k AS DOUBLE) * s[2] AS yhat_lower,
+               s[1] + CAST(t.k AS DOUBLE) * s[2] AS yhat_upper,
+               'holt-0.1' AS model_version
+        FROM st CROSS JOIN generate_series(1, 7) t(k)
+    """
+    o["weighted_sample"] = """
+        WITH w AS (
+            SELECT doc_id, 1 + doc_id % 5 AS wt FROM documents),
+        d AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS draw
+            FROM (SELECT doc_id, unnest(range(1, wt + 1)) AS j FROM w)),
+        keyed AS (
+            SELECT doc_id, MAX(draw) AS sample_key FROM d GROUP BY doc_id)
+        SELECT doc_id, sample_key FROM keyed
+        ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+    """
+    o["concurrency_profile"] = """
+        WITH deltas AS (
+            SELECT event_type, ts AS t, 1 AS d, CAST(ts AS DATE) AS day
+            FROM events
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 15 MINUTE, -1, CAST(ts AS DATE)
+            FROM events),
+        run AS (
+            SELECT event_type, day,
+                   SUM(d) OVER (PARTITION BY event_type, day
+                       ORDER BY t ASC, d ASC
+                       ROWS UNBOUNDED PRECEDING) AS open_n
+            FROM deltas)
+        SELECT event_type, day,
+               CAST(MAX(open_n) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY event_type, day
     """
 
     return o

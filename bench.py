@@ -106,6 +106,11 @@ BENCH_QUERIES: list[str] = [
     "zorder_curve",
     "fuzzy_part_pairs",
     "cooccurrence",
+    "event_transitions",
+    "snapshot_diff",
+    "forecast_holt",
+    "weighted_sample",
+    "concurrency_profile",
 ]
 
 

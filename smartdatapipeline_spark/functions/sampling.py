@@ -134,3 +134,57 @@ def mixture_weights(
         )
         .orderBy("domain")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "wsample-v1",
+    max_weight: int = 16,
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows
+    (Efraimidis–Spirakis A-Res, transcendental-free).
+
+    E-S ranks rows by u^(1/w) (u uniform); the max of w iid uniforms
+    has exactly that distribution (CDF x^w), so for INTEGER weights the
+    key can be built as max over w salted md5 draws — integer/string
+    ops only, hence bit-identical on any engine, unlike a ln()/pow()
+    key, and stable under appends like every sampler in this module.
+
+    Plan shape: explode weight → sequence (bounded by ``max_weight``,
+    so blow-up is ≤ max_weight×N rows of two columns), per-id max — a
+    partial-aggregating shuffle on the id — then global top-k, which
+    Spark executes as TakeOrderedAndProject (per-partition heaps, no
+    full sort). Weights are clamped to [1, max_weight].
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("int"), F.lit(1)), F.lit(max_weight)
+    )
+    drawn = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), w)).alias("_j"),
+    ).select(
+        id_col,
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("_j").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_draw"),
+    )
+    keyed = drawn.groupBy(id_col).agg(F.max("_draw").alias("sample_key"))
+    return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col).asc()).limit(k)

@@ -919,3 +919,80 @@ def forecast_ewma(
         F.col("_level").alias("yhat_upper"),
         F.lit("ses-0.1").alias("model_version"),
     )
+
+
+def forecast_holt(
+    series: DataFrame,
+    horizon_days: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt linear-trend forecast (double exponential smoothing):
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},   ŷ_{T+h} = l_T + h·b_T
+
+    with the textbook init l₁ = x₁, b₁ = x₂ − x₁ (b₁ = 0 for length-1
+    series). Like ``forecast_ewma``, the coupled recursion runs as a
+    DECLARATIVE ordered fold — ``aggregate`` over the date-sorted value
+    array with a (level, trend) STRUCT accumulator — one aggregation,
+    no Python, engine-exact for binary-representable α/β (default 0.5).
+    Per-series state is the daily array, so the shuffle key space is the
+    series count, not event volume.
+    """
+    a, b = float(alpha), float(beta)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(date_col).alias("o"),
+                F.col(value_col).cast("double").alias("t"),
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["t"])
+    n = F.size(vals)
+    seed = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        F.when(n >= 2, F.element_at(vals, 2) - F.element_at(vals, 1))
+        .otherwise(F.lit(0.0))
+        .alias("b"),
+    )
+
+    def step(acc, x):
+        lv = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        tr = F.lit(b) * (lv - acc["l"]) + F.lit(1.0 - b) * acc["b"]
+        return F.struct(lv.alias("l"), tr.alias("b"))
+
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(n - 1, F.lit(0))), seed, step
+    )
+    per = series.groupBy(*partition_cols).agg(
+        F.max(date_col).alias("_last"), state.alias("_s")
+    )
+    out = per.select(
+        *partition_cols,
+        F.explode(
+            F.sequence(
+                F.date_add("_last", 1),
+                F.date_add("_last", horizon_days),
+                F.expr("interval 1 day"),
+            )
+        ).alias("target_date"),
+        F.col("_s.l").alias("_l"),
+        F.col("_s.b").alias("_b"),
+        "_last",
+    )
+    yhat = F.col("_l") + F.datediff(F.col("target_date"), F.col("_last")).cast(
+        "double"
+    ) * F.col("_b")
+    return out.select(
+        *partition_cols,
+        "target_date",
+        yhat.alias("yhat"),
+        yhat.alias("yhat_lower"),
+        yhat.alias("yhat_upper"),
+        F.lit("holt-0.1").alias("model_version"),
+    )

@@ -164,3 +164,53 @@ def range_join_bucketed(
         (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
     )
     return joined.drop("_bucket")
+
+
+def concurrency_profile(
+    events: DataFrame,
+    duration_minutes: int = 15,
+    by: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Peak concurrency per (group, day) by sweep line: each event opens
+    a half-open interval [ts, ts + duration); +1/−1 deltas are sorted
+    within a (group, day) partition and a running sum's max is the peak
+    number of simultaneously-open intervals.
+
+    The window is PARTITIONED by (group, day) — never global — so state
+    per task is one group-day's endpoints; at 100 TB the partition key
+    can be narrowed further (hour) without changing the algebra. Ends
+    sort before starts at the same instant (half-open semantics) via
+    the delta ascending tiebreak; runs of equal keys don't affect the
+    running max. Intervals are clipped to the opening day (the per-day
+    sweep restarts at midnight — documented simplification, mirrored in
+    the oracle).
+
+    Output: (*by, day, peak_concurrency).
+    """
+    from pyspark.sql.window import Window
+
+    start = events.select(
+        *by, F.col(ts_col).alias("_t"), F.lit(1).alias("_d")
+    )
+    end = events.select(
+        *by,
+        (F.col(ts_col) + F.expr(f"INTERVAL {duration_minutes} MINUTES")).alias("_t"),
+        F.lit(-1).alias("_d"),
+    )
+    # both endpoints belong to the OPENING event's day
+    day = F.to_date(
+        F.col("_t") - F.when(F.col("_d") == -1,
+                             F.expr(f"INTERVAL {duration_minutes} MINUTES"))
+        .otherwise(F.expr("INTERVAL 0 MINUTES"))
+    ).alias("day")
+    deltas = start.unionByName(end).select(*by, day, "_t", "_d")
+    w = (
+        Window.partitionBy(*by, "day")
+        .orderBy(F.col("_t").asc(), F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("_open", F.sum("_d").over(w))
+    return running.groupBy(*by, "day").agg(
+        F.max("_open").alias("peak_concurrency")
+    )

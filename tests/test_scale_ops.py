@@ -227,3 +227,100 @@ def test_snapshot_diff_null_vs_literal_disambiguation(spark):
     old2 = spark.createDataFrame([(1, None, "c")], "k long, a string, b string")
     new2 = spark.createDataFrame([(1, "", "c")], "k long, a string, b string")
     assert snapshot_diff(old2, new2, ["k"]).collect()[0]["change_type"] == "updated"
+
+
+def test_forecast_holt_matches_python_recursion(spark):
+    import datetime as dt
+
+    vals = [10.0, 12.0, 13.0, 15.0, 14.0, 18.0]
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), "m", v)
+        for i, v in enumerate(vals)
+    ]
+    series = spark.createDataFrame(
+        rows, "metric_date date, metric string, value double"
+    )
+    from smartdatapipeline_spark.operators.forecast import forecast_holt
+
+    out = {
+        r["target_date"]: r["yhat"]
+        for r in forecast_holt(series, horizon_days=3).collect()
+    }
+    l, b = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (ln - l) + 0.5 * b
+        l = ln
+    for h in (1, 2, 3):
+        assert out[dt.date(2024, 1, 6) + dt.timedelta(days=h)] == l + h * b
+
+
+def test_forecast_holt_length_one_series(spark):
+    import datetime as dt
+
+    series = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), "m", 7.0)],
+        "metric_date date, metric string, value double",
+    )
+    from smartdatapipeline_spark.operators.forecast import forecast_holt
+
+    rows = forecast_holt(series, horizon_days=2).collect()
+    assert [r["yhat"] for r in rows] == [7.0, 7.0]  # zero trend
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from smartdatapipeline_spark.functions.sampling import weighted_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        # ids < 200 get weight 8, rest weight 1
+        F.when(F.col("id") < 200, F.lit(8)).otherwise(F.lit(1)).alias("weight"),
+    )
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, k=200).collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, k=200).collect())
+    assert s1 == s2 and len(s1) == 200
+    # ~200 heavy ids with total weight 1600 vs 1800 light weight -> heavy
+    # ids should be strongly over-represented relative to 10% population
+    heavy = sum(1 for i in s1 if i < 200)
+    assert heavy > 60  # expectation ~ 8x over-representation
+
+
+def test_concurrency_profile_known_overlaps(spark):
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "a", 0.0, "{}"),
+        (2, "2024-01-01T10:05:00", 2, "a", 0.0, "{}"),  # overlaps 1
+        (3, "2024-01-01T10:14:00", 3, "a", 0.0, "{}"),  # overlaps 1+2
+        (4, "2024-01-01T10:30:00", 4, "a", 0.0, "{}"),  # disjoint from 1-3
+        (5, "2024-01-02T09:00:00", 5, "a", 0.0, "{}"),  # next day
+        (6, "2024-01-01T10:00:00", 6, "b", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from smartdatapipeline_spark.operators.temporal import concurrency_profile
+
+    got = {
+        (r["event_type"], str(r["day"])): r["peak_concurrency"]
+        for r in concurrency_profile(ev, duration_minutes=15).collect()
+    }
+    assert got[("a", "2024-01-01")] == 3
+    assert got[("a", "2024-01-02")] == 1
+    assert got[("b", "2024-01-01")] == 1
+
+
+def test_concurrency_half_open_touching_intervals(spark):
+    # interval ending exactly when another starts must NOT count as
+    # concurrent (ends sort before starts at the same instant)
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "a", 0.0, "{}"),
+        (2, "2024-01-01T10:15:00", 2, "a", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from smartdatapipeline_spark.operators.temporal import concurrency_profile
+
+    got = concurrency_profile(ev, duration_minutes=15).collect()
+    assert got[0]["peak_concurrency"] == 1
