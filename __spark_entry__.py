@@ -2169,6 +2169,21 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_profile(_events(spark, sf_dir), duration_minutes=15)
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles without a full sort: GK-sketch bracket
+    (pass 1) + strict-below count and a sort of only the bracket slice
+    (pass 2) — functions/sketch.py exact_quantile_two_pass. The oracle
+    is DuckDB's quantile_disc (lower/discrete convention)."""
+    from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
+
+    ev = _events(spark, sf_dir).select("value")
+    rows = [
+        (float(q), float(exact_quantile_two_pass(ev, "value", q)))
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return spark.createDataFrame(rows, "q double, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2306,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_holt": q_forecast_holt,
         "weighted_sample": q_weighted_sample,
         "concurrency_profile": q_concurrency_profile,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -2861,6 +2877,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, day,
                CAST(MAX(open_n) AS BIGINT) AS peak_concurrency
         FROM run GROUP BY event_type, day
+    """
+
+    o["exact_quantiles"] = """
+        SELECT CAST(0.5 AS DOUBLE) AS q,
+               CAST(quantile_disc(value, 0.5) AS DOUBLE) AS value FROM events
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE),
+               CAST(quantile_disc(value, 0.9) AS DOUBLE) FROM events
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE),
+               CAST(quantile_disc(value, 0.99) AS DOUBLE) FROM events
     """
 
     return o

@@ -111,6 +111,7 @@ BENCH_QUERIES: list[str] = [
     "forecast_holt",
     "weighted_sample",
     "concurrency_profile",
+    "exact_quantiles",
 ]
 
 

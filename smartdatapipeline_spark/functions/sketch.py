@@ -215,3 +215,61 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return exact.filter(F.col("n") * (k + 1) > F.lit(total))
+
+
+def exact_quantile_two_pass(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    accuracy: int = 10000,
+    pad: float | None = None,
+):
+    """EXACT global quantile (discrete / lower convention: the element
+    at 1-based rank floor(q·(n−1))+1) without ever sorting the full
+    column — the 100 TB replacement for ``ORDER BY value`` quantiles.
+
+    Pass 1: ``percentile_approx`` (GK sketch, rank error ≤ n/accuracy)
+    brackets the answer with [q−pad, q+pad] approximations; since
+    pad > 1/accuracy the true rank-k element provably lies inside the
+    bracket. Pass 2 counts rows strictly below the bracket and sorts
+    ONLY the bracket slice (≈ 2·pad·n rows — thousandths of the data)
+    to pick the (k − n_below)-th smallest. Falls back to the exact
+    global sort if the bracket ever misses (degenerate distributions).
+
+    Returns the quantile as a Python scalar (two actions + one
+    slice-sort job).
+    """
+    import math
+
+    n = df.count()
+    if n == 0:
+        return None
+    k = int(math.floor(q * (n - 1))) + 1
+    pad = pad if pad is not None else max(4.0 / accuracy, 1e-4)
+    qlo, qhi = max(0.0, q - pad), min(1.0, q + pad)
+    lo, hi = df.agg(
+        F.percentile_approx(value_col, [qlo, qhi], accuracy).alias("b")
+    ).head()["b"]
+    n_below = df.filter(F.col(value_col) < F.lit(lo)).count()
+    m = k - n_below
+    sliced = df.filter(
+        (F.col(value_col) >= F.lit(lo)) & (F.col(value_col) <= F.lit(hi))
+    )
+    if 0 < m:
+        row = (
+            sliced.orderBy(F.col(value_col).asc())
+            .limit(m)
+            .agg(F.max(value_col).alias("v"))
+            .head()
+        )
+        if row is not None and row["v"] is not None and m <= sliced.count():
+            return row["v"]
+    # bracket missed (can only happen on adversarial/degenerate ties):
+    # exact fallback, still TakeOrdered(k) rather than a full sort
+    row = (
+        df.orderBy(F.col(value_col).asc())
+        .limit(k)
+        .agg(F.max(value_col).alias("v"))
+        .head()
+    )
+    return row["v"]

@@ -324,3 +324,26 @@ def test_concurrency_half_open_touching_intervals(spark):
 
     got = concurrency_profile(ev, duration_minutes=15).collect()
     assert got[0]["peak_concurrency"] == 1
+
+
+def test_exact_quantile_two_pass_vs_sorted(spark):
+    from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
+    import math
+
+    # skewed data with heavy ties — exercises bracket + below-count
+    vals = [float(i % 97) for i in range(5000)] + [1000.0] * 13
+    df = spark.createDataFrame([(v,) for v in vals], "value double").repartition(8)
+    s = sorted(vals)
+    n = len(s)
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        expect = s[int(math.floor(q * (n - 1)))]
+        assert exact_quantile_two_pass(df, "value", q) == expect, q
+
+
+def test_exact_quantile_empty_and_single(spark):
+    from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
+
+    empty = spark.createDataFrame([], "value double")
+    assert exact_quantile_two_pass(empty, "value", 0.5) is None
+    one = spark.createDataFrame([(42.0,)], "value double")
+    assert exact_quantile_two_pass(one, "value", 0.5) == 42.0
