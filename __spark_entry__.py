@@ -2184,6 +2184,91 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, value double")
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the anchor (day − row_number) trick — operators/behavior.py
+    activity_streaks. All-integer output."""
+    from smartdatapipeline_spark.operators.behavior import activity_streaks
+
+    return activity_streaks(_events(spark, sf_dir))
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion (first view → first later purchase) summary —
+    operators/behavior.py conversion_lag. Exact integer seconds; the
+    median interpolates two exact integers (bit-stable)."""
+    from smartdatapipeline_spark.operators.behavior import conversion_lag
+
+    return conversion_lag(_events(spark, sf_dir))
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series closed-form OLS trend of daily value sums with
+    all-decimal normal-equation sums — operators/forecast.py
+    ols_trend."""
+    return FC.ols_trend(_events(spark, sf_dir))
+
+
+def q_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices per series (arithmetic weekday:
+    datediff-from-a-Monday mod 7) — operators/temporal.py
+    seasonal_profile."""
+    from smartdatapipeline_spark.operators.temporal import seasonal_profile
+
+    return seasonal_profile(_events(spark, sf_dir))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values: min/max scan +
+    one grouped count, no sort — functions/sketch.py
+    equi_width_histogram."""
+    from smartdatapipeline_spark.functions.sketch import equi_width_histogram
+
+    return equi_width_histogram(_events(spark, sf_dir), "value", 20)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer↔supplier bipartite graph
+    (distinct order-line pairs, symmetrized), 3 power iterations with
+    src-ordered contribution folds — functions/graph.py pagerank. Top
+    25 suppliers by rank."""
+    from smartdatapipeline_spark.functions.graph import pagerank, symmetrize
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    pairs = (
+        T("orders")
+        .join(T("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(symmetrize(pairs), iterations=3)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(25)
+        .select(((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"), "rank")
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact semi-join: orders of BUILDING-segment
+    customers, aggregated by priority — functions/bloom.py
+    bloom_semi_join. Output is identical to the plain semi-join (the
+    bloom bitmap only prunes the probe side pre-shuffle)."""
+    from smartdatapipeline_spark.functions.bloom import bloom_semi_join
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    cust = T("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    kept = bloom_semi_join(T("orders"), cust, "o_custkey", "c_custkey")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("total_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2322,6 +2407,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "concurrency_profile": q_concurrency_profile,
         "exact_quantiles": q_exact_quantiles,
+        "activity_streaks": q_activity_streaks,
+        "conversion_lag": q_conversion_lag,
+        "ols_trend": q_ols_trend,
+        "seasonal_dow": q_seasonal_dow,
+        "value_histogram": q_value_histogram,
+        "graph_pagerank": q_graph_pagerank,
+        "bloom_semi_join": q_bloom_semi_join,
     }
 
 
@@ -2888,6 +2980,164 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(0.99 AS DOUBLE),
                CAST(quantile_disc(value, 0.99) AS DOUBLE) FROM events
+    """
+
+    o["activity_streaks"] = """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        anch AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d) AS INTEGER) AS a
+            FROM days),
+        isl AS (
+            SELECT user_id, a, COUNT(*) AS len FROM anch GROUP BY user_id, a)
+        SELECT user_id,
+               CAST(SUM(len) AS BIGINT) AS active_days,
+               COUNT(*) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS longest_streak
+        FROM isl GROUP BY user_id
+    """
+
+    o["conversion_lag"] = """
+        WITH ff AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        conv AS (
+            SELECT f.user_id, MIN(f.t0) AS t0, MIN(p.ts) AS t1
+            FROM ff f JOIN events p
+              ON p.user_id = f.user_id AND p.event_type = 'purchase'
+                 AND p.ts > f.t0
+            GROUP BY f.user_id),
+        lagd AS (
+            SELECT datediff('second', t0, t1) AS lag FROM conv),
+        s AS (
+            SELECT COUNT(*) AS n_converted,
+                   CAST(MIN(lag) AS BIGINT) AS min_lag_s,
+                   quantile_cont(lag, 0.5) AS median_lag_s,
+                   CAST(SUM(lag) AS DOUBLE) / COUNT(*) AS avg_lag_s,
+                   CAST(MAX(lag) AS BIGINT) AS max_lag_s
+            FROM lagd)
+        SELECT (SELECT COUNT(*) FROM ff) AS n_from,
+               n_converted,
+               n_converted / CAST((SELECT COUNT(*) FROM ff) AS DOUBLE)
+                   AS conversion_rate,
+               min_lag_s, median_lag_s, avg_lag_s, max_lag_s
+        FROM s
+    """
+
+    o["ols_trend"] = """
+        WITH daily AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(14,4))) AS y
+            FROM events GROUP BY 1, 2),
+        f AS (SELECT metric, MIN(d) AS d0 FROM daily GROUP BY metric),
+        xy AS (
+            SELECT daily.metric,
+                   CAST(datediff('day', d0, d) AS DECIMAL(6,0)) AS x,
+                   CAST(y AS DECIMAL(20,4)) AS y
+            FROM daily JOIN f ON daily.metric = f.metric),
+        s AS (
+            SELECT metric,
+                   CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+                   CAST(SUM(x) AS DECIMAL(12,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(20,4)) AS sy,
+                   CAST(SUM(x*y) AS DECIMAL(26,4)) AS sxy,
+                   CAST(SUM(x*x) AS DECIMAL(20,0)) AS sxx
+            FROM xy GROUP BY metric)
+        SELECT metric, CAST(n AS BIGINT) AS n_days,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+                   / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n*sxy - sx*sy AS DOUBLE)
+                   / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        FROM s
+    """
+
+    o["seasonal_dow"] = """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS d,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        d2 AS (
+            SELECT series, n,
+                   datediff('day', DATE '1970-01-05', d) % 7 AS dow
+            FROM daily),
+        bd AS (
+            SELECT series, dow, COUNT(*) AS n_days,
+                   CAST(SUM(n) AS BIGINT) AS tot
+            FROM d2 GROUP BY series, dow),
+        ov AS (
+            SELECT series,
+                   CAST(SUM(n) AS DOUBLE) / COUNT(*) AS oavg
+            FROM d2 GROUP BY series)
+        SELECT bd.series, dow, n_days,
+               CAST(tot AS DOUBLE) / n_days AS dow_avg,
+               (CAST(tot AS DOUBLE) / n_days) / oavg AS seasonal_index
+        FROM bd JOIN ov ON bd.series = ov.series
+    """
+
+    o["value_histogram"] = """
+        WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+        b AS (
+            SELECT CAST(CASE WHEN mx = mn THEN 0
+                        ELSE LEAST(FLOOR((value - mn)
+                                 / ((mx - mn) / CAST(20 AS DOUBLE))), 19)
+                        END AS INTEGER) AS bucket,
+                   value, mn, mx
+            FROM events, s)
+        SELECT bucket,
+               mn + bucket * ((mx - mn) / CAST(20 AS DOUBLE)) AS lo,
+               mn + (bucket + 1) * ((mx - mn) / CAST(20 AS DOUBLE)) AS hi,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM b GROUP BY bucket, mn, mx
+    """
+
+    pr_iters = ""
+    prev = "r0"
+    for i in (1, 2, 3):
+        pr_iters += f"""
+        c{i} AS (
+            SELECT e.dst AS node, list(r.rank / d.outdeg ORDER BY e.src) AS cs
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst),
+        r{i} AS (
+            SELECT n.node,
+                   0.15 + 0.85 * COALESCE(
+                       list_reduce(c.cs, (a, x) -> a + x), 0.0) AS rank
+            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node),"""
+        prev = f"r{i}"
+    o["graph_pagerank"] = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+            SELECT 2*c AS src, 2*s + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2*s + 1, 2*c FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),{pr_iters}
+        fin AS (SELECT node, rank FROM {prev} WHERE node % 2 = 1)
+        SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, rank
+        FROM fin ORDER BY rank DESC, node ASC LIMIT 25
+    """
+
+    o["bloom_semi_join"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
     """
 
     return o

@@ -112,6 +112,13 @@ BENCH_QUERIES: list[str] = [
     "weighted_sample",
     "concurrency_profile",
     "exact_quantiles",
+    "activity_streaks",
+    "conversion_lag",
+    "ols_trend",
+    "seasonal_dow",
+    "value_histogram",
+    "graph_pagerank",
+    "bloom_semi_join",
 ]
 
 

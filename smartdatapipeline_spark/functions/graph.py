@@ -1,0 +1,95 @@
+"""Graph analytics over DataFrame edge lists — PageRank power iteration.
+
+Beyond-reference surface (the reference has no graph operators; its
+entity tables still form graphs — customers↔suppliers via order lines —
+and centrality over that bipartite graph is a standard warehouse ask).
+Companion to the iterative min-label connected components already in
+functions/dedup.py (`duplicate_clusters`).
+
+Scale design: each power-iteration step is one equi-join (ranks onto
+edge sources — the same src-hash exchange every round, so AQE reuses
+the layout) plus one grouped fold per destination. There is no
+all-pairs anything; cost per round is O(|E|) shuffled bytes and the
+round count is fixed (not data-dependent). `localCheckpoint` cuts
+lineage each round exactly like the CC loop, keeping plans flat.
+
+Cross-engine determinism: per-destination contributions are summed as
+an ordered fold — `aggregate(sort_array(collect_list(struct(src, c))))`
+— so the double additions happen in source-id order on every engine and
+every partitioning. (A plain SUM(double) would be order-dependent; see
+functions/numeric.py.) In-degrees here are bounded (a customer touches
+dozens of suppliers), so the per-group list is small; for power-law
+graphs raise to a two-level fold keyed by (dst, src-bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of a directed edge list: add each reverse edge
+    (one zero-shuffle union; dedup is the caller's business)."""
+    return edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    residual: float = 0.15,
+) -> DataFrame:
+    """Unnormalized PageRank (rank₀ = 1, rankᵢ₊₁ = (1−d) + d·Σ
+    rank/outdeg over in-edges) for a fixed number of power iterations.
+
+    Returns (node, rank) for every node appearing as src or dst.
+    Deterministic bit-for-bit: contributions fold in src order (module
+    docstring); division rank/outdeg is a single IEEE op.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .join(deg, "_s")  # node-sized: let AQE pick broadcast vs shuffle
+            .select(
+                F.col("_t").alias("node"),
+                F.struct(
+                    F.col("_s").alias("src"),
+                    (F.col("rank") / F.col("_outdeg")).alias("c"),
+                ).alias("_sc"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("_sc")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("_s_in")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                # residual is an explicit literal (not 1−damping) so the
+                # SQL oracle can spell the bit-identical constant
+                (
+                    F.lit(residual)
+                    + F.lit(damping) * F.coalesce(F.col("_s_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -273,3 +273,50 @@ def exact_quantile_two_pass(
         .head()
     )
     return row["v"]
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram: one min/max scan, then one grouped count —
+    never a sort. Bucket edges derive from the broadcast (min, max)
+    scalar pair; ``least(floor((v−min)/w), n−1)`` claps the max row
+    into the last bucket. Every per-row op is a single IEEE double
+    operation on identical operands, so bucket assignment (and the
+    decimal value sums) are bit-identical cross-engine.
+
+    Output: (bucket, lo, hi, n, sum_value) for non-empty buckets.
+    """
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bucketed = df.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - F.col("_lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+        v.alias("_v"),
+        F.col("_lo"),
+        F.col("_hi"),
+    )
+    w2 = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    return (
+        bucketed.groupBy("bucket", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("_v").alias("sum_value"))
+        .select(
+            "bucket",
+            (F.col("_lo") + F.col("bucket") * w2).alias("lo"),
+            (F.col("_lo") + (F.col("bucket") + 1) * w2).alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -229,3 +229,98 @@ def event_transitions(
         .withColumn("p", F.col("n") / F.col("_tot").cast("double"))
         .select("cur", "nxt", "n", "p")
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: per user, collapse active calendar days into
+    maximal runs of consecutive days and report streak statistics.
+
+    Classic anchor trick, fully declarative: distinct (user, day) →
+    ``row_number`` per user ordered by day → ``anchor = day −
+    row_number`` is constant within a consecutive run, so one grouped
+    count per (user, anchor) yields the islands. Two shuffles total,
+    both on the user key (the window and the island groupBy share the
+    user-hash exchange); all outputs are exact integers.
+
+    Output: (user_id, active_days, n_streaks, longest_streak).
+    """
+    from pyspark.sql.window import Window
+
+    days = events.select(
+        F.col(user_col), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy("_d")
+    anchored = days.withColumn(
+        "_anchor", F.date_sub(F.col("_d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy(user_col, "_anchor").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return islands.groupBy(user_col).agg(
+        F.sum("_len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_len").alias("longest_streak"),
+    )
+
+
+def conversion_lag(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-conversion: per user, the lag from their FIRST
+    ``from_type`` event to the first ``to_type`` event strictly after
+    it, summarized corpus-wide.
+
+    Two pruned min-aggregates (each scans only its event type) joined
+    on the user, then one global summary row. Lags are exact integer
+    seconds (epoch arithmetic); the mean divides an exact BIGINT sum,
+    and the median interpolates two exact integers — deterministic
+    cross-engine.
+
+    Output one row: (n_from, n_converted, conversion_rate,
+    min_lag_s, median_lag_s, avg_lag_s, max_lag_s).
+    """
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    to_ev = events.filter(F.col(type_col) == to_type).select(
+        user_col, F.col(ts_col).alias("_t1")
+    )
+    lags = (
+        first_from.join(to_ev, user_col)
+        .filter(F.col("_t1") > F.col("_t0"))
+        .groupBy(user_col)
+        .agg(
+            (
+                F.unix_timestamp(F.min("_t1")) - F.unix_timestamp(F.min("_t0"))
+            ).alias("_lag")
+        )
+    )
+    n_from = first_from.agg(F.count(F.lit(1)).alias("n_from"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("_lag").alias("min_lag_s"),
+        F.expr("percentile(_lag, 0.5)").alias("median_lag_s"),
+        (F.sum("_lag").cast("double") / F.count(F.lit(1))).alias("avg_lag_s"),
+        F.max("_lag").alias("max_lag_s"),
+    ).crossJoin(F.broadcast(n_from)).select(
+        "n_from",
+        "n_converted",
+        (F.col("n_converted") / F.col("n_from").cast("double")).alias(
+            "conversion_rate"
+        ),
+        "min_lag_s",
+        "median_lag_s",
+        "avg_lag_s",
+        "max_lag_s",
+    )

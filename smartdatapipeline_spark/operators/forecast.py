@@ -996,3 +996,69 @@ def forecast_holt(
         yhat.alias("yhat_upper"),
         F.lit("holt-0.1").alias("model_version"),
     )
+
+
+def ols_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series ordinary-least-squares linear trend of the DAILY
+    value sum against the day index — the closed-form normal equations,
+    not an iterative fit.
+
+    Numeric discipline: x is the day offset from the series' first day
+    (small exact integers), y is the exact-decimal daily sum; Σx, Σy,
+    Σxy, Σx² all aggregate in DECIMAL with precisions sized so no
+    product can round, making the slope's numerator/denominator exact
+    and order-independent. Only the final two divisions happen in
+    double — deterministic on identical operands, so cross-engine
+    bit-parity holds (plain ``regr_slope`` double sums would not).
+
+    Plan: one fact-sized day-grain rollup (the only big shuffle), then
+    per-series aggregates over ~hundreds of rows.
+
+    Output: (metric, n_days, slope, intercept) — value units per day.
+    """
+    daily = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.to_date(ts_col).alias("_d"),
+            F.col(value_col).cast("decimal(14,4)").alias("_y"),
+        )
+        .groupBy("metric", "_d")
+        .agg(F.sum("_y").alias("_y"))
+    )
+    first_day = daily.groupBy("metric").agg(F.min("_d").alias("_d0"))
+    xy = daily.join(F.broadcast(first_day), "metric").select(
+        "metric",
+        F.datediff(F.col("_d"), F.col("_d0")).cast("decimal(6,0)").alias("_x"),
+        F.col("_y"),
+    )
+    # post-cast each exact sum to a narrow decimal so every later
+    # product stays far below the 38-digit cap in BOTH engines (no
+    # precision-loss adjustment paths, Spark or DuckDB)
+    sums = xy.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("decimal(8,0)").alias("_n"),
+        F.sum("_x").cast("decimal(12,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(20,4)").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(26,4)").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(20,0)").alias("_sxx"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    slope = num / F.nullif(den, F.lit(0.0))
+    return sums.select(
+        "metric",
+        F.col("_n").cast("long").alias("n_days"),
+        slope.alias("slope"),
+        (
+            (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+            / F.col("_n").cast("double")
+        ).alias("intercept"),
+    )

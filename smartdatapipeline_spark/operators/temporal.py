@@ -214,3 +214,56 @@ def concurrency_profile(
     return running.groupBy(*by, "day").agg(
         F.max("_open").alias("peak_concurrency")
     )
+
+
+def seasonal_profile(
+    events,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Day-of-week seasonal decomposition of daily event volume: per
+    (series, weekday), the mean daily count and its seasonal index
+    (weekday mean ÷ overall daily mean).
+
+    Weekday is computed arithmetically — ``datediff(day, 1970-01-05) %
+    7`` (1970-01-05 is a Monday, so 0=Mon..6=Sun) — identical integer
+    math on any engine, no locale/convention trap. Counts are exact
+    integers; the two means divide deterministic values, so the index
+    is bit-stable. Two grouped aggregates plus one broadcast join —
+    daily frames are tiny regardless of fact size, so the only
+    fact-sized work is the first day-grain rollup.
+
+    Output: (series, dow, n_days, dow_avg, seasonal_index).
+    """
+    from pyspark.sql import functions as F
+
+    daily = (
+        events.select(
+            F.col(type_col).alias("series"), F.to_date(ts_col).alias("_d")
+        )
+        .groupBy("series", "_d")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "dow", F.datediff(F.col("_d"), F.lit("1970-01-05").cast("date")) % 7
+        )
+    )
+    by_dow = daily.groupBy("series", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_n").alias("_tot"),
+    )
+    overall = daily.groupBy("series").agg(
+        (F.sum("_n").cast("double") / F.count(F.lit(1))).alias("_overall_avg")
+    )
+    return (
+        by_dow.join(F.broadcast(overall), "series")
+        .select(
+            "series",
+            "dow",
+            "n_days",
+            (F.col("_tot").cast("double") / F.col("n_days")).alias("dow_avg"),
+            (
+                (F.col("_tot").cast("double") / F.col("n_days"))
+                / F.col("_overall_avg")
+            ).alias("seasonal_index"),
+        )
+    )
