@@ -2269,6 +2269,80 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    per-user event-type baskets — operators/behavior.py
+    association_rules. Exact integer ratios."""
+    from smartdatapipeline_spark.operators.behavior import association_rules
+
+    return association_rules(_events(spark, sf_dir))
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quiet-period throttle audit: events within 60 s of the previous
+    same (user, type) event are dropped — operators/behavior.py
+    event_debounce."""
+    from smartdatapipeline_spark.operators.behavior import event_debounce
+
+    return event_debounce(_events(spark, sf_dir), min_gap_s=60)
+
+
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (sliding-window
+    COUNT DISTINCT — inexpressible as a window function) —
+    operators/temporal.py sliding_distinct_users."""
+    from smartdatapipeline_spark.operators.temporal import sliding_distinct_users
+
+    return sliding_distinct_users(_events(spark, sf_dir), window_days=7)
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at the exact [p01, p99] quantiles (sort-free
+    two-pass bounds) with clip-mass accounting — functions/sketch.py
+    winsorized_stats."""
+    from smartdatapipeline_spark.functions.sketch import winsorized_stats
+
+    return winsorized_stats(_events(spark, sf_dir).select("value"), "value")
+
+
+def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar customer pairs by Jaccard over purchased
+    part sets, item-blocked pair generation — functions/similarity.py
+    basket_jaccard_pairs."""
+    from smartdatapipeline_spark.functions.similarity import basket_jaccard_pairs
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    baskets = (
+        T("orders")
+        .join(T("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    return basket_jaccard_pairs(baskets, "cust", "part", top_k=20)
+
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance per user (credits minus error/click
+    debits, clamped at 0) — the ordered-fold operator no window SUM can
+    express — operators/temporal.py running_balance."""
+    from smartdatapipeline_spark.operators.temporal import running_balance
+
+    ev = _events(spark, sf_dir)
+    delta = (
+        F.when(F.col("event_type").isin("error", "click"), -F.col("value"))
+        .otherwise(F.col("value"))
+    )
+    return running_balance(ev, delta)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("data stream") via positional postings and
+    adjacent-position joins — functions/retrieval.py phrase_search."""
+    from smartdatapipeline_spark.functions.retrieval import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), "data stream", top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2414,6 +2488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "graph_pagerank": q_graph_pagerank,
         "bloom_semi_join": q_bloom_semi_join,
+        "association_rules": q_association_rules,
+        "event_debounce": q_event_debounce,
+        "sliding_active_users": q_sliding_active_users,
+        "winsorized_stats": q_winsorized_stats,
+        "copurchase_jaccard": q_copurchase_jaccard,
+        "running_balance": q_running_balance,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -3138,6 +3219,132 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_custkey IN (
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority
+    """
+
+    o["association_rules"] = """
+        WITH basket AS (
+            SELECT DISTINCT user_id, event_type AS t FROM events),
+        supp AS (SELECT t, COUNT(*) AS n_item FROM basket GROUP BY t),
+        nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM basket),
+        pairs AS (
+            SELECT a.t AS item_a, b.t AS item_b, COUNT(*) AS n_both
+            FROM basket a JOIN basket b
+              ON a.user_id = b.user_id AND a.t < b.t
+            GROUP BY 1, 2)
+        SELECT item_a, item_b, n_both,
+               sa.n_item AS n_a, sb.n_item AS n_b,
+               n_both / CAST(sa.n_item AS DOUBLE) AS conf_a_b,
+               n_both / CAST(sb.n_item AS DOUBLE) AS conf_b_a,
+               CAST(n_both * nu.n_users AS DOUBLE)
+                   / CAST(sa.n_item * sb.n_item AS DOUBLE) AS lift
+        FROM pairs
+        CROSS JOIN nu
+        JOIN supp sa ON sa.t = item_a
+        JOIN supp sb ON sb.t = item_b
+    """
+
+    o["event_debounce"] = """
+        WITH g AS (
+            SELECT event_type,
+                   datediff('second',
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts ASC, event_id ASC),
+                       ts) AS gap
+            FROM events)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap >= 60
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < 60
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM g GROUP BY event_type
+    """
+
+    o["sliding_active_users"] = """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        spine AS (SELECT DISTINCT d AS day FROM ud)
+        SELECT day, COUNT(DISTINCT user_id) AS n_active_users,
+               7 AS window_days
+        FROM ud JOIN spine
+          ON spine.day >= ud.d AND datediff('day', ud.d, spine.day) < 7
+        GROUP BY day
+    """
+
+    o["winsorized_stats"] = """
+        WITH q AS (
+            SELECT quantile_disc(value, 0.01) AS lo,
+                   quantile_disc(value, 0.99) AS hi
+            FROM events)
+        SELECT COUNT(*) AS n,
+               MIN(lo) AS lo_bound,
+               MIN(hi) AS hi_bound,
+               CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_lo,
+               CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_hi,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_raw,
+               CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi)
+                        AS DECIMAL(28,4))) AS DOUBLE) AS sum_winsorized,
+               CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi)
+                        AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+                   AS mean_winsorized
+        FROM events, q
+    """
+
+    o["copurchase_jaccard"] = """
+        WITH basket AS (
+            SELECT DISTINCT o.o_custkey AS id, l.l_partkey AS it
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        sz AS (SELECT id, COUNT(*) AS s FROM basket GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM basket a JOIN basket b
+              ON a.it = b.it AND a.id < b.id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common, sa.s AS size_a, sb.s AS size_b,
+               n_common / CAST(sa.s + sb.s - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.id = id_a
+        JOIN sz sb ON sb.id = id_b
+        ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
+    """
+
+    o["running_balance"] = """
+        WITH d AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type IN ('error', 'click')
+                        THEN -value ELSE value END AS delta
+            FROM events),
+        per AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   list_reduce(
+                       [[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]]
+                       || list([delta, CAST(0.0 AS DOUBLE)]
+                               ORDER BY ts ASC, event_id ASC),
+                       (a, x) -> [GREATEST(CAST(0.0 AS DOUBLE), a[1] + x[1]),
+                                  a[2] + CASE WHEN a[1] + x[1] < 0.0
+                                         THEN 1.0 ELSE 0.0 END]
+                   ) AS acc
+            FROM d GROUP BY user_id)
+        SELECT user_id, n_events,
+               acc[1] AS final_balance,
+               CAST(acc[2] AS BIGINT) AS n_clamped
+        FROM per
+    """
+
+    o["phrase_search"] = """
+        WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        tok AS (
+            SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+            FROM sp),
+        pos AS (
+            SELECT doc_id, i, l[i] AS term FROM tok WHERE l[i] <> '')
+        SELECT p0.doc_id AS doc_id, COUNT(*) AS n_hits
+        FROM pos p0 JOIN pos p1
+          ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+        WHERE p0.term = 'data' AND p1.term = 'stream'
+        GROUP BY p0.doc_id
+        ORDER BY n_hits DESC, doc_id ASC LIMIT 20
     """
 
     return o

@@ -119,6 +119,13 @@ BENCH_QUERIES: list[str] = [
     "value_histogram",
     "graph_pagerank",
     "bloom_semi_join",
+    "association_rules",
+    "event_debounce",
+    "sliding_active_users",
+    "winsorized_stats",
+    "copurchase_jaccard",
+    "running_balance",
+    "phrase_search",
 ]
 
 

@@ -146,3 +146,53 @@ def rrf_fuse(
         F.desc("rrf_score"), F.col(id_col).asc()
     )
     return fused.limit(topk) if topk else fused
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, term) positional postings via ``posexplode`` on the raw
+    whitespace split (0-based positions; only relative offsets matter)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase match via positional postings: adjacent-position
+    self-joins, one per phrase term past the first. Each join side is
+    pruned to ONE term before joining (the filter collapses the
+    postings frame to that term's rows — tiny vs the corpus), and all
+    joins share the (doc, pos) key space. This is how positional
+    inverted indexes answer phrase queries, expressed as DataFrame ops;
+    for a repeated-query workload, materialize ``positional_postings``
+    bucketed by term once and reuse.
+
+    Output: (doc_id, n_hits) — occurrence count per matching doc —
+    ordered (n_hits desc, doc_id asc), top_k rows.
+    """
+    terms = [t for t in phrase.split(" ") if t != ""]
+    assert terms, "empty phrase"
+    pp = positional_postings(docs, id_col, text_col)
+    cur = (
+        pp.filter(F.col("term") == terms[0])
+        .select(F.col(id_col), F.col("pos").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pp.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("_p0")
+        )
+        cur = cur.join(nxt, [id_col, "_p0"])
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -403,3 +403,67 @@ def embedding_near_dup_pairs(
             "cos_sim",
         )
     )
+
+
+def basket_jaccard_pairs(
+    baskets: DataFrame,
+    id_col: str,
+    item_col: str,
+    top_k: int = 20,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar entity pairs by Jaccard over their item sets
+    (co-purchase / co-engagement similarity), with item-blocked pair
+    generation: only pairs sharing ≥1 item are ever materialized.
+
+    ``baskets`` must be DISTINCT (id, item). The pair space is Σ_item
+    k_item² — bounded by how many entities share an item, not |ids|².
+    ``max_block_size`` drops items shared by more entities than the cap
+    (boilerplate items contribute ~no similarity signal but dominate
+    the join fan-out; same guard discipline as minhash/fuzzy blocking).
+    Jaccard divides exact integer counts: |A∩B| / (|A|+|B|−|A∩B|).
+
+    Output: (id_a, id_b, n_common, size_a, size_b, jaccard), id_a <
+    id_b, ordered by (jaccard desc, id_a, id_b), top_k rows.
+    """
+    b = baskets.select(F.col(id_col).alias("_id"), F.col(item_col).alias("_it"))
+    if max_block_size is not None:
+        small_items = (
+            b.groupBy("_it")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .filter(F.col("_k") <= max_block_size)
+            .select("_it")
+        )
+        b = b.join(small_items, "_it")
+    sizes = b.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    l = b.select(F.col("_id").alias("id_a"), "_it")
+    r = b.select(F.col("_id").alias("id_b"), "_it")
+    inter = (
+        l.join(r, "_it")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("size_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(top_k)
+    )

@@ -320,3 +320,37 @@ def equi_width_histogram(
             "sum_value",
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Winsorization summary: clip the column at its exact [p_lo, p_hi]
+    quantiles (discrete/lower convention via ``exact_quantile_two_pass``
+    — sort-free even at 100 TB) and report how the clip moved the mass.
+
+    The quantile bounds are actual data values, so the clipped decimal
+    sum stays exact; every ratio divides deterministic values.
+
+    Output one row: (n, lo_bound, hi_bound, n_clipped_lo, n_clipped_hi,
+    sum_raw, sum_winsorized, mean_winsorized).
+    """
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    lo = exact_quantile_two_pass(df, value_col, p_lo)
+    hi = exact_quantile_two_pass(df, value_col, p_hi)
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(lo).alias("lo_bound"),
+        F.lit(hi).alias("hi_bound"),
+        F.sum((v < F.lit(lo)).cast("long")).alias("n_clipped_lo"),
+        F.sum((v > F.lit(hi)).cast("long")).alias("n_clipped_hi"),
+        dsum(v).alias("sum_raw"),
+        dsum(clipped).alias("sum_winsorized"),
+        (dsum(clipped) / F.count(F.lit(1))).alias("mean_winsorized"),
+    )

@@ -324,3 +324,97 @@ def conversion_lag(
         "avg_lag_s",
         "max_lag_s",
     )
+
+
+def association_rules(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets:
+    support, both directional confidences, and lift for every unordered
+    type pair.
+
+    Baskets are DISTINCT (user, type) — one dedup shuffle on the fact,
+    after which everything is basket-sized: the pair space is bounded by
+    (distinct types)², reached through a user-keyed self-join of the
+    deduped frame (never the raw fact). All measures are exact integer
+    ratios; lift multiplies BIGINTs before one double division, so the
+    result is bit-stable cross-engine.
+
+    Output: (item_a, item_b, n_both, n_a, n_b, conf_a_b, conf_b_a,
+    lift) with item_a < item_b.
+    """
+    basket = events.select(user_col, F.col(type_col).alias("_t")).distinct()
+    supp = basket.groupBy("_t").agg(F.count(F.lit(1)).alias("n_item"))
+    n_users = basket.select(user_col).distinct().agg(
+        F.count(F.lit(1)).alias("_n_users")
+    )
+    a = basket.select(user_col, F.col("_t").alias("item_a"))
+    b = basket.select(user_col, F.col("_t").alias("item_b"))
+    pairs = (
+        a.join(b, user_col)
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    sa = supp.select(F.col("_t").alias("item_a"), F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("_t").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both") / F.col("n_a").cast("double")).alias("conf_a_b"),
+            (F.col("n_both") / F.col("n_b").cast("double")).alias("conf_b_a"),
+            (
+                (F.col("n_both") * F.col("_n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def event_debounce(
+    events: DataFrame,
+    min_gap_s: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Quiet-period throttle: keep an event only if it arrives at least
+    ``min_gap_s`` seconds after the PREVIOUS raw event of the same
+    (user, type) — i.e. it starts a quiet period, the same boundary
+    rule sessionization uses. (This is lag-based, so a burst keeps only
+    its first event if gaps inside the burst all stay under the
+    threshold and each later event is measured against its immediate
+    predecessor, kept or not.)
+
+    One window over the (user, type) partition — a single shuffle on
+    the fact — then an integer gap compare; first events keep.
+
+    Output: per event_type, (n_kept, n_dropped).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    flagged = events.withColumn(
+        "_keep", F.col(ts_col).isNotNull() & (gap.isNull() | (gap >= min_gap_s))
+    )
+    return flagged.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+    )

@@ -267,3 +267,98 @@ def seasonal_profile(
             ).alias("seasonal_index"),
         )
     )
+
+
+def sliding_distinct_users(
+    events,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Rolling N-day distinct users per day — the classic "7-day active
+    users" metric, which NO window function can express (COUNT(DISTINCT)
+    over a sliding frame isn't supported anywhere).
+
+    Scale shape: dedup the fact to (user, day) first (one shuffle —
+    day-grain, so the frame is users×days at most), then fan each
+    user-day out to the ≤N report days it supports via a range join
+    against the tiny day spine (broadcast — the spine is data-span
+    days), and count distinct users per report day. The fan-out is
+    bounded by ``window_days``, never data-sized.
+
+    Output: (day, n_active_users, window_days).
+    """
+    from pyspark.sql import functions as F
+
+    user_days = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    spine = user_days.select(F.col("_d").alias("day")).distinct()
+    fanned = user_days.join(
+        F.broadcast(spine),
+        (F.col("day") >= F.col("_d"))
+        & (F.datediff(F.col("day"), F.col("_d")) < window_days),
+    )
+    return (
+        fanned.groupBy("day")
+        .agg(F.countDistinct("_u").alias("n_active_users"))
+        .withColumn("window_days", F.lit(window_days))
+    )
+
+
+def running_balance(
+    events,
+    delta_col,
+    floor_value: float = 0.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Floored running balance per key: bal ← max(floor, bal + Δ) over
+    the key's time-ordered deltas — inventory/credit semantics where
+    the balance can't go below zero. The clamp makes each step depend
+    on the previous result, so no window SUM can express it; it IS
+    expressible as one ordered fold per key (collect_list sorted by
+    (ts, id) → ``aggregate`` with a [balance, n_clamped] accumulator) —
+    declarative, JVM-side, one shuffle on the key.
+
+    State per key is its own event list — fine when per-key history
+    fits an executor (the same bound every stateful per-key operator
+    has); for million-event keys, pre-aggregate to a coarser grain
+    first.
+
+    Deterministic bit-for-bit: fixed fold order, IEEE adds, and the
+    clamp compares the same doubles on any engine.
+
+    Output: (user_id, n_events, final_balance, n_clamped).
+    """
+    from pyspark.sql import Column, functions as F
+
+    d = delta_col if isinstance(delta_col, Column) else F.col(delta_col)
+    rows = events.select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), d.alias("delta")
+        ).alias("_r"),
+    )
+    floor_lit = F.lit(float(floor_value))
+    folded = rows.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.aggregate(
+            F.sort_array(F.collect_list("_r")),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.greatest(floor_lit, acc[0] + x["delta"]),
+                acc[1]
+                + F.when(acc[0] + x["delta"] < floor_lit, F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        ).alias("_acc"),
+    )
+    return folded.select(
+        user_col,
+        "n_events",
+        F.col("_acc")[0].alias("final_balance"),
+        F.col("_acc")[1].cast("long").alias("n_clamped"),
+    )
