@@ -2343,6 +2343,90 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_docs(spark, sf_dir), "data stream", top_k=20)
 
 
+def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical KPI totals (leaf / per-metric / grand) in one
+    ROLLUP pass — operators/kpi.py kpi_rollup; Expand node, single
+    scan+shuffle."""
+    return K.kpi_rollup(_events(spark, sf_dir))
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop reachability (≤3 hops) from every 10th supplier over the
+    customer↔supplier graph — functions/graph.py bfs_hops frontier
+    expansion."""
+    from smartdatapipeline_spark.functions.graph import bfs_hops, symmetrize
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    pairs = (
+        T("orders")
+        .join(T("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        T("supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return bfs_hops(symmetrize(pairs), seeds, max_hops=3)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format column profiler over orders (nulls, exact distinct,
+    native-typed min/max) — operators/quality.py table_profile; one
+    aggregation pass."""
+    from smartdatapipeline_spark.operators.quality import table_profile
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    return table_profile(o)
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every lineitem/
+    orders foreign key — operators/quality.py fk_orphans (left-anti
+    joins, dims broadcast)."""
+    from smartdatapipeline_spark.operators.quality import fk_orphans
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    li, od = T("lineitem"), T("orders")
+    return fk_orphans(
+        [
+            (li, "l_orderkey", od, "o_orderkey", "lineitem.order"),
+            (li, "l_partkey", T("part"), "p_partkey", "lineitem.part"),
+            (li, "l_suppkey", T("supplier"), "s_suppkey", "lineitem.supplier"),
+            (od, "o_custkey", T("customer"), "c_custkey", "orders.customer"),
+        ]
+    )
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 3-step event sequences across user streams (sliding
+    n-grams, one windowed shuffle) — operators/behavior.py
+    event_paths."""
+    from smartdatapipeline_spark.operators.behavior import event_paths
+
+    return event_paths(_events(spark, sf_dir), depth=3, top_k=15)
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (series, day) time-weighted average with hold-until-next
+    semantics — operators/temporal.py time_weighted_avg; exact integer
+    weights × decimal values."""
+    from smartdatapipeline_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2495,6 +2579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_jaccard": q_copurchase_jaccard,
         "running_balance": q_running_balance,
         "phrase_search": q_phrase_search,
+        "kpi_rollup": q_kpi_rollup,
+        "graph_bfs": q_graph_bfs,
+        "table_profile": q_table_profile,
+        "fk_orphans": q_fk_orphans,
+        "event_paths": q_event_paths,
+        "time_weighted_avg": q_time_weighted_avg,
     }
 
 
@@ -3345,6 +3435,133 @@ def oracle_sql() -> dict[str, str]:
         WHERE p0.term = 'data' AND p1.term = 'stream'
         GROUP BY p0.doc_id
         ORDER BY n_hits DESC, doc_id ASC LIMIT 20
+    """
+
+    o["kpi_rollup"] = """
+        WITH e AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS day, value
+            FROM events)
+        SELECT metric, day,
+               CAST(GROUPING(metric, day) AS BIGINT) AS gid,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM e GROUP BY ROLLUP(metric, day)
+    """
+
+    _bfs_edges = """
+        pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+            SELECT 2*c AS src, 2*s + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2*s + 1, 2*c FROM pairs),
+        v0 AS (
+            SELECT DISTINCT 2*s_suppkey + 1 AS node FROM supplier
+            WHERE s_suppkey % 10 = 0),
+        f1 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN v0 ON v0.node = e.src
+            WHERE e.dst NOT IN (SELECT node FROM v0)),
+        f2 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN f1 ON f1.node = e.src
+            WHERE e.dst NOT IN (SELECT node FROM v0
+                                UNION ALL SELECT node FROM f1)),
+        f3 AS (
+            SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN f2 ON f2.node = e.src
+            WHERE e.dst NOT IN (SELECT node FROM v0
+                                UNION ALL SELECT node FROM f1
+                                UNION ALL SELECT node FROM f2))
+    """
+    o["graph_bfs"] = f"""
+        WITH {_bfs_edges}
+        SELECT node, 0 AS hops FROM v0
+        UNION ALL SELECT node, 1 FROM f1
+        UNION ALL SELECT node, 2 FROM f2
+        UNION ALL SELECT node, 3 FROM f3
+    """
+
+    _prof_cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderdate",
+    ]
+    _prof_rows = "\n        UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str FROM od"""
+        for c in _prof_cols
+    )
+    o["table_profile"] = f"""
+        WITH od AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderpriority, CAST(o_orderdate AS DATE) AS o_orderdate
+            FROM orders)
+        {_prof_rows}
+    """
+
+    o["fk_orphans"] = """
+        SELECT 'lineitem.order' AS relation,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    """
+
+    o["event_paths"] = """
+        WITH c AS (
+            SELECT event_type || '>' || lead(event_type, 1) OVER w
+                       || '>' || lead(event_type, 2) OVER w AS path,
+                   lead(event_type, 2) OVER w AS last2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC))
+        SELECT path, COUNT(*) AS n FROM c WHERE last2 IS NOT NULL
+        GROUP BY path ORDER BY n DESC, path ASC LIMIT 15
+    """
+
+    o["time_weighted_avg"] = """
+        WITH b AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   datediff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+                   event_id AS id, CAST(value AS DECIMAL(18,4)) AS v
+            FROM events),
+        w AS (
+            SELECT series, day, v,
+                   COALESCE(
+                       lead(sec) OVER (PARTITION BY series, day
+                                       ORDER BY sec ASC, id ASC),
+                       datediff('second', TIMESTAMP '1970-01-01',
+                                CAST(day AS TIMESTAMP)) + 86400) - sec AS wt
+            FROM b)
+        SELECT series, day, COUNT(*) AS n_events,
+               CAST(SUM(wt) AS BIGINT) AS total_s,
+               CAST(SUM(v * CAST(wt AS DECIMAL(10,0))) AS DOUBLE)
+                   / CAST(SUM(wt) AS DOUBLE) AS twap
+        FROM w GROUP BY series, day
     """
 
     return o

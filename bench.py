@@ -126,6 +126,12 @@ BENCH_QUERIES: list[str] = [
     "copurchase_jaccard",
     "running_balance",
     "phrase_search",
+    "kpi_rollup",
+    "graph_bfs",
+    "table_profile",
+    "fk_orphans",
+    "event_paths",
+    "time_weighted_avg",
 ]
 
 

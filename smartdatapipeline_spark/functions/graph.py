@@ -93,3 +93,43 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop distance from a seed set over a directed edge list,
+    bounded by ``max_hops`` — frontier-expansion BFS as DataFrame ops.
+
+    Each round joins ONLY the current frontier (not the visited set)
+    against the edge list, anti-joins out already-visited nodes, and
+    unions into the visited frame — O(edges touched) per round, round
+    count fixed. ``localCheckpoint`` per round keeps the plan flat
+    exactly like the CC / PageRank loops. All outputs are exact
+    integers.
+
+    ``seeds``: one column named ``node``. Output: (node, hops).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).distinct()
+    visited = (
+        seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

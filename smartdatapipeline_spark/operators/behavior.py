@@ -418,3 +418,42 @@ def event_debounce(
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
     )
+
+
+def event_paths(
+    events: DataFrame,
+    depth: int = 3,
+    top_k: int = 15,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common ``depth``-step event sequences across user
+    streams (sliding n-grams over each user's time-ordered events).
+
+    One (user)-partitioned window computes all ``depth−1`` leads in a
+    single shuffle/sort; the n-gram never materializes more than one
+    row per event. Total order (ts, event_id) makes the chains
+    deterministic under ties.
+
+    Output: (path, n) — '>'-joined sequences — ordered (n desc, path
+    asc), top_k rows.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    chains = events.select(
+        F.concat_ws(">", *steps).alias("path"), steps[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return (
+        chains.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

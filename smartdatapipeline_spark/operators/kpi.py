@@ -149,3 +149,40 @@ def metric_names(
     if source_id is not None and source_col in df.columns:
         df = df.filter(F.col(source_col) == source_id)
     return df.select(F.col(metric_col).alias("metric")).distinct().orderBy("metric")
+
+
+def kpi_rollup(
+    events,
+    metric_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Hierarchical KPI totals in ONE pass: per (metric, day), per
+    metric, and grand total via ``ROLLUP`` — Catalyst's Expand node
+    computes all three grouping sets from a single scan+shuffle instead
+    of three separate aggregations. ``grouping_id`` disambiguates the
+    levels (0 = leaf, 1 = per-metric, 3 = grand total).
+
+    Decimal value sums keep every level exact and the cascade
+    re-aggregation-safe (day totals sum to metric totals bit-for-bit).
+
+    Output: (metric, day, gid, n_events, value_sum).
+    """
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    return (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .rollup("metric", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("_v").alias("value_sum"),
+        )
+        .select("metric", "day", "gid", "n_events", "value_sum")
+    )

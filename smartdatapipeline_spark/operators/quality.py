@@ -244,3 +244,69 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("change_type"),
     )
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Long-format column profiler: per column, row count, null count,
+    exact distinct count, and min/max rendered as strings (computed on
+    the native type FIRST, then cast — so numeric min/max are true
+    numeric extremes, not lexicographic).
+
+    One aggregation pass over the scan computes every column's stats
+    (Catalyst expands the distinct aggregates itself); the long unpivot
+    happens on the single result row, never on data. At 100 TB the cost
+    is the one scan plus a countDistinct shuffle per profiled column —
+    cap ``cols`` to what you need.
+
+    Output: (col_name, n_rows, n_null, n_distinct, min_str, max_str).
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"_nn_{c}"),
+            F.count_distinct(col).alias(f"_nd_{c}"),
+            F.min(col).cast("string").alias(f"_mn_{c}"),
+            F.max(col).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n_{c}, _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_str, max_str)"
+        )
+    )
+
+
+def fk_orphans(pairs: list[tuple[DataFrame, str, DataFrame, str, str]]) -> DataFrame:
+    """Referential-integrity audit: for each (child, fk, parent, pk,
+    label), count child rows whose fk value has no parent (NULL fks
+    count as orphans — a missing reference either way).
+
+    Each check is one left-anti join; small parents broadcast
+    automatically, so at 100 TB the fact tables never shuffle for
+    dimension checks. Output: (relation, n_rows, n_orphans).
+    """
+    outs = []
+    for child, fk, parent, pk, label in pairs:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        n = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = (
+            child.select(fk)
+            .join(keys, fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            n.crossJoin(orphans).select(
+                F.lit(label).alias("relation"), "n_rows", "n_orphans"
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u

@@ -362,3 +362,49 @@ def running_balance(
         F.col("_acc")[0].alias("final_balance"),
         F.col("_acc")[1].cast("long").alias("n_clamped"),
     )
+
+
+def time_weighted_avg(
+    events,
+    value_col: str = "value",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Per (series, day) time-weighted average: each value holds from
+    its (whole-second) timestamp until the next event in the same
+    series-day, the last until midnight — TWAP semantics for irregular
+    samples, where a plain AVG over-weights bursts.
+
+    One (series, day)-partitioned window (lead) in one shuffle; weights
+    are exact integer seconds, value×weight aggregates in DECIMAL, and
+    the final division is the only double op — bit-stable cross-engine.
+
+    Output: (series, day, n_events, total_s, twap).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        F.col(series_col).alias("series"),
+        F.to_date(ts_col).alias("day"),
+        F.unix_timestamp(ts_col).alias("_sec"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("decimal(18,4)").alias("_v"),
+    )
+    w = Window.partitionBy("series", "day").orderBy(
+        F.col("_sec").asc(), F.col("_id").asc()
+    )
+    day_end = F.unix_timestamp(F.col("day").cast("timestamp")) + F.lit(86400)
+    weighted = base.withColumn(
+        "_w",
+        F.coalesce(F.lead("_sec").over(w), day_end) - F.col("_sec"),
+    )
+    return weighted.groupBy("series", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_w").alias("total_s"),
+        (
+            F.sum(F.col("_v") * F.col("_w").cast("decimal(10,0)")).cast("double")
+            / F.sum("_w").cast("double")
+        ).alias("twap"),
+    )

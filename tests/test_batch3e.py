@@ -1,0 +1,121 @@
+"""Tests for kpi rollup, BFS hops, table profiler, FK orphans,
+event paths, time-weighted average."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_kpi_rollup_levels_cascade(spark):
+    from smartdatapipeline_spark.operators.kpi import kpi_rollup
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 6), "a", 2.0),
+        (dt.datetime(2024, 1, 2, 5), "a", 4.0),
+        (dt.datetime(2024, 1, 1, 5), "b", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = kpi_rollup(ev).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert len(by_gid[0]) == 3  # (a,d1) (a,d2) (b,d1)
+    a_total = [r for r in by_gid[1] if r["metric"] == "a"][0]
+    assert a_total["n_events"] == 3 and a_total["value_sum"] == 7.0
+    grand = by_gid[3][0]
+    assert grand["metric"] is None and grand["day"] is None
+    assert grand["n_events"] == 4 and grand["value_sum"] == 15.0
+
+
+def test_bfs_hops_min_distance(spark):
+    from smartdatapipeline_spark.functions.graph import bfs_hops, symmetrize
+
+    # path 1-2-3-4-5 plus shortcut 1-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(symmetrize(edges), seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_hops_bounded_depth(spark):
+    from smartdatapipeline_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 beyond the bound
+
+
+def test_table_profile_stats(spark):
+    from smartdatapipeline_spark.operators.quality import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", None), (3, "x", 7.5)],
+        "k long, s string, v double",
+    )
+    got = {r["col_name"]: r for r in table_profile(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 3
+    assert got["k"]["min_str"] == "1" and got["k"]["max_str"] == "3"
+    assert got["s"]["n_distinct"] == 2
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min_str"] == "2.5" and got["v"]["max_str"] == "7.5"
+
+
+def test_fk_orphans_counts(spark):
+    from smartdatapipeline_spark.operators.quality import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = fk_orphans([(child, "fk", parent, "pk", "child.parent")]).collect()[0]
+    assert r["relation"] == "child.parent"
+    assert r["n_rows"] == 4
+    assert r["n_orphans"] == 2  # 99 and NULL
+
+
+def test_event_paths_trigram_counts(spark):
+    from smartdatapipeline_spark.operators.behavior import event_paths
+
+    def r(u, s, t):
+        return (u, s, dt.datetime(2024, 1, 1, 0, 0, s), t)
+
+    rows = [
+        r(1, 0, "a"), r(1, 1, "b"), r(1, 2, "c"), r(1, 3, "a"),
+        r(2, 0, "a"), r(2, 1, "b"), r(2, 2, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {row["path"]: row["n"] for row in event_paths(ev, depth=3).collect()}
+    assert got == {"a>b>c": 2, "b>c>a": 1}
+
+
+def test_time_weighted_avg_holds_values(spark):
+    from smartdatapipeline_spark.operators.temporal import time_weighted_avg
+
+    # one day, series m: value 10 held 60 s, then 20 held to midnight
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0, "m", 10.0),
+            (2, 1, t0 + dt.timedelta(seconds=60), "m", 20.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    r = time_weighted_avg(ev).collect()[0]
+    assert r["n_events"] == 2
+    assert r["total_s"] == 86400
+    want = (10.0 * 60 + 20.0 * (86400 - 60)) / 86400
+    assert r["twap"] == want

@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions import dedup as DD
 from smartdatapipeline_spark.functions import layout as LY
+from smartdatapipeline_spark.functions import retrieval as RT
 from smartdatapipeline_spark.functions import sketch as SK
 from smartdatapipeline_spark.operators import behavior as BH
+from smartdatapipeline_spark.operators import temporal as TP
 from smartdatapipeline_spark.functions import similarity as SIM
 from smartdatapipeline_spark.operators.kpi import run_daily_kpis
 from smartdatapipeline_spark.operators.sessions import sessionize
@@ -199,6 +201,58 @@ def _scrub(spark, sf_dir, n):
     return DD.scrub_contaminated_spans(d, ev, window=13, k=3)
 
 
+def _pagerank_probe(spark, sf_dir, n):
+    from smartdatapipeline_spark.functions.graph import pagerank, symmetrize
+
+    users = scaled_events(spark, sf_dir, n).select("user_id").distinct()
+    # bounded-degree synthetic graph: 3 out-edges per node, targets
+    # spread by multiplicative hashing over the scaled node space
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.col("user_id") * (2654435761 + i) + i,
+                        F.lit(1_000_000 * max(n, 1)),
+                    )
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return pagerank(symmetrize(edges), iterations=3)
+
+
+def _jaccard_probe(spark, sf_dir, n):
+    ev = scaled_events(spark, sf_dir, n)
+    baskets = ev.select(
+        F.col("user_id").alias("cust"),
+        F.pmod(F.xxhash64("event_id", "user_id"), F.lit(1000 * max(n, 1))).alias(
+            "part"
+        ),
+    ).distinct()
+    return SIM.basket_jaccard_pairs(baskets, "cust", "part", top_k=20)
+
+
+def _bloom_probe(spark, sf_dir, n):
+    from smartdatapipeline_spark.functions.bloom import bloom_semi_join
+
+    ev = scaled_events(spark, sf_dir, n)
+    small = ev.select("user_id").distinct().filter(F.col("user_id") % 37 == 0)
+    return bloom_semi_join(ev, small, "user_id", "user_id").groupBy(
+        "event_type"
+    ).count()
+
+
+def _quantile_probe(spark, sf_dir, n):
+    from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
+
+    ev = scaled_events(spark, sf_dir, n).select("value")
+    v = exact_quantile_two_pass(ev, "value", 0.99)
+    return spark.range(1).select(F.lit(float(v)).alias("p99"))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
@@ -300,6 +354,28 @@ def main() -> None:
         "cooccurrence": lambda n: BH.cooccurrence_topk(
             scaled_events(spark, sf_dir, n)
         ),
+        # round-3 batch: graph/similarity/window/bloom/fold additions.
+        # pagerank probes on a synthetic bounded-degree graph over the
+        # scaled user space (node count scales, degree constant — the
+        # healthy shape; hub graphs need the two-level fold noted in
+        # functions/graph.py). copurchase item space scales with volume
+        # so block size stays constant (same rationale as scaled_parts).
+        "graph_pagerank": lambda n: _pagerank_probe(spark, sf_dir, n),
+        "copurchase_jaccard": lambda n: _jaccard_probe(spark, sf_dir, n),
+        "sliding_active_users": lambda n: TP.sliding_distinct_users(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "bloom_semi_join": lambda n: _bloom_probe(spark, sf_dir, n),
+        "phrase_search": lambda n: RT.phrase_search(
+            scaled_docs_salted(spark, sf_dir, n), "data stream"
+        ),
+        "running_balance": lambda n: TP.running_balance(
+            scaled_events(spark, sf_dir, n), F.col("value")
+        ),
+        "activity_streaks": lambda n: BH.activity_streaks(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "exact_quantile": lambda n: _quantile_probe(spark, sf_dir, n),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
