@@ -2427,6 +2427,44 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(_events(spark, sf_dir))
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day via the first-seen
+    reformulation (expanding COUNT DISTINCT) — operators/behavior.py
+    cumulative_users."""
+    from smartdatapipeline_spark.operators.behavior import cumulative_users
+
+    return cumulative_users(_events(spark, sf_dir))
+
+
+def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coherent cross-table hash sampling (same salted-md5 bucket rule
+    on events.user_id AND orders.o_custkey) — functions/sampling.py
+    consistent_hash_sample. One summary row."""
+    from smartdatapipeline_spark.functions.sampling import consistent_hash_sample
+
+    ev = _events(spark, sf_dir)
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ev_s = consistent_hash_sample(ev, "user_id", pct=10)
+    od_s = consistent_hash_sample(od, "o_custkey", pct=10)
+    a = ev_s.agg(
+        F.countDistinct("user_id").alias("n_users_sampled"),
+        F.count(F.lit(1)).alias("n_events_sampled"),
+    )
+    b = od_s.agg(
+        F.countDistinct("o_custkey").alias("n_custs_sampled"),
+        F.count(F.lit(1)).alias("n_orders_sampled"),
+    )
+    return a.crossJoin(b)
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series q50/q90/q99 via in-partition rank windows —
+    functions/sketch.py grouped_quantiles_exact."""
+    from smartdatapipeline_spark.functions.sketch import grouped_quantiles_exact
+
+    return grouped_quantiles_exact(_events(spark, sf_dir), "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2585,6 +2623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": q_fk_orphans,
         "event_paths": q_event_paths,
         "time_weighted_avg": q_time_weighted_avg,
+        "cumulative_users": q_cumulative_users,
+        "consistent_sample": q_consistent_sample,
+        "grouped_quantiles": q_grouped_quantiles,
     }
 
 
@@ -3562,6 +3603,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v * CAST(wt AS DECIMAL(10,0))) AS DOUBLE)
                    / CAST(SUM(wt) AS DOUBLE) AS twap
         FROM w GROUP BY series, day
+    """
+
+    o["cumulative_users"] = """
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events GROUP BY user_id),
+        news AS (
+            SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY day),
+        spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        SELECT s.day,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_users,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                   ORDER BY s.day ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM spine s LEFT JOIN news n ON n.day = s.day
+    """
+
+    o["consistent_sample"] = """
+        WITH ev AS (
+            SELECT user_id FROM events
+            WHERE ('0x' || substr(md5('csample-v1:'
+                      || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < 10),
+        od AS (
+            SELECT o_custkey FROM orders
+            WHERE ('0x' || substr(md5('csample-v1:'
+                      || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 < 10)
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users_sampled,
+               (SELECT COUNT(*) FROM ev) AS n_events_sampled,
+               (SELECT COUNT(DISTINCT o_custkey) FROM od) AS n_custs_sampled,
+               (SELECT COUNT(*) FROM od) AS n_orders_sampled
+    """
+
+    o["grouped_quantiles"] = """
+        SELECT event_type AS series, CAST(0.5 AS DOUBLE) AS q,
+               CAST(quantile_disc(value, 0.5) AS DOUBLE) AS value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.9 AS DOUBLE),
+               CAST(quantile_disc(value, 0.9) AS DOUBLE)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.99 AS DOUBLE),
+               CAST(quantile_disc(value, 0.99) AS DOUBLE)
+        FROM events GROUP BY event_type
     """
 
     return o

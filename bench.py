@@ -132,6 +132,9 @@ BENCH_QUERIES: list[str] = [
     "fk_orphans",
     "event_paths",
     "time_weighted_avg",
+    "cumulative_users",
+    "consistent_sample",
+    "grouped_quantiles",
 ]
 
 

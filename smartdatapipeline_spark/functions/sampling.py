@@ -188,3 +188,16 @@ def weighted_sample(
     )
     keyed = drawn.groupBy(id_col).agg(F.max("_draw").alias("sample_key"))
     return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col).asc()).limit(k)
+
+
+def consistent_hash_sample(
+    df: DataFrame, key_col: str, pct: int = 10, salt: str = "csample-v1"
+) -> DataFrame:
+    """Coherent cross-table sampling: keep rows whose key falls in the
+    first ``pct`` of 100 stable hash buckets. Any table filtered with
+    the same (salt, pct) keeps the SAME key set, so joins between
+    sampled tables stay referentially intact — the property Bernoulli
+    row sampling destroys. Pure column filter (no shuffle), stable
+    under appends/repartitioning, bit-identical cross-engine (salted
+    md5, no engine RNG)."""
+    return df.filter(_bucket(F.col(key_col), salt) < pct)

@@ -224,9 +224,10 @@ def exact_quantile_two_pass(
     accuracy: int = 10000,
     pad: float | None = None,
 ):
-    """EXACT global quantile (discrete / lower convention: the element
-    at 1-based rank floor(q·(n−1))+1) without ever sorting the full
-    column — the 100 TB replacement for ``ORDER BY value`` quantiles.
+    """EXACT global quantile (discrete convention: the element at
+    1-based rank max(1, ceil(q·n)) — DuckDB's ``quantile_disc``)
+    without ever sorting the full column — the 100 TB replacement for
+    ``ORDER BY value`` quantiles.
 
     Pass 1: ``percentile_approx`` (GK sketch, rank error ≤ n/accuracy)
     brackets the answer with [q−pad, q+pad] approximations; since
@@ -244,7 +245,7 @@ def exact_quantile_two_pass(
     n = df.count()
     if n == 0:
         return None
-    k = int(math.floor(q * (n - 1))) + 1
+    k = max(1, int(math.ceil(q * n)))
     pad = pad if pad is not None else max(4.0 / accuracy, 1e-4)
     qlo, qhi = max(0.0, q - pad), min(1.0, q + pad)
     lo, hi = df.agg(
@@ -354,3 +355,42 @@ def winsorized_stats(
         dsum(clipped).alias("sum_winsorized"),
         (dsum(clipped) / F.count(F.lit(1))).alias("mean_winsorized"),
     )
+
+
+def grouped_quantiles_exact(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles (discrete convention — 1-based rank
+    max(1, ceil(q·n))) via one rank window per group: the sort happens
+    inside each group's partition (the same single shuffle a grouped
+    agg needs), never globally. Each quantile is then a rank-equality
+    filter on that one windowed frame.
+
+    For groups too large to sort in one task, fall back to the global
+    two-pass ``exact_quantile_two_pass`` per group, or pre-aggregate
+    to (group, value, count) first.
+
+    Output: (series, q, value) — one row per group × quantile.
+    """
+    from pyspark.sql.window import Window
+
+    base = (
+        df.select(F.col(group_col).alias("series"), F.col(value_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("series").orderBy(F.col("_v").asc())
+        ))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("series")))
+    )
+    out = None
+    for q in qs:
+        target = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("_n")), F.lit(1)
+        )
+        part = base.filter(F.col("_rn") == target).select(
+            "series", F.lit(float(q)).alias("q"), F.col("_v").alias("value")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

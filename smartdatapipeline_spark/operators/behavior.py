@@ -457,3 +457,35 @@ def event_paths(
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def cumulative_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative distinct users by day (the growth curve) — an
+    EXPANDING-window COUNT DISTINCT, which no window function supports
+    directly. Exact reformulation: a user contributes distinctly only
+    on their FIRST day, so cumulative-distinct = running SUM of
+    first-seen counts — one user-keyed aggregate (the only fact-sized
+    shuffle), then a running sum over the day-grain frame (data-span
+    days — the global window runs on dozens-to-thousands of rows, not
+    the fact).
+
+    Output: (day, n_new_users, cum_users).
+    """
+    from pyspark.sql.window import Window
+
+    firsts = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    news = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    spine = events.select(F.to_date(ts_col).alias("day")).distinct()
+    joined = spine.join(news, "day", "left").select(
+        "day", F.coalesce(F.col("n_new_users"), F.lit(0)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day", "n_new_users", F.sum("n_new_users").over(w).alias("cum_users")
+    )

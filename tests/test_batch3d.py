@@ -79,7 +79,7 @@ def test_winsorized_stats_bounds_and_mass(spark):
     vals = [float(v) for v in range(1, 101)]  # 1..100
     df = spark.createDataFrame([(v,) for v in vals], "value double")
     r = winsorized_stats(df, "value", 0.10, 0.90).collect()[0]
-    # discrete quantiles of 1..100: rank floor(q*(n-1))+1
+    # discrete quantiles of 1..100: 1-based rank max(1, ceil(q*n))
     assert r["lo_bound"] == 10.0 and r["hi_bound"] == 90.0
     assert r["n_clipped_lo"] == 9 and r["n_clipped_hi"] == 10
     want_sum = sum(max(10.0, min(90.0, v)) for v in vals)
@@ -158,3 +158,62 @@ def test_phrase_search_three_terms(spark):
     )
     got = [(r["doc_id"], r["n_hits"]) for r in phrase_search(docs, "a b c").collect()]
     assert got == [(1, 1)]
+
+
+def test_cumulative_users_growth_curve(spark):
+    from smartdatapipeline_spark.operators.behavior import cumulative_users
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (1, dt.datetime(2024, 1, 3)),   # returning, not new
+        (2, dt.datetime(2024, 1, 3)),
+        (3, dt.datetime(2024, 1, 5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [
+        (r["day"].isoformat(), r["n_new_users"], r["cum_users"])
+        for r in cumulative_users(ev).orderBy("day").collect()
+    ]
+    assert got == [
+        ("2024-01-01", 1, 1),
+        ("2024-01-03", 1, 2),
+        ("2024-01-05", 1, 3),
+    ]
+
+
+def test_consistent_hash_sample_is_coherent_across_tables(spark):
+    from smartdatapipeline_spark.functions.sampling import consistent_hash_sample
+
+    t1 = spark.createDataFrame([(k,) for k in range(500)], "k long")
+    t2 = spark.createDataFrame(
+        [(k, k * 10) for k in range(500)], "k long, other long"
+    )
+    s1 = {r["k"] for r in consistent_hash_sample(t1, "k", pct=20).collect()}
+    s2 = {r["k"] for r in consistent_hash_sample(t2, "k", pct=20).collect()}
+    assert s1 == s2            # identical key decisions on both tables
+    assert 0 < len(s1) < 500   # actually samples
+    sub = {r["k"] for r in consistent_hash_sample(t1, "k", pct=10).collect()}
+    assert sub <= s1           # nested: pct=10 ⊂ pct=20
+
+
+def test_grouped_quantiles_match_sorted(spark):
+    import math
+
+    from smartdatapipeline_spark.functions.sketch import grouped_quantiles_exact
+
+    import random
+
+    rng = random.Random(7)
+    data = [("g1", float(rng.randint(0, 999))) for _ in range(257)] + [
+        ("g2", float(v)) for v in range(83)
+    ]
+    df = spark.createDataFrame(data, "g string, v double")
+    got = {
+        (r["series"], r["q"]): r["value"]
+        for r in grouped_quantiles_exact(df, "v", "g").collect()
+    }
+    for g in ("g1", "g2"):
+        s = sorted(v for k, v in data if k == g)
+        n = len(s)
+        for q in (0.5, 0.9, 0.99):
+            assert got[(g, q)] == s[max(1, math.ceil(q * n)) - 1], (g, q)

@@ -336,7 +336,9 @@ def test_exact_quantile_two_pass_vs_sorted(spark):
     s = sorted(vals)
     n = len(s)
     for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
-        expect = s[int(math.floor(q * (n - 1)))]
+        # discrete convention: 1-based rank max(1, ceil(q*n)) — matches
+        # DuckDB quantile_disc at every n, not just when q*n is integral
+        expect = s[max(1, math.ceil(q * n)) - 1]
         assert exact_quantile_two_pass(df, "value", q) == expect, q
 
 

@@ -405,3 +405,54 @@ def test_stream_ingest_dead_letter_quarantine(spark, tmp_path):
     quarantined = spark.read.parquet(dl).collect()
     assert len(quarantined) == 2
     assert all(r["reason"] is not None for r in quarantined)
+
+
+def test_running_balance_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState floored balance: two ordered micro-batches
+    fold to bit-identical state vs the batch ordered-fold operator."""
+    from smartdatapipeline_spark.operators.temporal import running_balance
+    from smartdatapipeline_spark.streaming.balance import running_balance_stream
+
+    inp = tmp_path / "bal_in"
+    inp.mkdir()
+    (inp / "b1.json").write_text(
+        '{"event_id": 1, "user_id": 1, "ts": "2025-01-01T00:00:00Z", "delta": 5.5}\n'
+        '{"event_id": 2, "user_id": 1, "ts": "2025-01-01T00:01:00Z", "delta": -9.25}\n'
+        '{"event_id": 3, "user_id": 2, "ts": "2025-01-01T00:00:30Z", "delta": -4.0}\n'
+    )
+    time.sleep(1.1)
+    (inp / "b2.json").write_text(
+        '{"event_id": 4, "user_id": 1, "ts": "2025-01-01T00:02:00Z", "delta": 3.25}\n'
+        '{"event_id": 5, "user_id": 2, "ts": "2025-01-01T00:03:00Z", "delta": 7.75}\n'
+    )
+    schema = "event_id bigint, user_id bigint, ts timestamp, delta double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp))
+    )
+    q = (
+        running_balance_stream(stream)
+        .writeStream.format("memory")
+        .queryName("bal_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: the latest state per user is the one with most events
+    # folded (n_events is monotone; memory-sink row order isn't)
+    rows = spark.table("bal_test").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            latest[r["user_id"]] = (
+                r["n_events"], r["final_balance"], r["n_clamped"],
+            )
+    batch_df = spark.read.schema(schema).json(str(inp))
+    want = {
+        r["user_id"]: (r["n_events"], r["final_balance"], r["n_clamped"])
+        for r in running_balance(batch_df, "delta").collect()
+    }
+    assert latest == want
+    assert want[1] == (3, 3.25, 1)  # 5.5 → clamp(−9.25) → 0 → 3.25
+    assert want[2] == (2, 7.75, 1)
