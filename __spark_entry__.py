@@ -2465,6 +2465,31 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantiles_exact(_events(spark, sf_dir), "value", "event_type")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (scale + checksum per vector,
+    zero shuffles) — functions/similarity.py quantize_embeddings."""
+    from smartdatapipeline_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return quantize_embeddings(emb)
+
+
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change of daily value sums (date-arithmetic
+    self-join on the day grain) — operators/metrics.py wow_change."""
+    from smartdatapipeline_spark.operators.metrics import wow_change
+
+    return wow_change(_events(spark, sf_dir))
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD distribution-free outlier counts per series —
+    operators/anomaly.py robust_outliers (exact grouped medians)."""
+    from smartdatapipeline_spark.operators.anomaly import robust_outliers
+
+    return robust_outliers(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2626,6 +2651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": q_cumulative_users,
         "consistent_sample": q_consistent_sample,
         "grouped_quantiles": q_grouped_quantiles,
+        "embedding_quantize": q_embedding_quantize,
+        "wow_change": q_wow_change,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -3649,6 +3677,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(0.99 AS DOUBLE),
                CAST(quantile_disc(value, 0.99) AS DOUBLE)
         FROM events GROUP BY event_type
+    """
+
+    o["embedding_quantize"] = """
+        WITH pos AS (
+            SELECT vec_id, embedding AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings),
+        v AS (SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS x FROM pos),
+        m AS (SELECT vec_id, MAX(ABS(x)) AS max_abs FROM v GROUP BY vec_id),
+        q AS (
+            SELECT v.vec_id, i, m.max_abs,
+                   CAST(ROUND(x * (127.0 / NULLIF(m.max_abs, 0.0)))
+                        AS BIGINT) AS qv
+            FROM v JOIN m ON v.vec_id = m.vec_id)
+        SELECT vec_id, COUNT(*) AS n_dims, MIN(max_abs) AS max_abs,
+               CAST(SUM(qv * i) AS BIGINT) AS checksum
+        FROM q GROUP BY vec_id
+    """
+
+    o["wow_change"] = """
+        WITH daily AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       AS value_sum
+            FROM events GROUP BY 1, 2)
+        SELECT d.metric, d.day, d.value_sum,
+               p.value_sum AS prev_week,
+               (d.value_sum - p.value_sum)
+                   / NULLIF(p.value_sum, 0.0) AS pct_change
+        FROM daily d JOIN daily p
+          ON p.metric = d.metric AND p.day + 7 = d.day
+    """
+
+    o["robust_outliers"] = """
+        WITH med AS (
+            SELECT event_type AS metric,
+                   CAST(quantile_disc(value, 0.5) AS DOUBLE) AS med
+            FROM events GROUP BY 1),
+        dev AS (
+            SELECT e.event_type AS metric, m.med,
+                   ABS(value - m.med) AS d
+            FROM events e JOIN med m ON m.metric = e.event_type),
+        mad AS (
+            SELECT metric,
+                   CAST(quantile_disc(d, 0.5) AS DOUBLE) AS mad
+            FROM dev GROUP BY metric)
+        SELECT dev.metric, COUNT(*) AS n,
+               MIN(dev.med) AS med, MIN(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON mad.metric = dev.metric
+        GROUP BY dev.metric
     """
 
     return o

@@ -135,6 +135,9 @@ BENCH_QUERIES: list[str] = [
     "cumulative_users",
     "consistent_sample",
     "grouped_quantiles",
+    "embedding_quantize",
+    "wow_change",
+    "robust_outliers",
 ]
 
 

@@ -467,3 +467,38 @@ def basket_jaccard_pairs(
         )
         .limit(top_k)
     )
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization (the ANN-index compression
+    step: 4× smaller vectors, dot products in integer space): scale =
+    127/max|x|, qᵢ = round(xᵢ·scale) — entirely higher-order column
+    functions (transform/aggregate), zero shuffles, scan-speed.
+
+    Determinism: float32 inputs widen to double exactly; one division,
+    one multiply, and HALF-UP rounding per element are identical IEEE
+    ops on any engine. The checksum Σ qᵢ·i (1-based) pins the full
+    quantized vector in the oracle without materializing it.
+
+    Output: (vec_id, n_dims, max_abs, checksum); zero vectors yield
+    NULL max-scale fields rather than ±inf garbage.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.nullif(max_abs, F.lit(0.0))
+    q = F.transform(xd, lambda x: F.round(x * scale).cast("long"))
+    checksum = F.aggregate(
+        F.zip_with(
+            q,
+            F.sequence(F.lit(1), F.size(q)),
+            lambda v, i: v * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(xd).alias("n_dims"),
+        max_abs.alias("max_abs"),
+        checksum.alias("checksum"),
+    )

@@ -707,3 +707,52 @@ def cusum_changepoints(
         F.col("_z.sn").alias("cusum_neg"),
         ((F.col("_z.sp") > h) | (F.col("_z.sn") > h)).alias("is_changepoint"),
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    metric_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier counts per series: flag |x − median| >
+    k·MAD — immune to the outliers dragging the threshold the way a
+    mean/stddev z-score is (the reference's rolling z is the
+    parametric cousin; this is the distribution-free one).
+
+    Both medians use the exact in-partition rank windows of
+    ``grouped_quantiles_exact`` (ceil(q·n) discrete convention), so the
+    thresholds are actual data values and the comparison is bit-stable.
+    Cost: two grouped sort-windows + one counting pass, all shuffling
+    on the series key.
+
+    Output: (metric, n, med, mad, n_outliers).
+    """
+    from smartdatapipeline_spark.functions.sketch import grouped_quantiles_exact
+
+    base = events.select(
+        F.col(metric_col).alias("metric"), F.col(value_col).alias("_x")
+    )
+    med = (
+        grouped_quantiles_exact(base, "_x", "metric", qs=(0.5,))
+        .select(F.col("series").alias("metric"), F.col("value").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "metric").withColumn(
+        "_d", F.abs(F.col("_x") - F.col("med"))
+    )
+    mad = (
+        grouped_quantiles_exact(dev, "_d", "metric", qs=(0.5,))
+        .select(F.col("series").alias("metric"), F.col("value").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "metric")
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("_d") > F.lit(float(k)) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

@@ -116,3 +116,48 @@ def export_csv_frame(gold: DataFrame, **fetch_kwargs) -> DataFrame:
     if "value_distinct" not in df.columns:
         df = df.withColumn("value_distinct", F.lit(None).cast("long"))
     return df.select(*EXPORT_COLUMNS)
+
+
+def wow_change(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Week-over-week change of daily value sums: each day joined to
+    the same series seven days earlier (a date-arithmetic self-join on
+    the tiny day-grain frame — no window frame arithmetic, so missing
+    days are naturally absent rather than silently shifted).
+
+    The fact-sized work is the one day-grain rollup; decimal sums make
+    both operands exact, and the pct change is one double ratio.
+
+    Output: (metric, day, value_sum, prev_week, pct_change) for days
+    with a 7-days-earlier observation.
+    """
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    daily = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("metric", "day")
+        .agg(dsum("_v").alias("value_sum"))
+    )
+    prev = daily.select(
+        "metric",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("value_sum").alias("prev_week"),
+    )
+    return daily.join(prev, ["metric", "day"]).select(
+        "metric",
+        "day",
+        "value_sum",
+        "prev_week",
+        (
+            (F.col("value_sum") - F.col("prev_week"))
+            / F.nullif(F.col("prev_week"), F.lit(0.0))
+        ).alias("pct_change"),
+    )

@@ -99,3 +99,10 @@ def infer_source_name(df: DataFrame, param_source: str | None) -> DataFrame:
     fallback = F.lit(param_source if param_source else "default")
     expr = F.coalesce(F.col(src_col).cast("string"), fallback) if src_col else fallback
     return df.withColumn("source_name", expr)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC source — native Spark reader, same pushdown/pruning
+    behavior as parquet (PushedFilters + ReadSchema reach the scan).
+    Round-trips with ``sources.sinks.write_orc``."""
+    return spark.read.orc(path)

@@ -100,3 +100,10 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     if os.path.exists(path):
         return spark.read.parquet(path)
     return None
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (snappy, native writer) — the second
+    warehouse-interchange format besides parquet; schema and values
+    round-trip losslessly through ``sources.readers.read_orc``."""
+    df.write.mode(mode).orc(path)

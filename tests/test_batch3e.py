@@ -119,3 +119,51 @@ def test_time_weighted_avg_holds_values(spark):
     assert r["total_s"] == 86400
     want = (10.0 * 60 + 20.0 * (86400 - 60)) / 86400
     assert r["twap"] == want
+
+
+def test_quantize_embeddings_checksum_and_zero_vector(spark):
+    from smartdatapipeline_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    r = got[1]
+    assert r["n_dims"] == 3 and r["max_abs"] == 2.0
+    # scale 63.5 → q = [64, -127, 32]; checksum = 64*1 -127*2 + 32*3
+    assert r["checksum"] == 64 * 1 - 127 * 2 + 32 * 3
+    z = got[2]
+    assert z["max_abs"] == 0.0 and z["checksum"] is None  # no ±inf garbage
+
+
+def test_wow_change_joins_seven_days_back(spark):
+    from smartdatapipeline_spark.operators.metrics import wow_change
+
+    rows = [
+        (dt.datetime(2024, 1, 1), "m", 10.0),
+        (dt.datetime(2024, 1, 8), "m", 15.0),
+        (dt.datetime(2024, 1, 9), "m", 1.0),   # no day-2 observation
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = wow_change(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["day"].isoformat() == "2024-01-08"
+    assert r["value_sum"] == 15.0 and r["prev_week"] == 10.0
+    assert r["pct_change"] == 0.5
+
+
+def test_robust_outliers_flags_only_far_points(spark):
+    from smartdatapipeline_spark.operators.anomaly import robust_outliers
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "m", v) for v in vals],
+        "ts timestamp, event_type string, value double",
+    )
+    r = robust_outliers(ev).collect()[0]
+    # n=6: median = rank ceil(3) = 3rd value = 12; deviations sorted
+    # [0,1,1,2,2,988] → MAD = 3rd = 1; only 1000 exceeds med ± 3·MAD
+    assert r["med"] == 12.0 and r["mad"] == 1.0
+    assert r["n"] == 6 and r["n_outliers"] == 1

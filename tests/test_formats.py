@@ -88,3 +88,17 @@ def test_compact_parquet_reduces_files_and_clusters_ranges(spark, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo  # disjoint key ranges -> footer pruning
+
+
+def test_orc_roundtrip_schema_and_values(spark, tmp_path):
+    from smartdatapipeline_spark.sources.readers import read_orc
+    from smartdatapipeline_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1, 2]), (2, None, -0.25, [])],
+        "k long, s string, v double, arr array<int>",
+    )
+    write_orc(df, str(tmp_path / "orc_out"))
+    back = read_orc(spark, str(tmp_path / "orc_out"))
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
