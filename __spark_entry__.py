@@ -2490,6 +2490,30 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers(_events(spark, sf_dir))
 
 
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA of daily sums (ordered fold — the recursion no
+    window frame expresses) — operators/forecast.py ewma_daily."""
+    return FC.ewma_daily(_events(spark, sf_dir), alpha=0.25)
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution within a 60-minute window
+    (running last-non-null over one user window) —
+    operators/behavior.py attribution_last_touch."""
+    from smartdatapipeline_spark.operators.behavior import attribution_last_touch
+
+    return attribution_last_touch(_events(spark, sf_dir))
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation of view vs purchase daily
+    counts from exact integer window sums — operators/temporal.py
+    rolling_correlation."""
+    from smartdatapipeline_spark.operators.temporal import rolling_correlation
+
+    return rolling_correlation(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2654,6 +2678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "wow_change": q_wow_change,
         "robust_outliers": q_robust_outliers,
+        "ewma_daily": q_ewma_daily,
+        "attribution_last_touch": q_attribution_last_touch,
+        "rolling_corr": q_rolling_corr,
     }
 
 
@@ -3729,6 +3756,65 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_outliers
         FROM dev JOIN mad ON mad.metric = dev.metric
         GROUP BY dev.metric
+    """
+
+    o["ewma_daily"] = """
+        WITH daily AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2),
+        per AS (
+            SELECT metric, MAX(d) AS last_date, COUNT(*) AS n_days,
+                   list(y ORDER BY d) AS v
+            FROM daily GROUP BY metric)
+        SELECT metric, last_date, n_days,
+               list_reduce(v, (a, x) -> 0.25 * x + 0.75 * a) AS ewma
+        FROM per
+    """
+
+    o["attribution_last_touch"] = """
+        WITH t AS (
+            SELECT user_id, ts, event_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                              THEN struct_pack(t := ts, c := event_type)
+                              END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS touch
+            FROM events)
+        SELECT CASE WHEN touch IS NOT NULL
+                     AND datediff('second', touch.t, ts) <= 3600
+                    THEN touch.c END AS channel,
+               COUNT(*) AS n_conversions
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY n_conversions DESC, channel ASC NULLS FIRST
+    """
+
+    o["rolling_corr"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+        s AS (
+            SELECT day,
+                   COUNT(*) OVER w AS n,
+                   SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                   SUM(x*x) OVER w AS sxx, SUM(y*y) OVER w AS syy,
+                   SUM(x*y) OVER w AS sxy
+            FROM daily
+            WINDOW w AS (ORDER BY day ASC
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT day, CAST(n AS BIGINT) AS n_days,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+                   / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0)
+                   AS corr
+        FROM s
     """
 
     return o

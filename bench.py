@@ -138,6 +138,9 @@ BENCH_QUERIES: list[str] = [
     "embedding_quantize",
     "wow_change",
     "robust_outliers",
+    "ewma_daily",
+    "attribution_last_touch",
+    "rolling_corr",
 ]
 
 

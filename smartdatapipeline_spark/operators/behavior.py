@@ -489,3 +489,55 @@ def cumulative_users(
     return joined.select(
         "day", "n_new_users", F.sum("n_new_users").over(w).alias("cum_users")
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion credits the user's most
+    recent NON-conversion event within ``window_minutes`` before it.
+
+    One user-partitioned window: ``last(touch, ignorenulls)`` over the
+    time-ordered stream carries the latest touch (value + time) to each
+    row, then conversions check the recency bound. Single shuffle on
+    the user; no self-join over the fact.
+
+    Output: (channel, n_conversions) — channel NULL for conversions
+    with no in-window touch ("direct"), ordered by (n desc, channel).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    touch = F.last(
+        F.when(is_touch, F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("c"))),
+        ignorenulls=True,
+    ).over(w)
+    conv = events.withColumn("_touch", touch).filter(
+        F.col(type_col) == conversion_type
+    )
+    in_window = (
+        F.col("_touch").isNotNull()
+        & (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_touch.t"))
+            <= window_minutes * 60
+        )
+    )
+    return (
+        conv.select(
+            F.when(in_window, F.col("_touch.c")).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy(F.col("n_conversions").desc(), F.col("channel").asc_nulls_first())
+    )

@@ -1062,3 +1062,46 @@ def ols_trend(
             / F.col("_n").cast("double")
         ).alias("intercept"),
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    alpha: float = 0.25,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series exponentially-weighted moving average of the DAILY
+    value sum: s₁ = y₁, sₜ = α·yₜ + (1−α)·sₜ₋₁ — the recursion no
+    window frame can express (each step feeds the next), done as one
+    ordered fold per series, same discipline as the Holt operator.
+
+    α must be exactly representable or the complement is passed
+    explicitly: here both α and 1−α are Python literals so the Spark
+    and oracle expressions carry identical doubles. Day-grain input
+    means the fold list is series-days long, not fact-sized.
+
+    Output: (metric, last_date, n_days, ewma).
+    """
+    comp = 1.0 - alpha
+    daily = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.to_date(ts_col).alias("_d"),
+            F.col(value_col).cast("decimal(18,4)").alias("_y"),
+        )
+        .groupBy("metric", "_d")
+        .agg(F.sum("_y").cast("double").alias("_y"))
+    )
+    per = daily.groupBy("metric").agg(
+        F.max("_d").alias("last_date"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_d", "_y"))),
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x["_y"]).otherwise(
+                F.lit(alpha) * x["_y"] + F.lit(comp) * acc
+            ),
+        ).alias("ewma"),
+    )
+    return per.select("metric", "last_date", "n_days", "ewma")

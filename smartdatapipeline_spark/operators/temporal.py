@@ -408,3 +408,62 @@ def time_weighted_avg(
             / F.sum("_w").cast("double")
         ).alias("twap"),
     )
+
+
+def rolling_correlation(
+    events,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    window_days: int = 14,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Rolling Pearson correlation between two series' daily counts
+    over a trailing ``window_days`` row window.
+
+    A naive ``corr()`` window is a double-sum accumulation (engine- and
+    order-dependent); here every windowed sum is an exact INTEGER (n,
+    Σx, Σy, Σx², Σy², Σxy of daily counts), and the correlation is
+    derived from those deterministic values with one sqrt per variance
+    (IEEE sqrt is correctly rounded everywhere). The window runs on the
+    day-grain frame — data-span days, thousands of rows at most — the
+    fact is touched only by the one day rollup.
+
+    Output: (day, n_days, corr) — corr NULL when either variance is 0.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.select(F.to_date(ts_col).alias("day"), F.col(type_col).alias("_t"))
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("_t") == type_a).cast("long")).alias("_x"),
+            F.sum((F.col("_t") == type_b).cast("long")).alias("_y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    s = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("_x").over(w).alias("_sx"),
+        F.sum("_y").over(w).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).over(w).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).over(w).alias("_sxy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    den = F.sqrt(dx) * F.sqrt(dy)
+    return s.select(
+        "day",
+        F.col("_n").alias("n_days"),
+        (num / F.nullif(den, F.lit(0.0))).alias("corr"),
+    )

@@ -167,3 +167,63 @@ def test_robust_outliers_flags_only_far_points(spark):
     # [0,1,1,2,2,988] → MAD = 3rd = 1; only 1000 exceeds med ± 3·MAD
     assert r["med"] == 12.0 and r["mad"] == 1.0
     assert r["n"] == 6 and r["n_outliers"] == 1
+
+
+def test_ewma_daily_matches_python_recursion(spark):
+    from smartdatapipeline_spark.operators.forecast import ewma_daily
+
+    days = [(dt.datetime(2024, 1, 1 + i), "m", float(v)) for i, v in
+            enumerate([10, 20, 5, 40, 15])]
+    ev = spark.createDataFrame(days, "ts timestamp, event_type string, value double")
+    r = ewma_daily(ev, alpha=0.25).collect()[0]
+    s = 10.0
+    for v in [20.0, 5.0, 40.0, 15.0]:
+        s = 0.25 * v + 0.75 * s
+    assert r["n_days"] == 5 and r["ewma"] == s  # bit-exact fold
+
+
+def test_attribution_last_touch_window_and_direct(spark):
+    from smartdatapipeline_spark.operators.behavior import attribution_last_touch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 1, at(0), "view"),
+        (2, 1, at(30), "purchase"),    # credited to view (30 min)
+        (3, 2, at(0), "click"),
+        (4, 2, at(90), "purchase"),    # click 90 min ago → direct (NULL)
+        (5, 3, at(5), "purchase"),     # no prior touch → direct
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["channel"]: r["n_conversions"]
+           for r in attribution_last_touch(ev).collect()}
+    assert got == {None: 2, "view": 1}
+
+
+def test_rolling_correlation_perfect_and_inverse(spark):
+    from smartdatapipeline_spark.operators.temporal import rolling_correlation
+
+    # counts: view rises 1..5 per day, purchase = same → corr 1.0
+    rows = []
+    eid = 0
+    for d in range(5):
+        for _ in range(d + 1):
+            for t in ("view", "purchase"):
+                rows.append((eid, dt.datetime(2024, 1, 1 + d, 6), t))
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = rolling_correlation(ev, window_days=5).orderBy("day").collect()
+    assert out[-1]["n_days"] == 5
+    # same IEEE expression as the operator: num / (sqrt(dx)*sqrt(dy));
+    # sqrt(50)*sqrt(50) is one ulp off 50, so "1.0" is 0.999...9
+    import math
+
+    num, dx = 50.0, 50.0
+    assert out[-1]["corr"] == num / (math.sqrt(dx) * math.sqrt(dx))
+    assert abs(out[-1]["corr"] - 1.0) < 1e-15
+    assert out[0]["corr"] is None  # single-day window: zero variance
