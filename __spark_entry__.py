@@ -2514,6 +2514,36 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_correlation(_events(spark, sf_dir))
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fair-share document cap (≤50 docs per source, ranked
+    by doc_id) — functions/sampling.py cap_rows_per_key. Output per
+    source: before/after counts."""
+    from smartdatapipeline_spark.functions.sampling import cap_rows_per_key
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    before = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        cap_rows_per_key(d, "source", 50, ["doc_id"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return before.join(after, "source")
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split: split chosen by the exact-dup group rep's
+    hash bucket, so identical docs never straddle train/eval —
+    functions/dedup.py cluster_aware_split. Output per split:
+    (n_docs, n_groups)."""
+    from smartdatapipeline_spark.functions.dedup import cluster_aware_split
+
+    out = cluster_aware_split(_docs(spark, sf_dir))
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep_id").alias("n_groups"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2681,6 +2711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": q_ewma_daily,
         "attribution_last_touch": q_attribution_last_touch,
         "rolling_corr": q_rolling_corr,
+        "source_cap": q_source_cap,
+        "cluster_split": q_cluster_split,
     }
 
 
@@ -3815,6 +3847,41 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0)
                    AS corr
         FROM s
+    """
+
+    o["source_cap"] = """
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id ASC) AS rk
+            FROM documents),
+        before AS (SELECT source, COUNT(*) AS n_before FROM documents
+                   GROUP BY source),
+        aftr AS (SELECT source, COUNT(*) AS n_after FROM ranked
+                 WHERE rk <= 50 GROUP BY source)
+        SELECT b.source, b.n_before, a.n_after
+        FROM before b JOIN aftr a ON a.source = b.source
+    """
+
+    _fp_expr = _H60.format(
+        expr="TRIM(REGEXP_REPLACE(LOWER(text), '" + _NORM_RE + "', ' ', 'g'))"
+    )
+    o["cluster_split"] = f"""
+        WITH fps AS (
+            SELECT doc_id, {_fp_expr} AS fp FROM documents),
+        reps AS (SELECT fp, MIN(doc_id) AS rep FROM fps GROUP BY fp),
+        lab AS (
+            SELECT f.doc_id, r.rep,
+                   ('0x' || substr(md5('split-v1:'
+                        || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS b
+            FROM fps f JOIN reps r ON r.fp = f.fp)
+        SELECT CASE WHEN b < 98 THEN 'train'
+                    WHEN b < 99 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT rep) AS n_groups
+        FROM lab GROUP BY 1
     """
 
     return o

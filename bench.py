@@ -141,6 +141,8 @@ BENCH_QUERIES: list[str] = [
     "ewma_daily",
     "attribution_last_touch",
     "rolling_corr",
+    "source_cap",
+    "cluster_split",
 ]
 
 

@@ -982,3 +982,31 @@ def fuzzy_name_pairs(
             "distance",
         )
     )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Dedup-aware train/val/test split: the split is decided by the
+    hash bucket of each document's exact-dup GROUP REPRESENTATIVE (min
+    id over the content fingerprint group), so byte-identical documents
+    can never straddle train and eval — the leakage plain per-doc hash
+    splits allow. (For near-dup co-location, feed cluster labels from
+    ``build_cluster_index`` through the same rep-bucket rule.)
+
+    One fingerprint aggregation + one co-keyed join on top of the
+    ``hash_split`` bucket rule. Output: (id, rep_id, split).
+    """
+    from smartdatapipeline_spark.functions.sampling import hash_split
+
+    fp = h60(normalize_text(F.col(text_col)))
+    with_fp = df.select(F.col(id_col), fp.alias("_fp"))
+    reps = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    labeled = with_fp.join(reps, "_fp")
+    return hash_split(labeled, "_rep", weights, salt).select(
+        id_col, F.col("_rep").alias("rep_id"), "split"
+    )

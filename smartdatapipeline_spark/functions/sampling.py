@@ -201,3 +201,29 @@ def consistent_hash_sample(
     under appends/repartitioning, bit-identical cross-engine (salted
     md5, no engine RNG)."""
     return df.filter(_bucket(F.col(key_col), salt) < pct)
+
+
+def cap_rows_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_rows: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fair-share cap: keep at most ``max_rows`` rows per key — the
+    per-domain/per-source document cap every corpus-curation pipeline
+    applies so one crawl host can't dominate the training mix.
+
+    Deterministic: rows rank by ``order_cols`` (so the KEPT rows are
+    stable under re-partitioning and appends of later-ranked rows),
+    one partitioned window — a single shuffle on the key, never a
+    global sort.
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or [key_col]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )

@@ -217,3 +217,32 @@ def test_grouped_quantiles_match_sorted(spark):
         n = len(s)
         for q in (0.5, 0.9, 0.99):
             assert got[(g, q)] == s[max(1, math.ceil(q * n)) - 1], (g, q)
+
+
+def test_cap_rows_per_key_keeps_lowest_ranked(spark):
+    from smartdatapipeline_spark.functions.sampling import cap_rows_per_key
+
+    rows = [("s1", i) for i in range(10)] + [("s2", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = cap_rows_per_key(df, "source", 5, ["doc_id"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["s1"]) == [0, 1, 2, 3, 4]  # deterministic: lowest ids
+    assert sorted(by_src["s2"]) == [0, 1, 2]        # under cap: untouched
+
+
+def test_cluster_aware_split_colocates_exact_dups(spark):
+    from smartdatapipeline_spark.functions.dedup import cluster_aware_split
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(50)]
+        + [(100 + i, "same dup text") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = cluster_aware_split(docs).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    dup_splits = {splits[100 + i] for i in range(5)}
+    assert len(dup_splits) == 1  # all exact dups in ONE split
+    reps = {r["doc_id"]: r["rep_id"] for r in out}
+    assert all(reps[100 + i] == 100 for i in range(5))
