@@ -2544,6 +2544,45 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation, one region, one order year. All four dims
+    (region→nation chain, customer, supplier) broadcast; the only
+    fact-sized shuffle is the lineitem⋈orders equi join; the
+    same-nation predicate prunes AFTER the broadcast lookups, JVM-side.
+    Completes the TPC-H query-shape sweep (Q1-Q22)."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    nations = (
+        T("nation")
+        .join(
+            F.broadcast(T("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = T("customer").select("c_custkey", F.col("c_nationkey").alias("_cn"))
+    supp = T("supplier").select("s_suppkey", F.col("s_nationkey").alias("_sn"))
+    orders = T("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        T("lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("_cn") == F.col("_sn"))
+        .join(F.broadcast(nations), F.col("_sn") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2713,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "source_cap": q_source_cap,
         "cluster_split": q_cluster_split,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -3882,6 +3922,24 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_docs,
                COUNT(DISTINCT rep) AS n_groups
         FROM lab GROUP BY 1
+    """
+
+    o["local_supplier_volume"] = """
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name ASC
     """
 
     return o

@@ -143,6 +143,7 @@ BENCH_QUERIES: list[str] = [
     "rolling_corr",
     "source_cap",
     "cluster_split",
+    "local_supplier_volume",
 ]
 
 
