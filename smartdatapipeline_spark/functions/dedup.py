@@ -968,9 +968,21 @@ def fuzzy_name_pairs(
         )
     a = keyed.alias("a")
     b = keyed.alias("b")
+    # |len(a)−len(b)| ≤ d is a NECESSARY condition for edit distance ≤ d
+    # (each edit changes length by ≤1): an exact 2-op pre-filter ahead
+    # of the O(len²) levenshtein, output-identical. Keep it (and the id
+    # order test) as a POST-join filter on the equi-key SMJ — measured
+    # at sf0.1: extra ON-clause predicates de-optimize the merge join
+    # (42 s vs 24.5 s); the filter form costs nothing here (TPC-H part
+    # names are near-uniform length) and prunes hard on varied-length
+    # catalogs.
+    len_ok = (
+        F.abs(F.length(F.col("a._name")) - F.length(F.col("b._name")))
+        <= max_distance
+    )
     return (
         a.join(b, on="_blk")
-        .filter(F.col("a._id") < F.col("b._id"))
+        .filter((F.col("a._id") < F.col("b._id")) & len_ok)
         .withColumn(
             "distance",
             F.levenshtein(F.col("a._name"), F.col("b._name")).cast("long"),
