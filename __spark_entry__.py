@@ -2583,6 +2583,23 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session bounce rate (1-event gap-sessions share) —
+    operators/sessions.py bounce_rate on top of sessionize."""
+    from smartdatapipeline_spark.operators.sessions import bounce_rate
+
+    return bounce_rate(_events(spark, sf_dir))
+
+
+def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (1-day vs 7-day trailing error
+    share) — operators/anomaly.py burn_rate; exact integer window
+    sums."""
+    from smartdatapipeline_spark.operators.anomaly import burn_rate
+
+    return burn_rate(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2753,6 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "cluster_split": q_cluster_split,
         "local_supplier_volume": q_local_supplier_volume,
+        "bounce_rate": q_bounce_rate,
+        "burn_rate": q_burn_rate,
     }
 
 
@@ -3940,6 +3959,59 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
         ORDER BY revenue DESC, n_name ASC
+    """
+
+    o["bounce_rate"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        tagged AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM flagged),
+        sess AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM tagged GROUP BY user_id, session_id)
+        SELECT CAST(session_start AS DATE) AS day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        FROM sess GROUP BY 1
+    """
+
+    o["burn_rate"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS err
+            FROM events GROUP BY 1),
+        s AS (
+            SELECT day,
+                   CAST(SUM(err) OVER ws AS BIGINT) AS err_s,
+                   CAST(SUM(n) OVER ws AS BIGINT) AS n_s,
+                   CAST(SUM(err) OVER wl AS BIGINT) AS err_l,
+                   CAST(SUM(n) OVER wl AS BIGINT) AS n_l
+            FROM daily
+            WINDOW ws AS (ORDER BY day ASC
+                          ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+                   wl AS (ORDER BY day ASC
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT day, err_s, n_s, err_l, n_l,
+               err_s / CAST(n_s AS DOUBLE) AS short_share,
+               err_l / CAST(n_l AS DOUBLE) AS long_share,
+               (err_s / CAST(n_s AS DOUBLE))
+                   / NULLIF(err_l / CAST(n_l AS DOUBLE), 0.0) AS burn_ratio
+        FROM s
     """
 
     return o

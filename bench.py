@@ -144,6 +144,8 @@ BENCH_QUERIES: list[str] = [
     "source_cap",
     "cluster_split",
     "local_supplier_volume",
+    "bounce_rate",
+    "burn_rate",
 ]
 
 

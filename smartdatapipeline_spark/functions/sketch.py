@@ -384,13 +384,20 @@ def grouped_quantiles_exact(
         ))
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("series")))
     )
-    out = None
-    for q in qs:
-        target = F.greatest(
-            F.ceil(F.lit(float(q)) * F.col("_n")), F.lit(1)
+    # one pass for ALL quantiles: explode the q list AFTER the window
+    # (no extra scan/sort — a per-q union re-derived the windowed frame
+    # per quantile: 3 scans / 6 shuffles before, 1 scan / 2 after)
+    return (
+        base.select(
+            "series",
+            "_v",
+            "_rn",
+            "_n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
         )
-        part = base.filter(F.col("_rn") == target).select(
-            "series", F.lit(float(q)).alias("q"), F.col("_v").alias("value")
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.ceil(F.col("q") * F.col("_n")), F.lit(1))
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        .select("series", "q", F.col("_v").alias("value"))
+    )

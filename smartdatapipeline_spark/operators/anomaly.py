@@ -756,3 +756,56 @@ def robust_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def burn_rate(
+    events: DataFrame,
+    error_type: str = "error",
+    short_days: int = 1,
+    long_days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-window SLO burn rate (the SRE alerting pattern): the error
+    share over a short trailing window divided by the share over a long
+    trailing window — >1 means the error budget is burning faster than
+    its recent baseline; alert when both windows exceed target.
+
+    Day-grain rollup first (the only fact-sized shuffle), then two
+    trailing ROWS windows over the tiny day frame. All window sums are
+    exact integers; the two shares and their ratio are derived doubles.
+
+    Output: (day, err_s, n_s, err_l, n_l, short_share, long_share,
+    burn_ratio) — ratio NULL when the long window has no errors.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.select(
+            F.to_date(ts_col).alias("day"),
+            (F.col(type_col) == error_type).cast("long").alias("_e"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_e").alias("_err"))
+    )
+    ws = Window.orderBy("day").rowsBetween(-(short_days - 1), 0)
+    wl = Window.orderBy("day").rowsBetween(-(long_days - 1), 0)
+    s = daily.select(
+        "day",
+        F.sum("_err").over(ws).alias("err_s"),
+        F.sum("_n").over(ws).alias("n_s"),
+        F.sum("_err").over(wl).alias("err_l"),
+        F.sum("_n").over(wl).alias("n_l"),
+    )
+    short_share = F.col("err_s") / F.col("n_s").cast("double")
+    long_share = F.col("err_l") / F.col("n_l").cast("double")
+    return s.select(
+        "day",
+        "err_s",
+        "n_s",
+        "err_l",
+        "n_l",
+        short_share.alias("short_share"),
+        long_share.alias("long_share"),
+        (short_share / F.nullif(long_share, F.lit(0.0))).alias("burn_ratio"),
+    )

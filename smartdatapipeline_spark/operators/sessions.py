@@ -55,3 +55,31 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def bounce_rate(events, gap_minutes: int = 30):
+    """Per-day session bounce rate: share of sessions (gap-based, same
+    semantics as ``sessionize``) with exactly one event, keyed by the
+    session's START day. Exact integer counts over the session frame;
+    one double ratio.
+
+    Output: (day, n_sessions, n_bounces, bounce_rate).
+    """
+    from pyspark.sql import functions as F
+
+    s = sessionize(events, gap_minutes=gap_minutes)
+    return (
+        s.select(
+            F.to_date("session_start").alias("day"),
+            (F.col("n_events") == 1).cast("long").alias("_b"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("_b").alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.col("n_bounces") / F.col("n_sessions").cast("double"),
+        )
+    )

@@ -227,3 +227,41 @@ def test_rolling_correlation_perfect_and_inverse(spark):
     assert out[-1]["corr"] == num / (math.sqrt(dx) * math.sqrt(dx))
     assert abs(out[-1]["corr"] - 1.0) < 1e-15
     assert out[0]["corr"] is None  # single-day window: zero variance
+
+
+def test_bounce_rate_counts_single_event_sessions(spark):
+    from smartdatapipeline_spark.operators.sessions import bounce_rate
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0),                                   # u1 s1: bounce
+        (1, t0 + dt.timedelta(hours=2)),           # u1 s2 (2 events)
+        (1, t0 + dt.timedelta(hours=2, minutes=5)),
+        (2, t0),                                   # u2 s1: bounce
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = bounce_rate(ev).collect()[0]
+    assert r["n_sessions"] == 3 and r["n_bounces"] == 2
+    assert r["bounce_rate"] == 2 / 3
+
+
+def test_burn_rate_short_vs_long_window(spark):
+    from smartdatapipeline_spark.operators.anomaly import burn_rate
+
+    rows = []
+    eid = 0
+    # 7 quiet days: 10 events, 1 error each; day 8: 10 events, 5 errors
+    for d in range(8):
+        errs = 5 if d == 7 else 1
+        for i in range(10):
+            t = "error" if i < errs else "view"
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 6), t))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["day"].isoformat(): r for r in burn_rate(ev).collect()}
+    spike = out["2024-01-08"]
+    assert spike["err_s"] == 5 and spike["n_s"] == 10
+    assert spike["err_l"] == 11 and spike["n_l"] == 70   # days 2-8
+    assert spike["burn_ratio"] == (5 / 10) / (11 / 70)
+    quiet = out["2024-01-07"]
+    assert quiet["burn_ratio"] == (1 / 10) / (7 / 70)    # = 1.0 baseline
