@@ -2600,6 +2600,23 @@ def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burn_rate(_events(spark, sf_dir))
 
 
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP 'A then B within T unless C' via running last-event times in
+    one user window — operators/behavior.py cep_pattern."""
+    from smartdatapipeline_spark.operators.behavior import cep_pattern
+
+    return cep_pattern(_events(spark, sf_dir))
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (per-week and cumulative value per cohort
+    member; exact decimal cumulative) — operators/behavior.py
+    cohort_ltv."""
+    from smartdatapipeline_spark.operators.behavior import cohort_ltv
+
+    return cohort_ltv(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2772,6 +2789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "bounce_rate": q_bounce_rate,
         "burn_rate": q_burn_rate,
+        "cep_pattern": q_cep_pattern,
+        "cohort_ltv": q_cohort_ltv,
     }
 
 
@@ -4012,6 +4031,60 @@ def oracle_sql() -> dict[str, str]:
                (err_s / CAST(n_s AS DOUBLE))
                    / NULLIF(err_l / CAST(n_l AS DOUBLE), 0.0) AS burn_ratio
         FROM s
+    """
+
+    o["cep_pattern"] = """
+        WITH t AS (
+            SELECT user_id, ts, event_type, CAST(ts AS DATE) AS day,
+                   MAX(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER wb AS a,
+                   MAX(CASE WHEN event_type = 'error' THEN ts END)
+                       OVER wb AS c
+            FROM events
+            WINDOW wb AS (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)),
+        m AS (
+            SELECT day,
+                   CASE WHEN a IS NOT NULL
+                             AND datediff('second', a, ts) <= 600
+                             AND (c IS NULL OR c < a)
+                        THEN 1 ELSE 0 END AS m
+            FROM t WHERE event_type = 'purchase')
+        SELECT day, COUNT(*) AS n_end_events,
+               CAST(SUM(m) AS BIGINT) AS n_matched,
+               SUM(m) / CAST(COUNT(*) AS DOUBLE) AS match_rate
+        FROM m GROUP BY day
+    """
+
+    o["cohort_ltv"] = """
+        WITH fs AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id),
+        sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM fs GROUP BY cohort_week),
+        cells AS (
+            SELECT f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                        AS INTEGER) AS week_offset,
+                   SUM(CAST(e.value AS DECIMAL(18,4))) AS wv
+            FROM events e JOIN fs f ON f.user_id = e.user_id
+            GROUP BY 1, 2
+            HAVING week_offset >= 0 AND week_offset <= 8)
+        SELECT c.cohort_week, c.week_offset, s.cohort_size,
+               CAST(c.wv AS DOUBLE) AS week_value,
+               CAST(SUM(c.wv) OVER (PARTITION BY c.cohort_week
+                    ORDER BY c.week_offset ASC
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value,
+               CAST(SUM(c.wv) OVER (PARTITION BY c.cohort_week
+                    ORDER BY c.week_offset ASC
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(s.cohort_size AS DOUBLE) AS ltv_per_user
+        FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
     """
 
     return o

@@ -146,6 +146,8 @@ BENCH_QUERIES: list[str] = [
     "local_supplier_volume",
     "bounce_rate",
     "burn_rate",
+    "cep_pattern",
+    "cohort_ltv",
 ]
 
 

@@ -541,3 +541,130 @@ def attribution_last_touch(
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .orderBy(F.col("n_conversions").desc(), F.col("channel").asc_nulls_first())
     )
+
+
+def cep_pattern(
+    events: DataFrame,
+    start_type: str = "view",
+    end_type: str = "purchase",
+    guard_type: str = "error",
+    within_minutes: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Complex-event pattern matching, declaratively: find every
+    ``end_type`` event preceded by a ``start_type`` within
+    ``within_minutes`` with NO ``guard_type`` between them — the
+    "A then B within T, unless C intervenes" shape CEP engines sell.
+
+    Reformulation: one user window carries the running last-A time and
+    last-C time to each row; a B matches iff last-A is in the time
+    bound AND (no C yet, or last-C is before last-A). One shuffle on
+    the user, exact integer-second arithmetic, no joins, no state
+    machine.
+
+    Output: (day, n_end_events, n_matched, match_rate).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_a = F.max(
+        F.when(F.col(type_col) == start_type, F.col(ts_col))
+    ).over(w)
+    last_c = F.max(
+        F.when(F.col(type_col) == guard_type, F.col(ts_col))
+    ).over(w)
+    ends = events.withColumn("_a", last_a).withColumn("_c", last_c).filter(
+        F.col(type_col) == end_type
+    )
+    in_time = (
+        F.col("_a").isNotNull()
+        & (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("_a"))
+            <= within_minutes * 60
+        )
+    )
+    no_guard = F.col("_c").isNull() | (F.col("_c") < F.col("_a"))
+    matched = (in_time & no_guard).cast("long")
+    return (
+        ends.select(F.to_date(ts_col).alias("day"), matched.alias("_m"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_end_events"),
+            F.sum("_m").alias("n_matched"),
+        )
+        .withColumn(
+            "match_rate", F.col("n_matched") / F.col("n_end_events").cast("double")
+        )
+    )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    max_weeks: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-seen week;
+    per (cohort_week, week_offset), the exact value contributed that
+    week, cumulative value, and cumulative value per cohort member —
+    the LTV curve retention triangles price against.
+
+    Two aggregates (first-seen per user; value per cohort-offset cell)
+    plus a running decimal-exact cumulative over the tiny triangle.
+
+    Output: (cohort_week, week_offset, cohort_size, week_value,
+    cum_value, ltv_per_user).
+    """
+    from pyspark.sql.window import Window
+
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    first_seen = events.groupBy(user_col).agg(
+        week(F.min(ts_col)).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        events.select(
+            F.col(user_col),
+            week(F.col(ts_col)).alias("_aw"),
+            F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        )
+        .join(first_seen, user_col)
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("_aw"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .filter(
+            (F.col("week_offset") >= 0) & (F.col("week_offset") <= max_weeks)
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("_v").alias("_wv"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            F.col("_wv").cast("double").alias("week_value"),
+            F.sum("_wv").over(wc).cast("double").alias("cum_value"),
+            (
+                F.sum("_wv").over(wc).cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -265,3 +265,43 @@ def test_burn_rate_short_vs_long_window(spark):
     assert spike["burn_ratio"] == (5 / 10) / (11 / 70)
     quiet = out["2024-01-07"]
     assert quiet["burn_ratio"] == (1 / 10) / (7 / 70)    # = 1.0 baseline
+
+
+def test_cep_pattern_guard_blocks_match(spark):
+    from smartdatapipeline_spark.operators.behavior import cep_pattern
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 1, at(0), "view"), (2, 1, at(5), "purchase"),        # match
+        (3, 2, at(0), "view"), (4, 2, at(2), "error"),
+        (5, 2, at(5), "purchase"),                               # guarded
+        (6, 3, at(0), "view"), (7, 3, at(30), "purchase"),       # too late
+        (8, 4, at(1), "purchase"),                               # no A
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = cep_pattern(ev, within_minutes=10).collect()[0]
+    assert r["n_end_events"] == 4 and r["n_matched"] == 1
+    assert r["match_rate"] == 0.25
+
+
+def test_cohort_ltv_cumulative_curve(spark):
+    from smartdatapipeline_spark.operators.behavior import cohort_ltv
+
+    # one cohort (week of 2024-01-01): 2 users; week0 value 10, week1 value 4
+    rows = [
+        (1, dt.datetime(2024, 1, 2), 6.0),
+        (2, dt.datetime(2024, 1, 3), 4.0),
+        (1, dt.datetime(2024, 1, 9), 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["week_offset"]: r for r in cohort_ltv(ev).collect()}
+    assert out[0]["cohort_size"] == 2
+    assert out[0]["week_value"] == 10.0 and out[0]["cum_value"] == 10.0
+    assert out[1]["cum_value"] == 14.0
+    assert out[1]["ltv_per_user"] == 7.0
