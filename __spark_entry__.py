@@ -2617,6 +2617,14 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_ltv(_events(spark, sf_dir))
 
 
+def q_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard≥0.7 all-pairs join via prefix filtering (SSJoin/
+    All-Pairs) — candidates from rarest-first prefix tokens only, zero
+    recall loss — functions/dedup.py set_similarity_join. Oracle is the
+    brute-force shared-shingle join."""
+    return DD.set_similarity_join(_docs(spark, sf_dir), threshold=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2791,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate": q_burn_rate,
         "cep_pattern": q_cep_pattern,
         "cohort_ltv": q_cohort_ltv,
+        "setjoin_prefix": q_setjoin_prefix,
     }
 
 
@@ -4085,6 +4094,22 @@ def oracle_sql() -> dict[str, str]:
                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                    / CAST(s.cohort_size AS DOUBLE) AS ltv_per_user
         FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+    """
+
+    o["setjoin_prefix"] = _TEXT_CTE + _SHINGLE_CTE + """
+        , ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.7
     """
 
     return o

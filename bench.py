@@ -148,6 +148,7 @@ BENCH_QUERIES: list[str] = [
     "burn_rate",
     "cep_pattern",
     "cohort_ltv",
+    "setjoin_prefix",
 ]
 
 

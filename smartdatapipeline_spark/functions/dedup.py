@@ -1022,3 +1022,90 @@ def cluster_aware_split(
     return hash_split(labeled, "_rep", weights, salt).select(
         id_col, F.col("_rep").alias("rep_id"), "split"
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard-threshold join with PREFIX FILTERING
+    (Chaudhuri et al. SSJoin '06 / Bayardo et al. All-Pairs '07): a
+    pair with J(A,B) ≥ t must share at least one token among each
+    set's first |s| − ⌈t·|s|⌉ + 1 tokens under a GLOBAL rarest-first
+    order — so candidates are generated from prefix tokens only, and
+    the shared-token join shrinks from every common shingle (the
+    ``ngram_jaccard_pairs`` shape) to the rare prefix slice, with NO
+    recall loss (the exact Jaccard verification runs on the full sets).
+
+    Scale shape: document frequency orders tokens (one dimension-sized
+    aggregate); per-doc sorted arrays build in one shuffle; the
+    candidate join keys on prefix-token hash, so boilerplate shingles
+    (high df) sort to the suffix and never join. A length filter
+    (min ≥ t·max) prunes before the array intersection; intersection
+    and union are exact integers.
+
+    Output: (doc_a, doc_b, n_inter, jaccard) for all pairs with
+    jaccard ≥ threshold.
+    """
+    sh = (
+        exploded_shingles(df, id_col, text_col, k)
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", h60(F.col("sh")).alias("sh_h"))
+    )
+    freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
+    docs = (
+        sh.join(freq, "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("sh_h")))
+            ).alias("_arr")
+        )
+        .select(
+            "doc_id",
+            F.transform("_arr", lambda x: x["sh_h"]).alias("items"),
+            F.size("_arr").alias("n"),
+        )
+    )
+    plen = (
+        F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).cast("int")
+    pref = docs.select(
+        "doc_id", "items", "n",
+        F.explode(F.slice(F.col("items"), F.lit(1), plen)).alias("p"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(float(threshold)) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.items").alias("_ia"),
+            F.col("b.items").alias("_ib"),
+            F.col("a.n").alias("_na"),
+            F.col("b.n").alias("_nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_inter = F.size(F.array_intersect(F.col("_ia"), F.col("_ib")))
+    return (
+        cand.withColumn("n_inter", n_inter.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("_na") + F.col("_nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )

@@ -246,3 +246,32 @@ def test_cluster_aware_split_colocates_exact_dups(spark):
     assert len(dup_splits) == 1  # all exact dups in ONE split
     reps = {r["doc_id"]: r["rep_id"] for r in out}
     assert all(reps[100 + i] == 100 for i in range(5))
+
+
+def test_set_similarity_join_equals_bruteforce(spark):
+    from smartdatapipeline_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different words entirely here now"),
+            (5, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        ],
+        "doc_id long, text string",
+    )
+    t = 0.5
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        if r["jaccard"] >= t
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        for r in set_similarity_join(docs, threshold=t).collect()
+    }
+    assert got == want and len(got) >= 2  # prefix filter: zero recall loss
