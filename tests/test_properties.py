@@ -297,3 +297,65 @@ def test_parse_headers_never_crash_on_garbage(data):
         parse_wav_header(blob)
         r = parse_bmp_pixels(blob)
         assert r is None or (len(r) == 3 and len(r[2]) == r[0] * r[1] * 3)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([0.0, 0.1, 0.5, 0.9, 0.99, 1.0]),
+)
+def test_two_pass_quantile_matches_sorted(spark, vals, q):
+    """exact_quantile_two_pass == the ceil(q·n)-ranked element of the
+    sorted column, for arbitrary data (ties, negatives, duplicates)."""
+    from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
+
+    vals = [float(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "value double").repartition(4)
+    s = sorted(vals)
+    want = s[max(1, math.ceil(q * len(s))) - 1]
+    assert exact_quantile_two_pass(df, "value", q) == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=10_000),      # second offset
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_running_balance_matches_python_fold(spark, rows):
+    """running_balance == the per-user clamped left fold in (ts, id)
+    order — bit-exact, any interleaving of users and times."""
+    from smartdatapipeline_spark.operators.temporal import running_balance
+
+    data = [
+        (i, u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), float(d))
+        for i, (u, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, delta double"
+    ).repartition(4)
+    got = {
+        r["user_id"]: (r["n_events"], r["final_balance"], r["n_clamped"])
+        for r in running_balance(df, "delta").collect()
+    }
+    want = {}
+    for i, u, ts, d in sorted(data, key=lambda x: (x[1], x[2], x[0])):
+        bal, clamps, n = want.get(u, (0.0, 0, 0))
+        nxt = bal + d
+        if nxt < 0.0:
+            bal, clamps = 0.0, clamps + 1
+        else:
+            bal = nxt
+        want[u] = (bal, clamps, n + 1)
+    want = {u: (n, bal, c) for u, (bal, c, n) in want.items()}
+    assert got == want
