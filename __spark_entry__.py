@@ -2625,6 +2625,60 @@ def q_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.set_similarity_join(_docs(spark, sf_dir), threshold=0.7)
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation per user (deterministic NTILE
+    tie-breaks, decimal-exact monetary) — operators/behavior.py
+    rfm_segments."""
+    from smartdatapipeline_spark.operators.behavior import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir))
+
+
+def q_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent: each nation's revenue share and rank within its
+    region (ratio_to_report window over the dim-grain rollup); dims
+    broadcast, one fact shuffle."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    from pyspark.sql.window import Window
+
+    rev = (
+        T("lineitem")
+        .join(T("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(T("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(T("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(T("region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            N.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    wr = Window.partitionBy("region")
+    wrank = Window.partitionBy("region").orderBy(
+        F.col("revenue").desc(), F.col("nation").asc()
+    )
+    # the region-total window sums in DECIMAL (revenue doubles are
+    # exact at 4 dp) — an unordered SUM(double) window would be
+    # accumulation-order-nondeterministic
+    region_total = (
+        F.sum(F.col("revenue").cast("decimal(28,4)")).over(wr).cast("double")
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        (F.col("revenue") / region_total).alias("region_share"),
+        F.row_number().over(wrank).alias("rank_in_region"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2800,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_pattern": q_cep_pattern,
         "cohort_ltv": q_cohort_ltv,
         "setjoin_prefix": q_setjoin_prefix,
+        "rfm_segments": q_rfm_segments,
+        "nation_share": q_nation_share,
     }
 
 
@@ -4110,6 +4166,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.doc_id = i.doc_a
         JOIN sizes nb ON nb.doc_id = i.doc_b
         WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.7
+    """
+
+    o["rfm_segments"] = """
+        WITH per AS (
+            SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS monetary
+            FROM events GROUP BY user_id),
+        a AS (SELECT MAX(last_d) AS anchor FROM per),
+        p2 AS (
+            SELECT per.*, datediff('day', last_d, anchor) AS recency_days
+            FROM per, a),
+        s AS (
+            SELECT user_id, recency_days, frequency, monetary,
+                   NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+                       AS r,
+                   NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                       AS f,
+                   NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC)
+                       AS m
+            FROM p2)
+        SELECT user_id, recency_days, frequency, monetary, r, f, m,
+               CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
+                   || '-' || CAST(m AS VARCHAR) AS segment
+        FROM s
+    """
+
+    o["nation_share"] = """
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2)
+        SELECT region, nation, revenue,
+               revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,4)))
+                   OVER (PARTITION BY region) AS DOUBLE) AS region_share,
+               ROW_NUMBER() OVER (PARTITION BY region
+                   ORDER BY revenue DESC, nation ASC) AS rank_in_region
+        FROM rev
     """
 
     return o

@@ -149,6 +149,8 @@ BENCH_QUERIES: list[str] = [
     "cep_pattern",
     "cohort_ltv",
     "setjoin_prefix",
+    "rfm_segments",
+    "nation_share",
 ]
 
 

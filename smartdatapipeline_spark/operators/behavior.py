@@ -668,3 +668,63 @@ def cohort_ltv(
             ).alias("ltv_per_user"),
         )
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    n_tiles: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM customer segmentation: per user, Recency (days since last
+    event, vs the corpus max day), Frequency (event count), Monetary
+    (exact decimal value sum), each scored into ``n_tiles`` quartiles
+    by NTILE — recency ascending (recent = best = highest tile after
+    inversion), frequency/monetary descending handled by ordering.
+
+    One user-keyed aggregate (the fact-sized shuffle) then three NTILE
+    windows over the user-grain frame with deterministic tie-breaks
+    (the metric, then user id). Segment = concatenated scores.
+
+    Scale note: the NTILE windows are global over the USER-grain frame
+    — fine up to tens of millions of users in one task's sort; at
+    billions, replace NTILE with threshold scoring against the exact
+    quantile bounds from ``grouped_quantiles_exact`` /
+    ``exact_quantile_two_pass`` (same output semantics away from tile
+    boundaries, no global sort).
+
+    Output: (user_id, recency_days, frequency, monetary, r, f, m,
+    segment).
+    """
+    from pyspark.sql.window import Window
+
+    per = events.groupBy(user_col).agg(
+        F.max(F.to_date(ts_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = per.agg(F.max("_last").alias("_anchor"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("_anchor"), F.col("_last"))
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col(user_col).asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col(user_col).asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col(user_col).asc())
+    scored = (
+        per.withColumn("r", F.ntile(n_tiles).over(wr))
+        .withColumn("f", F.ntile(n_tiles).over(wf))
+        .withColumn("m", F.ntile(n_tiles).over(wm))
+    )
+    return scored.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")).alias("segment"),
+    )

@@ -305,3 +305,43 @@ def test_cohort_ltv_cumulative_curve(spark):
     assert out[0]["week_value"] == 10.0 and out[0]["cum_value"] == 10.0
     assert out[1]["cum_value"] == 14.0
     assert out[1]["ltv_per_user"] == 7.0
+
+
+def test_rfm_segments_quartiles(spark):
+    from smartdatapipeline_spark.operators.behavior import rfm_segments
+
+    rows = []
+    eid = 0
+    # 8 users: user u has u+1 events of value 10*(u+1), last on day u+1
+    for u in range(8):
+        for i in range(u + 1):
+            rows.append((eid, u, dt.datetime(2024, 1, 1 + u), 10.0 * (u + 1)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r["user_id"]: r for r in rfm_segments(ev).collect()}
+    # user 7: most recent, most frequent, most valuable → 4-1-1? recency
+    # tile 1 is MOST recent (asc order, recency 0 first) — user 7 has
+    # recency 0 → r=1; top frequency/monetary → f=1, m=1
+    assert got[7]["recency_days"] == 0
+    assert got[7]["r"] == 1 and got[7]["f"] == 1 and got[7]["m"] == 1
+    assert got[7]["segment"] == "1-1-1"
+    # user 0: oldest, least frequent/valuable → bottom tile everywhere
+    assert got[0]["r"] == 4 and got[0]["f"] == 4 and got[0]["m"] == 4
+    assert got[0]["monetary"] == 10.0
+
+
+def test_nation_share_sums_to_one_per_region(spark):
+    import os as _os
+
+    import __spark_entry__ as E
+
+    out = E.q_nation_share(spark, "/root/testdata/sf0.001").collect()
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r["region"], []).append(r)
+    for region, rows in by_region.items():
+        assert abs(sum(r["region_share"] for r in rows) - 1.0) < 1e-12
+        ranks = sorted(r["rank_in_region"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))

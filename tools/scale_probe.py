@@ -376,6 +376,17 @@ def main() -> None:
             scaled_events(spark, sf_dir, n)
         ),
         "exact_quantile": lambda n: _quantile_probe(spark, sf_dir, n),
+        # prefix-filtered exact set-similarity join: salted corpus keeps
+        # dup density constant; candidates come from rare-prefix tokens
+        # only, so volume growth adds blocks, not block size
+        "setjoin_prefix": lambda n: DD.set_similarity_join(
+            scaled_docs_salted(spark, sf_dir, n), threshold=0.7
+        ),
+        "cep_pattern": lambda n: BH.cep_pattern(scaled_events(spark, sf_dir, n)),
+        "cohort_ltv": lambda n: BH.cohort_ltv(scaled_events(spark, sf_dir, n)),
+        "time_weighted_avg": lambda n: TP.time_weighted_avg(
+            scaled_events(spark, sf_dir, n)
+        ),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
