@@ -2679,6 +2679,16 @@ def q_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag
+    (cumulative-weight rank, exact integers) — functions/sketch.py
+    weighted_median."""
+    from smartdatapipeline_spark.functions.sketch import weighted_median
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return weighted_median(li, "l_extendedprice", "l_quantity", "l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2856,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setjoin_prefix": q_setjoin_prefix,
         "rfm_segments": q_rfm_segments,
         "nation_share": q_nation_share,
+        "weighted_median": q_weighted_median,
     }
 
 
@@ -4211,6 +4222,23 @@ def oracle_sql() -> dict[str, str]:
                ROW_NUMBER() OVER (PARTITION BY region
                    ORDER BY revenue DESC, nation ASC) AS rank_in_region
         FROM rev
+    """
+
+    o["weighted_median"] = """
+        WITH b AS (
+            SELECT l_returnflag AS series, l_extendedprice AS v,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem),
+        c AS (
+            SELECT series, v, w,
+                   SUM(w) OVER (PARTITION BY series
+                       ORDER BY v ASC, w ASC
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(w) OVER (PARTITION BY series) AS tot
+            FROM b)
+        SELECT series, CAST(MIN(tot) AS BIGINT) AS total_w,
+               MIN(v) AS wmedian
+        FROM c WHERE 2 * cw >= tot GROUP BY series
     """
 
     return o

@@ -151,6 +151,7 @@ BENCH_QUERIES: list[str] = [
     "setjoin_prefix",
     "rfm_segments",
     "nation_share",
+    "weighted_median",
 ]
 
 

@@ -401,3 +401,47 @@ def grouped_quantiles_exact(
         )
         .select("series", "q", F.col("_v").alias("value"))
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group WEIGHTED (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total — e.g. the
+    quantity-weighted median unit price, where a plain median would
+    count a 1-unit line and a 50-unit line equally.
+
+    One in-partition sort window builds the running weight (ties broken
+    by value then a total order on weight so the cumulative is
+    deterministic); the pick is `2·cum ≥ total` on exact integers —
+    no doubles anywhere until the value itself.
+
+    Output: (series, total_w, wmedian).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("series"),
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy(F.col("_v").asc(), F.col("_w").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("series")
+    cum = base.withColumn("_cw", F.sum("_w").over(w)).withColumn(
+        "_tot", F.sum("_w").over(wt)
+    )
+    hit = cum.filter(F.lit(2) * F.col("_cw") >= F.col("_tot"))
+    return (
+        hit.groupBy("series")
+        .agg(
+            F.min("_tot").alias("total_w"),
+            F.min("_v").alias("wmedian"),
+        )
+    )

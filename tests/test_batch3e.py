@@ -345,3 +345,19 @@ def test_nation_share_sums_to_one_per_region(spark):
         assert abs(sum(r["region_share"] for r in rows) - 1.0) < 1e-12
         ranks = sorted(r["rank_in_region"] for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_weighted_median_vs_expansion(spark):
+    from smartdatapipeline_spark.functions.sketch import weighted_median
+
+    # weights expand to a multiset whose plain lower median must match
+    rows = [("g", 10.0, 1), ("g", 20.0, 3), ("g", 30.0, 1)]
+    # multiset: [10, 20, 20, 20, 30] → median 20
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    r = weighted_median(df, "v", "w", "g").collect()[0]
+    assert r["total_w"] == 5 and r["wmedian"] == 20.0
+    # heavy tail: one big weight dominates
+    rows2 = [("h", 1.0, 1), ("h", 2.0, 1), ("h", 100.0, 10)]
+    df2 = spark.createDataFrame(rows2, "g string, v double, w int")
+    r2 = weighted_median(df2, "v", "w", "g").collect()[0]
+    assert r2["wmedian"] == 100.0
