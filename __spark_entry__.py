@@ -2689,6 +2689,33 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(li, "l_extendedprice", "l_quantity", "l_returnflag")
 
 
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine forward-fill imputation per series (last observed
+    daily sum carried over gaps) — operators/temporal.py
+    forward_fill_daily."""
+    from smartdatapipeline_spark.operators.temporal import forward_fill_daily
+
+    return forward_fill_daily(_events(spark, sf_dir))
+
+
+def q_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order priorities by decimal-exact total price, the rest
+    collapsed into OTHER — operators/reshape.py topn_with_other."""
+    from smartdatapipeline_spark.operators.reshape import topn_with_other
+
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return topn_with_other(od, "o_orderpriority", "o_totalprice", n=3)
+
+
+def q_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction audit: same (user, type, value) within
+    300 s of the previous occurrence — operators/quality.py
+    double_charge_audit."""
+    from smartdatapipeline_spark.operators.quality import double_charge_audit
+
+    return double_charge_audit(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2867,6 +2894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "nation_share": q_nation_share,
         "weighted_median": q_weighted_median,
+        "forward_fill": q_forward_fill,
+        "topn_other": q_topn_other,
+        "double_charge": q_double_charge,
     }
 
 
@@ -4239,6 +4269,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT series, CAST(MIN(tot) AS BIGINT) AS total_w,
                MIN(v) AS wmedian
         FROM c WHERE 2 * cw >= tot GROUP BY series
+    """
+
+    o["forward_fill"] = """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       AS observed
+            FROM events GROUP BY 1, 2),
+        b AS (SELECT series, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY series),
+        spine AS (
+            SELECT series,
+                   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                        CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM b),
+        j AS (
+            SELECT s.series, s.day, d.observed
+            FROM spine s LEFT JOIN daily d
+              ON d.series = s.series AND d.day = s.day)
+        SELECT series, day, observed,
+               last_value(observed IGNORE NULLS) OVER (
+                   PARTITION BY series ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_filled,
+               observed IS NULL AS is_imputed
+        FROM j
+    """
+
+    o["topn_other"] = """
+        WITH per AS (
+            SELECT o_orderpriority AS key,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                       AS m
+            FROM orders GROUP BY 1),
+        r AS (
+            SELECT key, m,
+                   ROW_NUMBER() OVER (ORDER BY m DESC, key ASC) AS rk
+            FROM per),
+        l AS (
+            SELECT CASE WHEN rk <= 3 THEN key ELSE 'OTHER' END AS key,
+                   CAST(m AS DECIMAL(28,4)) AS md
+            FROM r)
+        SELECT key, CAST(SUM(md) AS DOUBLE) AS measure,
+               COUNT(*) AS n_keys
+        FROM l GROUP BY key
+    """
+
+    o["double_charge"] = """
+        WITH g AS (
+            SELECT event_type,
+                   CASE WHEN lag_gap IS NOT NULL AND lag_gap <= 300
+                        THEN 1 ELSE 0 END AS sus
+            FROM (
+                SELECT event_type,
+                       datediff('second',
+                           lag(ts) OVER (
+                               PARTITION BY user_id, event_type, value
+                               ORDER BY ts ASC, event_id ASC),
+                           ts) AS lag_gap
+                FROM events))
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(sus) AS BIGINT) AS n_suspect,
+               SUM(sus) / CAST(COUNT(*) AS DOUBLE) AS suspect_rate
+        FROM g GROUP BY event_type
     """
 
     return o

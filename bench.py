@@ -152,6 +152,9 @@ BENCH_QUERIES: list[str] = [
     "rfm_segments",
     "nation_share",
     "weighted_median",
+    "forward_fill",
+    "topn_other",
+    "double_charge",
 ]
 
 

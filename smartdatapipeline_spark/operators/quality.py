@@ -310,3 +310,46 @@ def fk_orphans(pairs: list[tuple[DataFrame, str, DataFrame, str, str]]) -> DataF
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+def double_charge_audit(
+    events: DataFrame,
+    window_s: int = 300,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Duplicate-transaction audit: events of the same (user, type,
+    value) arriving within ``window_s`` seconds of the previous one —
+    the double-charge / double-fire pattern billing reconciliation
+    hunts for.
+
+    One window over the exact-match key (user, type, value) ordered by
+    time: integer gap vs the previous occurrence. Single shuffle; no
+    self-join over the fact. Output per type: (event_type, n_events,
+    n_suspect, suspect_rate).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col, type_col, value_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    flagged = events.withColumn(
+        "_sus", (gap.isNotNull() & (gap <= window_s)).cast("long")
+    )
+    return (
+        flagged.groupBy(F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_sus").alias("n_suspect"),
+        )
+        .withColumn(
+            "suspect_rate",
+            F.col("n_suspect") / F.col("n_events").cast("double"),
+        )
+    )

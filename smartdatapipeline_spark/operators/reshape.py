@@ -66,3 +66,41 @@ def unpivot_long(
     if drop_nulls:
         out = out.filter(F.col(value_name).isNotNull())
     return out
+
+
+def topn_with_other(
+    df: DataFrame,
+    key_col: str,
+    measure_col,
+    n: int = 3,
+) -> DataFrame:
+    """Reporting rollup: the top-``n`` keys by an exact decimal measure
+    keep their own row; everything else collapses into one ``OTHER``
+    row — so the table is always n+1 rows no matter the cardinality.
+
+    Rank by (measure desc, key asc) — deterministic under ties — via
+    one window over the key-grain aggregate (key-cardinality rows, not
+    the fact), then re-aggregate. Output: (key, measure, n_keys).
+    """
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        dsum(measure_col).alias("_m")
+    )
+    w = Window.orderBy(F.col("_m").desc(), F.col("key").asc())
+    ranked = per.withColumn("_rk", F.row_number().over(w))
+    labeled = ranked.select(
+        F.when(F.col("_rk") <= n, F.col("key")).otherwise(F.lit("OTHER")).alias(
+            "key"
+        ),
+        F.col("_m").cast("decimal(28,4)").alias("_md"),
+    )
+    return (
+        labeled.groupBy("key")
+        .agg(
+            F.sum("_md").cast("double").alias("measure"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )

@@ -467,3 +467,56 @@ def rolling_correlation(
         F.col("_n").alias("n_days"),
         (num / F.nullif(den, F.lit(0.0))).alias("corr"),
     )
+
+
+def forward_fill_daily(
+    events,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Day-grain forward-fill imputation: build each series' full
+    calendar spine (min..max day), then carry the last OBSERVED daily
+    sum forward over gaps — ``last(_, ignorenulls=True)`` over one
+    series-partitioned window; leading gaps stay NULL (nothing to
+    carry). The standard time-series repair where zero-fill would lie.
+
+    Output: (series, day, observed, value_filled, is_imputed).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("series", "day")
+        .agg(dsum("_v").alias("observed"))
+    )
+    bounds = daily.groupBy("series").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    spine = bounds.select(
+        "series",
+        F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    joined = spine.join(daily, ["series", "day"], "left")
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last("observed", ignorenulls=True).over(w)
+    return joined.select(
+        "series",
+        "day",
+        "observed",
+        filled.alias("value_filled"),
+        F.col("observed").isNull().alias("is_imputed"),
+    )

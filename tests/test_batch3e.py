@@ -361,3 +361,55 @@ def test_weighted_median_vs_expansion(spark):
     df2 = spark.createDataFrame(rows2, "g string, v double, w int")
     r2 = weighted_median(df2, "v", "w", "g").collect()[0]
     assert r2["wmedian"] == 100.0
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from smartdatapipeline_spark.operators.temporal import forward_fill_daily
+
+    rows = [
+        (dt.datetime(2024, 1, 1), "m", 5.0),
+        (dt.datetime(2024, 1, 4), "m", 9.0),   # 2-day gap before
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {r["day"].isoformat(): r for r in forward_fill_daily(ev).collect()}
+    assert len(out) == 4
+    assert out["2024-01-02"]["observed"] is None
+    assert out["2024-01-02"]["value_filled"] == 5.0
+    assert out["2024-01-02"]["is_imputed"] is True
+    assert out["2024-01-03"]["value_filled"] == 5.0
+    assert out["2024-01-04"]["value_filled"] == 9.0
+    assert out["2024-01-04"]["is_imputed"] is False
+
+
+def test_topn_with_other_collapses_tail(spark):
+    from smartdatapipeline_spark.operators.reshape import topn_with_other
+
+    rows = [(f"k{i}", float(100 - i)) for i in range(6) for _ in range(2)]
+    df = spark.createDataFrame(rows, "key_col string, v double")
+    out = {r["key"]: r for r in topn_with_other(df, "key_col", "v", n=3).collect()}
+    assert set(out) == {"k0", "k1", "k2", "OTHER"}
+    assert out["OTHER"]["n_keys"] == 3
+    assert out["OTHER"]["measure"] == 2 * (97.0 + 96.0 + 95.0)
+    assert out["k0"]["measure"] == 200.0
+
+
+def test_double_charge_flags_close_repeats(spark):
+    from smartdatapipeline_spark.operators.quality import double_charge_audit
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, 1, at(0), "pay", 9.99),
+        (2, 1, at(60), "pay", 9.99),    # same amount, 60s later → suspect
+        (3, 1, at(1000), "pay", 9.99),  # far later → clean
+        (4, 1, at(70), "pay", 5.00),    # different amount → clean
+        (5, 2, at(61), "pay", 9.99),    # different user → clean
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    r = double_charge_audit(ev).collect()[0]
+    assert r["n_events"] == 5 and r["n_suspect"] == 1
