@@ -2716,6 +2716,30 @@ def q_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return double_charge_audit(_events(spark, sf_dir))
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..7 over daily counts
+    (date-arithmetic self-joins, exact integer sums) —
+    operators/forecast.py acf_daily."""
+    return FC.acf_daily(_events(spark, sf_dir), max_lag=7)
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned user decomposition —
+    operators/behavior.py growth_accounting."""
+    from smartdatapipeline_spark.operators.behavior import growth_accounting
+
+    return growth_accounting(_events(spark, sf_dir))
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of the cumulative daily value curve per series
+    (decimal-exact running peak) — operators/temporal.py
+    max_drawdown."""
+    from smartdatapipeline_spark.operators.temporal import max_drawdown
+
+    return max_drawdown(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2897,6 +2921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "topn_other": q_topn_other,
         "double_charge": q_double_charge,
+        "acf_daily": q_acf_daily,
+        "growth_accounting": q_growth_accounting,
+        "max_drawdown": q_max_drawdown,
     }
 
 
@@ -4334,6 +4361,84 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(sus) AS BIGINT) AS n_suspect,
                SUM(sus) / CAST(COUNT(*) AS DOUBLE) AS suspect_rate
         FROM g GROUP BY event_type
+    """
+
+    _acf_parts = []
+    for _lag in range(1, 8):
+        _acf_parts.append(f"""
+        SELECT metric, {_lag} AS lag, CAST(n AS BIGINT) AS n_pairs,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+                   / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0)
+                   AS acf
+        FROM (
+            SELECT d1.metric, COUNT(*) AS n,
+                   SUM(d1.x) AS sx, SUM(d2.x) AS sy,
+                   SUM(d1.x*d1.x) AS sxx, SUM(d2.x*d2.x) AS syy,
+                   SUM(d1.x*d2.x) AS sxy
+            FROM daily d1 JOIN daily d2
+              ON d2.metric = d1.metric AND d1.day = d2.day + {_lag}
+            GROUP BY d1.metric)""")
+    o["acf_daily"] = (
+        """
+        WITH daily AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS x
+            FROM events GROUP BY 1, 2)
+        """
+        + "\n        UNION ALL".join(_acf_parts)
+    )
+
+    o["growth_accounting"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events),
+        f AS (SELECT u, MIN(week) AS fw FROM uw GROUP BY u),
+        prev AS (SELECT u, week + 7 AS week, 1 AS was_prev FROM uw),
+        cur AS (
+            SELECT uw.u, uw.week, f.fw, p.was_prev
+            FROM uw JOIN f ON f.u = uw.u
+            LEFT JOIN prev p ON p.u = uw.u AND p.week = uw.week),
+        act AS (
+            SELECT week, COUNT(*) AS n_active,
+                   CAST(SUM(CASE WHEN fw = week THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(COALESCE(was_prev, 0)) AS BIGINT) AS n_retained,
+                   CAST(SUM(CASE WHEN fw < week AND was_prev IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+            FROM cur GROUP BY week),
+        ch AS (
+            SELECT n.week, COUNT(*) AS n_churned
+            FROM (SELECT u, week + 7 AS week FROM uw) n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM uw w2 WHERE w2.u = n.u AND w2.week = n.week)
+            GROUP BY n.week)
+        SELECT a.week, n_active, n_new, n_retained, n_resurrected,
+               CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+        FROM act a LEFT JOIN ch c ON c.week = a.week
+    """
+
+    o["max_drawdown"] = """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS dv
+            FROM events GROUP BY 1, 2),
+        c AS (
+            SELECT series, day,
+                   SUM(dv) OVER (PARTITION BY series ORDER BY day ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM daily),
+        p AS (
+            SELECT series, cum,
+                   MAX(cum) OVER (PARTITION BY series ORDER BY day ASC
+                       ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c)
+        SELECT series, COUNT(*) AS n_days,
+               CAST(MAX(cum) AS DOUBLE) AS final_value,
+               CAST(MAX(peak) AS DOUBLE) AS peak_value,
+               CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown
+        FROM p GROUP BY series
     """
 
     return o

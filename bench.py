@@ -155,6 +155,9 @@ BENCH_QUERIES: list[str] = [
     "forward_fill",
     "topn_other",
     "double_charge",
+    "acf_daily",
+    "growth_accounting",
+    "max_drawdown",
 ]
 
 

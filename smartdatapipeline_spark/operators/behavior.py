@@ -728,3 +728,62 @@ def rfm_segments(
         "m",
         F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")).alias("segment"),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly growth accounting: per week, how many active users are
+    NEW (first week ever), RETAINED (also active the prior week),
+    RESURRECTED (active before, but not the prior week), and how many
+    of the prior week's actives CHURNED (absent this week) — the
+    standard DAU/MAU decomposition (new + retained + resurrected =
+    active; retained + churned = prior active).
+
+    Pure set algebra on the distinct (user, week) frame: one self-join
+    at lag 1 week plus the first-seen frame — all exact integers.
+
+    Output: (week, n_active, n_new, n_retained, n_resurrected,
+    n_churned).
+    """
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    uw = events.select(
+        F.col(user_col).alias("_u"), week(F.col(ts_col)).alias("week")
+    ).distinct()
+    first = uw.groupBy("_u").agg(F.min("week").alias("_fw"))
+    prev = uw.select("_u", F.date_add(F.col("week"), 7).alias("week"))
+    cur = (
+        uw.join(first, "_u")
+        .join(prev.withColumn("_was_prev", F.lit(1)), ["_u", "week"], "left")
+    )
+    active = cur.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("_fw") == F.col("week")).cast("long")).alias("n_new"),
+        F.sum(F.coalesce(F.col("_was_prev"), F.lit(0)).cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            (
+                (F.col("_fw") < F.col("week")) & F.col("_was_prev").isNull()
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    nxt = uw.select(F.date_add(F.col("week"), 7).alias("week"), "_u")
+    churned = (
+        nxt.join(uw, ["week", "_u"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        active.join(churned, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

@@ -1105,3 +1105,62 @@ def ewma_daily(
         ).alias("ewma"),
     )
     return per.select("metric", "last_date", "n_days", "ewma")
+
+
+def acf_daily(
+    events: DataFrame,
+    max_lag: int = 7,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+) -> DataFrame:
+    """Autocorrelation diagnostics: per series, the Pearson correlation
+    between the daily-count series and itself at lags 1..``max_lag`` —
+    the ACF a forecaster reads before choosing seasonal terms.
+
+    Each lag is a date-arithmetic self-join of the day-grain frame (no
+    window-frame shifting, so calendar gaps align correctly), and every
+    sum in the correlation is an exact integer — one sqrt per variance
+    at the end, nothing order-dependent.
+
+    Output: (metric, lag, n_pairs, acf).
+    """
+    daily = (
+        events.select(
+            F.col(metric_col).alias("metric"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("metric", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    out = None
+    for lag in range(1, max_lag + 1):
+        lagged = daily.select(
+            "metric",
+            F.date_add(F.col("day"), lag).alias("day"),
+            F.col("x").alias("y"),
+        )
+        pairs = daily.join(lagged, ["metric", "day"])
+        s = pairs.groupBy("metric").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("x").alias("_sx"),
+            F.sum("y").alias("_sy"),
+            F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("_syy"),
+            F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        )
+        num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+            "double"
+        )
+        dx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+            "double"
+        )
+        dy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+            "double"
+        )
+        part = s.select(
+            "metric",
+            F.lit(lag).alias("lag"),
+            F.col("_n").alias("n_pairs"),
+            (num / F.nullif(F.sqrt(dx) * F.sqrt(dy), F.lit(0.0))).alias("acf"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -520,3 +520,47 @@ def forward_fill_daily(
         filled.alias("value_filled"),
         F.col("observed").isNull().alias("is_imputed"),
     )
+
+
+def max_drawdown(
+    events,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Max drawdown per series over the cumulative daily value curve:
+    the largest drop from a running peak — the risk metric for any
+    monotone-ish KPI ("how far below the high-water mark did we get").
+
+    All decimal-exact: cumulative sum and running max both window over
+    the day-grain frame in DECIMAL (order-free), drawdown = peak − cum,
+    one grouped max at the end. Output: (series, n_days, final_value,
+    peak_value, max_drawdown).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        )
+        .groupBy("series", "day")
+        .agg(F.sum("_v").alias("_dv"))
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.withColumn("_cum", F.sum("_dv").over(w))
+    curve = cum.withColumn("_peak", F.max("_cum").over(w))
+    return curve.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("_cum").cast("double").alias("final_value"),
+        F.max("_peak").cast("double").alias("peak_value"),
+        F.max(F.col("_peak") - F.col("_cum")).cast("double").alias(
+            "max_drawdown"
+        ),
+    )

@@ -413,3 +413,61 @@ def test_double_charge_flags_close_repeats(spark):
     )
     r = double_charge_audit(ev).collect()[0]
     assert r["n_events"] == 5 and r["n_suspect"] == 1
+
+
+def test_acf_daily_periodic_signal(spark):
+    from smartdatapipeline_spark.operators.forecast import acf_daily
+
+    # period-2 daily counts: 1,3,1,3,... → strong negative ACF at lag 1,
+    # strong positive at lag 2
+    rows = []
+    eid = 0
+    for d in range(14):
+        for _ in range(1 if d % 2 == 0 else 3):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 6), "m"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {r["lag"]: r for r in acf_daily(ev, max_lag=2).collect()}
+    assert got[1]["n_pairs"] == 13 and got[2]["n_pairs"] == 12
+    assert got[1]["acf"] < -0.9
+    assert got[2]["acf"] > 0.9
+
+
+def test_growth_accounting_decomposition(spark):
+    from smartdatapipeline_spark.operators.behavior import growth_accounting
+
+    def wk(n, u):  # user u active in week n (weeks start Mon 2024-01-01)
+        return (u, dt.datetime(2024, 1, 1) + dt.timedelta(weeks=n, days=2))
+
+    rows = [
+        wk(0, 1), wk(0, 2),           # week 0: users 1,2 new
+        wk(1, 1), wk(1, 3),           # week 1: 1 retained, 3 new, 2 churned
+        wk(2, 2), wk(2, 3),           # week 2: 2 resurrected, 3 retained, 1 churned
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["week"].isoformat(): r for r in growth_accounting(ev).collect()}
+    w1 = got["2024-01-08"]
+    assert (w1["n_active"], w1["n_new"], w1["n_retained"],
+            w1["n_resurrected"], w1["n_churned"]) == (2, 1, 1, 0, 1)
+    w2 = got["2024-01-15"]
+    assert (w2["n_active"], w2["n_new"], w2["n_retained"],
+            w2["n_resurrected"], w2["n_churned"]) == (2, 0, 1, 1, 1)
+    # identities hold everywhere
+    for r in got.values():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+def test_max_drawdown_curve(spark):
+    from smartdatapipeline_spark.operators.temporal import max_drawdown
+
+    # daily sums: +10, +5, -12, +4 → cum 10,15,3,7; peak 10,15,15,15
+    # → max drawdown 12
+    vals = [10.0, 5.0, -12.0, 4.0]
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + i, 6), "m", v) for i, v in enumerate(vals)],
+        "ts timestamp, event_type string, value double",
+    )
+    r = max_drawdown(ev).collect()[0]
+    assert r["n_days"] == 4
+    assert r["peak_value"] == 15.0
+    assert r["max_drawdown"] == 12.0
