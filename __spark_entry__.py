@@ -2740,6 +2740,39 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_drawdown(_events(spark, sf_dir))
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap (exact user-set intersection/Jaccard
+    per event-type pair) — operators/behavior.py audience_overlap."""
+    from smartdatapipeline_spark.operators.behavior import audience_overlap
+
+    return audience_overlap(_events(spark, sf_dir))
+
+
+def q_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (series, day) exact p50/p95 of value (rank windows, ceil(q·n)
+    convention) — operators/kpi.py daily_value_percentiles."""
+    return K.daily_value_percentiles(_events(spark, sf_dir), qs=(0.5, 0.95))
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session count / mean duration / mean events from gap
+    sessions — operators/sessions.py session_stats."""
+    from smartdatapipeline_spark.operators.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir))
+
+
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted volume anomalies (residual vs seasonal
+    expectation, day-ordered folds) — operators/anomaly.py
+    seasonal_residual_outliers."""
+    from smartdatapipeline_spark.operators.anomaly import (
+        seasonal_residual_outliers,
+    )
+
+    return seasonal_residual_outliers(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2924,6 +2957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": q_acf_daily,
         "growth_accounting": q_growth_accounting,
         "max_drawdown": q_max_drawdown,
+        "audience_overlap": q_audience_overlap,
+        "daily_percentiles": q_daily_percentiles,
+        "session_stats": q_session_stats,
+        "seasonal_outliers": q_seasonal_outliers,
     }
 
 
@@ -4439,6 +4476,105 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(peak) AS DOUBLE) AS peak_value,
                CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown
         FROM p GROUP BY series
+    """
+
+    o["audience_overlap"] = """
+        WITH basket AS (
+            SELECT DISTINCT user_id, event_type AS t FROM events),
+        sizes AS (SELECT t, COUNT(*) AS n FROM basket GROUP BY t),
+        inter AS (
+            SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+            FROM basket a JOIN basket b
+              ON a.user_id = b.user_id AND a.t < b.t
+            GROUP BY 1, 2)
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+               sa.n + sb.n - n_both AS n_either,
+               n_both / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.t = type_a
+        JOIN sizes sb ON sb.t = type_b
+    """
+
+    o["daily_percentiles"] = """
+        SELECT event_type AS series, CAST(ts AS DATE) AS day,
+               CAST(0.5 AS DOUBLE) AS q,
+               CAST(quantile_disc(value, 0.5) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT event_type, CAST(ts AS DATE), CAST(0.95 AS DOUBLE),
+               CAST(quantile_disc(value, 0.95) AS DOUBLE)
+        FROM events GROUP BY 1, 2
+    """
+
+    o["session_stats"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        tagged AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM flagged),
+        sess AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS s0, MAX(ts) AS s1, COUNT(*) AS ne
+            FROM tagged GROUP BY user_id, session_id)
+        SELECT CAST(s0 AS DATE) AS day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(datediff('second', s0, s1)) AS DOUBLE) / COUNT(*)
+                   AS avg_duration_s,
+               CAST(SUM(ne) AS DOUBLE) / COUNT(*) AS avg_events
+        FROM sess GROUP BY 1
+    """
+
+    o["seasonal_outliers"] = """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        d2 AS (
+            SELECT series, day, n,
+                   datediff('day', DATE '1970-01-05', day) % 7 AS dow
+            FROM daily),
+        da AS (
+            SELECT series, dow,
+                   CAST(SUM(n) AS DOUBLE) / COUNT(*) AS expd
+            FROM d2 GROUP BY 1, 2),
+        r AS (
+            SELECT d2.series, d2.day,
+                   CAST(n AS DOUBLE) - expd AS rr
+            FROM d2 JOIN da ON da.series = d2.series AND da.dow = d2.dow),
+        s AS (
+            SELECT series, COUNT(*) AS n_days,
+                   list_reduce([CAST(0.0 AS DOUBLE)]
+                       || list(rr ORDER BY day), (a, x) -> a + x) AS sr,
+                   list_reduce([CAST(0.0 AS DOUBLE)]
+                       || list(rr * rr ORDER BY day), (a, x) -> a + x) AS srr,
+                   list(rr ORDER BY day) AS rs
+            FROM r GROUP BY series)
+        SELECT series, n_days,
+               CASE WHEN srr / CAST(n_days AS DOUBLE)
+                         - (sr / CAST(n_days AS DOUBLE))
+                           * (sr / CAST(n_days AS DOUBLE)) > 0
+                    THEN sqrt(srr / CAST(n_days AS DOUBLE)
+                         - (sr / CAST(n_days AS DOUBLE))
+                           * (sr / CAST(n_days AS DOUBLE)))
+               END AS resid_std,
+               CAST(len(list_filter(rs, x -> ABS(x) >
+                   3.0 * (CASE WHEN srr / CAST(n_days AS DOUBLE)
+                               - (sr / CAST(n_days AS DOUBLE))
+                                 * (sr / CAST(n_days AS DOUBLE)) > 0
+                          THEN sqrt(srr / CAST(n_days AS DOUBLE)
+                               - (sr / CAST(n_days AS DOUBLE))
+                                 * (sr / CAST(n_days AS DOUBLE)))
+                          END))) AS BIGINT) AS n_outliers
+        FROM s
     """
 
     return o

@@ -158,6 +158,10 @@ BENCH_QUERIES: list[str] = [
     "acf_daily",
     "growth_accounting",
     "max_drawdown",
+    "audience_overlap",
+    "daily_percentiles",
+    "session_stats",
+    "seasonal_outliers",
 ]
 
 

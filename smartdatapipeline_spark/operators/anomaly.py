@@ -809,3 +809,72 @@ def burn_rate(
         long_share.alias("long_share"),
         (short_share / F.nullif(long_share, F.lit(0.0))).alias("burn_ratio"),
     )
+
+
+def seasonal_residual_outliers(
+    events: DataFrame,
+    k: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonality-aware volume anomaly: per series, compare each day's
+    count to its DAY-OF-WEEK mean (the seasonal expectation from
+    ``seasonal_profile``'s arithmetic-weekday convention) and flag days
+    whose residual exceeds k× the residual standard deviation.
+
+    Exactness discipline: expectations are ratios of exact integers;
+    residuals are doubles, so Σr and Σr² fold in DAY order (parallel
+    SUM(double) would be accumulation-order-nondeterministic); one sqrt
+    at the end.
+
+    Output: (series, n_days, resid_std, n_outliers).
+    """
+    daily = (
+        events.select(
+            F.col(type_col).alias("series"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("series", "day")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_dow",
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7,
+        )
+    )
+    dow_avg = daily.groupBy("series", "_dow").agg(
+        (F.sum("_n").cast("double") / F.count(F.lit(1))).alias("_exp")
+    )
+    resid = daily.join(dow_avg, ["series", "_dow"]).withColumn(
+        "_r", F.col("_n").cast("double") - F.col("_exp")
+    )
+    # ordered folds for Σr and Σr² (parallel SUM(double) is order-
+    # nondeterministic; day-ordered folds are engine-exact)
+    def _fold(expr_col):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("day").alias("o"), expr_col.alias("t")))
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["t"])
+
+    stats = resid.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _fold(F.col("_r")).alias("_sr"),
+        _fold(F.col("_r") * F.col("_r")).alias("_srr"),
+        F.collect_list(F.struct("day", "_r")).alias("_rs"),
+    )
+    n = F.col("n_days").cast("double")
+    var = F.col("_srr") / n - (F.col("_sr") / n) * (F.col("_sr") / n)
+    std = F.sqrt(F.when(var > 0, var))
+    return stats.select(
+        "series",
+        "n_days",
+        std.alias("resid_std"),
+        F.when(
+            std.isNull(), F.lit(0)
+        ).otherwise(
+            F.size(
+                F.filter(
+                    F.col("_rs"),
+                    lambda x: F.abs(x["_r"]) > F.lit(float(k)) * std,
+                )
+            )
+        ).cast("long").alias("n_outliers"),
+    )

@@ -787,3 +787,48 @@ def growth_accounting(
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+def audience_overlap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    exact intersection/union of their distinct-user audiences and the
+    Jaccard overlap — "how much does the clicker audience overlap the
+    purchaser audience".
+
+    Same blocked-pair shape as ``association_rules`` (dedup the fact to
+    (user, type) once; pairs only through shared users), with overlap
+    as exact integer set algebra. Output: (type_a, type_b, n_a, n_b,
+    n_both, n_either, jaccard), type_a < type_b.
+    """
+    basket = events.select(user_col, F.col(type_col).alias("_t")).distinct()
+    sizes = basket.groupBy("_t").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.select(user_col, F.col("_t").alias("type_a"))
+    b = basket.select(user_col, F.col("_t").alias("type_b"))
+    inter = (
+        a.join(b, user_col)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("_t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("_t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_either"),
+            (
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

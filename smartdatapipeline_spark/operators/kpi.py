@@ -186,3 +186,54 @@ def kpi_rollup(
         )
         .select("metric", "day", "gid", "n_events", "value_sum")
     )
+
+
+def daily_value_percentiles(
+    events,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Per (series, day) exact value percentiles — the daily latency
+    heatmap every ops dashboard wants, with the same ceil(q·n) discrete
+    convention as the global/grouped quantile operators. One rank
+    window over the (series, day) partition (a day of one series always
+    fits a task), all quantiles from one windowed frame via a post-
+    window explode.
+
+    Output: (series, day, q, value).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = (
+        events.select(
+            F.col(metric_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("series", "day").orderBy(F.col("_v").asc())
+            ),
+        )
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("series", "day"))
+        )
+    )
+    return (
+        base.select(
+            "series",
+            "day",
+            "_v",
+            "_rn",
+            "_n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .filter(
+            F.col("_rn") == F.greatest(F.ceil(F.col("q") * F.col("_n")), F.lit(1))
+        )
+        .select("series", "day", "q", F.col("_v").alias("value"))
+    )

@@ -83,3 +83,29 @@ def bounce_rate(events, gap_minutes: int = 30):
             F.col("n_bounces") / F.col("n_sessions").cast("double"),
         )
     )
+
+
+def session_stats(events, gap_minutes: int = 30):
+    """Per-day session statistics from gap sessions: counts, exact mean
+    duration (integer-second decimal sum / count) and mean events per
+    session — keyed by session START day.
+
+    Output: (day, n_sessions, avg_duration_s, avg_events).
+    """
+    from pyspark.sql import functions as F
+
+    s = sessionize(events, gap_minutes=gap_minutes)
+    per = s.select(
+        F.to_date("session_start").alias("day"),
+        (
+            F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+        ).alias("_dur"),
+        F.col("n_events").alias("_ne"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (F.sum("_dur").cast("double") / F.count(F.lit(1))).alias(
+            "avg_duration_s"
+        ),
+        (F.sum("_ne").cast("double") / F.count(F.lit(1))).alias("avg_events"),
+    )

@@ -471,3 +471,65 @@ def test_max_drawdown_curve(spark):
     assert r["n_days"] == 4
     assert r["peak_value"] == 15.0
     assert r["max_drawdown"] == 12.0
+
+
+def test_audience_overlap_set_algebra(spark):
+    from smartdatapipeline_spark.operators.behavior import audience_overlap
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (1, "b"), (2, "b"), (4, "c")]
+    ev = spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, 1)) for u, t in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {(r["type_a"], r["type_b"]): r for r in audience_overlap(ev).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_both"], ab["n_either"]) == (3, 2, 2, 3)
+    assert ab["jaccard"] == 2 / 3
+    assert ("a", "c") not in got
+
+
+def test_daily_percentiles_rank_convention(spark):
+    from smartdatapipeline_spark.operators.kpi import daily_value_percentiles
+
+    vals = [float(v) for v in range(1, 21)]  # one day, 20 values
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6), "m", v) for v in vals],
+        "ts timestamp, event_type string, value double",
+    )
+    got = {r["q"]: r["value"] for r in daily_value_percentiles(ev).collect()}
+    assert got[0.5] == 10.0     # ceil(0.5*20) = 10th
+    assert got[0.95] == 19.0    # ceil(0.95*20) = 19th
+
+
+def test_session_stats_means(spark):
+    from smartdatapipeline_spark.operators.sessions import session_stats
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),   # 600 s, 2 events
+        (2, t0),                                       # 0 s, 1 event
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = session_stats(ev).collect()[0]
+    assert r["n_sessions"] == 2
+    assert r["avg_duration_s"] == 300.0
+    assert r["avg_events"] == 1.5
+
+
+def test_seasonal_residual_outliers_flags_spike(spark):
+    from smartdatapipeline_spark.operators.anomaly import (
+        seasonal_residual_outliers,
+    )
+
+    rows = []
+    eid = 0
+    # 4 full weeks of a flat 5-events/day series, then one 50-event day
+    for d in range(28):
+        for _ in range(5):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 6), "m")); eid += 1
+    for _ in range(50):
+        rows.append((eid, dt.datetime(2024, 1, 29, 6), "m")); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    r = seasonal_residual_outliers(ev).collect()[0]
+    assert r["n_days"] == 29
+    assert r["n_outliers"] == 1  # only the spike day beats 3 sigma
