@@ -2773,6 +2773,21 @@ def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_residual_outliers(_events(spark, sf_dir))
 
 
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (median of day-grain pairwise slopes,
+    disc-rank pick) — operators/forecast.py theilsen_trend."""
+    return FC.theilsen_trend(_events(spark, sf_dir))
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution via RANGE window frames (even
+    credit across in-window channel touches) — operators/behavior.py
+    attribution_linear."""
+    from smartdatapipeline_spark.operators.behavior import attribution_linear
+
+    return attribution_linear(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2961,6 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_percentiles": q_daily_percentiles,
         "session_stats": q_session_stats,
         "seasonal_outliers": q_seasonal_outliers,
+        "theilsen_trend": q_theilsen_trend,
+        "attribution_linear": q_attribution_linear,
     }
 
 
@@ -4575,6 +4592,70 @@ def oracle_sql() -> dict[str, str]:
                                  * (sr / CAST(n_days AS DOUBLE)))
                           END))) AS BIGINT) AS n_outliers
         FROM s
+    """
+
+    o["theilsen_trend"] = """
+        WITH daily AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2),
+        p AS (
+            SELECT a.metric,
+                   (b.y - a.y)
+                       / CAST(datediff('day', a.d, b.d) AS DOUBLE) AS s
+            FROM daily a JOIN daily b
+              ON b.metric = a.metric AND a.d < b.d),
+        m AS (
+            SELECT metric, COUNT(*) AS n_pairs,
+                   quantile_disc(s, 0.5) AS slope
+            FROM p GROUP BY metric),
+        dd AS (SELECT metric, COUNT(*) AS n_days FROM daily GROUP BY metric)
+        SELECT m.metric, dd.n_days, m.n_pairs, m.slope
+        FROM m JOIN dd ON dd.metric = m.metric
+    """
+
+    o["attribution_linear"] = """
+        WITH base AS (
+            SELECT user_id, event_type,
+                   datediff('second', TIMESTAMP '1970-01-01', ts) AS sec
+            FROM events),
+        counted AS (
+            SELECT user_id, event_type, sec,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                       OVER w AS n_click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                       OVER w AS n_error,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                       OVER w AS n_signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                       OVER w AS n_view
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)),
+        conv AS (
+            SELECT *, n_click + n_error + n_signup + n_view AS tot
+            FROM counted WHERE event_type = 'purchase'),
+        u AS (
+            SELECT 'click' AS channel,
+                   CAST(n_click AS DOUBLE) / CAST(tot AS DOUBLE) AS credit,
+                   sec, user_id FROM conv WHERE n_click > 0
+            UNION ALL
+            SELECT 'error', CAST(n_error AS DOUBLE) / CAST(tot AS DOUBLE),
+                   sec, user_id FROM conv WHERE n_error > 0
+            UNION ALL
+            SELECT 'signup', CAST(n_signup AS DOUBLE) / CAST(tot AS DOUBLE),
+                   sec, user_id FROM conv WHERE n_signup > 0
+            UNION ALL
+            SELECT 'view', CAST(n_view AS DOUBLE) / CAST(tot AS DOUBLE),
+                   sec, user_id FROM conv WHERE n_view > 0
+            UNION ALL
+            SELECT NULL, CAST(1.0 AS DOUBLE), sec, user_id
+            FROM conv WHERE tot = 0)
+        SELECT channel, COUNT(*) AS n_touched_conversions,
+               list_reduce([CAST(0.0 AS DOUBLE)]
+                   || list(credit ORDER BY sec, user_id, credit),
+                   (a, x) -> a + x) AS total_credit
+        FROM u GROUP BY channel
     """
 
     return o

@@ -162,6 +162,8 @@ BENCH_QUERIES: list[str] = [
     "daily_percentiles",
     "session_stats",
     "seasonal_outliers",
+    "theilsen_trend",
+    "attribution_linear",
 ]
 
 

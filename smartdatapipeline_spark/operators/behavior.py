@@ -832,3 +832,86 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """LINEAR multi-touch attribution: each conversion's credit splits
+    EVENLY across every distinct-channel touch in the preceding
+    ``window_s`` seconds (last-touch's winner-takes-all cousin —
+    ``attribution_last_touch``).
+
+    Built on RANGE window frames (``rangeBetween`` over epoch seconds):
+    for each conversion row, one windowed count per channel over
+    [t−window_s, t) gives the in-window touch mix without a self-join
+    over the fact — per-channel credit = touches_c / touches_total.
+    Exact-ratio credits summed as decimals (each credit is a rational
+    with denominator ≤ #channels; we sum c/t per conversion as DOUBLE
+    divisions of exact integers folded in conversion order).
+
+    Output: (channel, n_touched_conversions, total_credit) — channel
+    NULL collects conversions with no in-window touch.
+    """
+    from pyspark.sql.window import Window
+
+    channels = sorted(
+        r["_c"]
+        for r in events.select(F.col(type_col).alias("_c")).distinct().collect()
+        if r["_c"] is not None and r["_c"] != conversion_type
+    )
+    sec = F.unix_timestamp(F.col(ts_col))
+    base = events.withColumn("_sec", sec)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_sec")
+        .rangeBetween(-window_s, -1)
+    )
+    counted = base
+    for ch in channels:
+        counted = counted.withColumn(
+            f"_n_{ch}",
+            F.count(F.when(F.col(type_col) == ch, F.lit(1))).over(w),
+        )
+    conv = counted.filter(F.col(type_col) == conversion_type).withColumn(
+        "_tot", sum(F.col(f"_n_{ch}") for ch in channels)
+    )
+    parts = []
+    for ch in channels:
+        parts.append(
+            conv.filter(F.col(f"_n_{ch}") > 0).select(
+                F.lit(ch).alias("channel"),
+                (
+                    F.col(f"_n_{ch}").cast("double")
+                    / F.col("_tot").cast("double")
+                ).alias("_credit"),
+                F.col("_sec").alias("_o1"),
+                F.col(user_col).alias("_o2"),
+            )
+        )
+    direct = conv.filter(F.col("_tot") == 0).select(
+        F.lit(None).cast("string").alias("channel"),
+        F.lit(1.0).alias("_credit"),
+        F.col("_sec").alias("_o1"),
+        F.col(user_col).alias("_o2"),
+    )
+    u = direct
+    for p in parts:
+        u = u.unionByName(p)
+    # total_credit folds in (sec, user) order — deterministic doubles
+    fold = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_o1"), F.col("_o2"), F.col("_credit")))
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x["_credit"],
+    )
+    return u.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touched_conversions"),
+        fold.alias("total_credit"),
+    )

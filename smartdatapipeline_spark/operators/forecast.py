@@ -1164,3 +1164,60 @@ def acf_daily(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def theilsen_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend: per series, the MEDIAN of all pairwise
+    slopes of the daily value sums — immune to outlier days that drag
+    an OLS fit (``ols_trend`` is the parametric twin).
+
+    The pair space is day-grain² — bounded by the series' DAY COUNT,
+    never the fact (a year of data is ~66k pairs per series), built as
+    a co-partitioned self-join on the series key. Each slope is one
+    double division of exact-decimal deltas; the median picks an
+    actual slope via the ceil(q·n) discrete rank, so nothing is
+    interpolated or order-dependent.
+
+    Output: (metric, n_days, n_pairs, slope).
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.to_date(ts_col).alias("_d"),
+            F.col(value_col).cast("decimal(18,4)").alias("_y"),
+        )
+        .groupBy("metric", "_d")
+        .agg(F.sum("_y").cast("double").alias("_y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, "metric")
+        .filter(F.col("a._d") < F.col("b._d"))
+        .select(
+            "metric",
+            (
+                (F.col("b._y") - F.col("a._y"))
+                / F.datediff(F.col("b._d"), F.col("a._d")).cast("double")
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("metric").orderBy(F.col("_s").asc())
+    ranked = slopes.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("metric"))
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.greatest(F.ceil(F.lit(0.5) * F.col("_n")), F.lit(1))
+    )
+    days = daily.groupBy("metric").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        med.select("metric", F.col("_n").alias("n_pairs"), F.col("_s").alias("slope"))
+        .join(F.broadcast(days), "metric")
+        .select("metric", "n_days", "n_pairs", "slope")
+    )

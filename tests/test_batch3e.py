@@ -533,3 +533,45 @@ def test_seasonal_residual_outliers_flags_spike(spark):
     r = seasonal_residual_outliers(ev).collect()[0]
     assert r["n_days"] == 29
     assert r["n_outliers"] == 1  # only the spike day beats 3 sigma
+
+
+def test_theilsen_ignores_outlier_day(spark):
+    from smartdatapipeline_spark.operators.forecast import theilsen_trend
+
+    # clean slope 2/day with one wrecked day — Theil-Sen stays at 2
+    vals = [2.0 * x for x in range(10)]
+    vals[5] = 1000.0
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + i), "m", v) for i, v in enumerate(vals)],
+        "ts timestamp, event_type string, value double",
+    )
+    r = theilsen_trend(ev).collect()[0]
+    assert r["n_days"] == 10 and r["n_pairs"] == 45
+    assert r["slope"] == 2.0  # the outlier's slopes sit in the tails
+
+
+def test_attribution_linear_splits_credit(spark):
+    from smartdatapipeline_spark.operators.behavior import attribution_linear
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 1, at(0), "view"),
+        (2, 1, at(10), "click"),
+        (3, 1, at(30), "purchase"),   # 1 view + 1 click → 0.5 each
+        (4, 2, at(0), "view"),
+        (5, 2, at(5), "view"),
+        (6, 2, at(20), "purchase"),   # 2 views → view gets 1.0
+        (7, 3, at(0), "purchase"),    # nothing before → direct
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["channel"]: r for r in attribution_linear(ev).collect()}
+    assert got["view"]["total_credit"] == 0.5 + 1.0
+    assert got["click"]["total_credit"] == 0.5
+    assert got[None]["n_touched_conversions"] == 1
+    assert got[None]["total_credit"] == 1.0
