@@ -387,6 +387,15 @@ def main() -> None:
         "time_weighted_avg": lambda n: TP.time_weighted_avg(
             scaled_events(spark, sf_dir, n)
         ),
+        "attribution_linear": lambda n: BH.attribution_linear(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "audience_overlap": lambda n: BH.audience_overlap(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "growth_accounting": lambda n: BH.growth_accounting(
+            scaled_events(spark, sf_dir, n)
+        ),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
