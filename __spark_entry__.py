@@ -2788,6 +2788,25 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_linear(_events(spark, sf_dir))
 
 
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoW mix-shift decomposition (per-series contribution to the
+    total change; shares sum to 1 exactly) — operators/metrics.py
+    mix_shift."""
+    from smartdatapipeline_spark.operators.metrics import mix_shift
+
+    return mix_shift(_events(spark, sf_dir))
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of order totals (decimal-string
+    digit extraction, digit-ordered chi² fold) —
+    operators/quality.py benford_audit."""
+    from smartdatapipeline_spark.operators.quality import benford_audit
+
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return benford_audit(od, "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -2978,6 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_outliers": q_seasonal_outliers,
         "theilsen_trend": q_theilsen_trend,
         "attribution_linear": q_attribution_linear,
+        "mix_shift": q_mix_shift,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -4656,6 +4677,63 @@ def oracle_sql() -> dict[str, str]:
                    || list(credit ORDER BY sec, user_id, credit),
                    (a, x) -> a + x) AS total_credit
         FROM u GROUP BY channel
+    """
+
+    o["mix_shift"] = """
+        WITH weekly AS (
+            SELECT event_type AS metric,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       AS value
+            FROM events GROUP BY 1, 2),
+        j AS (
+            SELECT w.metric, w.week, w.value, p.value AS prev_value,
+                   w.value - p.value AS delta
+            FROM weekly w JOIN weekly p
+              ON p.metric = w.metric AND p.week + 7 = w.week),
+        t AS (
+            SELECT week,
+                   CAST(SUM(CAST(delta AS DECIMAL(28,4))) AS DOUBLE)
+                       AS total_delta
+            FROM j GROUP BY week)
+        SELECT j.metric, j.week, j.value, j.prev_value, j.delta,
+               t.total_delta,
+               j.delta / NULLIF(t.total_delta, 0.0) AS contribution
+        FROM j JOIN t ON t.week = j.week
+    """
+
+    from smartdatapipeline_spark.operators.quality import BENFORD_P
+
+    _benford_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items()
+    ) + " END"
+    o["benford_audit"] = f"""
+        WITH base AS (
+            SELECT CAST(NULLIF(regexp_extract(
+                       CAST(CAST(ABS(o_totalprice) AS DECIMAL(18,4))
+                            AS VARCHAR), '[1-9]', 0), '') AS INTEGER)
+                       AS digit
+            FROM orders WHERE ABS(o_totalprice) > 0),
+        counts AS (
+            SELECT digit, COUNT(*) AS n FROM base
+            WHERE digit IS NOT NULL GROUP BY digit),
+        t AS (SELECT SUM(n) AS tt FROM counts),
+        wp AS (
+            SELECT digit, n, CAST(tt AS DOUBLE) AS td,
+                   {_benford_case} AS expected_share
+            FROM counts, t),
+        terms AS (
+            SELECT digit, n, n / td AS share, expected_share,
+                   (n - expected_share * td) * (n - expected_share * td)
+                       / (expected_share * td) AS ct
+            FROM wp),
+        c AS (
+            SELECT list_reduce([CAST(0.0 AS DOUBLE)]
+                || list(ct ORDER BY digit), (a, x) -> a + x) AS chi2
+            FROM terms)
+        SELECT digit, n, share, expected_share,
+               (SELECT chi2 FROM c) AS chi2
+        FROM terms
     """
 
     return o

@@ -164,6 +164,8 @@ BENCH_QUERIES: list[str] = [
     "seasonal_outliers",
     "theilsen_trend",
     "attribution_linear",
+    "mix_shift",
+    "benford_audit",
 ]
 
 

@@ -161,3 +161,57 @@ def wow_change(
             / F.nullif(F.col("prev_week"), F.lit(0.0))
         ).alias("pct_change"),
     )
+
+
+def mix_shift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mix-shift decomposition: week-over-week, each series' exact
+    contribution to the TOTAL change — "was the move volume or mix?".
+    Because Δtotal = Σ Δseries exactly (decimal sums), the contribution
+    shares add to 1 bit-for-bit.
+
+    One weekly rollup (the only fact-sized shuffle), a 7-day
+    self-join, and a broadcast total per week-pair.
+
+    Output: (metric, week, value, prev_value, delta, total_delta,
+    contribution) for weeks with a prior week.
+    """
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    weekly = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("metric", "week")
+        .agg(dsum("_v").alias("value"))
+    )
+    prev = weekly.select(
+        "metric",
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("value").alias("prev_value"),
+    )
+    joined = weekly.join(prev, ["metric", "week"]).withColumn(
+        "delta", F.col("value") - F.col("prev_value")
+    )
+    totals = joined.groupBy("week").agg(
+        F.sum(F.col("delta").cast("decimal(28,4)")).cast("double").alias(
+            "total_delta"
+        )
+    )
+    return joined.join(F.broadcast(totals), "week").select(
+        "metric",
+        "week",
+        "value",
+        "prev_value",
+        "delta",
+        "total_delta",
+        (F.col("delta") / F.nullif(F.col("total_delta"), F.lit(0.0))).alias(
+            "contribution"
+        ),
+    )

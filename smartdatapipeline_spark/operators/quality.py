@@ -353,3 +353,67 @@ def double_charge_audit(
             F.col("n_suspect") / F.col("n_events").cast("double"),
         )
     )
+
+
+#: Benford first-digit probabilities log10(1+1/d), as fixed double
+#: literals so engines parse identical constants (no runtime log10)
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benford's-law leading-digit audit for a positive measure: per
+    digit 1-9, observed count and share vs the Benford expectation,
+    plus the chi² statistic (digit-ordered fold — deterministic) —
+    the classic fabricated-numbers screen for financial columns.
+
+    Leading digit extraction goes through the DECIMAL(18,4) string form
+    (fixed notation, no locale separators, no float re-rounding), so it
+    is radix-exact and engine-portable — no log10 anywhere. One grouped
+    count; everything after is digit-grain.
+
+    Output: (digit, n, share, expected_share, chi2) — chi2 repeated
+    per row (one frame keeps the oracle simple).
+    """
+    v = F.abs(F.col(value_col))
+    digit_str = F.regexp_extract(
+        v.cast("decimal(18,4)").cast("string"), "[1-9]", 0
+    )
+    base = df.filter(v > 0).select(
+        F.nullif(digit_str, F.lit("")).cast("int").alias("digit")
+    )
+    counts = base.filter(F.col("digit").isNotNull()).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    t = counts.crossJoin(F.broadcast(total))
+    expr = None
+    for d, p in BENFORD_P.items():
+        cond = F.col("digit") == d
+        expr = F.when(cond, F.lit(p)) if expr is None else expr.when(cond, F.lit(p))
+    with_p = t.withColumn("expected_share", expr).withColumn(
+        "share", F.col("n") / F.col("_t").cast("double")
+    )
+    e = F.col("expected_share") * F.col("_t").cast("double")
+    terms = with_p.withColumn(
+        "_chi_t", (F.col("n") - e) * (F.col("n") - e) / e
+    )
+    fold = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("digit").alias("o"), F.col("_chi_t").alias("t")))
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x["t"],
+    )
+    chi2 = terms.agg(fold.alias("chi2"))
+    return (
+        terms.crossJoin(F.broadcast(chi2))
+        .select("digit", "n", "share", "expected_share", "chi2")
+    )

@@ -575,3 +575,43 @@ def test_attribution_linear_splits_credit(spark):
     assert got["click"]["total_credit"] == 0.5
     assert got[None]["n_touched_conversions"] == 1
     assert got[None]["total_credit"] == 1.0
+
+
+def test_mix_shift_contributions_sum_to_one(spark):
+    from smartdatapipeline_spark.operators.metrics import mix_shift
+
+    def wk(n, m, v):
+        return (dt.datetime(2024, 1, 1) + dt.timedelta(weeks=n, days=1), m, v)
+
+    rows = [
+        wk(0, "a", 10.0), wk(0, "b", 20.0),
+        wk(1, "a", 16.0), wk(1, "b", 22.0),   # Δ total = +8 (a +6, b +2)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {r["metric"]: r for r in mix_shift(ev).collect()}
+    assert out["a"]["delta"] == 6.0 and out["b"]["delta"] == 2.0
+    assert out["a"]["total_delta"] == 8.0
+    assert out["a"]["contribution"] == 0.75
+    assert out["a"]["contribution"] + out["b"]["contribution"] == 1.0
+
+
+def test_benford_audit_digits_and_chi2(spark):
+    from smartdatapipeline_spark.operators.quality import (
+        BENFORD_P,
+        benford_audit,
+    )
+
+    # values with known leading digits incl. sub-1 magnitudes
+    vals = [1.5, 19.0, 0.02, 2.5, 300.0, 0.0, -45.0]  # digits 1,1,2,2,3,-,4
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert {d: r["n"] for d, r in got.items()} == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert got[1]["share"] == 2 / 6
+    assert got[1]["expected_share"] == BENFORD_P[1]
+    # chi2 equals the digit-ordered python fold of the same terms
+    tot = 6.0
+    acc = 0.0
+    for d, n in ((1, 2), (2, 2), (3, 1), (4, 1)):
+        e = BENFORD_P[d] * tot
+        acc += (n - e) * (n - e) / e
+    assert got[1]["chi2"] == acc
