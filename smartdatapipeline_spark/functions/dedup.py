@@ -36,6 +36,12 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 ]
 
 
+from smartdatapipeline_spark.cachetrack import (  # noqa: F401 — re-export
+    release_plan_caches,
+    track_cache as _track_cache,
+)
+
+
 def h60(col: Column) -> Column:
     """portable 60-bit string hash: first 15 md5 hex chars as int."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -204,9 +210,11 @@ def minhash_candidate_pairs(
             F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m
         )
     ) / F.lit(float(len(MINHASH_PARAMS)))
-    return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return _track_cache(
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard")),
+        sig,
     )
 
 
@@ -291,10 +299,16 @@ def dedup_pipeline(
     )
     nodes = df.select(F.col(id_col).alias("doc_id")).distinct()
     clusters = duplicate_clusters(edges, nodes)
-    return clusters.select(
-        F.col("doc_id").alias(id_col),
-        "cluster",
-        (F.col("cluster") == F.col(id_col)).alias("is_representative"),
+    return _track_cache(
+        clusters.select(
+            F.col("doc_id").alias(id_col),
+            "cluster",
+            # compare against the cluster frame's literal column — duplicate_
+            # clusters always emits `doc_id`; referencing `id_col` here broke
+            # every non-default id_col caller (round-3 ADVICE, medium)
+            (F.col("cluster") == F.col("doc_id")).alias("is_representative"),
+        ),
+        sig,
     )
 
 
@@ -511,10 +525,11 @@ def probe_dedup_index(
     est = F.size(
         F.filter(F.zip_with("_sn", "_sc", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(len(MINHASH_PARAMS)))
-    return (
+    return _track_cache(
         hits.join(F.broadcast(ns), "new_id")
         .join(idx_sig, "corpus_id")
-        .select("new_id", "corpus_id", est.alias("est_jaccard"))
+        .select("new_id", "corpus_id", est.alias("est_jaccard")),
+        new_sig,
     )
 
 

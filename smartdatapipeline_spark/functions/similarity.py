@@ -91,11 +91,15 @@ def brute_force_topk(
 
 
 def sign_bucket(vec: Column, nbits: int = 8) -> Column:
-    """axis-aligned sign-LSH bucket id: bit i = (vec[i] > 0)."""
+    """axis-aligned sign-LSH bucket id: bit i = (vec[i] > 0).
+
+    Uses null-safe 0-based ``F.get`` so a vector shorter than ``nbits``
+    contributes 0 for the missing dimensions instead of raising
+    INVALID_ARRAY_INDEX under ANSI mode (round-3 ADVICE)."""
     bucket = F.lit(0).cast("long")
     for i in range(nbits):
         bucket = bucket + F.when(
-            F.element_at(vec, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.get(vec, i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return bucket
 

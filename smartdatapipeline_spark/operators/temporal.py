@@ -148,15 +148,24 @@ def range_join_bucketed(
     Output: all interval columns + all left columns.
     """
     by = by or []
-    binned = intervals.withColumn(
+    # degenerate intervals (end <= start) match nothing under half-open
+    # semantics — drop them BEFORE the bucket explode; otherwise sequence()
+    # sees stop < start with a positive step and raises at execution
+    # (round-3 ADVICE). The last covered bucket is clamped to >= the first
+    # so sub-bucket intervals (e.g. a 0.5 s interval starting exactly on a
+    # bucket boundary) still emit their single bucket instead of raising.
+    live = intervals.filter(F.col(end) > F.col(start))
+    first_bucket = F.date_trunc(bucket, F.col(start))
+    # end is exclusive: last covered instant is strictly before end (1 µs
+    # is timestamp precision), clamped to first_bucket for short intervals
+    last_bucket = F.greatest(
+        first_bucket,
+        F.date_trunc(bucket, F.col(end) - F.expr("INTERVAL 1 MICROSECOND")),
+    )
+    binned = live.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(
-                F.date_trunc(bucket, F.col(start)),
-                # end is exclusive: last covered instant is end - 1s
-                F.date_trunc(bucket, F.col(end) - F.expr("INTERVAL 1 SECOND")),
-                F.expr(f"INTERVAL 1 {bucket}"),
-            )
+            F.sequence(first_bucket, last_bucket, F.expr(f"INTERVAL 1 {bucket}"))
         ),
     )
     tagged = left.withColumn("_bucket", F.date_trunc(bucket, F.col(left_ts)))

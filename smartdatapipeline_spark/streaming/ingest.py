@@ -71,12 +71,22 @@ def stream_csv_ingest(
         )
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark_b = batch.sparkSession
         if batch.isEmpty():
             return
-        batch = batch.cache()
+        # both caches are micro-batch-scoped: released in the finally
+        # below (the old single trailing unpersist leaked the first cache
+        # on the dead-letter path and both on the empty-batch early return)
+        _caches = [batch.cache()]
+        try:
+            _upsert_batch_cached(batch, batch_id, spark_b, _caches)
+        finally:
+            for c in _caches:
+                c.unpersist()
+
+    def _upsert_batch_cached(batch, batch_id, spark_b, _caches):
+        import os
+
         if dead_letter_path is not None:
             (
                 batch.filter(F.col("_warn").isNotNull())
@@ -90,6 +100,7 @@ def stream_csv_ingest(
                 .drop("_warn")
                 .dropDuplicates(["source_id", "ts", "metric"])
             ).cache()
+            _caches.append(batch)
             if batch.isEmpty():
                 return
         # S8 upsert: anti-join against stored silver (cross-batch dedup
@@ -117,7 +128,6 @@ def stream_csv_ingest(
             .partitionBy("metric_date")
             .parquet(gold_path)
         )
-        batch.unpersist()
 
     return (
         cleaned.writeStream.foreachBatch(upsert_batch)
