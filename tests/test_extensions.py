@@ -705,6 +705,25 @@ def test_quality_classifier_separates_and_pareto_keeps(spark):
     k2 = {r["doc_id"]: r["keep"] for r in CL.pareto_keep(scored).collect()}
     assert k1 == k2  # hash-realized draw: deterministic across runs
 
+    # build/score split (round-3 VERDICT #5): column-math scoring under
+    # the extracted coefficients matches the MLlib transform bit-close,
+    # and the persisted coefficient frame round-trips
+    coef = CL.model_coefficients(model)
+    lin = {
+        r["doc_id"]: r["quality_prob"]
+        for r in CL.score_quality_linear(held, coef).collect()
+    }
+    for d in got:
+        assert abs(lin[d] - got[d]) < 1e-9
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/qm"
+        built = CL.build_quality_model(pos, neg, path=path)
+        loaded = CL.load_quality_model(spark, path)
+        assert built == pytest.approx(loaded)
+        assert set(loaded) == set(CL.FEATURES) | {"_intercept"}
+
 
 def test_scrub_contaminated_spans_surgical(spark):
     """Span-level decontamination: the 13-token eval window is masked
