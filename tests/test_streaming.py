@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime as dt
 import time
 
+import pytest
+
 from smartdatapipeline_spark.streaming.ingest import stream_csv_ingest
 
 
@@ -456,3 +458,127 @@ def test_running_balance_stream_matches_batch(spark, tmp_path):
     assert latest == want
     assert want[1] == (3, 3.25, 1)  # 5.5 → clamp(−9.25) → 0 → 3.25
     assert want[2] == (2, 7.75, 1)
+
+
+def test_forward_fill_stream_matches_batch(spark, tmp_path):
+    """Streaming forward-fill over finalized day-grain rows across two
+    micro-batches == batch spine+last(ignorenulls) fill, including a
+    gap that SPANS the batch boundary (state carries the last value)."""
+    from smartdatapipeline_spark.operators.temporal import forward_fill_daily
+    from smartdatapipeline_spark.streaming.daily import forward_fill_stream
+
+    inp = tmp_path / "ff_in"
+    inp.mkdir()
+    (inp / "b1.json").write_text(
+        '{"series": "m1", "day": "2025-01-01", "observed": 10.5}\n'
+        '{"series": "m1", "day": "2025-01-03", "observed": 4.25}\n'
+        '{"series": "m2", "day": "2025-01-02", "observed": 7.0}\n'
+    )
+    time.sleep(1.1)
+    # m1 jumps 01-03 -> 01-07: the 3-day gap spans the batch boundary
+    (inp / "b2.json").write_text(
+        '{"series": "m1", "day": "2025-01-07", "observed": 9.0}\n'
+        '{"series": "m2", "day": "2025-01-04", "observed": 1.5}\n'
+    )
+    schema = "series string, day date, observed double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp))
+    )
+    q = (
+        forward_fill_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ff_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], str(r["day"])): (
+            r["observed"], r["value_filled"], r["is_imputed"],
+        )
+        for r in spark.table("ff_test").collect()
+    }
+    # batch twin takes raw events; day-grain rows with one event per day
+    # aggregate to themselves
+    ev = spark.read.schema(schema).json(str(inp)).selectExpr(
+        "series as event_type", "cast(day as timestamp) as ts", "observed as value"
+    )
+    want = {
+        (r["series"], str(r["day"])): (
+            None if r["observed"] is None else float(r["observed"]),
+            float(r["value_filled"]),
+            r["is_imputed"],
+        )
+        for r in forward_fill_daily(ev).collect()
+    }
+    assert got == want
+    assert got[("m1", "2025-01-04")] == (None, 4.25, True)
+    assert got[("m1", "2025-01-06")] == (None, 4.25, True)
+    assert len([k for k in got if k[0] == "m1"]) == 7  # full 01..07 spine
+
+
+def test_wow_change_stream_matches_batch(spark, tmp_path):
+    """Streaming week-over-week ring state == batch day-grain
+    self-join, with the 7-day lookback crossing the batch boundary."""
+    from smartdatapipeline_spark.operators.metrics import wow_change
+    from smartdatapipeline_spark.streaming.daily import wow_change_stream
+
+    inp = tmp_path / "wow_in"
+    inp.mkdir()
+    days1 = [
+        ("m1", "2025-01-01", 10.0),
+        ("m1", "2025-01-02", 20.0),
+        ("m2", "2025-01-01", 8.0),
+    ]
+    days2 = [
+        ("m1", "2025-01-08", 15.0),   # prev = 01-01 (state from batch 1)
+        ("m1", "2025-01-09", 10.0),   # prev = 01-02
+        ("m1", "2025-01-10", 3.0),    # no 01-03 -> no row
+        ("m2", "2025-01-08", 2.0),    # prev = 01-01
+    ]
+    (inp / "b1.json").write_text(
+        "".join(
+            f'{{"metric": "{m}", "day": "{d}", "value_sum": {v}}}\n'
+            for m, d, v in days1
+        )
+    )
+    time.sleep(1.1)
+    (inp / "b2.json").write_text(
+        "".join(
+            f'{{"metric": "{m}", "day": "{d}", "value_sum": {v}}}\n'
+            for m, d, v in days2
+        )
+    )
+    schema = "metric string, day date, value_sum double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(inp))
+    )
+    q = (
+        wow_change_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wow_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["metric"], str(r["day"])): (r["value_sum"], r["prev_week"], r["pct_change"])
+        for r in spark.table("wow_test").collect()
+    }
+    ev = spark.read.schema(schema).json(str(inp)).selectExpr(
+        "metric as event_type", "cast(day as timestamp) as ts", "value_sum as value"
+    )
+    want = {
+        (r["metric"], str(r["day"])): (
+            float(r["value_sum"]), float(r["prev_week"]), r["pct_change"],
+        )
+        for r in wow_change(ev).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert got[k][2] == pytest.approx(want[k][2], rel=1e-12)
+    assert got[("m1", "2025-01-08")][:2] == (15.0, 10.0)
+    assert ("m1", "2025-01-10") not in got
