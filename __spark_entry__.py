@@ -2825,6 +2825,203 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(od, "o_totalprice")
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (campaign windows × per-metric
+    burst windows) via two-sided bucket-explode + equi-join — no
+    nested-loop pair space — operators/temporal.py
+    interval_overlap_join."""
+    from smartdatapipeline_spark.operators import temporal as T
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        N.dsum("value", scale=4).alias("total")
+    )
+    promo = (
+        daily.orderBy(F.col("total").desc(), F.col("d").asc())
+        .limit(4)
+        .select(
+            F.col("d").alias("peak_day"),
+            (F.col("d").cast("timestamp") - F.expr("INTERVAL 2 DAYS")).alias("a_start"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 3 DAYS")).alias("a_end"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    md = ev.groupBy(
+        F.col("event_type").alias("metric"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("metric").orderBy(F.col("n").desc(), F.col("d").asc())
+    burst = (
+        md.withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "metric",
+            (F.col("d").cast("timestamp") - F.expr("INTERVAL 1 DAYS")).alias("b_start"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 2 DAYS")).alias("b_end"),
+        )
+    )
+    j = T.interval_overlap_join(
+        promo, burst, left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+    )
+    return j.select(
+        "peak_day",
+        "metric",
+        "overlap_start",
+        "overlap_end",
+        (
+            (
+                F.unix_timestamp("overlap_end") - F.unix_timestamp("overlap_start")
+            ).cast("double")
+            / F.lit(3600.0)
+        ).alias("overlap_hours"),
+    )
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day median of daily sums per series (robust
+    smoother; deterministic ROWS frame on the day grain) —
+    operators/temporal.py rolling_median_daily."""
+    from smartdatapipeline_spark.operators.temporal import rolling_median_daily
+
+    return rolling_median_daily(_events(spark, sf_dir))
+
+
+def q_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal forecast (triple exponential
+    smoothing, m=7, α/β/γ = 0.5/0.25/0.25 binary-exact): level/trend/
+    seasonal-ring recursion as ONE declarative ordered fold —
+    operators/forecast.py forecast_hw_seasonal."""
+    return FC.forecast_hw_seasonal(_gold(spark, sf_dir), horizon_days=7)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the k-NN-sparsified co-supply
+    graph (each supplier keeps its top-8 co-supply partners — bounded
+    degree, so the wedge space stays linear even though raw co-supply
+    is near-complete) — functions/graph.py triangle_count."""
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.graph import triangle_count
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    both = co.unionByName(
+        co.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"), "c")
+    )
+    wk = Window.partitionBy("sa").orderBy(F.col("c").desc(), F.col("sb").asc())
+    knn = (
+        both.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= 8)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return triangle_count(knn)
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per doc by tf·idf-ratio (log-free idf — portable
+    bit-exact ranking), deterministic tie-break —
+    functions/retrieval.py doc_keywords."""
+    from smartdatapipeline_spark.functions.retrieval import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=3)
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates (Hernández–Stolfo sliding
+    window, w=3): linear N·w pair space vs blocking's Σ|block|² —
+    functions/dedup.py sorted_neighborhood_pairs."""
+    pt = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    return DD.sorted_neighborhood_pairs(pt, window=3, max_distance=10)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: per source, size-desc ordered
+    cumulative fill into 64 KB bins (one window pass, no driver
+    bin-packing) — functions/layout.py compaction_plan."""
+    from smartdatapipeline_spark.functions.layout import compaction_plan
+
+    files = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").alias("n_bytes")
+    )
+    return compaction_plan(files, target_bytes=65536)
+
+
+def q_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit that SIZES A WATERMARK: lateness behind
+    the running event-time max in arrival order. The synthetic arrival
+    sequence adds a deterministic 0-119 s md5 jitter to event time
+    (the fixture stream is perfectly ordered — jitter models network
+    delay; same expression in the oracle) — operators/quality.py
+    late_arrival_stats."""
+    from smartdatapipeline_spark.operators.quality import late_arrival_stats
+
+    ev = _events(spark, sf_dir).withColumn(
+        "_arrival",
+        F.unix_timestamp("ts")
+        + F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 120,
+    )
+    return late_arrival_stats(ev, arrival_col="_arrival", tiebreak_col="event_id")
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto SKYLINE per brand — parts where no same-brand part is
+    cheaper with at least-equal size (sort + running-max window pass;
+    the oracle runs the O(n²) NOT EXISTS form) — operators/quality.py
+    skyline_front."""
+    from smartdatapipeline_spark.operators.quality import skyline_front
+
+    pt = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    return skyline_front(
+        pt, minimize="p_retailprice", maximize="p_size",
+        id_col="p_partkey", by=("p_brand",),
+    )
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: revenue by (nation, order-year) with all
+    subtotal planes in ONE pass (grouping-sets expand at the partial
+    agg — no re-scan per plane; gid disambiguates NULL keys from NULL
+    totals)."""
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    j = (
+        T("lineitem")
+        .join(T("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(T("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(T("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+    )
+    return (
+        j.cube("nation", "order_year")
+        .agg(
+            # grouping() is only resolvable INSIDE the cube aggregate
+            (F.grouping("nation") * 2 + F.grouping("order_year"))
+            .cast("int")
+            .alias("gid"),
+            N.dsum("_rev", precision=38, scale=4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select("nation", "order_year", "gid", "revenue", "n_lines")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3017,6 +3214,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "mix_shift": q_mix_shift,
         "benford_audit": q_benford_audit,
+        "interval_overlap": q_interval_overlap,
+        "rolling_median": q_rolling_median,
+        "forecast_hw": q_forecast_hw,
+        "graph_triangles": q_graph_triangles,
+        "doc_keywords": q_doc_keywords,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "compaction_plan": q_compaction_plan,
+        "late_arrival": q_late_arrival,
+        "skyline_parts": q_skyline_parts,
+        "revenue_cube": q_revenue_cube,
     }
 
 
@@ -4752,6 +4959,223 @@ def oracle_sql() -> dict[str, str]:
         SELECT digit, n, share, expected_share,
                (SELECT chi2 FROM c) AS chi2
         FROM terms
+    """
+
+    # ---- round-4 wave -------------------------------------------------
+    o["interval_overlap"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+            FROM events GROUP BY 1),
+        promo AS (
+            SELECT d AS peak_day,
+                   CAST(d AS TIMESTAMP) - INTERVAL 2 DAY AS a_start,
+                   CAST(d AS TIMESTAMP) + INTERVAL 3 DAY AS a_end
+            FROM daily ORDER BY total DESC, d ASC LIMIT 4),
+        md AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS d, COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        burst AS (
+            SELECT metric,
+                   CAST(d AS TIMESTAMP) - INTERVAL 1 DAY AS b_start,
+                   CAST(d AS TIMESTAMP) + INTERVAL 2 DAY AS b_end
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY metric
+                      ORDER BY n DESC, d ASC) AS rn FROM md)
+            WHERE rn = 1)
+        SELECT p.peak_day, b.metric,
+               GREATEST(a_start, b_start) AS overlap_start,
+               LEAST(a_end, b_end) AS overlap_end,
+               CAST(epoch(LEAST(a_end, b_end))
+                    - epoch(GREATEST(a_start, b_start)) AS DOUBLE) / 3600.0
+                   AS overlap_hours
+        FROM promo p JOIN burst b ON a_start < b_end AND b_start < a_end
+    """
+    o["rolling_median"] = """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+            FROM events GROUP BY 1, 2)
+        SELECT series, day, value_sum,
+               COUNT(*) OVER w AS n_window,
+               quantile_cont(value_sum, 0.5) OVER w AS rolling_median
+        FROM daily
+        WINDOW w AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+    # HW fold: 9-slot list state [l, b, s1..s7] — ring rotates left per
+    # step so slot 3 is always the NEXT observation's seasonal; lv is
+    # textually inlined (DuckDB 1.0 list_reduce struct lambdas
+    # miscompile — same workaround as forecast_holt)
+    o["forecast_hw"] = _GOLD_CTE + """
+        , per AS (
+            SELECT metric, MAX(metric_date) AS last_date,
+                   list(CAST(value AS DOUBLE) ORDER BY metric_date) AS v
+            FROM gold GROUP BY metric),
+        seed AS (
+            SELECT metric, last_date, v,
+                   CASE WHEN len(v) >= 14 THEN
+                       list_reduce(list_prepend(0.0, v[1:7]), (a, x) -> a + x) / 7.0
+                   ELSE v[1] END AS l0,
+                   CASE WHEN len(v) >= 14 THEN
+                       (list_reduce(list_prepend(0.0, v[8:14]), (a, x) -> a + x) / 7.0
+                        - list_reduce(list_prepend(0.0, v[1:7]), (a, x) -> a + x) / 7.0)
+                       / 7.0
+                   ELSE 0.0 END AS b0
+            FROM per),
+        st0 AS (
+            SELECT metric, last_date,
+                   CASE WHEN len(v) >= 14
+                        THEN [l0, b0] || list_transform(v[1:7], x -> x - l0)
+                        ELSE [l0, b0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] END AS s0,
+                   CASE WHEN len(v) >= 14 THEN v[8:] ELSE v[2:] END AS fold
+            FROM seed),
+        st AS (
+            SELECT metric, last_date,
+                   list_reduce(
+                       [s0] || list_transform(fold, x -> [x]),
+                       (a, x) -> [
+                           0.5 * (x[1] - a[3]) + 0.5 * (a[1] + a[2]),
+                           0.25 * ((0.5 * (x[1] - a[3]) + 0.5 * (a[1] + a[2]))
+                                   - a[1]) + 0.75 * a[2],
+                           a[4], a[5], a[6], a[7], a[8], a[9],
+                           0.25 * (x[1] - (0.5 * (x[1] - a[3])
+                                           + 0.5 * (a[1] + a[2])))
+                               + 0.75 * a[3]
+                       ]
+                   ) AS s
+            FROM st0)
+        SELECT metric,
+               last_date + CAST(t.k AS INTEGER) AS target_date,
+               s[1] + CAST(t.k AS DOUBLE) * s[2] + s[((t.k - 1) % 7) + 3] AS yhat,
+               s[1] + CAST(t.k AS DOUBLE) * s[2] + s[((t.k - 1) % 7) + 3] AS yhat_lower,
+               s[1] + CAST(t.k AS DOUBLE) * s[2] + s[((t.k - 1) % 7) + 3] AS yhat_upper,
+               'hw-add-0.1' AS model_version
+        FROM st CROSS JOIN generate_series(1, 7) t(k)
+    """
+    o["graph_triangles"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        co AS (
+            SELECT a.s AS sa, b.s AS sb, COUNT(*) AS c
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        both_dir AS (
+            SELECT sa, sb, c FROM co
+            UNION ALL SELECT sb, sa, c FROM co),
+        knn AS (
+            SELECT sa, sb FROM (
+                SELECT sa, sb, ROW_NUMBER() OVER (PARTITION BY sa
+                    ORDER BY c DESC, sb ASC) AS rn FROM both_dir)
+            WHERE rn <= 8),
+        canon AS (
+            SELECT DISTINCT LEAST(sa, sb) AS a, GREATEST(sa, sb) AS b FROM knn),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1
+            JOIN canon e2 ON e2.a = e1.b
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        GROUP BY 1
+    """
+    o["doc_keywords"] = _TEXT_CTE + """
+        , ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        post AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM ex
+            WHERE term != '' GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+            SELECT p.doc_id, p.term, p.tf, f.df,
+                   CAST(p.tf AS DOUBLE)
+                       * (CAST(nd.n AS DOUBLE) / CAST(f.df AS DOUBLE)) AS score
+            FROM post p JOIN dfc f USING (term) CROSS JOIN nd)
+        SELECT doc_id, term, tf, df, score, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+            FROM scored)
+        WHERE rank <= 3
+    """
+    o["sorted_neighborhood"] = """
+        WITH keyed AS (
+            SELECT p_partkey AS id, p_name AS name,
+                   LOWER(TRIM(p_name)) AS key,
+                   SUBSTR(LOWER(TRIM(p_name)), 1, 1) AS part
+            FROM part),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+                ORDER BY key ASC, id ASC) AS rn FROM keyed),
+        pairs AS (
+            SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+                   levenshtein(a.name, b.name) AS distance
+            FROM ranked a JOIN ranked b
+              ON a.part = b.part AND b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+        SELECT id_a, id_b, MIN(distance) AS distance
+        FROM pairs WHERE id_a < id_b AND distance <= 10
+        GROUP BY 1, 2
+    """
+    o["compaction_plan"] = """
+        WITH assigned AS (
+            SELECT source, doc_id, n_chars AS n_bytes,
+                   CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 65536) AS BIGINT) AS bin
+            FROM documents)
+        SELECT source, bin, COUNT(*) AS n_files,
+               SUM(n_bytes) AS total_bytes,
+               SUM(n_bytes) / COUNT(*) AS avg_file_bytes
+        FROM assigned GROUP BY 1, 2
+    """
+    o["late_arrival"] = """
+        WITH arr AS (
+            -- FLOOR(epoch) = whole seconds: Spark's unix_timestamp
+            -- truncates; DuckDB's epoch keeps the µs fraction
+            SELECT event_type, event_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                           1, 15))::BIGINT % 120 AS arrival
+            FROM events),
+        lat AS (
+            SELECT event_type,
+                   GREATEST(0, COALESCE(MAX(sec) OVER (
+                       PARTITION BY event_type ORDER BY arrival ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       sec) - sec) AS late_s
+            FROM arr)
+        SELECT event_type, COUNT(*) AS n_events,
+               SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_late,
+               SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE) AS late_frac,
+               MAX(late_s) AS max_lateness_s,
+               CAST(SUM(CASE WHEN late_s > 0 THEN late_s ELSE 0 END) AS DOUBLE)
+                   / NULLIF(CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                                 AS DOUBLE), 0.0) AS avg_lateness_s
+        FROM lat GROUP BY 1
+    """
+    o["skyline_parts"] = """
+        SELECT p_partkey, p_brand, p_retailprice, p_size FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part o WHERE o.p_brand = p.p_brand
+              AND o.p_retailprice <= p.p_retailprice
+              AND o.p_size >= p.p_size
+              AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
+    """
+    o["revenue_cube"] = """
+        WITH base AS (
+            SELECT n.n_name AS nation,
+                   CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT nation, order_year,
+               CAST(2 * GROUPING(nation) + GROUPING(order_year) AS INTEGER) AS gid,
+               CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM base GROUP BY CUBE(nation, order_year)
     """
 
     return o

@@ -227,6 +227,17 @@ BENCH_QUERIES: list[str] = [
     "user_churn",
     "value_deciles",
     "value_fallback",
+    # round-4 wave
+    "interval_overlap",
+    "rolling_median",
+    "forecast_hw",
+    "graph_triangles",
+    "doc_keywords",
+    "sorted_neighborhood",
+    "compaction_plan",
+    "late_arrival",
+    "skyline_parts",
+    "revenue_cube",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

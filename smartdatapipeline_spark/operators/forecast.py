@@ -998,6 +998,117 @@ def forecast_holt(
     )
 
 
+def forecast_hw_seasonal(
+    series: DataFrame,
+    horizon_days: int = 7,
+    season: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    partition_cols: tuple[str, ...] = ("metric",),
+    date_col: str = "metric_date",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal forecast (triple exponential
+    smoothing) — the seasonal rung above ``forecast_holt``:
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+        ŷ_{T+h} = l_T + h·b_T + s_{T+h−m·⌈h/m⌉}
+
+    Textbook init from the first two seasons (n ≥ 2m): l₀ = mean of
+    season 1, b₀ = (mean of season 2 − mean of season 1)/m, sᵢ = xᵢ −
+    l₀; smoothing folds from x_{m+1}. Short series (n < 2m) degrade to
+    the Holt-style seed (l₀ = x₁, b₀ = 0, zero seasonals, fold from
+    x₂) — deterministic, never an error.
+
+    Like Holt, the coupled recursion is a DECLARATIVE ordered fold: an
+    ``aggregate`` over the date-sorted array with a (level, trend,
+    seasonal-ring) STRUCT accumulator — the m-slot seasonal ring
+    rotates left each step so slot 1 always holds the factor the NEXT
+    observation needs. One aggregation, no Python, engine-exact for
+    binary-representable α/β/γ (defaults 0.5/0.25/0.25). Per-series
+    state is the daily array: shuffle keys = series count, not volume.
+    """
+    m = int(season)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(date_col).alias("o"),
+                F.col(value_col).cast("double").alias("t"),
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["t"])
+    n = F.size(vals)
+
+    def lmean(sl):
+        return F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x) / F.lit(float(m))
+
+    mean1 = lmean(F.slice(vals, 1, m))
+    mean2 = lmean(F.slice(vals, m + 1, m))
+    long_seed = F.struct(
+        mean1.alias("l"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b"),
+        F.transform(F.slice(vals, 1, m), lambda x: x - mean1).alias("s"),
+    )
+    short_seed = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), m).alias("s"),
+    )
+    is_long = n >= F.lit(2 * m)
+    seed = F.when(is_long, long_seed).otherwise(short_seed)
+    fold = F.when(
+        is_long, F.slice(vals, m + 1, F.greatest(n - m, F.lit(0)))
+    ).otherwise(F.slice(vals, 2, F.greatest(n - 1, F.lit(0))))
+
+    def step(acc, x):
+        s_cur = F.element_at(acc["s"], 1)
+        lv = F.lit(a) * (x - s_cur) + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        tr = F.lit(b) * (lv - acc["l"]) + F.lit(1.0 - b) * acc["b"]
+        sn = F.lit(g) * (x - lv) + F.lit(1.0 - g) * s_cur
+        return F.struct(
+            lv.alias("l"),
+            tr.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(sn)).alias("s"),
+        )
+
+    state = F.aggregate(fold, seed, step)
+    per = series.groupBy(*partition_cols).agg(
+        F.max(date_col).alias("_last"), state.alias("_s")
+    )
+    out = per.select(
+        *partition_cols,
+        F.posexplode(
+            F.sequence(
+                F.date_add("_last", 1),
+                F.date_add("_last", horizon_days),
+                F.expr("interval 1 day"),
+            )
+        ).alias("_h0", "target_date"),
+        F.col("_s.l").alias("_l"),
+        F.col("_s.b").alias("_b"),
+        F.col("_s.s").alias("_sea"),
+    )
+    h = F.col("_h0") + 1  # posexplode is 0-based; horizon step h >= 1
+    yhat = (
+        F.col("_l")
+        + h.cast("double") * F.col("_b")
+        + F.element_at(F.col("_sea"), (F.col("_h0") % m).cast("int") + 1)
+    )
+    return out.select(
+        *partition_cols,
+        "target_date",
+        yhat.alias("yhat"),
+        yhat.alias("yhat_lower"),
+        yhat.alias("yhat_upper"),
+        F.lit("hw-add-0.1").alias("model_version"),
+    )
+
+
 def ols_trend(
     events: DataFrame,
     ts_col: str = "ts",

@@ -417,3 +417,122 @@ def benford_audit(
         terms.crossJoin(F.broadcast(chi2))
         .select("digit", "n", "share", "expected_share", "chi2")
     )
+
+
+def late_arrival_stats(
+    events: DataFrame,
+    by: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SIZES A STREAMING
+    WATERMARK: per series, how far events arrive behind the max event
+    time already seen (``arrival_col`` is the arrival order — an
+    ingest sequence / kafka offset; event_id here).
+
+    lateness_s(e) = max(0, running_max(ts) − ts) over arrival order.
+    One window per series (same shuffle as any per-series op); output
+    is series-grain. A watermark of ``max_lateness_s`` loses nothing;
+    ``avg_late_s`` vs ``max`` shows whether the tail is one straggler
+    or systemic (decimal-exact sums for engine parity).
+
+    Output: (series…, n_events, n_late, late_frac, max_lateness_s,
+    avg_lateness_s over late events).
+    """
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    g = [F.col(c) for c in by]
+    # arrival ties need a TOTAL order — tie order is otherwise
+    # engine/partitioning-dependent and so is the running max
+    order = [F.col(arrival_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sec = F.unix_timestamp(F.col(ts_col))
+    late = events.withColumn(
+        "_late_s",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.max(sec).over(w), sec) - sec,
+        ),
+    )
+    return late.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_late_s") > 0).cast("bigint")).alias("n_late"),
+        (
+            F.sum((F.col("_late_s") > 0).cast("bigint"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("late_frac"),
+        F.max("_late_s").alias("max_lateness_s"),
+        (
+            F.sum(F.when(F.col("_late_s") > 0, F.col("_late_s")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.nullif(
+                F.sum((F.col("_late_s") > 0).cast("bigint")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("avg_lateness_s"),
+    )
+
+
+def skyline_front(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    id_col: str,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """2-D Pareto SKYLINE: rows not DOMINATED by any other row —
+    dominated means another row is ≤ on the minimize axis AND ≥ on the
+    maximize axis with at least one strict inequality (the classic
+    "cheaper and at least as good" query).
+
+    The naive formulation is a NOT EXISTS self-join — O(n²) pairs (the
+    oracle runs exactly that). The scale shape: sort by (min-axis asc,
+    max-axis desc), then a row is on the front iff its max-axis value
+    strictly exceeds the running max over all STRICTLY-BETTER-priced
+    prefix rows — one window pass, O(n log n), no pair space. Ties on
+    both axes are mutually non-dominating and all kept (RANGE frame on
+    the price axis handles equal prices sharing a running max).
+
+    Output: input rows on the front + both axis columns.
+    """
+    from pyspark.sql.window import Window
+
+    g = [F.col(c) for c in by]
+    # running max of `maximize` over rows with STRICTLY smaller minimize
+    # value: RANGE frame keyed on the minimize axis excludes price-ties
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col(minimize).asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    best_better_priced = F.max(F.col(maximize)).over(w)
+    # running max including ties (for strictness on the other axis)
+    w_tie = (
+        Window.partitionBy(*g)
+        .orderBy(F.col(minimize).asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    best_upto = F.max(F.col(maximize)).over(w_tie)
+    return (
+        df.withColumn("_bb", best_better_priced)
+        .withColumn("_bu", best_upto)
+        # not dominated by a strictly cheaper row with >= quality, and
+        # not dominated by an equal-priced row with STRICTLY > quality
+        # ... equal-priced ties: dominated only if some equal-priced row
+        # has strictly greater maximize — i.e. this row's value < the
+        # tie-inclusive running max AND it's not beaten by cheaper rows
+        .filter(
+            (F.col("_bb").isNull() | (F.col(maximize) > F.col("_bb")))
+            & (F.col(maximize) >= F.col("_bu"))
+        )
+        .drop("_bb", "_bu")
+    )

@@ -573,3 +573,118 @@ def max_drawdown(
             "max_drawdown"
         ),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: list[str] | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Interval×interval OVERLAP join: pairs where
+    ``[l_start, l_end) ∩ [r_start, r_end) ≠ ∅`` (half-open:
+    ``l_start < r_end AND r_start < l_end``), optionally per ``by``
+    keys.
+
+    Scale shape: the naive inequality join plans a nested-loop pair
+    space (|L|·|R|). Here BOTH sides bucket-explode on ``bucket``
+    (``date_trunc`` grid), pair via equi-join on (keys, bucket), dedupe
+    the (multi-bucket) pairs, and post-filter the exact overlap
+    predicate — pair work is proportional to co-bucketed intervals
+    only, and the bucket join shuffles hash-partitioned like any
+    equi-join. Pick ``bucket`` no finer than typical interval length
+    (day for day-grained campaign/incident windows).
+
+    Degenerate intervals (end <= start) on either side match nothing
+    (same guard as ``range_join_bucketed``).
+
+    Column names must be disjoint between the two sides (alias before
+    calling) — the output carries both schemas flat.
+
+    Output: all left columns + all right columns + ``overlap_start`` /
+    ``overlap_end`` (the clipped intersection).
+    """
+    by = by or []
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        live = df.filter(F.col(end) > F.col(start))
+        first_b = F.date_trunc(bucket, F.col(start))
+        last_b = F.greatest(
+            first_b,
+            F.date_trunc(bucket, F.col(end) - F.expr("INTERVAL 1 MICROSECOND")),
+        )
+        return live.withColumn(
+            "_bucket",
+            F.explode(F.sequence(first_b, last_b, F.expr(f"INTERVAL 1 {bucket}"))),
+        )
+
+    lb = binned(left, left_start, left_end)
+    rb = binned(right, right_start, right_end)
+    joined = (
+        lb.join(rb, on=[*by, "_bucket"], how="inner")
+        .drop("_bucket")
+        # an overlapping pair co-occupies every shared bucket — dedupe
+        .distinct()
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+    )
+    return joined.withColumn(
+        "overlap_start", F.greatest(F.col(left_start), F.col(right_start))
+    ).withColumn("overlap_end", F.least(F.col(left_end), F.col(right_end)))
+
+
+def rolling_median_daily(
+    events,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Exact rolling MEDIAN of daily value sums over the trailing
+    ``window_days`` OBSERVED days (ROWS frame on the day-grain series;
+    one row per (series, day) makes the frame deterministic) — the
+    robust smoother where a rolling mean chases spikes
+    (``rolling_mad_zscore`` is the outlier-flagging cousin).
+
+    Exactness: the window holds ≤ ``window_days`` doubles; the median
+    is `percentile(_, 0.5)` over that tiny frame — even-count frames
+    average the two middle values, the same (a+b)/2 both engines
+    compute. Fact-sized work is the one day-grain rollup; the window
+    sort is per series over its day count.
+
+    Output: (series, day, value_sum, n_window, rolling_median).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("series", "day")
+        .agg(dsum("_v").alias("value_sum"))
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "series",
+        "day",
+        "value_sum",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.expr("percentile(value_sum, 0.5)")
+        .over(w)
+        .alias("rolling_median"),
+    )

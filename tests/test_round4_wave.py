@@ -1,0 +1,200 @@
+"""Semantic unit tests for the round-4 operator wave (each also has a
+DuckDB oracle via __spark_entry__; these pin edge cases the fixture
+data may not hit)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = dt.datetime
+
+
+def test_interval_overlap_join_semantics(spark):
+    from smartdatapipeline_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("L1", TS(2024, 1, 1), TS(2024, 1, 5)),
+            ("L2", TS(2024, 1, 10), TS(2024, 1, 11)),
+            ("Ldeg", TS(2024, 1, 3), TS(2024, 1, 3)),  # degenerate
+        ],
+        "lname string, a_start timestamp, a_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("R1", TS(2024, 1, 4), TS(2024, 1, 6)),   # overlaps L1 [4,5)
+            ("R2", TS(2024, 1, 5), TS(2024, 1, 7)),   # touches L1 end — no overlap
+            ("R3", TS(2023, 12, 30), TS(2024, 1, 2)), # overlaps L1 [1,2)
+        ],
+        "rname string, b_start timestamp, b_end timestamp",
+    )
+    got = {
+        (r["lname"], r["rname"]): (r["overlap_start"], r["overlap_end"])
+        for r in interval_overlap_join(
+            left, right, "a_start", "a_end", "b_start", "b_end"
+        ).collect()
+    }
+    assert set(got) == {("L1", "R1"), ("L1", "R3")}
+    assert got[("L1", "R1")] == (TS(2024, 1, 4), TS(2024, 1, 5))
+    assert got[("L1", "R3")] == (TS(2024, 1, 1), TS(2024, 1, 2))
+
+
+def test_rolling_median_daily_windows(spark):
+    from smartdatapipeline_spark.operators.temporal import rolling_median_daily
+
+    rows = [("m", TS(2024, 1, d), float(v)) for d, v in
+            [(1, 10), (2, 20), (3, 300), (4, 40)]]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {str(r["day"]): (r["n_window"], r["rolling_median"])
+           for r in rolling_median_daily(ev, window_days=3).collect()}
+    assert got["2024-01-01"] == (1, 10.0)
+    assert got["2024-01-02"] == (2, 15.0)       # (10+20)/2
+    assert got["2024-01-03"] == (3, 20.0)       # median(10,20,300) — spike-proof
+    assert got["2024-01-04"] == (3, 40.0)       # median(20,300,40)
+
+
+def test_forecast_hw_seasonal_pattern(spark):
+    """A pure weekly pattern + zero trend forecasts that same pattern:
+    init already fits it exactly and every smoothing residual is 0."""
+    from smartdatapipeline_spark.operators.forecast import forecast_hw_seasonal
+
+    pattern = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    rows = [
+        ("m", dt.date(2024, 1, 1) + dt.timedelta(days=i), pattern[i % 7])
+        for i in range(28)
+    ]
+    series = spark.createDataFrame(rows, "metric string, metric_date date, value double")
+    got = {str(r["target_date"]): r["yhat"] for r in
+           forecast_hw_seasonal(series).collect()}
+    assert len(got) == 7
+    for i in range(7):
+        d = dt.date(2024, 1, 29) + dt.timedelta(days=i)
+        assert got[str(d)] == pytest.approx(pattern[(28 + i) % 7], abs=1e-9)
+
+
+def test_forecast_hw_short_series_fallback(spark):
+    """n < 2m: Holt-style seed, no error, 7 rows out."""
+    from smartdatapipeline_spark.operators.forecast import forecast_hw_seasonal
+
+    rows = [("m", dt.date(2024, 1, 1) + dt.timedelta(days=i), 5.0) for i in range(5)]
+    series = spark.createDataFrame(rows, "metric string, metric_date date, value double")
+    out = forecast_hw_seasonal(series).collect()
+    assert len(out) == 7
+    assert all(r["yhat"] == pytest.approx(5.0) for r in out)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge = 2 triangles; nodes on both get 2, others 1."""
+    from smartdatapipeline_spark.functions.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4} without edge (3,4); duplicate + reversed +
+        # self-loop rows exercise normalization
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (1, 1)],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_doc_keywords_ranking(spark):
+    from smartdatapipeline_spark.functions.retrieval import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared shared"),
+            (3, "shared"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in doc_keywords(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 score=6 beats shared tf=1 df=3 score=1
+    # and banana tf=1 df=1 score=3
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("banana", 1, 1)
+    # doc 2: shared tf=2 df=3 score=2 vs cherry tf=1 df=1 score=3
+    assert got[(2, 1)] == ("cherry", 1, 1)
+    assert got[(2, 2)] == ("shared", 2, 3)
+
+
+def test_sorted_neighborhood_window(spark):
+    from smartdatapipeline_spark.functions import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme widget"),
+            (2, "acme widgets"),     # rank-adjacent, distance 1
+            (3, "acme widgetz inc"), # within window of both
+            (9, "zeta thing"),       # different first char — never paired
+        ],
+        "p_partkey bigint, p_name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in DD.sorted_neighborhood_pairs(df, window=2, max_distance=5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert (2, 3) in got
+    assert all(9 not in k for k in got)
+
+
+def test_compaction_plan_bins(spark):
+    from smartdatapipeline_spark.functions.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(i, "s", sz) for i, sz in enumerate([60, 50, 40, 30, 20])],
+        "doc_id bigint, source string, n_bytes bigint",
+    )
+    got = {r["bin"]: (r["n_files"], r["total_bytes"])
+           for r in compaction_plan(files, target_bytes=100).collect()}
+    # size-desc fill: 60 (cum 0) -> bin 0; 50 (cum 60) -> 0; 40 (cum 110)
+    # -> bin 1; 30 (cum 150) -> 1; 20 (cum 180) -> 1
+    assert got[0] == (2, 110)
+    assert got[1] == (3, 90)
+
+
+def test_late_arrival_stats_ordered_vs_shuffled(spark):
+    from smartdatapipeline_spark.operators.quality import late_arrival_stats
+
+    # arrival order 1,2,3 but event times 10:00, 10:02, 10:01 — the
+    # third event is 60 s late behind the running max
+    ev = spark.createDataFrame(
+        [
+            (1, "m", TS(2024, 1, 1, 10, 0, 0)),
+            (2, "m", TS(2024, 1, 1, 10, 2, 0)),
+            (3, "m", TS(2024, 1, 1, 10, 1, 0)),
+        ],
+        "event_id bigint, event_type string, ts timestamp",
+    )
+    r = late_arrival_stats(ev).collect()[0]
+    assert (r["n_events"], r["n_late"]) == (3, 1)
+    assert r["max_lateness_s"] == 60
+    assert r["avg_lateness_s"] == pytest.approx(60.0)
+    assert r["late_frac"] == pytest.approx(1 / 3)
+
+
+def test_skyline_front_dominance(spark):
+    from smartdatapipeline_spark.operators.quality import skyline_front
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 5),   # front
+            (2, 10.0, 5),   # tie on both axes — mutually non-dominating
+            (3, 12.0, 5),   # dominated by 1 (pricier, same size)
+            (4, 15.0, 9),   # front (bigger)
+            (5, 8.0, 2),    # front (cheapest)
+            (6, 16.0, 9),   # dominated by 4
+        ],
+        "p_partkey bigint, p_retailprice double, p_size int",
+    )
+    got = {r["p_partkey"] for r in skyline_front(
+        df, minimize="p_retailprice", maximize="p_size", id_col="p_partkey"
+    ).collect()}
+    assert got == {1, 2, 4, 5}

@@ -23,6 +23,9 @@ from smartdatapipeline_spark.functions import layout as LY
 from smartdatapipeline_spark.functions import retrieval as RT
 from smartdatapipeline_spark.functions import sketch as SK
 from smartdatapipeline_spark.operators import behavior as BH
+from smartdatapipeline_spark.operators import forecast as FC
+from smartdatapipeline_spark.operators import metrics as MT
+from smartdatapipeline_spark.operators import quality as QL
 from smartdatapipeline_spark.operators import temporal as TP
 from smartdatapipeline_spark.functions import similarity as SIM
 from smartdatapipeline_spark.operators.kpi import run_daily_kpis
@@ -396,6 +399,19 @@ def main() -> None:
         "growth_accounting": lambda n: BH.growth_accounting(
             scaled_events(spark, sf_dir, n)
         ),
+        # round-4 (VERDICT #8): the round-3 late wave. theilsen's pair
+        # space is day-grain² per series (bounded by calendar span, not
+        # volume — user shifting grows the series count instead);
+        # acf_daily post-fix is one explode-join-agg; benford/mix_shift
+        # are scan + day-grain rollups.
+        "theilsen_trend": lambda n: FC.theilsen_trend(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "acf_daily": lambda n: FC.acf_daily(scaled_events(spark, sf_dir, n)),
+        "benford_audit": lambda n: QL.benford_audit(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "mix_shift": lambda n: MT.mix_shift(scaled_events(spark, sf_dir, n)),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
