@@ -3022,6 +3022,17 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016 / SentencePiece shape):
+    learn 6 merges from the corpus word vocabulary — per round one
+    vocabulary-sized pair count + a 1-row argmax (the merge IS model
+    state) + a two-pass literal merge rewrite, portable bit-exact to
+    the unrolled SQL oracle — functions/bpe.py bpe_train."""
+    from smartdatapipeline_spark.functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3224,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_arrival": q_late_arrival,
         "skyline_parts": q_skyline_parts,
         "revenue_cube": q_revenue_cube,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -5162,6 +5174,47 @@ def oracle_sql() -> dict[str, str]:
               AND o.p_size >= p.p_size
               AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
     """
+    # BPE: unrolled 6-round merge chain, generated — per round the SAME
+    # pair count / argmax tie-break / two-pass literal replace as the
+    # Spark trainer (functions/bpe.py); literal replace is engine-
+    # portable where regex lookaround (absent in RE2) is not
+    _bpe_rounds = 6
+    _bpe = [_TEXT_CTE + """
+        , wx AS (SELECT unnest(toks) AS word FROM t),
+        vocab AS (SELECT word, COUNT(*) AS cnt FROM wx
+                  WHERE word != '' GROUP BY 1),
+        v0 AS (SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seg,
+                      cnt FROM vocab)"""]
+    for r in range(1, _bpe_rounds + 1):
+        _bpe.append(f"""
+        , p{r} AS (
+            SELECT t{r}.pr.a AS a, t{r}.pr.b AS b, SUM(v.cnt) AS n
+            FROM (SELECT list_transform(
+                      range(1, len(string_split(seg, ' '))),
+                      i -> {{'a': string_split(seg, ' ')[i],
+                            'b': string_split(seg, ' ')[i + 1]}}) AS prs,
+                      cnt
+                  FROM v{r - 1}) v, UNNEST(v.prs) AS t{r}(pr)
+            GROUP BY 1, 2),
+        b{r} AS (SELECT a, b, n FROM p{r}
+                 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        v{r} AS (
+            SELECT trim(replace(replace(' ' || seg || ' ',
+                       ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+                       ' ' || b{r}.a || b{r}.b || ' '),
+                       ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+                       ' ' || b{r}.a || b{r}.b || ' ')) AS seg, cnt
+            FROM v{r - 1}, b{r})""")
+    _bpe.append(
+        "\n        "
+        + "\n        UNION ALL ".join(
+            f"""SELECT {r} AS "round", a AS "left", b AS "right",
+                a || b AS merged, n AS pair_count FROM b{r}"""
+            for r in range(1, _bpe_rounds + 1)
+        )
+    )
+    o["bpe_merges"] = "".join(_bpe)
+
     o["revenue_cube"] = """
         WITH base AS (
             SELECT n.n_name AS nation,

@@ -238,6 +238,7 @@ BENCH_QUERIES: list[str] = [
     "late_arrival",
     "skyline_parts",
     "revenue_cube",
+    "bpe_merges",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -409,7 +409,7 @@ def main() -> None:
         ),
         "acf_daily": lambda n: FC.acf_daily(scaled_events(spark, sf_dir, n)),
         "benford_audit": lambda n: QL.benford_audit(
-            scaled_events(spark, sf_dir, n)
+            scaled_events(spark, sf_dir, n), "value"
         ),
         "mix_shift": lambda n: MT.mix_shift(scaled_events(spark, sf_dir, n)),
     }
