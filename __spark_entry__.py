@@ -3022,6 +3022,33 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-corpus PQ codebook memo — train once per snapshot (the model is
+#: m·k rows of driver state), score everywhere; same build/probe split
+#: as the quality classifier and the ANN indexes.
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou 2011): per-subspace k-means
+    codebooks → m-byte codes → asymmetric-distance top-k via per-query
+    LUT — the embedding-compression search path (dim·4 bytes → m bytes
+    per vector). Trained KMeans ⇒ rows-only driver check (like
+    ivf_kmeans_topk); recall pinned by tests —
+    functions/similarity.py pq_train/pq_encode/pq_adc_topk."""
+    emb = _emb(spark, sf_dir)
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = [
+            (r["sub"], r["cent_id"], r["_cv"])
+            for r in SIM.pq_train(emb, m=4, k=16, seed=42).collect()
+        ]
+    cb = spark.createDataFrame(
+        _PQ_CODEBOOKS[sf_dir], "sub int, cent_id int, _cv array<double>"
+    )
+    codes = SIM.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.pq_adc_topk(cb, codes, queries, k=10)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich 2016 / SentencePiece shape):
     learn 6 merges from the corpus word vocabulary — per round one
@@ -3236,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "revenue_cube": q_revenue_cube,
         "bpe_merges": q_bpe_merges,
+        "pq_topk": q_pq_topk,
     }
 
 

@@ -239,6 +239,7 @@ BENCH_QUERIES: list[str] = [
     "skyline_parts",
     "revenue_cube",
     "bpe_merges",
+    "pq_topk",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

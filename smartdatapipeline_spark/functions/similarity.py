@@ -506,3 +506,190 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
         max_abs.alias("max_abs"),
         checksum.alias("checksum"),
     )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the embedding
+    into ``m`` contiguous subvectors and k-means each subspace
+    independently — the embedding-compression step of a 100 TB vector
+    store (dim·4 bytes → m bytes per vector at k ≤ 256).
+
+    Each of the m fits is a distributed MLlib KMeans over the corpus'
+    subvector slice (seeded, deterministic like ``kmeans_centroids``);
+    the m·k centers round-trip the driver as model state.
+
+    Output: (sub, cent_id, _cv array<double>) — m·k rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d = dim // m
+    spark = vectors.sparkSession
+    rows = []
+    for j in range(m):
+        sub = vectors.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sub)
+        rows += [
+            (j, i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(rows, "sub int, cent_id int, _cv array<double>")
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """ordered-fold squared L2 — deterministic op order per pair."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest centroid id.
+
+    Plan: explode to (id, sub, subvec) — m rows per vector — then one
+    broadcast join against the m·k codebook and a ``min_by`` argmin per
+    (id, sub) (ties to the smallest cent_id). The shuffle carries
+    (id, sub) pairs; codes regroup into one array per vector.
+
+    Output: (id_col, codes array<int> length m)."""
+    m = codebooks.agg(F.countDistinct("sub")).first()[0]
+    dim = len(corpus.select(vec_col).first()[0])
+    d = dim // m
+    ex = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"), j * d + 1, d
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    scored = ex.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        "cent_id",
+        _l2sq(F.col("sv"), F.col("_cv")).alias("_d"),
+    )
+    # struct comparison is lexicographic ascending — (_d, cent_id) gives
+    # the L2-argmin with ties to the smallest centroid id
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(
+            F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))
+        ).alias("code")
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub").alias("s"), F.col("code").alias("c")))
+                ),
+                lambda x: x["c"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k (ADC): per query, a lookup table
+    LUT[sub][cent] = ‖q_sub − c‖² (m·k doubles, built once per query
+    against the broadcast codebook); a candidate's approximate distance
+    is the sum of its m table entries — array indexing per corpus row,
+    never a full-dimension distance.
+
+    Plan: queries×codebook broadcast-cross (tiny), corpus codes join
+    the LUT per (query, sub, code) key with the LUT broadcast, then an
+    ordered fold sums the m terms per (query, candidate) and a top-k
+    window ranks them. Corpus-side work is m array lookups + one
+    (query, candidate) aggregation — the PQ promise.
+
+    Output: (query_id, neighbor_id, rank, adc_dist)."""
+    from pyspark.sql.window import Window
+
+    m = codebooks.agg(F.countDistinct("sub")).first()[0]
+    dim = len(queries.select(vec_col).first()[0])
+    d = dim // m
+    qex = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"), j * d + 1, d
+                        ).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.qv").alias("qv"))
+    lut = qex.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cent_id").alias("code"),
+        _l2sq(F.col("qv"), F.col("_cv")).alias("_t"),
+    )
+    cex = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(F.col("codes")).alias("sub", "code"),
+    )
+    terms = cex.join(F.broadcast(lut), ["sub", "code"])
+    dist = (
+        terms.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub").alias("s"), F.col("_t").alias("t")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("adc_dist")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -1,0 +1,87 @@
+"""Streaming heavy hitters via sharded mergeable Misra–Gries state —
+the streaming twin of ``functions/sketch.heavy_hitters``.
+
+State per shard is ≤ k (key, count) pairs — O(k·nshards) total,
+independent of stream length. Each micro-batch folds its shard's
+value counts into the summary with the MERGE rule (Agarwal et al.
+2012, "Mergeable Summaries"): add counts, and if more than k keys
+remain, subtract the (k+1)-th largest count from all and drop the
+non-positive — exactly the batched form of Misra–Gries decrements,
+preserving the guarantee that any key with true frequency
+> total/(k+1) is present and undercounted by at most total/(k+1).
+
+Sharding: every occurrence of a key hashes to ONE shard, so a
+globally-heavy key is at least as frequent relative to its shard's
+total and survives that shard's summary; the union of shard candidate
+sets is therefore a superset of the global heavy hitters (the batch
+operator's exact recount then confirms counts — same two-phase shape
+as the batch path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "shard int, key string, mg_count bigint"
+STATE_SCHEMA = "keys array<string>, counts array<bigint>"
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str,
+    k: int = 64,
+    nshards: int = 8,
+) -> DataFrame:
+    """``events``: streaming frame. Emits each shard's full candidate
+    summary every batch (update mode) — downstream keeps the latest
+    per (shard, key).
+
+    Output: (shard, key, mg_count)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        keys, counts = state.get if state.exists else ([], [])
+        summary = dict(zip(list(keys), [int(c) for c in counts]))
+        for pdf in pdf_iter:
+            for kk, c in pdf["_key"].value_counts().items():
+                summary[kk] = summary.get(kk, 0) + int(c)
+            if len(summary) > k:
+                # batched MG decrement: subtract the (k+1)-th largest
+                # count, drop non-positive — ≤ k keys survive
+                m = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    kk: c - m for kk, c in summary.items() if c - m > 0
+                }
+        state.update((list(summary.keys()), list(summary.values())))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                "key": list(summary.keys()),
+                "mg_count": list(summary.values()),
+            }
+        )
+
+    keyed = events.select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(nshards))
+        .cast("int")
+        .alias("_shard"),
+        F.col(key_col).cast("string").alias("_key"),
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -252,3 +252,89 @@ def test_bpe_train_textbook_corpus(spark):
     pieces = {r["word"]: r["pieces"] for r in enc.collect()}
     assert any("est" in p for p in pieces["newest"])
     assert pieces["newest"] != list("newest")  # actually merged
+
+
+def test_pq_roundtrip_and_adc_recall(spark):
+    """PQ: codebooks per subspace, m-byte codes, ADC top-k finds the
+    planted same-cluster neighbors that exact search finds."""
+    import random
+
+    from smartdatapipeline_spark.functions import similarity as SIM
+
+    random.seed(11)
+    rows = []
+    vid = 0
+    centers = [[5.0, 5.0, -5.0, -5.0], [-5.0, 5.0, 5.0, -5.0],
+               [5.0, -5.0, -5.0, 5.0], [-5.0, -5.0, 5.0, 5.0]]
+    for c in centers:
+        for _ in range(12):
+            rows.append((vid, [x + random.uniform(-0.5, 0.5) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = SIM.pq_train(emb, m=2, k=4, seed=1)
+    assert cb.count() == 8  # 2 subspaces x 4 centroids
+    codes = SIM.pq_encode(emb, cb)
+    first = codes.first()
+    assert len(first["codes"]) == 2
+    queries = emb.filter(F.col("vec_id") % 12 == 0)  # one per cluster
+    top = SIM.pq_adc_topk(cb, codes, queries, k=5)
+    got = {}
+    for r in top.collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neighbors in got.items():
+        cluster = qid // 12
+        # every ADC neighbor comes from the query's planted cluster
+        assert all(n // 12 == cluster for n in neighbors), (qid, neighbors)
+        assert len(neighbors) == 5
+
+
+def test_heavy_hitters_stream_superset_of_batch(spark, tmp_path):
+    """Sharded streaming MG across two micro-batches: candidate set
+    must contain every exact heavy hitter, with undercount bounded by
+    total/(k+1)."""
+    import time as _t
+
+    from smartdatapipeline_spark.functions.sketch import heavy_hitters
+    from smartdatapipeline_spark.streaming.sketch import heavy_hitters_stream
+
+    inp = tmp_path / "hh_in"
+    inp.mkdir()
+    batch1 = ["hot"] * 50 + ["warm"] * 30 + [f"cold{i}" for i in range(40)]
+    batch2 = ["hot"] * 40 + ["warm"] * 25 + [f"tail{i}" for i in range(40)]
+    (inp / "b1.json").write_text(
+        "".join(f'{{"token": "{t}"}}\n' for t in batch1)
+    )
+    _t.sleep(1.1)
+    (inp / "b2.json").write_text(
+        "".join(f'{{"token": "{t}"}}\n' for t in batch2)
+    )
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        heavy_hitters_stream(stream, "token", k=16, nshards=4)
+        .writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest: dict = {}
+    for r in spark.table("hh_test").collect():
+        latest[(r["shard"], r["key"])] = max(
+            latest.get((r["shard"], r["key"]), 0), r["mg_count"]
+        )
+    stream_keys = {kk for (_, kk) in latest}
+    batch_df = spark.read.schema("token string").json(str(inp))
+    exact = {
+        r["token"]: r["n"] for r in heavy_hitters(batch_df, "token", k=16).collect()
+    }
+    total = len(batch1) + len(batch2)
+    assert set(exact) <= stream_keys  # superset guarantee
+    for kk, n in exact.items():
+        mg = max(v for (s, key), v in latest.items() if key == kk)
+        assert mg <= n  # MG never overcounts
+        assert n - mg <= total / (16 + 1)  # bounded undercount
