@@ -3049,6 +3049,21 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_topk(cb, codes, queries, k=10)
 
 
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy per-day content checksums (replication/migration
+    verification at table scale: exchange one row per partition, not
+    the data) — order-independent portable row-hash sum + exact decimal
+    value fingerprint — operators/quality.py partition_checksums."""
+    from smartdatapipeline_spark.operators.quality import partition_checksums
+
+    return partition_checksums(
+        _events(spark, sf_dir),
+        F.to_date("ts"),
+        ("event_id", "user_id", "event_type"),
+        "value",
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich 2016 / SentencePiece shape):
     learn 6 merges from the corpus word vocabulary — per round one
@@ -3264,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": q_revenue_cube,
         "bpe_merges": q_bpe_merges,
         "pq_topk": q_pq_topk,
+        "partition_checksums": q_partition_checksums,
     }
 
 
@@ -5242,6 +5258,15 @@ def oracle_sql() -> dict[str, str]:
         )
     )
     o["bpe_merges"] = "".join(_bpe)
+
+    o["partition_checksums"] = """
+        SELECT CAST(ts AS DATE) AS part, COUNT(*) AS n_rows,
+               SUM(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'
+                        || CAST(user_id AS VARCHAR) || '|' || event_type),
+                    1, 15))::BIGINT % 2147483647) AS id_checksum,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1
+    """
 
     o["revenue_cube"] = """
         WITH base AS (

@@ -240,6 +240,7 @@ BENCH_QUERIES: list[str] = [
     "revenue_cube",
     "bpe_merges",
     "pq_topk",
+    "partition_checksums",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -536,3 +536,66 @@ def skyline_front(
         )
         .drop("_bb", "_bu")
     )
+
+
+def partition_checksums(
+    df: DataFrame,
+    partition_expr: Column,
+    id_cols: tuple[str, ...],
+    value_col: str | None = None,
+) -> DataFrame:
+    """Order-independent per-partition content checksums — the
+    anti-entropy primitive for verifying replicated/migrated tables
+    (compare two clusters' 100 TB copies by exchanging one row per
+    partition instead of the data): per partition, row count, the SUM
+    of a portable 60-bit row hash over ``id_cols`` (mod 2³¹−1 per row
+    so the int64 sum holds ≤ ~4·10⁹ rows per partition), and the exact
+    decimal sum of ``value_col`` as the numeric fingerprint.
+
+    Addition is commutative ⇒ the checksum is identical at any
+    parallelism/ordering, and portable across engines (md5-based h60,
+    decimal sums — the repo's standard discipline).
+
+    Output: (part, n_rows, id_checksum[, value_sum]).
+    """
+    from smartdatapipeline_spark.functions.dedup import P31, h60
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    row_h = h60(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    ) % F.lit(P31)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_h).alias("id_checksum"),
+    ]
+    if value_col is not None:
+        aggs.append(dsum(value_col).alias("value_sum"))
+    return df.groupBy(partition_expr.alias("part")).agg(*aggs)
+
+
+def checksum_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Partitions whose checksums disagree between two inventories
+    (full outer join on part; NULL side = partition missing there).
+    Output: (part, status ∈ missing_left|missing_right|mismatch)."""
+    al = a.select(
+        F.col("part"),
+        F.col("n_rows").alias("_nl"),
+        F.col("id_checksum").alias("_cl"),
+    )
+    bl = b.select(
+        F.col("part"),
+        F.col("n_rows").alias("_nr"),
+        F.col("id_checksum").alias("_cr"),
+    )
+    j = al.join(bl, "part", "full_outer")
+    status = (
+        F.when(F.col("_nl").isNull(), F.lit("missing_left"))
+        .when(F.col("_nr").isNull(), F.lit("missing_right"))
+        .when(
+            (F.col("_nl") != F.col("_nr")) | (F.col("_cl") != F.col("_cr")),
+            F.lit("mismatch"),
+        )
+    )
+    return j.withColumn("status", status).filter(
+        F.col("status").isNotNull()
+    ).select("part", "status")

@@ -338,3 +338,32 @@ def test_heavy_hitters_stream_superset_of_batch(spark, tmp_path):
         mg = max(v for (s, key), v in latest.items() if key == kk)
         assert mg <= n  # MG never overcounts
         assert n - mg <= total / (16 + 1)  # bounded undercount
+
+
+def test_checksum_diff_detects_divergence(spark):
+    from smartdatapipeline_spark.operators.quality import (
+        checksum_diff,
+        partition_checksums,
+    )
+
+    rows_a = [
+        (1, "m", TS(2024, 1, 1, 10), 1.0),
+        (2, "m", TS(2024, 1, 1, 11), 2.0),
+        (3, "m", TS(2024, 1, 2, 10), 3.0),
+        (4, "m", TS(2024, 1, 3, 10), 4.0),
+    ]
+    # replica: day 2 row mutated (different event_id), day 3 missing
+    rows_b = [
+        (1, "m", TS(2024, 1, 1, 10), 1.0),
+        (2, "m", TS(2024, 1, 1, 11), 2.0),
+        (99, "m", TS(2024, 1, 2, 10), 3.0),
+    ]
+    schema = "event_id bigint, event_type string, ts timestamp, value double"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    ca = partition_checksums(a, F.to_date("ts"), ("event_id", "event_type"))
+    cb = partition_checksums(b, F.to_date("ts"), ("event_id", "event_type"))
+    got = {str(r["part"]): r["status"] for r in checksum_diff(ca, cb).collect()}
+    assert got == {"2024-01-02": "mismatch", "2024-01-03": "missing_right"}
+    # identical inventories diff to empty
+    assert checksum_diff(ca, ca).count() == 0
