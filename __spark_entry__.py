@@ -3049,6 +3049,33 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_topk(cb, codes, queries, k=10)
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed pseudonymization with referential integrity:
+    user_id → stable salted 60-bit token; grouping by token reproduces
+    the per-user aggregate exactly (joins/group-bys survive PII
+    stripping) — functions/crypto.py pseudonymize."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            CR.pseudonymize(F.col("user_id")).alias("user_token"),
+            "value",
+        )
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            N.dsum("value").alias("value_sum"),
+        )
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit over the (event_type, day) quasi-
+    identifier pair: per-class sizes in one hash aggregation, summary
+    verdict row — functions/crypto.py k_anonymity."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return CR.k_anonymity(ev, ("event_type", "day"), k=5)
+
+
 def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy per-day content checksums (replication/migration
     verification at table scale: exchange one row per partition, not
@@ -3280,6 +3307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "pq_topk": q_pq_topk,
         "partition_checksums": q_partition_checksums,
+        "pseudonymize": q_pseudonymize,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -5259,6 +5288,26 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bpe_merges"] = "".join(_bpe)
 
+    o["pseudonymize"] = """
+        SELECT ('0x' || substr(md5('pseud-v1:' || CAST(user_id AS VARCHAR)),
+                    1, 15))::BIGINT AS user_token,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1
+    """
+    o["k_anonymity"] = """
+        WITH classes AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+            FROM events GROUP BY 1, 2)
+        SELECT SUM(c) AS n_rows,
+               COUNT(*) AS n_classes,
+               MIN(c) AS min_class_size,
+               SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS n_rows_below_k,
+               SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                   / CAST(SUM(c) AS DOUBLE) AS frac_below_k,
+               MIN(c) >= 5 AS k_anonymous
+        FROM classes
+    """
     o["partition_checksums"] = """
         SELECT CAST(ts AS DATE) AS part, COUNT(*) AS n_rows,
                SUM(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'

@@ -241,6 +241,8 @@ BENCH_QUERIES: list[str] = [
     "bpe_merges",
     "pq_topk",
     "partition_checksums",
+    "pseudonymize",
+    "k_anonymity",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -96,3 +96,50 @@ def encrypt_column(df: DataFrame, col_name: str, key: str) -> DataFrame:
 def decrypt_column(df: DataFrame, col_name: str, key: str) -> DataFrame:
     """Replace ``col_name`` with its decrypted string form (read path)."""
     return df.withColumn(col_name, decrypt_payload(col_name, key).cast("string"))
+
+
+def pseudonymize(col, salt: str = "pseud-v1"):
+    """Deterministic keyed pseudonymization: a stable 60-bit token per
+    identity (salted md5 — the repo's portable hash family). The same
+    identity maps to the same token in EVERY table, so joins and
+    group-bys still line up after PII is stripped — referential
+    integrity is the property that distinguishes pseudonymization from
+    redaction. Deterministic tokens are linkable by construction
+    (GDPR pseudonymous data, not anonymous) — pair with ``k_anonymity``
+    below for the release audit. Rotate ``salt`` per data-sharing
+    agreement; brute-force resistance comes from the salt's secrecy,
+    exactly like the reference's conf-resolved payload key."""
+    from smartdatapipeline_spark.functions.dedup import h60
+
+    c = col if not isinstance(col, str) else F.col(col)
+    return h60(F.concat(F.lit(salt + ":"), c.cast("string")))
+
+
+def k_anonymity(
+    df,
+    quasi_cols: tuple[str, ...],
+    k: int = 5,
+):
+    """k-anonymity audit over a quasi-identifier combination: per
+    equivalence class (unique quasi-identifier tuple), its size; a
+    release satisfies k-anonymity iff every class has ≥ k rows. One
+    hash aggregation + one summary row — the pre-release privacy check
+    a 100 TB training-data export needs before shipping derived tables.
+
+    Output: one row — (n_rows, n_classes, min_class_size,
+    n_rows_below_k, frac_below_k, k_anonymous).
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return classes.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_c").alias("min_class_size"),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(F.lit(0))).alias(
+            "n_rows_below_k"
+        ),
+        (
+            F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(F.lit(0)))
+            / F.sum("_c").cast("double")
+        ).alias("frac_below_k"),
+        (F.min("_c") >= k).alias("k_anonymous"),
+    )

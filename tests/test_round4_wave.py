@@ -367,3 +367,37 @@ def test_checksum_diff_detects_divergence(spark):
     assert got == {"2024-01-02": "mismatch", "2024-01-03": "missing_right"}
     # identical inventories diff to empty
     assert checksum_diff(ca, ca).count() == 0
+
+
+def test_pseudonymize_referential_integrity(spark):
+    """Same identity → same token across frames; different salt →
+    different tokens; token never equals the raw id."""
+    from smartdatapipeline_spark.functions import crypto as CR
+
+    a = spark.createDataFrame([(1,), (2,), (1,)], "user_id bigint")
+    b = spark.createDataFrame([(1,), (3,)], "user_id bigint")
+    ta = a.select("user_id", CR.pseudonymize(F.col("user_id")).alias("tok"))
+    tb = b.select("user_id", CR.pseudonymize(F.col("user_id")).alias("tok"))
+    ma = {r["user_id"]: r["tok"] for r in ta.collect()}
+    mb = {r["user_id"]: r["tok"] for r in tb.collect()}
+    assert ma[1] == mb[1]                 # cross-frame join key survives
+    assert ma[1] != ma[2] and ma[1] != 1
+    salted = a.select(
+        CR.pseudonymize(F.col("user_id"), salt="other").alias("tok")
+    ).first()["tok"]
+    assert salted != ma[1]
+
+
+def test_k_anonymity_verdict(spark):
+    from smartdatapipeline_spark.functions.crypto import k_anonymity
+
+    rows = [("a", i) for i in range(5)] + [("b", 0), ("b", 1)]
+    df = spark.createDataFrame(
+        [(g, i) for g, i in rows], "grp string, i bigint"
+    )
+    r = k_anonymity(df.select("grp"), ("grp",), k=3).first()
+    assert (r["n_rows"], r["n_classes"], r["min_class_size"]) == (7, 2, 2)
+    assert r["n_rows_below_k"] == 2
+    assert not r["k_anonymous"]
+    r2 = k_anonymity(df.select("grp"), ("grp",), k=2).first()
+    assert r2["k_anonymous"]
