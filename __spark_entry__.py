@@ -3049,6 +3049,61 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_topk(cb, codes, queries, k=10)
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (salting — the mitigation
+    key_skew_report recommends): fact rows get a deterministic salt in
+    [0,8), the dimension replicates 8× with every salt, and the join
+    runs on (key, salt) so one hot key spreads over 8 reducers. Output
+    is provably identical to the plain join — the oracle IS the plain
+    join — operators/relational.py salted_join."""
+    from smartdatapipeline_spark.operators.relational import salted_join
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    j = salted_join(
+        T("orders"),
+        T("customer").select("c_custkey", "c_mktsegment"),
+        left_key="o_custkey",
+        right_key="c_custkey",
+        row_col="o_orderkey",
+        n_salts=8,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        N.dsum("o_totalprice").alias("total_price"),
+    )
+
+
+def q_ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: exact top-10 under the FULL
+    64-dim embedding vs under the first 32 dims only — per query, the
+    overlap@10. The go/no-go measurement before shipping truncated
+    embeddings (2× storage/compute cut at 100 TB) to production."""
+    emb = _emb(spark, sf_dir)
+    half = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 32).alias("embedding")
+    )
+    qf = emb.filter(F.col("vec_id") % 50 == 0)
+    qh = half.filter(F.col("vec_id") % 50 == 0)
+    full_tk = SIM.brute_force_topk(emb, qf, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    half_tk = SIM.brute_force_topk(half, qh, k=10).select(
+        "query_id", F.col("neighbor_id").alias("_nh")
+    )
+    # overlap via inner join on (query, neighbor)
+    overlap = full_tk.join(
+        half_tk.withColumnRenamed("_nh", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    )
+    per_q = overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    all_q = full_tk.select("query_id").distinct()
+    return all_q.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
 def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keyed pseudonymization with referential integrity:
     user_id → stable salted 60-bit token; grouping by token reproduces
@@ -3308,6 +3363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "partition_checksums": q_partition_checksums,
         "pseudonymize": q_pseudonymize,
+        "salted_join": q_salted_join,
+        "ann_truncation_recall": q_ann_truncation_recall,
         "k_anonymity": q_k_anonymity,
     }
 
@@ -5288,6 +5345,53 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bpe_merges"] = "".join(_bpe)
 
+    # salted_join's oracle IS the plain join — identical output proves
+    # the salting is pure partitioning, zero semantic change
+    o["salted_join"] = """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """
+    o["ann_truncation_recall"] = _EMB_CTE + """
+        , q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e
+                WHERE vec_id % 50 = 0),
+        full_scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   """ + _DOT.format(a="q.qv", b="e.v") + """ / (q.qn * e.n) AS cos_sim
+            FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        full_tk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM full_scored) WHERE rank <= 10),
+        h AS (SELECT vec_id, v[1:32] AS v,
+                     SQRT(list_reduce(list_transform(v[1:32],
+                          x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS n
+              FROM e),
+        hq AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM h
+               WHERE vec_id % 50 = 0),
+        half_scored AS (
+            SELECT hq.query_id, h.vec_id AS neighbor_id,
+                   """ + _DOT.format(a="hq.qv", b="h.v") + """ / (hq.qn * h.n) AS cos_sim
+            FROM h CROSS JOIN hq WHERE h.vec_id != hq.query_id),
+        half_tk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM half_scored) WHERE rank <= 10),
+        overlap AS (
+            SELECT f.query_id, COUNT(*) AS n_overlap
+            FROM full_tk f JOIN half_tk USING (query_id, neighbor_id)
+            GROUP BY 1)
+        SELECT q.query_id,
+               COALESCE(o.n_overlap, 0) AS n_overlap,
+               COALESCE(o.n_overlap, 0) / 10.0 AS recall_at_10
+        FROM (SELECT DISTINCT query_id FROM full_tk) q
+        LEFT JOIN overlap o USING (query_id)
+    """
     o["pseudonymize"] = """
         SELECT ('0x' || substr(md5('pseud-v1:' || CAST(user_id AS VARCHAR)),
                     1, 15))::BIGINT AS user_token,

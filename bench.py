@@ -243,6 +243,8 @@ BENCH_QUERIES: list[str] = [
     "partition_checksums",
     "pseudonymize",
     "k_anonymity",
+    "salted_join",
+    "ann_truncation_recall",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

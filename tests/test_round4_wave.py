@@ -401,3 +401,36 @@ def test_k_anonymity_verdict(spark):
     assert not r["k_anonymous"]
     r2 = k_anonymity(df.select("grp"), ("grp",), k=2).first()
     assert r2["k_anonymous"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from smartdatapipeline_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)] + [(100, 99, 1.0)],
+        "row_id bigint, k bigint, v double",
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "rk bigint, label string"
+    )
+    got = sorted(
+        (r["row_id"], r["label"])
+        for r in salted_join(
+            left, right, "k", "rk", row_col="row_id", n_salts=4
+        ).collect()
+    )
+    want = sorted(
+        (r["row_id"], r["label"])
+        for r in left.join(right, left.k == right.rk).collect()
+    )
+    assert got == want                      # inner: unmatched key 99 drops
+    # left join keeps the unmatched row with NULL label
+    lgot = {
+        r["row_id"]: r["label"]
+        for r in salted_join(
+            left, right, "k", "rk", row_col="row_id", n_salts=4, how="left"
+        ).collect()
+    }
+    assert lgot[100] is None and len(lgot) == 31
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", row_col="row_id", how="full")
