@@ -495,46 +495,41 @@ def skyline_front(
     "cheaper and at least as good" query).
 
     The naive formulation is a NOT EXISTS self-join — O(n²) pairs (the
-    oracle runs exactly that). The scale shape: sort by (min-axis asc,
-    max-axis desc), then a row is on the front iff its max-axis value
-    strictly exceeds the running max over all STRICTLY-BETTER-priced
-    prefix rows — one window pass, O(n log n), no pair space. Ties on
-    both axes are mutually non-dominating and all kept (RANGE frame on
-    the price axis handles equal prices sharing a running max).
+    oracle runs exactly that). The scale shape: aggregate to one row
+    per distinct min-axis value (its max-axis maximum), take the
+    running max over STRICTLY smaller values with a ROWS frame on that
+    distinct-value grain — ROWS -1 is exact there because ties were
+    collapsed — and join the two thresholds back. A row survives iff
+    it beats every strictly-cheaper row's best (strict >) and matches
+    its own price group's best (>=; equal-on-both-axes ties are
+    mutually non-dominating and all kept). One aggregation + one tiny
+    window + one co-partitioned join — no pair space.
+
+    (A RANGE frame with a -1 offset does NOT express "strictly
+    smaller" on a continuous axis — the offset is a VALUE delta, so
+    prices closer than 1.0 silently escaped domination; caught by the
+    sf0.1 cross-scale sweep, round 4.)
 
     Output: input rows on the front + both axis columns.
     """
     from pyspark.sql.window import Window
 
-    g = [F.col(c) for c in by]
-    # running max of `maximize` over rows with STRICTLY smaller minimize
-    # value: RANGE frame keyed on the minimize axis excludes price-ties
+    per_price = df.groupBy(*by, minimize).agg(
+        F.max(F.col(maximize)).alias("_tie_max")
+    )
     w = (
-        Window.partitionBy(*g)
+        Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(F.col(minimize).asc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    best_better_priced = F.max(F.col(maximize)).over(w)
-    # running max including ties (for strictness on the other axis)
-    w_tie = (
-        Window.partitionBy(*g)
-        .orderBy(F.col(minimize).asc())
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    best_upto = F.max(F.col(maximize)).over(w_tie)
+    thresholds = per_price.withColumn("_bb", F.max("_tie_max").over(w))
+    joined = df.join(thresholds, [*by, minimize])
     return (
-        df.withColumn("_bb", best_better_priced)
-        .withColumn("_bu", best_upto)
-        # not dominated by a strictly cheaper row with >= quality, and
-        # not dominated by an equal-priced row with STRICTLY > quality
-        # ... equal-priced ties: dominated only if some equal-priced row
-        # has strictly greater maximize — i.e. this row's value < the
-        # tie-inclusive running max AND it's not beaten by cheaper rows
-        .filter(
+        joined.filter(
             (F.col("_bb").isNull() | (F.col(maximize) > F.col("_bb")))
-            & (F.col(maximize) >= F.col("_bu"))
+            & (F.col(maximize) >= F.col("_tie_max"))
         )
-        .drop("_bb", "_bu")
+        .drop("_bb", "_tie_max")
     )
 
 

@@ -199,6 +199,23 @@ def test_skyline_front_dominance(spark):
     ).collect()}
     assert got == {1, 2, 4, 5}
 
+    # sub-unit price gaps (the round-4 sf0.1 regression): a dominator
+    # only 0.5 cheaper must still knock out the pricier row — a RANGE
+    # -1 frame on the double axis missed it
+    close = spark.createDataFrame(
+        [
+            (10, 10.0, 5),
+            (11, 10.5, 5),   # dominated by 10 (0.5 pricier, same size)
+            (12, 10.5, 6),   # front (bigger than anything cheaper)
+            (13, 10.6, 6),   # dominated by 12
+        ],
+        "p_partkey bigint, p_retailprice double, p_size int",
+    )
+    got2 = {r["p_partkey"] for r in skyline_front(
+        close, minimize="p_retailprice", maximize="p_size", id_col="p_partkey"
+    ).collect()}
+    assert got2 == {10, 12}
+
 
 def _ref_greedy_merge(seg: str, a: str, b: str) -> str:
     """Reference scalar BPE merge: greedy left-to-right scan."""

@@ -22,6 +22,7 @@ from smartdatapipeline_spark.functions import dedup as DD
 from smartdatapipeline_spark.functions import layout as LY
 from smartdatapipeline_spark.functions import retrieval as RT
 from smartdatapipeline_spark.functions import sketch as SK
+from smartdatapipeline_spark.functions import bpe as BP
 from smartdatapipeline_spark.operators import behavior as BH
 from smartdatapipeline_spark.operators import forecast as FC
 from smartdatapipeline_spark.operators import metrics as MT
@@ -248,6 +249,45 @@ def _bloom_probe(spark, sf_dir, n):
     ).count()
 
 
+def _overlap_probe(spark, sf_dir, n):
+    """interval×interval overlap at scale: promo windows around the
+    top-4·n revenue days × per-(scaled)metric burst windows — both
+    interval sets grow with volume, co-bucketed pair work only."""
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.operators import temporal as T
+
+    ev = scaled_events(spark, sf_dir, n).select("ts", "event_type", "value")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    promo = (
+        daily.orderBy(F.col("total").desc(), F.col("d").asc())
+        .limit(4 * n)
+        .select(
+            F.col("d").alias("peak_day"),
+            (F.col("d").cast("timestamp") - F.expr("INTERVAL 2 DAYS")).alias("a_start"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 3 DAYS")).alias("a_end"),
+        )
+    )
+    md = ev.groupBy(
+        F.col("event_type").alias("metric"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("nn"))
+    wm = Window.partitionBy("metric").orderBy(F.col("nn").desc(), F.col("d").asc())
+    burst = (
+        md.withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") <= 2)
+        .select(
+            "metric",
+            (F.col("d").cast("timestamp") - F.expr("INTERVAL 1 DAYS")).alias("b_start"),
+            (F.col("d").cast("timestamp") + F.expr("INTERVAL 2 DAYS")).alias("b_end"),
+        )
+    )
+    return T.interval_overlap_join(
+        promo, burst, "a_start", "a_end", "b_start", "b_end"
+    )
+
+
 def _quantile_probe(spark, sf_dir, n):
     from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
 
@@ -412,6 +452,54 @@ def main() -> None:
             scaled_events(spark, sf_dir, n), "value"
         ),
         "mix_shift": lambda n: MT.mix_shift(scaled_events(spark, sf_dir, n)),
+        # round-4 wave probes (preempting the per-wave exponent ask):
+        # doc_keywords is postings-volume-bound; sorted_neighborhood is
+        # the LINEAR N·w pair space by construction; rolling_median and
+        # late_arrival are one-shuffle window ops; interval_overlap's
+        # pair work is co-bucketed intervals only; bpe is bounded by the
+        # VOCAB (replica salting grows it with volume); skyline is
+        # sort + window; checksums are a pure hash aggregation.
+        "doc_keywords": lambda n: RT.doc_keywords(
+            scaled_docs_salted(spark, sf_dir, n)
+        ),
+        "sorted_neighborhood": lambda n: DD.sorted_neighborhood_pairs(
+            scaled_parts(spark, sf_dir, n)
+        ),
+        "rolling_median": lambda n: TP.rolling_median_daily(
+            scaled_events(spark, sf_dir, n)
+        ),
+        "late_arrival": lambda n: QL.late_arrival_stats(
+            scaled_events(spark, sf_dir, n)
+            .withColumn(
+                "_arr",
+                F.unix_timestamp("ts")
+                + F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 120,
+            ),
+            arrival_col="_arr",
+            tiebreak_col="event_id",
+        ),
+        "interval_overlap": lambda n: _overlap_probe(spark, sf_dir, n),
+        "bpe_merges": lambda n: BP.bpe_train(
+            scaled_docs_salted(spark, sf_dir, n), n_merges=3
+        ),
+        "skyline_parts": lambda n: QL.skyline_front(
+            scaled_parts(spark, sf_dir, n),
+            minimize="p_retailprice",
+            maximize="p_size",
+            id_col="p_partkey",
+            by=("p_brand",),
+        ),
+        "partition_checksums": lambda n: QL.partition_checksums(
+            scaled_events(spark, sf_dir, n),
+            F.to_date("ts"),
+            ("event_id", "user_id", "event_type"),
+            "value",
+        ),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
