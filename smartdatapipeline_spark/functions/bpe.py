@@ -81,11 +81,17 @@ def bpe_train(
         cur = vocab
         for r in range(1, n_merges + 1):
             syms = F.split(F.col("seg"), " ")
+            # a fully-merged word (ONE symbol) contributes no pairs:
+            # sequence(1, 0) would DESCEND and index out of bounds under
+            # ANSI — guard with an explicit empty index array
+            idx = F.when(
+                F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+            ).otherwise(F.array().cast("array<int>"))
             pairs = (
                 cur.select(
                     F.explode(
                         F.transform(
-                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            idx,
                             lambda i: F.struct(
                                 F.element_at(syms, i).alias("a"),
                                 F.element_at(syms, i + 1).alias("b"),

@@ -451,3 +451,17 @@ def test_salted_join_equals_plain_join(spark):
     assert lgot[100] is None and len(lgot) == 31
     with pytest.raises(ValueError):
         salted_join(left, right, "k", "rk", row_col="row_id", how="full")
+
+
+def test_bpe_train_fully_merged_word(spark):
+    """A corpus dominated by a 1-char word: after merge 1 ('a </w>' →
+    'a</w>') the word is ONE symbol and must contribute no pairs in
+    later rounds instead of raising (round-4 scale-probe regression)."""
+    from smartdatapipeline_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a bc bc")], "doc_id bigint, text string"
+    )
+    m = bpe_train(docs, n_merges=3).collect()
+    assert [r["round"] for r in m] == [1, 2, 3]
+    assert (m[0]["left"], m[0]["right"]) == ("a", "</w>")
