@@ -51,8 +51,11 @@ def pagerank(
     Deterministic bit-for-bit: contributions fold in src order (module
     docstring); division rank/outdeg is a single IEEE op.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
+    # edge + degree frames are loop-invariant: cache once so the three
+    # iteration jobs don't re-derive them from the source plan (the
+    # final localCheckpoint cuts lineage, so both release before return)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).cache()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg")).cache()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_t").alias("node")))
@@ -60,7 +63,7 @@ def pagerank(
         .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for _it in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "_s"), "_s")
             .join(deg, "_s")  # node-sized: let AQE pick broadcast vs shuffle
@@ -79,19 +82,23 @@ def pagerank(
                 lambda acc, x: acc + x["c"],
             ).alias("_s_in")
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                # residual is an explicit literal (not 1−damping) so the
-                # SQL oracle can spell the bit-identical constant
-                (
-                    F.lit(residual)
-                    + F.lit(damping) * F.coalesce(F.col("_s_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            # residual is an explicit literal (not 1−damping) so the
+            # SQL oracle can spell the bit-identical constant
+            (
+                F.lit(residual)
+                + F.lit(damping) * F.coalesce(F.col("_s_in"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # checkpoint every SECOND iteration and always the last (lesson
+        # 10: per-round fixed costs — checkpoint write + job — dominate
+        # locally; two propagation steps per materialization halves
+        # them, and the final cut lets the loop-invariant caches release)
+        if _it == iterations - 1 or (_it + 1) % 2 == 0:
+            ranks = ranks.localCheckpoint()
+    e.unpersist()
+    deg.unpersist()
     return ranks
 
 
