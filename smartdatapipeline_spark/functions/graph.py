@@ -121,7 +121,10 @@ def bfs_hops(
 
     ``seeds``: one column named ``node``. Output: (node, hops).
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).distinct()
+    # the edge frame is loop-invariant and often derives from a fact
+    # join — cache it so each hop's jobs don't re-run that derivation
+    # (pre-fix, 3 hops re-ran the orders⋈lineitem distinct 3×)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).distinct().cache()
     visited = (
         seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
     )
@@ -137,8 +140,12 @@ def bfs_hops(
         nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # every leaf of this union is already materialized (seed + nxt
+        # checkpoints), so the union plan stays flat without its own
+        # checkpoint — re-checkpointing it was one pure-overhead job/hop
+        visited = visited.unionByName(nxt)
         frontier = nxt
+    e.unpersist()
     return visited
 
 
