@@ -359,3 +359,124 @@ def test_running_balance_matches_python_fold(spark, rows):
         want[u] = (bal, clamps, n + 1)
     want = {u: (n, bal, c) for u, (bal, c, n) in want.items()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # price (small range → ties)
+            st.integers(min_value=0, max_value=20),   # size
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_skyline_matches_brute_force(spark, pts):
+    """skyline_front == the O(n²) dominance definition for arbitrary
+    points with heavy ties on both axes (the round-4 RANGE-frame bug
+    class: dominators arbitrarily close on the minimize axis)."""
+    from smartdatapipeline_spark.operators.quality import skyline_front
+
+    rows = [(i, float(p) / 4.0, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id bigint, price double, size int")
+    got = {
+        r["id"]
+        for r in skyline_front(
+            df, minimize="price", maximize="size", id_col="id"
+        ).collect()
+    }
+    want = set()
+    for i, pi, si in rows:
+        dominated = any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, pj, sj in rows
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # intervals as (start_hour, len_hours)
+        st.tuples(
+            st.integers(min_value=0, max_value=72),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=72),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_interval_overlap_matches_naive(spark, lft, rgt):
+    """interval_overlap_join == the naive cross-filter on arbitrary
+    interval sets (overlaps spanning many day buckets, zero-length
+    intervals, exact-touch boundaries)."""
+    from smartdatapipeline_spark.operators.temporal import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, base + dt.timedelta(hours=s), base + dt.timedelta(hours=s + ln))
+        for i, (s, ln) in enumerate(lft)
+    ]
+    rrows = [
+        (i, base + dt.timedelta(hours=s), base + dt.timedelta(hours=s + ln))
+        for i, (s, ln) in enumerate(rgt)
+    ]
+    l = spark.createDataFrame(lrows, "lid bigint, a_start timestamp, a_end timestamp")
+    r = spark.createDataFrame(rrows, "rid bigint, b_start timestamp, b_end timestamp")
+    got = {
+        (x["lid"], x["rid"])
+        for x in interval_overlap_join(
+            l, r, "a_start", "a_end", "b_start", "b_end"
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        # both non-empty AND intersecting: an empty [s, s) interval
+        # overlaps nothing under half-open semantics
+        if ls < le and rs < re and ls < re and rs < le
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50),  # daily values per day index
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([2, 3, 7]),
+)
+def test_rolling_median_matches_python(spark, vals, window):
+    """rolling_median_daily == a Python sliding-median over the
+    day-ordered series (exact: integer-valued inputs)."""
+    import statistics
+
+    from smartdatapipeline_spark.operators.temporal import rolling_median_daily
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("m", base + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        str(r["day"]): (r["n_window"], r["rolling_median"])
+        for r in rolling_median_daily(ev, window_days=window).collect()
+    }
+    for i in range(len(vals)):
+        frame = [float(v) for v in vals[max(0, i - window + 1) : i + 1]]
+        d = str((base + dt.timedelta(days=i)).date())
+        assert got[d] == (len(frame), statistics.median(frame))
