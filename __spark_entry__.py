@@ -599,9 +599,10 @@ def q_crossmodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id in the testdata) with an agreement class per pair — the
     signal fusion step a production dedup pipeline runs before deciding
     what to drop."""
-    text_pairs = DD.minhash_candidate_pairs(_docs(spark, sf_dir)).select(
-        "doc_a", "doc_b", "est_jaccard"
-    )
+    from smartdatapipeline_spark.cachetrack import propagate_caches
+
+    _tp_raw = DD.minhash_candidate_pairs(_docs(spark, sf_dir))
+    text_pairs = _tp_raw.select("doc_a", "doc_b", "est_jaccard")
     emb_pairs = SIM.embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=0.25, nbits=8
     ).select(
@@ -615,7 +616,12 @@ def q_crossmodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("est_jaccard").isNotNull(), "text_only")
         .otherwise("embedding_only")
     )
-    return j.select("doc_a", "doc_b", "est_jaccard", "cos_sim", agreement.alias("agreement"))
+    out = j.select(
+        "doc_a", "doc_b", "est_jaccard", "cos_sim", agreement.alias("agreement")
+    )
+    # the signature cache's ownership attribute does not survive the
+    # .select above — re-attach it so bench's release frees it per rep
+    return propagate_caches(_tp_raw, out)
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5412,11 +5418,18 @@ def oracle_sql() -> dict[str, str]:
                MIN(c) >= 5 AS k_anonymous
         FROM classes
     """
+    # per-column hash, NULL → 0, position-weighted sum mod 2^31-1 —
+    # mirrors operators/quality.py partition_checksums row encoding
     o["partition_checksums"] = """
         SELECT CAST(ts AS DATE) AS part, COUNT(*) AS n_rows,
-               SUM(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'
-                        || CAST(user_id AS VARCHAR) || '|' || event_type),
-                    1, 15))::BIGINT % 2147483647) AS id_checksum,
+               SUM((
+                 1 * COALESCE(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                     1, 15))::BIGINT % 2147483647, 0)
+               + 2 * COALESCE(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                     1, 15))::BIGINT % 2147483647, 0)
+               + 3 * COALESCE(('0x' || substr(md5(event_type),
+                     1, 15))::BIGINT % 2147483647, 0)
+               ) % 2147483647) AS id_checksum,
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1
     """

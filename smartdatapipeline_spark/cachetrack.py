@@ -25,6 +25,20 @@ def track_cache(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def propagate_caches(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Move cache ownership from ``src`` onto a frame DERIVED from it.
+
+    The ownership attribute rides on the exact DataFrame object, so any
+    transformation (``.select``, ``.filter``, a join) silently drops it
+    and ``release_plan_caches`` on the result becomes a no-op (round-4
+    ADVICE: the MinHash signature cache leaked per bench rep through
+    exactly this hole). Call this on every frame you transform after
+    receiving it from a cache-tracking operator."""
+    out = track_cache(out, *getattr(src, "_sdp_caches", ()))
+    src._sdp_caches = []  # type: ignore[attr-defined]
+    return out
+
+
 def release_plan_caches(df: DataFrame) -> None:
     """Unpersist every intermediate cached while building ``df``'s plan
     (no-op for plans that cached nothing). Call AFTER materializing."""

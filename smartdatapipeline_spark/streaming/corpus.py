@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smartdatapipeline_spark.cachetrack import release_plan_caches
 from smartdatapipeline_spark.functions.dedup import (
     exact_dedup,
     minhash_bands,
@@ -54,12 +55,13 @@ def stream_corpus_ingest(
         import os
 
         have_index = os.path.exists(f"{index_path}/sigs")
+        probe = None
         if have_index:
+            probe = probe_dedup_index(
+                spark, index_path, uniq, k=k, bands=bands, rows=rows
+            )
             dup_ids = (
-                probe_dedup_index(
-                    spark, index_path, uniq, k=k, bands=bands, rows=rows
-                )
-                .filter(F.col("est_jaccard") >= min_est_jaccard)
+                probe.filter(F.col("est_jaccard") >= min_est_jaccard)
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
             )
@@ -69,6 +71,12 @@ def stream_corpus_ingest(
         # localCheckpoint: survivors feed three writes; don't recompute
         # the probe join per sink
         survivors = survivors.localCheckpoint(eager=True)
+        if probe is not None:
+            # the eager checkpoint above just materialized the probe
+            # plan — release its tracked signature cache now, else it
+            # accumulates one resident cache per micro-batch (the same
+            # ownership-rides-the-object hole as round-4 ADVICE #2)
+            release_plan_caches(probe)
         survivors.write.mode("append").parquet(corpus_path)
         sig = minhash_signature(survivors, "doc_id", "text", k).localCheckpoint(
             eager=True
