@@ -2254,8 +2254,10 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the customer↔supplier bipartite graph
     (distinct order-line pairs, symmetrized), 3 power iterations with
-    src-ordered contribution folds — functions/graph.py pagerank. Top
-    25 suppliers by rank."""
+    the two-level (dst, src-bucket) contribution fold (src_buckets=32:
+    power-law hubs fan across 32 reducer groups instead of one) —
+    functions/graph.py pagerank. Top 25 suppliers by rank. The oracle
+    spells the identical two-level fold, so the match is bit-exact."""
     from smartdatapipeline_spark.functions.graph import pagerank, symmetrize
 
     T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
@@ -2268,7 +2270,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(symmetrize(pairs), iterations=3)
+    ranks = pagerank(symmetrize(pairs), iterations=3, src_buckets=32)
     return (
         ranks.filter(F.col("node") % 2 == 1)
         .orderBy(F.col("rank").desc(), F.col("node").asc())
@@ -4053,21 +4055,32 @@ def oracle_sql() -> dict[str, str]:
         FROM b GROUP BY bucket, mn, mx
     """
 
+    # two-level fold mirror of functions/graph.py pagerank(src_buckets=32):
+    # level 1 folds each (dst, src%32) bucket's contributions in src order
+    # (list_reduce's first-element seed == Spark's 0.0 seed because
+    # 0.0 + x == x for these strictly-positive doubles), level 2 folds
+    # the bucket partials in bucket order — the identical double-addition
+    # sequence, hence bit-exact across engines.
     pr_iters = ""
     prev = "r0"
     for i in (1, 2, 3):
         pr_iters += f"""
         c{i} AS (
-            SELECT e.dst AS node, list(r.rank / d.outdeg ORDER BY e.src) AS cs
+            SELECT e.dst AS node, e.src % 32 AS bkt,
+                   list(r.rank / d.outdeg ORDER BY e.src) AS cs
             FROM edges e
             JOIN {prev} r ON r.node = e.src
             JOIN deg d ON d.src = e.src
-            GROUP BY e.dst),
+            GROUP BY e.dst, e.src % 32),
+        p{i} AS (
+            SELECT node,
+                   list(list_reduce(cs, (a, x) -> a + x) ORDER BY bkt) AS ps
+            FROM c{i} GROUP BY node),
         r{i} AS (
             SELECT n.node,
                    0.15 + 0.85 * COALESCE(
-                       list_reduce(c.cs, (a, x) -> a + x), 0.0) AS rank
-            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node),"""
+                       list_reduce(p.ps, (a, x) -> a + x), 0.0) AS rank
+            FROM nodes n LEFT JOIN p{i} p ON p.node = n.node),"""
         prev = f"r{i}"
     o["graph_pagerank"] = f"""
         WITH pairs AS (

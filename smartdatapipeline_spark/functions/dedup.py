@@ -597,60 +597,24 @@ def duplicate_clusters(
     the MIN doc id reachable through the pair graph — the cluster
     representative a dedup keep-list selects.
 
-    Iterative min-label propagation (the GraphFrames/Pregel CC shape in
-    plain DataFrames): each round, a node's label becomes the min of its
-    own and its neighbors' labels; converges in O(component diameter)
-    rounds — near-dup clusters are shallow, so typically < 5. Each round
-    is one join + one aggregation; ``localCheckpoint`` cuts the growing
-    lineage (and the convergence check is the same count that would be
-    read anyway). Deterministic: min is order-independent.
+    Thin adapter over the repo's ONE min-label CC loop,
+    ``functions/graph.py connected_components`` (round-6 unification:
+    every CC consumer — near-dup clusters, semantic dedup, the cluster
+    index, dedup-aware splits — shares a single implementation). See
+    that docstring for the propagation/convergence design.
 
     Output: (id_col, cluster) — isolated docs label themselves.
     """
-    edges = pairs.select(
-        F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
-    ).unionByName(
-        pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
-    )
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        nodes.select(F.col(id_col).alias("_id"))
-        .distinct()
-        .withColumn("_label", F.col("_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        # TWO propagation sub-steps per materialized round: same total
-        # shuffle work for the same propagation distance, but HALF the
-        # checkpoint + convergence-count jobs — locally those fixed
-        # per-round costs dominate (measured ~2× on the bench corpora).
-        # _prev carries the round-entry label so convergence is a filter
-        # on the SAME checkpointed frame (no old/new compare join).
-        cur = labels.select("_id", "_label", F.col("_label").alias("_prev"))
-        for _sub in range(2):
-            nbr_min = (
-                edges.join(cur, edges["_dst"] == cur["_id"])
-                .groupBy("_src")
-                .agg(F.min("_label").alias("_nbr"))
-            )
-            cur = (
-                cur.join(nbr_min, cur["_id"] == nbr_min["_src"], "left")
-                .select(
-                    F.col("_id"),
-                    F.least(
-                        F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
-                    ).alias("_label"),
-                    F.col("_prev"),
-                )
-            )
-        new_labels = cur.localCheckpoint(eager=True)
-        changed = (
-            new_labels.filter(F.col("_label") != F.col("_prev")).limit(1).count()
-        )
-        labels = new_labels.drop("_prev")
-        if changed == 0:
-            break
-    return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("cluster"))
+    from smartdatapipeline_spark.functions.graph import connected_components
+
+    return connected_components(
+        pairs.select(F.col(a_col).alias("_e_src"), F.col(b_col).alias("_e_dst")),
+        nodes.select(F.col(id_col).alias("_cc_node")),
+        id_col="_cc_node",
+        src="_e_src",
+        dst="_e_dst",
+        max_iter=max_iter,
+    ).select(F.col("_cc_node").alias(id_col), "cluster")
 
 
 def build_cluster_index(

@@ -19,7 +19,14 @@ an ordered fold — `aggregate(sort_array(collect_list(struct(src, c))))`
 every partitioning. (A plain SUM(double) would be order-dependent; see
 functions/numeric.py.) In-degrees here are bounded (a customer touches
 dozens of suppliers), so the per-group list is small; for power-law
-graphs raise to a two-level fold keyed by (dst, src-bucket).
+graphs ``pagerank(..., src_buckets=B)`` switches to a two-level fold
+keyed by (dst, src % B): level 1 folds each bucket's contributions in
+src order, level 2 folds the bucket partials in bucket order — a
+10⁵-in-degree hub becomes B groups of ~indeg/B instead of one
+collect_list the size of the in-degree. Both levels start from 0.0 and
+follow a FIXED total order, so the result is deterministic and an
+external engine spelling the same two-level fold (see the
+graph_pagerank oracle) reproduces it bit-for-bit.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     residual: float = 0.15,
+    src_buckets: int = 0,
 ) -> DataFrame:
     """Unnormalized PageRank (rank₀ = 1, rankᵢ₊₁ = (1−d) + d·Σ
     rank/outdeg over in-edges) for a fixed number of power iterations.
@@ -50,6 +58,19 @@ def pagerank(
     Returns (node, rank) for every node appearing as src or dst.
     Deterministic bit-for-bit: contributions fold in src order (module
     docstring); division rank/outdeg is a single IEEE op.
+
+    ``src_buckets=B`` (B ≥ 1) enables the two-level power-law fold:
+    contributions pre-fold per (dst, src % B) in src order, then the B
+    partials fold in bucket order — the per-group state drops from
+    in-degree to ~in-degree/B, so a hub node no longer pins one task.
+    Requires NUMERIC node ids (the bucket key is ``src % B``, chosen
+    because it is trivially reproducible in any SQL oracle — a hash
+    bucket would need a cross-engine hash for bit-parity). B=1 is
+    bit-identical to the flat fold (a single partial folds from 0.0,
+    and 0.0 + x == x for the strictly-positive contributions here);
+    B>1 is a DIFFERENT (but fixed) double-addition order, so flat and
+    bucketed variants agree only to float tolerance with each other —
+    each is individually bit-stable across partitionings and engines.
     """
     # edge + degree frames are loop-invariant: cache once so the three
     # iteration jobs don't re-derive them from the source plan (the
@@ -75,13 +96,39 @@ def pagerank(
                 ).alias("_sc"),
             )
         )
-        summed = contribs.groupBy("node").agg(
-            F.aggregate(
-                F.sort_array(F.collect_list("_sc")),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("_s_in")
-        )
+        if src_buckets:
+            # two-level fold: (dst, src-bucket) partials in src order,
+            # then partials in bucket order — bounds per-group state at
+            # ~indeg/B for power-law hubs (docstring)
+            partials = contribs.groupBy(
+                "node",
+                F.pmod(F.col("_sc.src").cast("long"), F.lit(src_buckets)).alias(
+                    "_bkt"
+                ),
+            ).agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("_sc")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("_p")
+            )
+            summed = partials.groupBy("node").agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_bkt"), F.col("_p")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_p"],
+                ).alias("_s_in")
+            )
+        else:
+            summed = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("_sc")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("_s_in")
+            )
         ranks = nodes.join(summed, "node", "left").select(
             "node",
             # residual is an explicit literal (not 1−damping) so the
@@ -100,6 +147,76 @@ def pagerank(
     e.unpersist()
     deg.unpersist()
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components: every node labeled with the MIN node id
+    reachable through the (undirected) edge graph — THE one min-label
+    loop in the repo; ``functions/dedup.py duplicate_clusters`` (and
+    through it semantic dedup, crossmodal cluster consumers, the
+    cluster index, dedup-aware splits) delegates here, so there is a
+    single implementation to audit and tune.
+
+    Iterative min-label propagation (the GraphFrames/Pregel CC shape in
+    plain DataFrames): each round a node's label becomes the min of its
+    own and its neighbors' labels; converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so typically < 5. TWO
+    propagation sub-steps run per materialized round: the same total
+    shuffle work for the same propagation distance, but HALF the
+    checkpoint + convergence-count jobs — locally those fixed per-round
+    costs dominate (measured ~2× on the bench corpora). ``_prev``
+    carries the round-entry label so convergence is a filter on the
+    SAME checkpointed frame (no old/new compare join). Deterministic:
+    min is order-independent.
+
+    ``edges`` is taken as directed input and symmetrized here; ``nodes``
+    is one column ``id_col`` (isolated nodes label themselves).
+    Output: (id_col, cluster).
+    """
+    both = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+    )
+    both = both.localCheckpoint(eager=True)
+    labels = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .withColumn("_label", F.col("_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        cur = labels.select("_id", "_label", F.col("_label").alias("_prev"))
+        for _sub in range(2):
+            nbr_min = (
+                both.join(cur, both["_dst"] == cur["_id"])
+                .groupBy("_src")
+                .agg(F.min("_label").alias("_nbr"))
+            )
+            cur = cur.join(nbr_min, cur["_id"] == nbr_min["_src"], "left").select(
+                F.col("_id"),
+                F.least(
+                    F.col("_label"), F.coalesce(F.col("_nbr"), F.col("_label"))
+                ).alias("_label"),
+                F.col("_prev"),
+            )
+        new_labels = cur.localCheckpoint(eager=True)
+        changed = (
+            new_labels.filter(F.col("_label") != F.col("_prev")).limit(1).count()
+        )
+        labels = new_labels.drop("_prev")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_id").alias(id_col), F.col("_label").alias("cluster")
+    )
 
 
 def bfs_hops(
@@ -169,7 +286,16 @@ def triangle_count(
     key swapped).
 
     Output: (node, n_triangles) for every node in ≥1 triangle.
+
+    The canonical edge frame feeds BOTH sides of the wedge join AND the
+    closing join (three consumers), so it is cached — otherwise the
+    whole upstream derivation (often a heavy fact-table self-join) re-
+    runs up to 5×. The returned plan is lazy, so cache ownership rides
+    out via ``track_cache``; callers release after materializing
+    (bench.py does; see cachetrack.py).
     """
+    from smartdatapipeline_spark.cachetrack import track_cache
+
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -177,6 +303,7 @@ def triangle_count(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .cache()
     )
     e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -188,4 +315,4 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return per_corner
+    return track_cache(per_corner, canon)

@@ -551,9 +551,11 @@ def partition_checksums(
     parallelism/ordering, and portable across engines (md5-based h60,
     decimal sums — the repo's standard discipline).
 
-    Row-hash encoding: each id column is hashed SEPARATELY (NULL → 0,
-    which a real value md5-collides with at only ~2⁻⁶⁰) and the column
-    hashes combine as a position-weighted sum mod 2³¹−1. A single
+    Row-hash encoding: each id column is hashed SEPARATELY (NULL → 0;
+    the column hash is h60 % (2³¹−1), so a real value collides with the
+    NULL sentinel at ~2⁻³¹ per cell — acceptable for an anti-entropy
+    sweep whose per-partition sum then has to collide too) and the
+    column hashes combine as a position-weighted sum mod 2³¹−1. A single
     concat_ws hash would silently skip NULL columns and leave the
     separator unescaped, so distinct rows (NULL,'x') vs ('x',NULL) —
     or values containing the separator — could checksum identically
@@ -565,6 +567,11 @@ def partition_checksums(
     from smartdatapipeline_spark.functions.dedup import P31, h60
     from smartdatapipeline_spark.functions.numeric import dsum
 
+    if not id_cols:
+        # without this, terms stays None → row_h = NULL % P31 = NULL and
+        # every partition's id_checksum degrades to NULL (compares equal
+        # everywhere) — fail fast instead (round-5 ADVICE)
+        raise ValueError("partition_checksums: id_cols must be non-empty")
     terms = None
     for i, c in enumerate(id_cols):
         hc = F.when(F.col(c).isNull(), F.lit(0)).otherwise(

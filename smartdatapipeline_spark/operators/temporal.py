@@ -605,6 +605,16 @@ def interval_overlap_join(
     Column names must be disjoint between the two sides (alias before
     calling) — the output carries both schemas flat.
 
+    MULTIPLICITY PRECONDITION: rows must be distinct WITHIN each side.
+    The bucket-explode pairs a matching (l, r) once per shared bucket,
+    and the whole-row ``.distinct()`` that collapses those bucket
+    repeats cannot tell them apart from genuinely duplicate input rows
+    — so duplicate left (or right) rows yield ONE output pair, not N.
+    If duplicate rows are meaningful, attach a unique key column to
+    each side first (e.g. ``monotonically_increasing_id`` at the
+    source, or a row_number over a stable key) and the distinct then
+    preserves them (round-4 ADVICE #4).
+
     Output: all left columns + all right columns + ``overlap_start`` /
     ``overlap_end`` (the clipped intersection).
     """

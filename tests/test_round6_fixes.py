@@ -1,0 +1,230 @@
+"""Regression tests for the round-5 ADVICE findings and round-6 verdict
+items: cachetrack ownership transfer, partition_checksums NULL/
+transposition/separator discipline + empty-id_cols guard, the cached
+multi-consumer frames in triangle_count / basket_jaccard_pairs, and the
+interval_overlap_join multiplicity precondition."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.cachetrack import (
+    propagate_caches,
+    release_plan_caches,
+    track_cache,
+)
+from smartdatapipeline_spark.operators.quality import partition_checksums
+
+TS = dt.datetime
+
+
+# ---------------------------------------------------------------- cachetrack
+
+
+def test_propagate_caches_transfers_and_clears(spark):
+    """ADVICE low: the leak fix (`propagate_caches`) had no dedicated
+    test — ownership must MOVE (src cleared, dst holding) so a release
+    on the derived frame frees the intermediates exactly once."""
+    inter = spark.range(10).cache()
+    src = spark.range(5)
+    src = track_cache(src, inter)
+    out = src.select((F.col("id") * 2).alias("id2"))
+    assert getattr(out, "_sdp_caches", []) == []  # transform drops it
+    out = propagate_caches(src, out)
+    assert list(out._sdp_caches) == [inter]
+    assert list(src._sdp_caches) == []  # moved, not copied
+    out.count()
+    assert inter.is_cached
+    release_plan_caches(out)
+    assert not inter.is_cached
+    assert list(out._sdp_caches) == []
+
+
+def test_track_cache_rides_out_of_operators(spark):
+    """triangle_count and basket_jaccard_pairs now cache their multi-
+    consumer intermediate and hand ownership to the caller; releasing
+    the result must unpersist it (no storage pinned past the action)."""
+    from smartdatapipeline_spark.functions.graph import triangle_count
+    from smartdatapipeline_spark.functions.similarity import basket_jaccard_pairs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    tri = triangle_count(edges)
+    got = {r["node"]: r["n_triangles"] for r in tri.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    caches = list(tri._sdp_caches)
+    assert len(caches) == 1 and caches[0].is_cached
+    release_plan_caches(tri)
+    assert not caches[0].is_cached
+
+    baskets = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")],
+        "cust int, item string",
+    )
+    bj = basket_jaccard_pairs(baskets, "cust", "item", top_k=5)
+    rows = bj.collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+    caches = list(bj._sdp_caches)
+    assert len(caches) == 1 and caches[0].is_cached
+    release_plan_caches(bj)
+    assert not caches[0].is_cached
+
+
+# ---------------------------------------------- partition_checksums encoding
+
+
+def _sums(df):
+    return {
+        r["part"]: (r["n_rows"], r["id_checksum"]) for r in df.collect()
+    }
+
+
+def test_partition_checksums_distinguishes_null_transposition(spark):
+    """ADVICE low (round-4 fix, round-5 untested): (NULL,'x') and
+    ('x',NULL) are distinct rows and must checksum differently — the
+    old concat_ws encoding silently dropped NULLs."""
+    a = spark.createDataFrame([("p", None, "x")], "g string, c1 string, c2 string")
+    b = spark.createDataFrame([("p", "x", None)], "g string, c1 string, c2 string")
+    ca = _sums(partition_checksums(a, F.col("g"), ("c1", "c2")))
+    cb = _sums(partition_checksums(b, F.col("g"), ("c1", "c2")))
+    assert ca["p"][0] == cb["p"][0] == 1
+    assert ca["p"][1] != cb["p"][1]
+
+
+def test_partition_checksums_separator_values_distinct(spark):
+    """Values containing the old '\\x1f' separator must not alias with
+    the split row — per-column hashing needs no separator at all."""
+    sep = "\x1f"
+    a = spark.createDataFrame(
+        [("p", f"ab{sep}cd", "e")], "g string, c1 string, c2 string"
+    )
+    b = spark.createDataFrame([("p", "ab", f"cd{sep}e")], "g string, c1 string, c2 string")
+    ca = _sums(partition_checksums(a, F.col("g"), ("c1", "c2")))
+    cb = _sums(partition_checksums(b, F.col("g"), ("c1", "c2")))
+    assert ca["p"][1] != cb["p"][1]
+
+
+def test_partition_checksums_order_independent(spark):
+    """Same multiset of rows in any partitioning/order → identical
+    checksum (the anti-entropy contract)."""
+    rows = [("p", str(i), str(i * 7)) for i in range(50)]
+    a = spark.createDataFrame(rows, "g string, c1 string, c2 string").repartition(1)
+    b = spark.createDataFrame(rows[::-1], "g string, c1 string, c2 string").repartition(8)
+    assert _sums(partition_checksums(a, F.col("g"), ("c1", "c2"))) == _sums(
+        partition_checksums(b, F.col("g"), ("c1", "c2"))
+    )
+
+
+def test_partition_checksums_empty_id_cols_raises(spark):
+    """ADVICE low: id_cols=() used to degrade to NULL checksums that
+    compare equal everywhere — now a fast ValueError."""
+    df = spark.createDataFrame([("p", "x")], "g string, c1 string")
+    with pytest.raises(ValueError, match="id_cols"):
+        partition_checksums(df, F.col("g"), ())
+
+
+# ------------------------------------------ interval_overlap multiplicity
+
+
+def test_interval_overlap_duplicate_rows_collapse_documented(spark):
+    """Pin the documented precondition: duplicate input rows collapse
+    to ONE output pair (whole-row distinct), and attaching a unique key
+    restores multiplicity."""
+    from smartdatapipeline_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("c", TS(2024, 1, 1), TS(2024, 1, 3))] * 2,
+        "l_name string, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("i", TS(2024, 1, 2), TS(2024, 1, 4))],
+        "r_name string, r_start timestamp, r_end timestamp",
+    )
+    collapsed = interval_overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end"
+    )
+    assert collapsed.count() == 1  # duplicates collapse — documented
+
+    keyed = left.withColumn(
+        "l_key", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("l_name").orderBy("l_start")
+        )
+    )
+    kept = interval_overlap_join(
+        keyed, right, "l_start", "l_end", "r_start", "r_end"
+    )
+    assert kept.count() == 2  # unique key restores multiplicity
+
+
+# -------------------------------------------- two-level PageRank fold
+
+
+def test_pagerank_bucketed_b1_bitexact_vs_flat(spark):
+    """src_buckets=1 must be bit-identical to the flat fold: one
+    partial per dst, folded from 0.0, and 0.0 + x == x for the
+    strictly-positive contributions."""
+    from smartdatapipeline_spark.functions.graph import pagerank, symmetrize
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23],
+        "src long, dst long",
+    )
+    flat = {
+        r["node"]: r["rank"]
+        for r in pagerank(symmetrize(edges), iterations=3).collect()
+    }
+    b1 = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            symmetrize(edges), iterations=3, src_buckets=1
+        ).collect()
+    }
+    assert flat == b1  # exact float equality, not approx
+
+
+def test_pagerank_hub_probe_two_level(spark):
+    """Power-law hub probe (verdict r5 task #4): one dst with 10⁵
+    in-edges. The two-level fold must (a) run, (b) be bit-stable across
+    partitionings, (c) match a driver-side replication of the exact
+    fold order (bucket partials in src order, partials in bucket
+    order)."""
+    from smartdatapipeline_spark.functions.graph import pagerank
+
+    n = 100_000
+    b = 32
+    hub = n  # node id of the hub
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), F.lit(hub).cast("long").alias("dst")
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=1, src_buckets=b).collect()
+    }
+    got8 = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges.repartition(8, "src"), iterations=1, src_buckets=b
+        ).collect()
+    }
+    assert got == got8  # partitioning-independent, bit-exact
+
+    # replicate: every src has outdeg 1 and rank 1.0 → contribution 1.0;
+    # bucket k holds srcs ≡ k (mod b) in src order; partials fold in
+    # bucket order
+    partials = []
+    for k in range(b):
+        acc = 0.0
+        for s in range(k, n, b):
+            acc += 1.0 / 1.0
+        partials.append(acc)
+    acc = 0.0
+    for p in partials:
+        acc += p
+    expect_hub = 0.15 + 0.85 * acc
+    assert got[hub] == expect_hub
+    assert got[0] == 0.15  # leaves get residual only
