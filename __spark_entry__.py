@@ -794,6 +794,66 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_features(d.withColumn("blob", blob))
 
 
+def q_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG PIXEL decode end-to-end (round 6 — the compressed-
+    format gap closed, stdlib-only): an Arrow-batched encoder builds a
+    valid 8-bit PNG per doc (width/height/color-type and every pixel
+    byte are formulas of doc_id; scanline filters cycle 0..4 so
+    None/Sub/Up/Average/Paeth ALL exercise), functions/multimodal.py
+    ``decode_png_pixels`` inflates + reverse-filters it back, and the
+    pixel summary (byte sum, first/last byte) is computed JVM-side from
+    the decoded binary via hex/conv expressions. The oracle recomputes
+    width/height/channels/sum/first/last from doc_id arithmetic alone —
+    any defect in chunk walk, CRC, inflate, or any filter reversal
+    breaks the bit-exact match."""
+    import pandas as pd
+    from pyspark.sql import types as PT
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    enc_schema = PT.StructType(
+        [d.schema["doc_id"], PT.StructField("blob", PT.BinaryType())]
+    )
+
+    def _enc(batches):
+        from smartdatapipeline_spark.functions.multimodal import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 13 + 1
+                h = did % 11 + 1
+                ch = (1, 3, 2, 4)[did % 4]
+                px = bytes(
+                    (did * 31 + j * 7) % 256 for j in range(w * h * ch)
+                )
+                blobs.append(encode_png(w, h, ch, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    dec = MM.decode_png_pixels(d.mapInPandas(_enc, schema=enc_schema))
+    hexed = dec.withColumn("_hex", F.hex("pixels"))
+    n = F.octet_length("pixels").cast("int")
+
+    def byte_at(i):  # i: 0-based byte index (Column) → unsigned value
+        return F.conv(F.col("_hex").substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        )
+
+    return hexed.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + byte_at(i),
+        ).alias("pixel_sum"),
+        byte_at(F.lit(0)).alias("first_px"),
+        byte_at(n - 1).alias("last_px"),
+    )
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode end-to-end: Spark builds RIFF/WAVE headers from
     doc_id (channels/rate/sample-count formulas), the stdlib chunk
@@ -3250,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_roundtrip": q_payload_roundtrip,
         "forecast_drift": q_forecast_drift,
         "image_decode": q_image_decode,
+        "png_pixel_decode": q_png_pixel_decode,
         "audio_decode": q_audio_decode,
         "anomaly_iforest_numpy": q_anomaly_iforest_numpy,
         "market_share": q_market_share,
@@ -5923,6 +5984,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(doc_id % 509 + 16 AS INTEGER) AS width,
                    CAST(doc_id % 253 + 16 AS INTEGER) AS height
             FROM documents
+        """,
+        "png_pixel_decode": """
+            WITH base AS (
+                SELECT doc_id,
+                       doc_id % 13 + 1 AS w,
+                       doc_id % 11 + 1 AS h,
+                       CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                            WHEN 2 THEN 2 ELSE 4 END AS ch
+                FROM documents),
+            sized AS (SELECT *, w * h * ch AS n FROM base),
+            series AS (SELECT range AS j FROM range(0, 572))
+            SELECT s.doc_id,
+                   CAST(s.w AS INTEGER) AS width,
+                   CAST(s.h AS INTEGER) AS height,
+                   CAST(s.ch AS INTEGER) AS n_channels,
+                   CAST(SUM(CASE WHEN t.j < s.n
+                            THEN (s.doc_id * 31 + t.j * 7) % 256
+                            ELSE 0 END) AS BIGINT) AS pixel_sum,
+                   CAST((s.doc_id * 31) % 256 AS BIGINT) AS first_px,
+                   CAST((s.doc_id * 31 + (s.n - 1) * 7) % 256 AS BIGINT)
+                       AS last_px
+            FROM sized s CROSS JOIN series t
+            GROUP BY s.doc_id, s.w, s.h, s.ch, s.n
         """,
         "audio_decode": """
             SELECT doc_id,

@@ -261,22 +261,215 @@ def decode_bmp_pixels(
     return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
 
 
+def parse_png_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL pixel decode, pure stdlib (round-6: PNG no longer needs a
+    codec library): 8-bit-depth non-interlaced PNG → (width, height,
+    n_channels, raw bytes row-major top-down). The deflate stream
+    inflates with stdlib ``zlib`` and all five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9 "Filtering") reverse
+    per-row. Color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA)
+    are supported; palette (3), 16-bit depth, and Adam7 interlace
+    return None (as does any malformed chunk / CRC / length) — fail-
+    soft for mixed corpora, same contract as ``parse_bmp_pixels``."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length or pos + 12 + length > len(data):
+            return None
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            return None
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ch is None:
+        return None
+    if w == 0 or h == 0 or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = bytearray(stride * h)
+    prev = bytes(stride)  # the row above row 0 is all zeros (spec)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub: + byte ch positions left
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up: + byte above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average: + floor((left + above)/2)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            return None
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal stdlib PNG ENCODER (8-bit, non-interlaced) — the golden-
+    test / test-corpus twin of ``parse_png_pixels``. ``filters`` picks
+    the filter type per scanline (default cycles 0..4 so every filter
+    path is exercised); the filtered bytes are the spec-exact inverse
+    of the decoder's reversal, so round-trip is bit-identical."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixels length != width*height*channels")
+    if filters is None:
+        filters = [r % 5 for r in range(height)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride : (r + 1) * stride]
+        ft = filters[r]
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = line[i] - a
+            elif ft == 2:
+                v = line[i] - b
+            elif ft == 3:
+                v = line[i] - ((a + b) >> 1)
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[i] - pred
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched PNG pixel decode via ``parse_png_pixels`` — same
+    ``mapInPandas`` plumbing as ``decode_bmp_pixels``; bytes never
+    leave the executor; non-PNG / unsupported rows yield NULLs.
+
+    Output: (id, width, height, n_channels, pixels binary — raw
+    channel bytes row-major top-down).
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_png_pixels(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "pixels": [p[3] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
+
+
 def decode_image_pixels(blob_col: Column) -> Column:
-    """COMPRESSED-format pixel decode (PNG/GIF/JPEG) stays gated on PIL
-    (not in this container). Uncompressed 24-bpp BMP decodes with no
-    codec at all — use ``parse_bmp_pixels``/``decode_bmp_pixels``;
-    header decode for every format is real (``parse_image_header``)."""
+    """JPEG pixel decode stays gated on PIL (not in this container) —
+    the gate is now JPEG-ONLY: PNG pixels decode codec-free via
+    ``parse_png_pixels``/``decode_png_pixels`` (stdlib zlib inflate +
+    full filter reversal), uncompressed 24-bpp BMP via
+    ``parse_bmp_pixels``/``decode_bmp_pixels``, and header decode for
+    every format is real (``parse_image_header``). JPEG needs a DCT
+    entropy decoder, which is out of scope without a codec library."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "pixel decode for COMPRESSED formats (png/gif/jpeg) requires "
-            "Pillow, which is not available in this container; uncompressed "
-            "24-bpp BMP pixels decode codec-free via decode_bmp_pixels, and "
-            "header-level decode for all formats is implemented in "
-            "parse_image_header/decode_image_features"
+            "pixel decode for JPEG requires Pillow, which is not available "
+            "in this container; PNG pixels decode codec-free via "
+            "decode_png_pixels, uncompressed 24-bpp BMP via "
+            "decode_bmp_pixels, and header-level decode for all formats is "
+            "implemented in parse_image_header/decode_image_features"
         ) from exc
-    raise NotImplementedError("PIL present but pixel decoder not wired yet")
+    raise NotImplementedError("PIL present but JPEG pixel decoder not wired yet")
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

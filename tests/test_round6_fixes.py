@@ -228,3 +228,132 @@ def test_pagerank_hub_probe_two_level(spark):
     expect_hub = 0.15 + 0.85 * acc
     assert got[hub] == expect_hub
     assert got[0] == 0.15  # leaves get residual only
+
+
+# ---------------------------------------------------- PNG pixel decode
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """encode_png ↔ parse_png_pixels round-trip, every supported color
+    type, default filter schedule cycling through all five filters."""
+    from smartdatapipeline_spark.functions.multimodal import (
+        encode_png,
+        parse_png_pixels,
+    )
+
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 6  # 6 rows → filters 0,1,2,3,4,0 all hit
+        px = bytes((i * 37 + ch * 11) % 256 for i in range(w * h * ch))
+        blob = encode_png(w, h, ch, px)
+        got = parse_png_pixels(blob)
+        assert got == (w, h, ch, px), f"channels={ch}"
+
+
+def test_png_golden_handbuilt():
+    """Spec-level golden: a PNG assembled BYTE BY BYTE in the test (not
+    via encode_png) — 2×2 RGB, row 0 filter Sub, row 1 filter Paeth,
+    filtered bytes hand-computed from the spec — must decode to the
+    hand-written raw pixels."""
+    import struct
+    import zlib
+
+    from smartdatapipeline_spark.functions.multimodal import parse_png_pixels
+
+    # raw pixels (top-down): row0 = (10,20,30),(13,24,35)
+    #                        row1 = (12,22,32),(15,27,39)
+    row0 = [10, 20, 30, 13, 24, 35]
+    row1 = [12, 22, 32, 15, 27, 39]
+    # filter 1 (Sub) on row0: first pixel verbatim, second minus left
+    f_row0 = row0[:3] + [row0[3] - row0[0], row0[4] - row0[1], row0[5] - row0[2]]
+    # filter 4 (Paeth) on row1: a=left, b=above, c=above-left
+    f_row1 = []
+    for i in range(6):
+        a = row1[i - 3] if i >= 3 else 0
+        b = row0[i]
+        c = row0[i - 3] if i >= 3 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        f_row1.append((row1[i] - pred) & 0xFF)
+    raw = bytes([1] + [v & 0xFF for v in f_row0] + [4] + f_row1)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png_pixels(blob) == (2, 2, 3, bytes(row0 + row1))
+
+
+def test_png_rejects_malformed():
+    """Fail-soft contract: corrupt CRC, truncation, palette color type,
+    16-bit depth, interlace, and non-PNG bytes all return None."""
+    from smartdatapipeline_spark.functions.multimodal import (
+        encode_png,
+        parse_png_pixels,
+    )
+
+    good = encode_png(3, 2, 3, bytes(range(18)))
+    assert parse_png_pixels(good) is not None
+    # flip one IDAT byte → CRC mismatch
+    bad_crc = bytearray(good)
+    bad_crc[40] ^= 0xFF
+    assert parse_png_pixels(bytes(bad_crc)) is None
+    assert parse_png_pixels(good[:30]) is None  # truncated
+    assert parse_png_pixels(b"not a png at all") is None
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),  # palette
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),  # 16-bit
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),  # Adam7
+    ):
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        assert parse_png_pixels(blob) is None
+
+
+def test_decode_png_pixels_frame(spark):
+    """The mapInPandas wrapper: PNG rows decode, non-PNG rows go NULL
+    (mixed-corpus fail-soft), id column name/type preserved."""
+    from smartdatapipeline_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = bytes((i * 3) % 256 for i in range(4 * 2 * 3))
+    rows = [
+        ("a", bytearray(encode_png(4, 2, 3, px))),
+        ("b", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+    ]
+    df = spark.createDataFrame(rows, "name string, blob binary")
+    got = {r["name"]: r for r in decode_png_pixels(df, id_col="name").collect()}
+    assert (got["a"]["width"], got["a"]["height"], got["a"]["n_channels"]) == (
+        4,
+        2,
+        3,
+    )
+    assert bytes(got["a"]["pixels"]) == px
+    assert got["b"]["width"] is None and got["b"]["pixels"] is None
