@@ -3225,6 +3225,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_bpe_merges_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-budget BPE trainer (functions/bpe.py bpe_train_fast):
+    one distributed word-count aggregation, then the classic
+    incremental greedy trainer runs driver-side on the bounded
+    vocabulary — 32k merges cost zero extra Spark jobs. Trained here at
+    the oracle's 6-merge budget so the SAME unrolled SQL oracle proves
+    it merge-for-merge bit-exact (the merge-equivalence property test
+    covers it against bpe_train at depth 8)."""
+    from smartdatapipeline_spark.functions.bpe import bpe_train_fast
+
+    return bpe_train_fast(_docs(spark, sf_dir), n_merges=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3429,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "revenue_cube": q_revenue_cube,
         "bpe_merges": q_bpe_merges,
+        "bpe_merges_fast": q_bpe_merges_fast,
         "pq_topk": q_pq_topk,
         "partition_checksums": q_partition_checksums,
         "pseudonymize": q_pseudonymize,
@@ -5424,6 +5438,9 @@ def oracle_sql() -> dict[str, str]:
         )
     )
     o["bpe_merges"] = "".join(_bpe)
+    # the fast (driver-side incremental) trainer is defined to produce the
+    # IDENTICAL merge table — same oracle, independently proven
+    o["bpe_merges_fast"] = o["bpe_merges"]
 
     # salted_join's oracle IS the plain join — identical output proves
     # the salting is pure partitioning, zero semantic change

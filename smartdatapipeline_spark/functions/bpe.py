@@ -12,6 +12,20 @@ Per round: one pair-explode + weighted count (map-side combined), one
 any model coefficient), one column rewrite of the segmentation. Round
 count is the model's merge budget — fixed, not data-dependent.
 
+At PRODUCTION merge budgets (32k) one Spark job per round is the wrong
+shape — and batching "non-interacting" merges per round is NOT
+greedy-equivalent (merging (a,b) can mint a new pair (x,ab) whose
+count beats the round's runner-up, so greedy would take it first; a
+counterexample lives in the round-6 tests). The correct scale design
+is ``bpe_train_fast``: the distributed part stays the one fact-sized
+word-count aggregation, and the (vocabulary-sized — a few million
+rows, bounded, optionally capped) training state collects to the
+driver where the classic incremental-pair-count greedy trainer runs
+all 32k rounds in memory with zero further jobs — the same
+aggregate-big/fit-small split as the quality-model L-BFGS build, and
+what SentencePiece/HF trainers do. Property-tested merge-for-merge
+identical to the distributed ``bpe_train``.
+
 Cross-engine determinism: pair counts are exact ints; the argmax
 tie-break is total (count desc, left asc, right asc); and the merge
 rewrite uses TWO passes of plain space-delimited string replace — a
@@ -121,6 +135,79 @@ def bpe_train(
         )
     finally:
         vocab.unpersist()
+
+
+def bpe_train_fast(
+    df: DataFrame,
+    n_merges: int = 256,
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+) -> DataFrame:
+    """Greedy BPE training at production merge budgets: ONE distributed
+    word-count aggregation (the only fact-sized pass), then the
+    vocabulary — bounded at a few million rows at web scale, optionally
+    capped to the top ``vocab_limit`` words by (cnt desc, word asc) —
+    collects to the driver and the classic incremental trainer runs
+    every merge round in memory. 32k merges cost 32k dict updates, not
+    32k Spark jobs (module docstring has the why-not-batching proof
+    sketch). Output schema and values are IDENTICAL to ``bpe_train``:
+    (round, left, right, merged, pair_count) with the same (count desc,
+    left asc, right asc) tie-break and the same greedy left-to-right
+    non-overlapping merge scan the two-pass replace implements.
+    """
+    spark = df.sparkSession
+    v = word_vocab(df, text_col)
+    if vocab_limit is not None:
+        v = v.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(vocab_limit)
+    rows = v.collect()
+
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [END], int(r["cnt"])) for r in rows
+    ]
+    from collections import Counter, defaultdict
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, cnt) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += cnt
+            pair_words[p].add(wi)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (a, b), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, a + b, int(n)))
+        for wi in list(pair_words.get((a, b), ())):
+            syms, cnt = words[wi]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(wi)
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[wi] = (new, cnt)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += cnt
+                pair_words[p].add(wi)
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, pair_count bigint",
+    )
 
 
 def bpe_apply(
