@@ -18,8 +18,65 @@ MERGE; plain parquet keeps this repo dependency-free.
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def gold_writer_lock(
+    path: str, timeout_sec: float = 120.0, stale_sec: float = 600.0
+):
+    """Single-writer discipline for path-based partition upserts
+    (round-6: the nightly-scheduler vs ingest-triggered recompute
+    interleave). Dynamic partition overwrite is delete-matching +
+    append with NO transactional commit on bare parquet, so two
+    concurrent writers can interleave file sets inside one partition
+    directory — half of batch A's files plus half of batch B's. This
+    lock serializes writers per table path.
+
+    Mechanism: an empty marker directory ``<path>._LOCK`` created with
+    ``os.makedirs`` — directory creation is atomic on POSIX and HDFS
+    (one concurrent creator wins, the rest get FileExistsError). A lock
+    older than ``stale_sec`` is treated as leaked by a crashed writer
+    and broken (rmdir is itself atomic; losers of the break race loop
+    and retry). Waiters poll until ``timeout_sec`` then raise
+    TimeoutError rather than deadlock a scheduler thread.
+
+    Scope honesty for 100 TB deployments: object stores without atomic
+    namespace ops (S3) need an external lock service or a table format
+    with transactional commit (Delta/Iceberg MERGE) — this discipline
+    covers POSIX/HDFS paths, which is what bare-parquet gold is. The
+    scheduler quirk that triggers overlapping recomputes is
+    plans/scheduler.py; this makes those recomputes safe rather than
+    assuming they never overlap.
+    """
+    lock_dir = path.rstrip("/") + "._LOCK"
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            os.makedirs(lock_dir, exist_ok=False)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock_dir).st_mtime > stale_sec:
+                    os.rmdir(lock_dir)
+                    continue
+            except (FileNotFoundError, OSError):
+                continue  # holder released (or break race lost) — retry now
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"gold_writer_lock: {lock_dir} held past {timeout_sec}s"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.rmdir(lock_dir)
+        except OSError:
+            pass
 
 
 def write_bronze(df: DataFrame, path: str) -> None:
@@ -35,20 +92,25 @@ def append_silver(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
-def overwrite_gold_partitions(df: DataFrame, path: str) -> None:
+def overwrite_gold_partitions(
+    df: DataFrame, path: str, lock_timeout_sec: float = 120.0
+) -> None:
     """A4/A5 — KPI upsert: replace exactly the (metric_date) partitions in
     this batch (reference ON CONFLICT DO UPDATE, services/kpi.py:143-180).
 
     Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
     here per-write via the DataFrameWriter option so the session default
-    doesn't matter).
+    doesn't matter). Serialized per table path by ``gold_writer_lock``
+    so a nightly full recompute and an ingest-triggered incremental one
+    can never interleave file sets inside a partition directory.
     """
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("metric_date")
-        .parquet(path)
-    )
+    with gold_writer_lock(path, timeout_sec=lock_timeout_sec):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("metric_date")
+            .parquet(path)
+        )
 
 
 def write_bucketed_gold(
@@ -77,13 +139,16 @@ def overwrite_forecast_horizon(
 ) -> None:
     """S10 — forecast upsert per (source, metric) horizon (reference
     services/forecast.py:95-107): partition by (metric) and overwrite
-    dynamically — each re-forecast replaces only its own series."""
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("metric")
-        .parquet(path)
-    )
+    dynamically — each re-forecast replaces only its own series. Same
+    writer-lock discipline as gold (concurrent re-forecast requests for
+    overlapping metrics would otherwise interleave)."""
+    with gold_writer_lock(path):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("metric")
+            .parquet(path)
+        )
 
 
 def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
