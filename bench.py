@@ -245,6 +245,9 @@ BENCH_QUERIES: list[str] = [
     "k_anonymity",
     "salted_join",
     "ann_truncation_recall",
+    # round-6 additions
+    "png_pixel_decode",
+    "bpe_merges_fast",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -64,7 +64,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (e.g. the tools/make_scale_dir.py
+            # salted replicas): a DIRECTORY of part files — glob it
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
