@@ -247,6 +247,7 @@ BENCH_QUERIES: list[str] = [
     "ann_truncation_recall",
     # round-6 additions
     "png_pixel_decode",
+    "jpeg_pixel_decode",
     "bpe_merges_fast",
 ]
 

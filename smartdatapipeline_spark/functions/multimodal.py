@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
-metadata, Arrow-batched feature extraction, and decode stubs
-(BASELINE.json north-star extension).
+metadata, Arrow-batched feature extraction, and REAL from-scratch
+decoders (BASELINE.json north-star extension).
 
-The image/audio libraries are not in this container, so the DECODE step
-is stubbed exactly as specified: gated behind an import-try with a
-clearly-marked ``NotImplementedError``, while everything Spark-side —
-schema, partitioning, ``mapInPandas`` batch shape, deterministic
-feature math — is real and oracle-tested.
+No codec library is needed anywhere in the pixel path (round 6): PNG
+decodes via stdlib zlib inflate + full scanline-filter reversal,
+uncompressed 24-bpp BMP via struct walking, and baseline JPEG via a
+from-scratch T.81 implementation (Huffman entropy decode, dequantize,
+orthonormal IDCT, chroma upsample, BT.601 color transform) — each with
+an encoder twin for golden round-trips. Headers for PNG/GIF/BMP/JPEG
+and RIFF/WAV parse stdlib-only as well. Out-of-contract payloads
+(progressive JPEG, palette PNG, 16-bit depths) fail soft to NULL rows —
+mixed corpora keep flowing.
 
 At 100 TB the pattern is: binary column stays in parquet (never
 collected), metadata travels as a sibling struct for predicate pushdown
@@ -451,25 +455,671 @@ def decode_png_pixels(
     return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
 
 
-def decode_image_pixels(blob_col: Column) -> Column:
-    """JPEG pixel decode stays gated on PIL (not in this container) —
-    the gate is now JPEG-ONLY: PNG pixels decode codec-free via
-    ``parse_png_pixels``/``decode_png_pixels`` (stdlib zlib inflate +
-    full filter reversal), uncompressed 24-bpp BMP via
-    ``parse_bmp_pixels``/``decode_bmp_pixels``, and header decode for
-    every format is real (``parse_image_header``). JPEG needs a DCT
-    entropy decoder, which is out of scope without a codec library."""
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec, from scratch (ITU-T T.81) — round 6 closes the last
+# compressed-format gap: no codec library anywhere in the pixel path.
+# ---------------------------------------------------------------------------
+
+#: natural (row-major) index of each position in zigzag scan order
+#: (T.81 Figure 5)
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: the typical Huffman tables of T.81 Annex K.3 — (BITS[1..16], HUFFVAL),
+#: keyed (table_class, dest): class 0 = DC, 1 = AC; dest 0 = luma, 1 = chroma
+_STD_HUFF = {
+    (0, 0): (
+        (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+        bytes(range(12)),
+    ),
+    (0, 1): (
+        (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+        bytes(range(12)),
+    ),
+    (1, 0): (
+        (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+        bytes.fromhex(
+            "010203000411051221314106135161072271143281915108"
+            "2342b1c11552d1f02433627282090a161718191a25262728"
+            "292a3435363738393a434445464748494a53545556575859"
+            "5a636465666768696a737475767778797a83848586878889"
+            "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+            "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+            "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+        ),
+    ),
+    (1, 1): (
+        (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+        bytes.fromhex(
+            "000102031104052131061241510761711322328108144291"
+            "a1b1c109233352f0156272d10a162434e125f11718191a26"
+            "2728292a35363738393a434445464748494a535455565758"
+            "595a636465666768696a737475767778797a828384858687"
+            "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4"
+            "b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9da"
+            "e2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9fa"
+        ),
+    ),
+}
+
+_DCT_M = None  # cached 8×8 orthonormal DCT-II matrix
+
+
+def _dct_mat():
+    """Orthonormal 8-point DCT-II matrix — identical scaling to T.81's
+    FDCT definition (the 1/4·c(u)c(v) 2-D form), which is what bounds
+    quantized coefficients to the spec's ±1023 AC / ±1016 DC range."""
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
+
+        x = np.arange(8)
+        m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        m[0] /= np.sqrt(2.0)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman code assignment (T.81 C.2): symbol → (nbits, code)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_dec(bits, vals):
+    """Decode table: (nbits, code) → symbol, built from a DHT payload."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _Trunc(Exception):
+    """Entropy stream ended / invalid code — decoder fail-softs to None."""
+
+
+class _BitReader:
+    __slots__ = ("b", "i", "acc", "cnt")
+
+    def __init__(self, b: bytes):
+        self.b, self.i, self.acc, self.cnt = b, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.cnt == 0:
+            if self.i >= len(self.b):
+                raise _Trunc
+            self.acc = self.b[self.i]
+            self.i += 1
+            self.cnt = 8
+        self.cnt -= 1
+        return (self.acc >> self.cnt) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise _Trunc
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude code to a signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def parse_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL baseline-JPEG pixel decode, from scratch (stdlib + numpy —
+    round 6 closes the last compressed-format gap; no codec library):
+    marker walk → DQT/DHT/SOF0/SOF1/DRI/SOS parse → Huffman entropy
+    decode (T.81 F.2.2) with byte unstuffing + restart-marker segments →
+    dequantize → batched orthonormal IDCT → integer-ratio chroma
+    upsample → BT.601 YCbCr→RGB. Returns (width, height, n_channels,
+    row-major bytes); grayscale decodes 1 channel, YCbCr 3.
+
+    Fail-soft None (same contract as ``parse_png_pixels``) for:
+    progressive/lossless/arithmetic frames (SOF2+), 12-bit precision,
+    4-component (CMYK) scans, non-integer sampling ratios, and any
+    truncated/malformed segment or entropy stream.
+    """
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    hdec: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    smap = None
+    scan_start = 0
+    i = 2
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(data):
+            return None
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + seg_len]
+        if seg_len < 2 or len(seg) != seg_len - 2:
+            return None
+        if m == 0xDB:  # DQT — may hold several tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
+                    p += 64
+                elif pq == 1:
+                    q = np.frombuffer(seg[p : p + 128], dtype=">u2")
+                    p += 128
+                else:
+                    return None
+                if q.size != 64:
+                    return None
+                nat = np.zeros(64, np.int32)
+                nat[list(_ZIGZAG)] = q.astype(np.int32)
+                qt[tq] = nat.reshape(8, 8)
+        elif m == 0xC4:  # DHT — may hold several tables
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = tuple(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                if len(vals) != n or tc > 1:
+                    return None
+                hdec[(tc, th)] = _huff_dec(bits, vals)
+                p += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: (extended) sequential DCT
+            if len(seg) < 6:
+                return None
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if prec != 8 or nc not in (1, 3) or not w or not h:
+                return None
+            if len(seg) != 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
+            frame = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic / hierarchical
+        elif m == 0xDD:  # DRI
+            if len(seg) != 2:
+                return None
+            dri = int.from_bytes(seg, "big")
+        elif m == 0xDA:  # SOS — single interleaved scan only (baseline)
+            if frame is None or not seg:
+                return None
+            ns = seg[0]
+            if ns != len(frame[2]) or len(seg) < 1 + 2 * ns + 3:
+                return None
+            smap = []
+            for c in range(ns):
+                smap.append(
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                )
+            scan_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if frame is None or smap is None:
+        return None
+
+    # entropy-coded bytes: unstuff FF00, split at restart markers
+    segs: list[bytes] = []
+    cur = bytearray()
+    p = scan_start
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            if p + 1 >= len(data):
+                break
+            nb = data[p + 1]
+            if nb == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(b)
+        p += 1
+    segs.append(bytes(cur))
+
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not hmax or not vmax:
+        return None
+    for _, hh, vv, _tq in comps:
+        if not hh or not vv or hmax % hh or vmax % vv:
+            return None  # non-integer upsample ratio: out of contract
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    coefs = {
+        c[0]: np.zeros((mcuy * c[2], mcux * c[1], 8, 8), np.int32) for c in comps
+    }
+    order = []
+    for cs, td, ta in smap:
+        c = by_id.get(cs)
+        if c is None or (0, td) not in hdec or (1, ta) not in hdec:
+            return None
+        if c[3] not in qt:
+            return None
+        order.append((cs, c[1], c[2], hdec[(0, td)], hdec[(1, ta)]))
+
+    zz = list(_ZIGZAG)
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "pixel decode for JPEG requires Pillow, which is not available "
-            "in this container; PNG pixels decode codec-free via "
-            "decode_png_pixels, uncompressed 24-bpp BMP via "
-            "decode_bmp_pixels, and header-level decode for all formats is "
-            "implemented in parse_image_header/decode_image_features"
-        ) from exc
-    raise NotImplementedError("PIL present but JPEG pixel decoder not wired yet")
+        seg_idx = 0
+        br = _BitReader(segs[0])
+        dcpred = {c[0]: 0 for c in comps}
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu and mcu % dri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        return None
+                    br = _BitReader(segs[seg_idx])
+                    dcpred = {c[0]: 0 for c in comps}
+                for cs, hh, vv, dct, act in order:
+                    tgt = coefs[cs]
+                    for by in range(vv):
+                        for bx in range(hh):
+                            blk = tgt[my * vv + by, mx * hh + bx].reshape(64)
+                            t = _huff_read(br, dct)
+                            dcpred[cs] += _extend(br.bits(t), t) if t else 0
+                            blk[0] = dcpred[cs]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_read(br, act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r != 15:
+                                        break  # EOB
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    return None
+                                blk[zz[k]] = _extend(br.bits(s), s)
+                                k += 1
+                mcu += 1
+    except _Trunc:
+        return None
+
+    m = _dct_mat()
+    planes = []
+    for cid, hh, vv, tq in comps:
+        c = coefs[cid].astype(np.float64) * qt[tq][None, None]
+        px = np.matmul(np.matmul(m.T, c), m) + 128.0
+        px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+        nby, nbx = px.shape[0], px.shape[1]
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // vv, 0), hmax // hh, 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return w, h, 1, planes[0].tobytes()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "cnt")
+
+    def __init__(self):
+        self.buf, self.acc, self.cnt = bytearray(), 0, 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.cnt += 1
+            if self.cnt == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0)  # byte stuffing (T.81 F.1.2.3)
+                self.acc, self.cnt = 0, 0
+
+    def flush(self) -> None:
+        while self.cnt:
+            self.write(1, 1)  # pad with 1-bits (spec)
+
+
+def _enc_block(blk, dc_pred: int, dc_tab, ac_tab, bw: _BitWriter) -> int:
+    """Huffman-encode one quantized block (natural order); returns new
+    DC predictor."""
+    diff = int(blk[0]) - dc_pred
+    t = abs(diff).bit_length()
+    ln, code = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(blk[_ZIGZAG[k]])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        ln, code = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ln, code = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quant: tuple | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-JPEG ENCODER (T.81 SOF0, typical Annex K Huffman
+    tables) — the golden-test twin of ``parse_jpeg_pixels``, same role
+    ``encode_png`` plays for the PNG decoder. channels 1 (grayscale) or
+    3 (RGB → BT.601 YCbCr); ``quant`` is (luma64, chroma64) in natural
+    order (default all-ones: near-lossless, and EXACTLY lossless for
+    block-uniform grayscale input — the property the oracle query
+    pins); ``subsample`` '444' or '420'; ``restart_interval`` emits
+    DRI + RSTn so the decoder's restart path is exercised."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length != width*height*channels")
+    ql = np.ones((8, 8), np.int32) if quant is None else np.asarray(
+        quant[0], np.int32
+    ).reshape(8, 8)
+    qc = np.ones((8, 8), np.int32) if quant is None else np.asarray(
+        quant[1], np.int32
+    ).reshape(8, 8)
+
+    img = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    if channels == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(
+            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255
+        )
+        cr = np.clip(
+            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255
+        )
+        if subsample == "420":
+            ph = height + (height & 1)
+            pw = width + (width & 1)
+
+            def down(p):
+                q = np.pad(p, ((0, ph - height), (0, pw - width)), "edge")
+                q = q.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                return np.round(q)
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    m = _dct_mat()
+    qts = [ql, qc]
+    blocks = []  # per component: (nby, nbx, 8, 8) quantized int32
+    for p, (hh, vv), qi in zip(planes, samp, qsel):
+        tb_h, tb_w = mcuy * vv * 8, mcux * hh * 8
+        pad = np.pad(
+            p, ((0, tb_h - p.shape[0]), (0, tb_w - p.shape[1])), "edge"
+        )
+        blk = pad.reshape(tb_h // 8, 8, tb_w // 8, 8).transpose(0, 2, 1, 3)
+        f = np.matmul(np.matmul(m, blk - 128.0), m.T)
+        blocks.append(np.round(f / qts[qi][None, None]).astype(np.int32))
+
+    enc = {
+        k: _huff_codes(*_STD_HUFF[k])
+        for k in ((0, 0), (1, 0), (0, 1), (1, 1))
+    }
+    bw = _BitWriter()
+    dcp = [0] * len(planes)
+    out_chunks: list[bytes] = []
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out_chunks.append(bytes(bw.buf))
+                out_chunks.append(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                dcp = [0] * len(planes)
+            for ci, (hh, vv) in enumerate(samp):
+                dsel = 0 if ci == 0 else 1
+                for by in range(vv):
+                    for bx in range(hh):
+                        dcp[ci] = _enc_block(
+                            blocks[ci][my * vv + by, mx * hh + bx].reshape(64),
+                            dcp[ci],
+                            enc[(0, dsel)],
+                            enc[(1, dsel)],
+                            bw,
+                        )
+            mcu += 1
+    bw.flush()
+    out_chunks.append(bytes(bw.buf))
+    scan = b"".join(out_chunks)
+
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    zig = list(_ZIGZAG)
+    head = [b"\xff\xd8"]  # SOI
+    head.append(
+        seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    )
+    head.append(seg(0xDB, bytes([0]) + bytes(ql.reshape(64)[zig].tolist())))
+    if channels == 3:
+        head.append(
+            seg(0xDB, bytes([1]) + bytes(qc.reshape(64)[zig].tolist()))
+        )
+    if restart_interval:
+        head.append(seg(0xDD, struct.pack(">H", restart_interval)))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci, (hh, vv) in enumerate(samp):
+        sof += bytes((ci + 1, (hh << 4) | vv, 0 if ci == 0 else 1))
+    head.append(seg(0xC0, sof))
+    tables = ((0, 0), (1, 0)) if channels == 1 else (
+        (0, 0), (1, 0), (0, 1), (1, 1)
+    )
+    for tc, th in tables:
+        bits, vals = _STD_HUFF[(tc, th)]
+        head.append(seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals))
+    sos = bytes([channels])
+    for ci in range(channels):
+        dsel = 0 if ci == 0 else 1
+        sos += bytes((ci + 1, (dsel << 4) | dsel))
+    sos += b"\x00\x3f\x00"
+    head.append(seg(0xDA, sos))
+    return b"".join(head) + scan + b"\xff\xd9"
+
+
+def decode_jpeg_pixels(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched baseline-JPEG pixel decode via ``parse_jpeg_pixels``
+    — identical ``mapInPandas`` plumbing to ``decode_png_pixels``; bytes
+    never leave the executor; non-JPEG / out-of-contract rows → NULLs."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_jpeg_pixels(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "pixels": [p[3] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
+
+
+def parse_any_pixels(
+    data: bytes,
+) -> tuple[str, int, int, int, bytes] | None:
+    """Unified pixel decode: dispatch on magic bytes to the from-scratch
+    PNG / BMP / JPEG decoders. Returns (format, width, height,
+    n_channels, bytes) or None. Every format decodes codec-free now —
+    the former PIL gate is gone."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        p = parse_png_pixels(data)
+        return ("png", p[0], p[1], p[2], p[3]) if p else None
+    if data[:2] == b"BM":
+        p = parse_bmp_pixels(data)
+        return ("bmp", p[0], p[1], 3, p[2]) if p else None
+    if data[:2] == b"\xff\xd8":
+        p = parse_jpeg_pixels(data)
+        return ("jpeg", p[0], p[1], p[2], p[3]) if p else None
+    return None
+
+
+def decode_image_pixels(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched UNIFIED pixel decode (PNG + BMP + baseline JPEG,
+    all from scratch — stdlib zlib for PNG's inflate, pure numpy DCT for
+    JPEG; no codec library). Until round 6 this was the PIL
+    NotImplementedError gate; the gate no longer exists. Rows in none of
+    the three formats (or out of a decoder's documented contract, e.g.
+    progressive JPEG) yield NULLs — fail-soft for mixed corpora."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_any_pixels(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "pixels": [p[4] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -138,9 +138,13 @@ def test_attach_blob_and_features_deterministic(spark):
     assert feats["feat_0"] == int(d[:8], 16) / 4294967296.0
 
 
-def test_pixel_decode_gate_raises_not_implemented(spark):
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_pixels(F.lit(b"x"))
+def test_pixel_decode_gate_is_gone(spark):
+    """Round 6: decode_image_pixels is the real unified PNG/BMP/JPEG
+    decoder (tests/test_jpeg.py) — the PIL NotImplementedError gate no
+    longer exists anywhere in the pixel path."""
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, blob binary")
+    row = MM.decode_image_pixels(df).collect()[0]
+    assert row["format"] is None and row["pixels"] is None
 
 
 # golden media payloads for the REAL (stdlib) header decoders
@@ -583,15 +587,14 @@ def test_decode_bmp_pixels_on_spark(spark):
     assert out[2]["width"] is None and out[2]["pixels"] is None
 
 
-def test_pixel_gate_narrowed_to_compressed_formats():
-    """The PIL gate message now scopes to compressed formats only."""
-    import pytest
-
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="COMPRESSED"):
-            MM.decode_image_pixels(F.lit(b"x"))
+def test_every_format_decodes_codec_free():
+    """Round 6: PNG, BMP, and baseline JPEG all decode from scratch —
+    parse_any_pixels dispatches by magic and no format needs PIL."""
+    png = MM.encode_png(2, 2, 3, bytes(range(12)))
+    jpg = MM.encode_jpeg(8, 8, 1, bytes([200] * 64))
+    assert MM.parse_any_pixels(png)[0] == "png"
+    assert MM.parse_any_pixels(jpg)[0] == "jpeg"
+    assert MM.parse_any_pixels(b"not an image") is None
 
 
 def test_bigram_lm_score_exact_values(spark):
