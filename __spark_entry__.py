@@ -560,6 +560,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", 20)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) in the repo's exact-
+    rational form: hashed word-bigram features (4096 buckets), target
+    distribution = English docs, raw = whole corpus; per-doc weight is
+    the smoothed linear likelihood ratio. Every intermediate is an
+    exact integer; the only doubles are four correctly-rounded casts +
+    three IEEE ops, mirrored op-for-op by the oracle — bit-exact."""
+    from smartdatapipeline_spark.functions.sampling import importance_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return importance_weights(d, F.col("lang") == "en").orderBy("doc_id")
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: top-100 docs by importance weight
+    (deterministic id tiebreak) — the keep-list a target-domain
+    curation run actually ships."""
+    from smartdatapipeline_spark.functions.sampling import (
+        importance_resample,
+        importance_weights,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return importance_resample(importance_weights(d, F.col("lang") == "en"), 100)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin value histogram per metric (width_bucket over [0, 100],
     10 bins) — the distribution profile behind quality dashboards."""
@@ -3358,6 +3384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmodal_consensus": q_crossmodal_consensus,
         "dup_clusters": q_dup_clusters,
         "dataset_split": q_dataset_split,
+        "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "chunk_tokens": q_chunk_tokens,
         "pii_scrub": q_pii_scrub,
         "repetition_features": q_repetition_features,
@@ -5691,14 +5719,20 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events
         """,
         "pricing_summary": """
+            -- decimal→double goes via VARCHAR: DuckDB's direct cast
+            -- double-rounds (int128→double, then ×10^-scale) and lands
+            -- 1 ulp off the correctly-rounded value once the scaled
+            -- significand exceeds 2^53 (sum_charge crosses at the 10×
+            -- scale sweep: 2.8e16 units at scale 6). The string parse
+            -- is correctly rounded, matching Spark's BigDecimal path.
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-                   CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(28,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -6293,6 +6327,14 @@ def _oracle_sql_base() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "dsir_weights": _DSIR_CTE + """
+            SELECT doc_id, is_target, weight FROM w ORDER BY doc_id
+        """,
+        "dsir_resample": _DSIR_CTE + """
+            SELECT doc_id, is_target, weight FROM w
+            WHERE weight IS NOT NULL
+            ORDER BY weight DESC, doc_id ASC LIMIT 100
         """,
         "chunk_tokens": _TEXT_CTE + """
             , base AS (
@@ -7398,6 +7440,43 @@ _TEXT_CTE = """
                     '[^a-z0-9\\x{00c0}-\\x{024f}\\x{4e00}-\\x{9fff}]+', ' ', 'g')) AS norm
         FROM documents),
     t AS (SELECT d.*, string_split(norm, ' ') AS toks FROM d)
+"""
+
+#: DSIR importance-weight pipeline (mirrors functions/sampling.py
+#: importance_weights op-for-op: same md5 bucketing, same Laplace
+#: smoothing, same (A/B)·(R/T) double-expression order; the VARCHAR
+#: hop before each DOUBLE cast forces DuckDB's correctly-rounded
+#: string parse — its direct int128→double cast is 1 ulp off past 2^53)
+_DSIR_CTE = _TEXT_CTE + """
+    , bg AS (
+        SELECT doc_id, (lang = 'en') AS is_tgt,
+               toks[i] || ' ' || toks[i+1] AS b
+        FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2 AND toks[i] != '' AND toks[i+1] != ''),
+    feat AS (
+        SELECT doc_id, is_tgt,
+               ('0x' || substr(md5('dsir-v1:' || b), 1, 15))::BIGINT % 4096
+                   AS bk,
+               COUNT(*) AS c
+        FROM bg GROUP BY 1, 2, 3),
+    buckets AS (
+        SELECT bk, SUM(c) AS raw,
+               SUM(CASE WHEN is_tgt THEN c ELSE 0 END) AS tgt
+        FROM feat GROUP BY 1),
+    tots AS (SELECT SUM(tgt) + 4096 AS tt, SUM(raw) + 4096 AS rr
+             FROM buckets),
+    scored AS (
+        SELECT f.doc_id,
+               SUM(f.c * (b.tgt + 1)) AS a,
+               SUM(f.c * (b.raw + 1)) AS bb
+        FROM feat f JOIN buckets b USING (bk) GROUP BY 1),
+    w AS (
+        SELECT d.doc_id, (d.lang = 'en') AS is_target,
+               (CAST(CAST(s.a AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(s.bb AS VARCHAR) AS DOUBLE))
+               * (CAST(CAST(t.rr AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(t.tt AS VARCHAR) AS DOUBLE)) AS weight
+        FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id CROSS JOIN tots t)
 """
 
 

@@ -249,6 +249,8 @@ BENCH_QUERIES: list[str] = [
     "png_pixel_decode",
     "jpeg_pixel_decode",
     "bpe_merges_fast",
+    "dsir_weights",
+    "dsir_resample",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -227,3 +227,121 @@ def cap_rows_per_key(
         .filter(F.col("_rk") <= max_rows)
         .drop("_rk")
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    weights, in the repo's transcendental-free exact-rational form:
+    hashed word-bigram features, Laplace-smoothed target vs raw bucket
+    frequencies, and per-doc weight
+
+        weight = (Σ_b c_b·(tgt_b+1) / Σ_b c_b·(raw_b+1))
+               · ((Σ raw + n_buckets) / (Σ tgt + n_buckets))
+
+    — the exact linear-likelihood ratio of the doc's feature counts
+    under the two hashed-ngram distributions. (The paper scores with
+    Σ c_b·log(p_b/q_b); the rational form keeps the same target-affinity
+    ordering signal while every intermediate stays an exact integer, so
+    the result is bit-identical on any engine — the discipline every
+    oracle-checked operator here follows. Docs with no bigram features
+    get weight NULL.)
+
+    Scale shape: one token explode → groupBy(doc, bucket) with map-side
+    combine (the per-doc sparse feature vector, ≤ n_buckets entries) →
+    bucket totals (n_buckets rows, broadcastable) → one more map-side
+    agg back to doc grain. No driver collects; the two integer inner
+    products sum as DECIMAL(38,0) (exact to 1e38 — at 100 TB the worst
+    term is c·raw_b ≈ 1e5·1e14, summed over ≤4096 buckets ≈ 4e23).
+    The ONLY doubles are four correctly-rounded casts of exact integers
+    and three IEEE ops, mirrored operation-for-operation in the oracle.
+
+    Target set = rows matching ``target_pred`` (e.g. a language, a
+    quality tier, a trusted source) — the "domain you want more of".
+    """
+    from smartdatapipeline_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_tgt"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    bg = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            "_is_tgt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_toks", i),
+                        F.element_at("_toks", i + 1),
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .filter(~F.col("_bg").startswith(" ") & ~F.col("_bg").endswith(" "))
+    )
+    feat = bg.groupBy(
+        id_col, "_is_tgt", _bucket(F.col("_bg"), salt, n_buckets).alias("_bk")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    buckets = feat.groupBy("_bk").agg(
+        F.sum("_c").alias("_raw"),
+        F.sum(F.col("_c") * F.col("_is_tgt")).alias("_tgt"),
+    )
+    tots = buckets.agg(
+        (F.sum("_tgt") + F.lit(n_buckets)).cast("decimal(38,0)").alias("_T"),
+        (F.sum("_raw") + F.lit(n_buckets)).cast("decimal(38,0)").alias("_R"),
+    )
+    scored = (
+        feat.join(F.broadcast(buckets), "_bk")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("_c").cast("decimal(38,0)") * (F.col("_tgt") + 1)
+            ).alias("_A"),
+            F.sum(
+                F.col("_c").cast("decimal(38,0)") * (F.col("_raw") + 1)
+            ).alias("_B"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), target_pred.alias("is_target"))
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            id_col,
+            "is_target",
+            (
+                (F.col("_A").cast("double") / F.col("_B").cast("double"))
+                * (F.col("_R").cast("double") / F.col("_T").cast("double"))
+            ).alias("weight"),
+        )
+    )
+
+
+def importance_resample(
+    weights_df: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The selection step of DSIR: keep the k docs with the highest
+    importance weight (deterministic id tiebreak; featureless NULL-
+    weight docs never selected). The paper resamples with Gumbel noise;
+    the deterministic top-k is this repo's reproducibility discipline —
+    for the stochastic flavor, scale ``weight`` to an integer and feed
+    ``weighted_sample`` (exact Efraimidis–Spirakis, also md5-keyed).
+
+    Plan: TakeOrderedAndProject (per-partition heaps) — no global sort.
+    """
+    return (
+        weights_df.filter(F.col("weight").isNotNull())
+        .orderBy(F.col("weight").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
