@@ -560,6 +560,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", 20)
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio + Simpson repeat-probability index —
+    the transcendental-free entropy stand-ins (exact integer ratios,
+    bit-exact cross-engine). Docs with zero non-empty tokens are
+    absent, mirrored by the oracle."""
+    return TX.lexical_diversity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order 3-gram novelty: the fraction of each doc's distinct
+    shingles first seen at that doc — diversity contribution / template
+    detection, one shuffle on the gram."""
+    return TX.ngram_novelty(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) in the repo's exact-
     rational form: hashed word-bigram features (4096 buckets), target
@@ -3386,6 +3401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
+        "lexical_diversity": q_lexical_diversity,
+        "ngram_novelty": q_ngram_novelty,
         "chunk_tokens": q_chunk_tokens,
         "pii_scrub": q_pii_scrub,
         "repetition_features": q_repetition_features,
@@ -6330,6 +6347,47 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "dsir_weights": _DSIR_CTE + """
             SELECT doc_id, is_target, weight FROM w ORDER BY doc_id
+        """,
+        "lexical_diversity": _TEXT_CTE + """
+            , tok AS (
+                SELECT doc_id, unnest(toks) AS w FROM t),
+            nz AS (SELECT doc_id, w FROM tok WHERE w != ''),
+            per AS (SELECT doc_id, w, COUNT(*) AS c FROM nz GROUP BY 1, 2),
+            agg AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_types,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+                FROM per GROUP BY 1)
+            SELECT doc_id, n_types, n_tokens,
+                   CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS type_token_ratio,
+                   CASE WHEN n_tokens >= 2 THEN
+                       CAST(rep2 AS DOUBLE)
+                       / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                   END AS simpson_index
+            FROM agg ORDER BY doc_id
+        """,
+        "ngram_novelty": _TEXT_CTE + """
+            , g AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, GREATEST(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')) AS grams
+                FROM t),
+            dg AS (SELECT DISTINCT doc_id, unnest(grams) AS gr FROM g),
+            first AS (SELECT gr, MIN(doc_id) AS first_doc FROM dg GROUP BY 1),
+            per AS (
+                SELECT dg.doc_id,
+                       COUNT(*) AS n_grams,
+                       CAST(SUM(CASE WHEN f.first_doc = dg.doc_id
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+                FROM dg JOIN first f USING (gr) GROUP BY 1)
+            SELECT d.doc_id, per.n_grams, per.n_first,
+                   CAST(per.n_first AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+                       AS novelty
+            FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY d.doc_id
         """,
         "dsir_resample": _DSIR_CTE + """
             SELECT doc_id, is_target, weight FROM w

@@ -251,6 +251,8 @@ BENCH_QUERIES: list[str] = [
     "bpe_merges_fast",
     "dsir_weights",
     "dsir_resample",
+    "lexical_diversity",
+    "ngram_novelty",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

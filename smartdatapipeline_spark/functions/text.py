@@ -550,3 +550,95 @@ def bigram_lm_score(
 
         out = track_cache(out, _own_model)
     return out
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc lexical-diversity quality signals, all exact rationals
+    (no log — cross-engine bit-exact like every oracle-checked op):
+
+    - type_token_ratio: distinct/total word tokens (classic TTR)
+    - simpson_index: Σ c_i·(c_i−1) / (n·(n−1)) — the probability two
+      token draws (without replacement) are the SAME word; the
+      transcendental-free stand-in for entropy. 1 = one word repeated,
+      → 0 = all distinct. NULL for docs with < 2 tokens.
+
+    Low TTR / high Simpson flags keyword-stuffed or looped text the
+    way entropy filters do, without an engine-dependent log().
+
+    Shape: one explode → (doc, token) counts with map-side combine →
+    one agg back to doc grain; shuffle O(distinct tokens per doc).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select("doc_id", F.explode("_toks").alias("_w")).filter(F.col("_w") != "")
+    per = tok.groupBy("doc_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("_c").alias("n_tokens"),
+            F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_rep2"),
+        )
+        .select(
+            "doc_id",
+            "n_types",
+            "n_tokens",
+            (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "type_token_ratio"
+            ),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.col("_rep2").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+            ).alias("simpson_index"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-doc novelty against the corpus in doc-id order: the fraction
+    of the doc's distinct word k-grams whose FIRST corpus occurrence
+    (min doc_id) is this doc — i.e. how much new k-gram surface the doc
+    contributes. Curation uses it opposite ways: high novelty for
+    diversity-seeking dedup, low novelty to spot near-template spam.
+
+    Shape: explode distinct (doc, gram) pairs → min(doc_id) per gram
+    (map-side combined, one shuffle on gram) → broadcast-scale join
+    back; novelty = firsts/distinct k-grams. Gram construction is
+    ``dedup.shingles`` exactly (docs shorter than k tokens contribute
+    one partial-tail shingle — the same convention every shingle
+    consumer in the repo shares, mirrored by the oracle).
+    """
+    from smartdatapipeline_spark.functions.dedup import shingles
+
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        .select("doc_id", F.explode(shingles(F.col("_toks"), k)).alias("_g"))
+        .distinct()
+    )
+    first = grams.groupBy("_g").agg(F.min("doc_id").alias("_first"))
+    per = (
+        grams.join(first, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col("doc_id")).cast("long")).alias(
+                "n_first"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_first",
+        (F.col("n_first").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )

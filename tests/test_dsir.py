@@ -70,3 +70,39 @@ def test_weights_invariant_to_partitioning(spark):
         for r in importance_weights(d.repartition(13), F.col("lang") == "en").collect()
     }
     assert a == b  # exact integer pipeline → bit-identical, not approx
+
+
+def test_lexical_diversity_pinned_values(spark):
+    from smartdatapipeline_spark.functions.text import lexical_diversity
+
+    d = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, ""), (5, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lexical_diversity(d).collect()}
+    # doc 1: 1 type / 4 tokens; rep2 = 4*3 = 12; simpson = 12/(4*3) = 1
+    assert got[1]["type_token_ratio"] == 0.25 and got[1]["simpson_index"] == 1.0
+    # doc 2: all distinct -> simpson 0
+    assert got[2]["type_token_ratio"] == 1.0 and got[2]["simpson_index"] == 0.0
+    # doc 3: rep2 = 2*1 + 2*1 = 4; simpson = 4/12
+    assert got[3]["simpson_index"] == 4 / 12
+    # doc 4 (no tokens) absent; doc 5 single token -> simpson NULL
+    assert 4 not in got and got[5]["simpson_index"] is None
+
+
+def test_ngram_novelty_pinned_values(spark):
+    from smartdatapipeline_spark.functions.text import ngram_novelty
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: "a b c", "b c d" -> both first
+            (2, "a b c d e"),    # "a b c","b c d" seen at 1; "c d e" new
+            (3, "z z"),          # short doc: one partial shingle "z z"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(d).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["novelty"] == 1.0
+    assert got[2]["n_grams"] == 3 and got[2]["n_first"] == 1
+    assert got[2]["novelty"] == 1 / 3
+    assert got[3]["n_grams"] == 1 and got[3]["novelty"] == 1.0
