@@ -27,14 +27,14 @@ import json
 import sys
 
 
-def load(path: str) -> tuple[dict, dict]:
+def load(path: str) -> tuple[dict, dict, object]:
     with open(path) as f:
         d = json.load(f)
     q = dict(d.get("queries", {}))
     q.update(d.get("baselines", {}))
     qmin = dict(d.get("queries_min", {}))
     qmin.update(d.get("baselines_min", {}))
-    return q, qmin
+    return q, qmin, d.get("sf")
 
 
 def main() -> int:
@@ -46,8 +46,18 @@ def main() -> int:
     ap.add_argument("--md", default=None)
     args = ap.parse_args()
 
-    old_q, _ = load(args.old)
-    new_q, new_min = load(args.new)
+    old_q, _, old_sf = load(args.old)
+    new_q, new_min, new_sf = load(args.new)
+    if old_sf != new_sf:
+        # round-6 incident: an sf0.001 smoke artifact was committed as
+        # the round bench and every per-query delta was garbage — the
+        # scale fields must match before any number is compared
+        print(
+            f"FATAL: sf mismatch — {args.old} is sf={old_sf}, "
+            f"{args.new} is sf={new_sf}; deltas would be meaningless",
+            file=sys.stderr,
+        )
+        return 2
 
     adjudicated = ""
     if args.adjudications:
