@@ -190,3 +190,53 @@ def test_pil_parity_latent():
     assert out is not None and (out[0], out[1]) == (32, 24)
     ours = np.frombuffer(out[3], np.uint8).reshape(24, 32)
     assert np.abs(ours.astype(int) - img).max() <= 24  # q95 loss bound
+
+
+# ---- hypothesis fuzz: a from-scratch parser must NEVER crash ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_parser_never_crashes_on_garbage(data):
+    """Arbitrary bytes -> None or a valid tuple, never an exception
+    (fail-soft contract for mixed corpora)."""
+    out = MM.parse_jpeg_pixels(data)
+    assert out is None or (len(out) == 4 and out[2] in (1, 3))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_parser_never_crashes_on_jpeg_prefixed_garbage(data):
+    """Same, with a valid SOI so the marker walk actually engages."""
+    out = MM.parse_jpeg_pixels(b"\xff\xd8" + data)
+    assert out is None or len(out) == 4
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gray_roundtrip_bounded_property(w, h, seed):
+    """Any size x any seeded content: decode(encode(img)) within the
+    per-coefficient-rounding error bound."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), np.uint8)
+    out = MM.parse_jpeg_pixels(MM.encode_jpeg(w, h, 1, img.tobytes()))
+    assert out is not None and (out[0], out[1]) == (w, h)
+    got = np.frombuffer(out[3], np.uint8).reshape(h, w)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=300), st.integers(0, 2**31 - 1))
+def test_truncation_never_crashes(tail, cut_seed):
+    """Truncating a VALID jpeg at any byte -> None or a decode, never a
+    crash (entropy-stream and segment-walk truncation paths)."""
+    enc = MM.encode_jpeg(16, 16, 1, bytes((i * 7) % 256 for i in range(256)))
+    cut = cut_seed % len(enc)
+    out = MM.parse_jpeg_pixels(enc[:cut] + tail)
+    assert out is None or len(out) == 4
