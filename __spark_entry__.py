@@ -781,7 +781,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + Arrow-batched mapInPandas
     feature extraction (md5-derived deterministic features stand in for
     a model forward pass; real header decode is `image_decode` /
-    `audio_decode`; pixel decode stays PIL-gated)."""
+    `audio_decode`; real pixel decode is `png_pixel_decode` /
+    `jpeg_pixel_decode` — codec-free since r6)."""
     d = MM.attach_blob(_docs(spark, sf_dir))
     return MM.extract_features(d)
 

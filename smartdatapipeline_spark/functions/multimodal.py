@@ -67,7 +67,8 @@ def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]
     Returns (format, width, height) for PNG / GIF / BMP / JPEG payloads,
     (None, None, None) for anything unrecognized or truncated. This is
     the driver-side kernel the Arrow-batched decoder below runs per blob;
-    full pixel decode stays gated on PIL (``decode_image_pixels``).
+    full pixel decode is equally codec-free (``decode_image_pixels``
+    dispatches to the from-scratch PNG/BMP/JPEG decoders).
     """
     import struct
 
@@ -196,8 +197,9 @@ def parse_bmp_pixels(data: bytes) -> tuple[int, int, bytes] | None:
     (width, height, RGB bytes row-major TOP-DOWN). Handles both
     bottom-up (positive height — the common case) and top-down storage,
     and the 4-byte row padding. Returns None for anything that is not
-    an uncompressed 24-bpp BMP (those need a codec — see
-    ``decode_image_pixels``)."""
+    an uncompressed 24-bpp BMP (compressed formats have their own
+    from-scratch decoders — ``parse_png_pixels``/``parse_jpeg_pixels``,
+    unified behind ``decode_image_pixels``)."""
     import struct
 
     if len(data) < 54 or data[:2] != b"BM":
