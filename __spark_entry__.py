@@ -575,6 +575,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_novelty(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment |A∩B|/|A| ≥ 0.5 — catches short docs
+    quoted/aggregated inside long ones, which Jaccard-thresholded dedup
+    structurally misses (the union term dilutes the score). Directed
+    pairs; exact integer set algebra — functions/dedup.py
+    containment_pairs."""
+    return DD.containment_pairs(_docs(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) in the repo's exact-
     rational form: hashed word-bigram features (4096 buckets), target
@@ -3404,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "lexical_diversity": q_lexical_diversity,
         "ngram_novelty": q_ngram_novelty,
+        "containment_pairs": q_containment_pairs,
         "chunk_tokens": q_chunk_tokens,
         "pii_scrub": q_pii_scrub,
         "repetition_features": q_repetition_features,
@@ -6284,6 +6296,26 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = i.doc_a
             JOIN sizes nb ON nb.doc_id = i.doc_b
             WHERE i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.05
+        """,
+        "containment_pairs": _TEXT_CTE + _SHINGLE_CTE + """
+            , ex AS (SELECT doc_id, UNNEST(sh) AS s FROM g),
+            freq AS (SELECT s, COUNT(*) AS dfreq FROM ex GROUP BY 1),
+            kept AS (
+                SELECT ex.doc_id, ex.s FROM ex JOIN freq USING (s)
+                WHERE dfreq <= 1000),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM kept a JOIN kept b
+                  ON a.s = b.s AND a.doc_id != b.doc_id
+                GROUP BY 1, 2)
+            SELECT i.doc_a, i.doc_b, i.n_inter,
+                   CAST(na.n AS BIGINT) AS n_a,
+                   i.n_inter / CAST(na.n AS DOUBLE) AS containment
+            FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+            WHERE i.n_inter / CAST(na.n AS DOUBLE) >= 0.5
+            ORDER BY i.doc_a, i.doc_b
         """,
         "decontaminate": _TEXT_CTE + _SHINGLE_CTE + """
             , split AS (

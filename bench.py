@@ -253,6 +253,7 @@ BENCH_QUERIES: list[str] = [
     "dsir_resample",
     "lexical_diversity",
     "ngram_novelty",
+    "containment_pairs",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

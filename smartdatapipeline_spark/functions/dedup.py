@@ -1152,3 +1152,65 @@ def sorted_neighborhood_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("distance").alias("distance"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Broder CONTAINMENT |A∩B| / |A| — the asymmetric companion to
+    ``ngram_jaccard_pairs``: a short doc quoted/aggregated inside a
+    long one scores containment ≈ 1 while its Jaccard stays tiny
+    (|A∩B|/|A∪B| is diluted by the long side), so Jaccard-thresholded
+    dedup never sees it. Directed output: (doc_a, doc_b) means "doc_a
+    is contained in doc_b at this fraction"; both directions emitted
+    when both clear the threshold.
+
+    Same engine-exact integer set algebra and 60-bit shingle-hash join
+    as the Jaccard verifier, one shared exchange for both join sides
+    and the size agg. ``max_shingle_freq`` drops shingles present in
+    more docs than the cap (boilerplate/stopword shingles) before the
+    self-join — the standard frequency guard that keeps the pair space
+    near-linear; NULL disables it (exact, quadratic in the worst case).
+    """
+    sh = (
+        exploded_shingles(df, id_col, text_col, k)
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", h60(F.col("sh")).alias("sh_h"))
+        .repartition("sh_h")
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("sh_h")
+        )
+        sh = sh.join(rare, "sh_h")
+    # sizes AFTER the frequency guard, so containment stays a true
+    # fraction of the shingles that actually entered the join
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .withColumn(
+            "containment", F.col("n_inter") / F.col("n_a").cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
+    )

@@ -106,3 +106,40 @@ def test_ngram_novelty_pinned_values(spark):
     assert got[2]["n_grams"] == 3 and got[2]["n_first"] == 1
     assert got[2]["novelty"] == 1 / 3
     assert got[3]["n_grams"] == 1 and got[3]["novelty"] == 1.0
+
+
+def test_containment_asymmetry(spark):
+    """A short doc quoted inside a long one: containment(short in
+    long) = 1.0 while Jaccard stays below a dedup threshold — the case
+    this operator exists for."""
+    from smartdatapipeline_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    d = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    cp = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(d).collect()}
+    assert cp[(1, 2)]["containment"] == 1.0  # all of doc 1's shingles in 2
+    assert (2, 1) not in cp  # reverse direction below the 0.5 threshold
+    jac = ngram_jaccard_pairs(d, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.05 for r in jac)  # Jaccard never flags it
+
+
+def test_containment_frequency_guard(spark):
+    """Shingles present in more docs than the cap leave the join AND the
+    denominator, so containment stays a fraction of participating
+    shingles."""
+    from smartdatapipeline_spark.functions.dedup import containment_pairs
+
+    common = "the quick brown fox jumps"
+    rows = [(i, common) for i in range(1, 6)]  # shingles in 5 docs
+    rows.append((99, common + " unique tail here now"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(d, max_shingle_freq=3).collect()
+    # every shared shingle is over the cap -> no pairs at all
+    assert out == []
