@@ -1177,6 +1177,8 @@ def containment_pairs(
     self-join — the standard frequency guard that keeps the pair space
     near-linear; NULL disables it (exact, quadratic in the worst case).
     """
+    from smartdatapipeline_spark.cachetrack import track_cache
+
     sh = (
         exploded_shingles(df, id_col, text_col, k)
         .filter(F.col("sh").isNotNull())
@@ -1184,13 +1186,24 @@ def containment_pairs(
         .repartition("sh_h")
     )
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("sh_h")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # document frequency as a window count over the sh_h-partitioned
+        # frame: no second derivation of the shingle pipeline and no
+        # guard self-join — just one local sort inside the exchange the
+        # self-join needs anyway
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("sh_h"))
+            )
             .filter(F.col("_df") <= max_shingle_freq)
-            .select("sh_h")
+            .drop("_df")
         )
-        sh = sh.join(rare, "sh_h")
+    # sh feeds the size agg AND both self-join sides: cache it so the
+    # tokenize+hash+guard pipeline runs once, not per consumer (the
+    # weak-plan pattern round 6 fixed in graph/copurchase); ownership
+    # transfers to the caller via cachetrack
+    sh = sh.cache()
     # sizes AFTER the frequency guard, so containment stays a true
     # fraction of the shingles that actually entered the join
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1206,7 +1219,7 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    return (
+    out = (
         inter.join(F.broadcast(sa), "doc_a")
         .withColumn(
             "containment", F.col("n_inter") / F.col("n_a").cast("double")
@@ -1214,3 +1227,4 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_a", "containment")
     )
+    return track_cache(out, sh)
