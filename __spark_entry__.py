@@ -580,10 +580,14 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted/aggregated inside long ones, which Jaccard-thresholded dedup
     structurally misses (the union term dilutes the score). Directed
     pairs; exact integer set algebra — functions/dedup.py
-    containment_pairs."""
-    return DD.containment_pairs(_docs(spark, sf_dir)).orderBy(
-        "doc_a", "doc_b"
-    )
+    containment_pairs. The final orderBy rides through propagate_caches
+    so the cached shingle frame's ownership survives to bench.py's
+    release (a bare .orderBy() returns a NEW DataFrame object without
+    the _sdp_caches attribute — the round-4 leak hole)."""
+    from smartdatapipeline_spark.cachetrack import propagate_caches
+
+    raw = DD.containment_pairs(_docs(spark, sf_dir))
+    return propagate_caches(raw, raw.orderBy("doc_a", "doc_b"))
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2437,10 +2441,42 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the customer↔supplier bipartite graph
     (distinct order-line pairs, symmetrized), 3 power iterations with
-    the two-level (dst, src-bucket) contribution fold (src_buckets=32:
-    power-law hubs fan across 32 reducer groups instead of one) —
-    functions/graph.py pagerank. Top 25 suppliers by rank. The oracle
-    spells the identical two-level fold, so the match is bit-exact."""
+    the degree-adaptive fold (src_buckets="auto": a cheap max-in-degree
+    probe on the cached edge frame picks the flat src-ordered fold when
+    no hub exceeds 4096 in-edges — true for this bounded-degree graph at
+    every test SF, max ≈ 680 at sf0.1 — and the two-level (dst,
+    src-bucket) fold otherwise, so power-law hub insurance is free when
+    not needed) — functions/graph.py pagerank. Top 25 suppliers by
+    rank. The oracle spells the flat fold this graph selects, so the
+    match is bit-exact; graph_pagerank_hub pins the forced two-level
+    mode against its own two-level oracle."""
+    from smartdatapipeline_spark.functions.graph import pagerank, symmetrize
+
+    T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
+    pairs = (
+        T("orders")
+        .join(T("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(symmetrize(pairs), iterations=3, src_buckets="auto")
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(25)
+        .select(((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"), "rank")
+    )
+
+
+def q_graph_pagerank_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced two-level-fold PageRank (src_buckets=32) over the same
+    bipartite graph — keeps the power-law hub path oracle-checked now
+    that graph_pagerank's adaptive probe selects the flat fold on this
+    bounded-degree graph. Top 25 suppliers; the oracle spells the
+    identical (dst, src%32) two-level fold, so the match is bit-exact."""
     from smartdatapipeline_spark.functions.graph import pagerank, symmetrize
 
     T = lambda n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))  # noqa: E731
@@ -3512,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_dow": q_seasonal_dow,
         "value_histogram": q_value_histogram,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_hub": q_graph_pagerank_hub,
         "bloom_semi_join": q_bloom_semi_join,
         "association_rules": q_association_rules,
         "event_debounce": q_event_debounce,
@@ -4259,16 +4296,60 @@ def oracle_sql() -> dict[str, str]:
         FROM b GROUP BY bucket, mn, mx
     """
 
-    # two-level fold mirror of functions/graph.py pagerank(src_buckets=32):
-    # level 1 folds each (dst, src%32) bucket's contributions in src order
-    # (list_reduce's first-element seed == Spark's 0.0 seed because
-    # 0.0 + x == x for these strictly-positive doubles), level 2 folds
-    # the bucket partials in bucket order — the identical double-addition
+    # graph_pagerank now runs the degree-adaptive fold, and this graph's
+    # max in-degree (≈680 at sf0.1) is under the 4096 hub threshold, so
+    # the selected mode is the FLAT src-ordered fold — one list per dst
+    # ordered by src, folded left-to-right (list_reduce's first-element
+    # seed == Spark's 0.0 seed because 0.0 + x == x for these
+    # strictly-positive doubles): the identical double-addition
     # sequence, hence bit-exact across engines.
-    pr_iters = ""
+    pr_flat_iters = ""
     prev = "r0"
     for i in (1, 2, 3):
-        pr_iters += f"""
+        pr_flat_iters += f"""
+        c{i} AS (
+            SELECT e.dst AS node,
+                   list(r.rank / d.outdeg ORDER BY e.src) AS cs
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst),
+        r{i} AS (
+            SELECT n.node,
+                   0.15 + 0.85 * COALESCE(
+                       list_reduce(c.cs, (a, x) -> a + x), 0.0) AS rank
+            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node),"""
+        prev = f"r{i}"
+    pr_graph_ctes = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+            SELECT 2*c AS src, 2*s + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2*s + 1, 2*c FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),"""
+    o["graph_pagerank"] = f"""
+        {pr_graph_ctes}{pr_flat_iters}
+        fin AS (SELECT node, rank FROM {prev} WHERE node % 2 = 1)
+        SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, rank
+        FROM fin ORDER BY rank DESC, node ASC LIMIT 25
+    """
+
+    # two-level fold mirror of functions/graph.py pagerank(src_buckets=32)
+    # — graph_pagerank_hub forces the power-law mode so it stays
+    # oracle-checked: level 1 folds each (dst, src%32) bucket's
+    # contributions in src order, level 2 folds the bucket partials in
+    # bucket order — the identical double-addition sequence, bit-exact.
+    pr_hub_iters = ""
+    prev = "r0"
+    for i in (1, 2, 3):
+        pr_hub_iters += f"""
         c{i} AS (
             SELECT e.dst AS node, e.src % 32 AS bkt,
                    list(r.rank / d.outdeg ORDER BY e.src) AS cs
@@ -4286,20 +4367,8 @@ def oracle_sql() -> dict[str, str]:
                        list_reduce(p.ps, (a, x) -> a + x), 0.0) AS rank
             FROM nodes n LEFT JOIN p{i} p ON p.node = n.node),"""
         prev = f"r{i}"
-    o["graph_pagerank"] = f"""
-        WITH pairs AS (
-            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        edges AS (
-            SELECT 2*c AS src, 2*s + 1 AS dst FROM pairs
-            UNION ALL
-            SELECT 2*s + 1, 2*c FROM pairs),
-        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-        nodes AS (
-            SELECT src AS node FROM edges
-            UNION
-            SELECT dst FROM edges),
-        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),{pr_iters}
+    o["graph_pagerank_hub"] = f"""
+        {pr_graph_ctes}{pr_hub_iters}
         fin AS (SELECT node, rank FROM {prev} WHERE node % 2 = 1)
         SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, rank
         FROM fin ORDER BY rank DESC, node ASC LIMIT 25

@@ -50,7 +50,9 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     residual: float = 0.15,
-    src_buckets: int = 0,
+    src_buckets: "int | str" = 0,
+    hub_threshold: int = 4096,
+    auto_buckets: int = 32,
 ) -> DataFrame:
     """Unnormalized PageRank (rank₀ = 1, rankᵢ₊₁ = (1−d) + d·Σ
     rank/outdeg over in-edges) for a fixed number of power iterations.
@@ -71,12 +73,27 @@ def pagerank(
     B>1 is a DIFFERENT (but fixed) double-addition order, so flat and
     bucketed variants agree only to float tolerance with each other —
     each is individually bit-stable across partitionings and engines.
+
+    ``src_buckets="auto"`` probes the max in-degree (one tiny groupBy
+    job on the already-cached edge frame) and picks the flat fold when
+    every in-degree ≤ ``hub_threshold`` (a few-thousand-struct
+    collect_list is well inside a reducer's comfort zone), else the
+    two-level fold with ``auto_buckets`` — so the hub insurance costs
+    nothing on bounded-degree graphs and kicks in exactly when a
+    power-law hub would otherwise pin one task. The decision is
+    data-deterministic (same input ⇒ same mode ⇒ same bits).
     """
     # edge + degree frames are loop-invariant: cache once so the three
     # iteration jobs don't re-derive them from the source plan (the
     # final localCheckpoint cuts lineage, so both release before return)
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).cache()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg")).cache()
+    if src_buckets == "auto":
+        row = e.groupBy("_t").agg(F.count(F.lit(1)).alias("_ind")).agg(
+            F.max("_ind").alias("m")
+        ).first()
+        max_indeg = row["m"] or 0
+        src_buckets = auto_buckets if max_indeg > hub_threshold else 0
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_t").alias("node")))

@@ -17,8 +17,13 @@ MERGE; plain parquet keeps this repo dependency-free.
 
 from __future__ import annotations
 
+import ctypes
+import json
 import os
+import shutil
+import threading
 import time
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,42 +31,98 @@ from pyspark.sql import DataFrame, SparkSession
 
 @contextmanager
 def gold_writer_lock(
-    path: str, timeout_sec: float = 120.0, stale_sec: float = 600.0
+    path: str,
+    timeout_sec: float = 120.0,
+    stale_sec: float = 600.0,
+    heartbeat_sec: float | None = None,
 ):
     """Single-writer discipline for path-based partition upserts
     (round-6: the nightly-scheduler vs ingest-triggered recompute
-    interleave). Dynamic partition overwrite is delete-matching +
-    append with NO transactional commit on bare parquet, so two
-    concurrent writers can interleave file sets inside one partition
-    directory — half of batch A's files plus half of batch B's. This
-    lock serializes writers per table path.
+    interleave). Partition overwrite on bare parquet has NO
+    transactional commit, so two concurrent writers can interleave file
+    sets inside one partition directory — half of batch A's files plus
+    half of batch B's. This lock serializes writers per table path.
 
-    Mechanism: an empty marker directory ``<path>._LOCK`` created with
-    ``os.makedirs`` — directory creation is atomic on POSIX and HDFS
-    (one concurrent creator wins, the rest get FileExistsError). A lock
-    older than ``stale_sec`` is treated as leaked by a crashed writer
-    and broken (rmdir is itself atomic; losers of the break race loop
-    and retry). Waiters poll until ``timeout_sec`` then raise
-    TimeoutError rather than deadlock a scheduler thread.
+    Mechanism: a marker directory ``<path>._LOCK`` created with
+    ``os.makedirs`` — directory creation is atomic on POSIX (one
+    concurrent creator wins, the rest get FileExistsError) — holding an
+    ``owner`` file with a per-acquisition token. While held, a daemon
+    thread HEARTBEATS the lock (``os.utime`` every ``stale_sec/3`` by
+    default), so a legitimately long write — the nightly full gold
+    recompute this lock exists to serialize — is never mistaken for a
+    crashed holder (round-7 fix; previously any hold > ``stale_sec``
+    was broken mid-write). A lock whose mtime is older than
+    ``stale_sec`` despite the heartbeat is a leaked lock from a dead
+    writer: the breaker records the owner token it observed stale,
+    atomically RENAMES the lock dir aside, then re-verifies both
+    staleness and token on the renamed dir — if a new holder
+    re-acquired in between (different token, or fresh mtime), the dir
+    is renamed straight back, closing the stat→rmdir TOCTOU of the old
+    break path. Release only removes the lock if the owner token is
+    still ours, so a holder whose lock WAS legitimately broken cannot
+    silently delete the next holder's lock. Waiters poll until
+    ``timeout_sec`` then raise TimeoutError rather than deadlock a
+    scheduler thread.
 
-    Scope honesty for 100 TB deployments: object stores without atomic
-    namespace ops (S3) need an external lock service or a table format
-    with transactional commit (Delta/Iceberg MERGE) — this discipline
-    covers POSIX/HDFS paths, which is what bare-parquet gold is. The
-    scheduler quirk that triggers overlapping recomputes is
-    plans/scheduler.py; this makes those recomputes safe rather than
-    assuming they never overlap.
+    Scope honesty for 100 TB deployments: ``os.makedirs``/``os.rename``
+    operate on the DRIVER'S filesystem, so this covers local and
+    shared-POSIX (NFS-class) table paths only — an ``hdfs://`` or
+    ``s3://`` table path gets NO mutual exclusion from this lock (the
+    driver would just create a local directory named after the URI);
+    those deployments need the Hadoop FileSystem API or a table format
+    with transactional commit (Delta/Iceberg MERGE). The scheduler
+    quirk that triggers overlapping recomputes is plans/scheduler.py;
+    this makes those recomputes safe rather than assuming they never
+    overlap.
     """
     lock_dir = path.rstrip("/") + "._LOCK"
+    token = uuid.uuid4().hex
+    hb = heartbeat_sec if heartbeat_sec is not None else max(0.5, stale_sec / 3.0)
     deadline = time.monotonic() + timeout_sec
+    owner_path = os.path.join(lock_dir, "owner")
     while True:
         try:
             os.makedirs(lock_dir, exist_ok=False)
+            with open(owner_path, "w") as f:
+                f.write(token)
+                f.flush()
+                os.fsync(f.fileno())
             break
         except FileExistsError:
             try:
-                if time.time() - os.stat(lock_dir).st_mtime > stale_sec:
-                    os.rmdir(lock_dir)
+                st = os.stat(lock_dir)
+                if time.time() - st.st_mtime > stale_sec:
+                    try:
+                        with open(owner_path) as f:
+                            seen = f.read()
+                    except OSError:
+                        seen = None
+                    brk = lock_dir + f".brk-{token}"
+                    try:
+                        os.rename(lock_dir, brk)
+                    except OSError:
+                        continue  # gone or already broken — retry acquire
+                    # re-verify on the renamed dir (mtime rides through
+                    # rename): a FRESH lock, or one whose owner token
+                    # changed since we observed it stale, belongs to a
+                    # live writer — put it back untouched
+                    try:
+                        st2 = os.stat(brk)
+                        fresh = (time.time() - st2.st_mtime) <= stale_sec
+                    except OSError:
+                        fresh = False
+                    try:
+                        with open(os.path.join(brk, "owner")) as f:
+                            got = f.read()
+                    except OSError:
+                        got = None
+                    if fresh or got != seen:
+                        try:
+                            os.rename(brk, lock_dir)
+                        except OSError:
+                            shutil.rmtree(brk, ignore_errors=True)
+                    else:
+                        shutil.rmtree(brk, ignore_errors=True)
                     continue
             except (FileNotFoundError, OSError):
                 continue  # holder released (or break race lost) — retry now
@@ -70,13 +131,187 @@ def gold_writer_lock(
                     f"gold_writer_lock: {lock_dir} held past {timeout_sec}s"
                 )
             time.sleep(0.05)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(hb):
+            try:
+                os.utime(lock_dir)
+            except OSError:
+                return  # lock vanished (broken by a misjudging waiter) — stop
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
     try:
         yield
     finally:
+        stop.set()
+        beater.join(timeout=5.0)
         try:
-            os.rmdir(lock_dir)
+            with open(owner_path) as f:
+                still_ours = f.read() == token
+            if still_ours:
+                os.remove(owner_path)
+                os.rmdir(lock_dir)
         except OSError:
             pass
+
+
+# ── crash-consistent partition swap ─────────────────────────────────
+# Linux renameat2(RENAME_EXCHANGE) atomically SWAPS two directories, so
+# a partition is never absent mid-upsert: each partition directory is
+# fully-old or fully-new at every instant, even if the writer dies
+# between partitions. glibc ≥ 2.28 exports the wrapper; on anything
+# else we fall back to hide-then-rename (microsecond absent window,
+# still journaled and recoverable).
+_AT_FDCWD = -100
+_RENAME_EXCHANGE = 2
+try:
+    _libc = ctypes.CDLL(None, use_errno=True)
+    _HAVE_EXCHANGE = hasattr(_libc, "renameat2")
+except OSError:  # pragma: no cover — non-glibc platform
+    _libc = None
+    _HAVE_EXCHANGE = False
+
+
+def _exchange_dirs(a: str, b: str) -> None:
+    rc = _libc.renameat2(
+        _AT_FDCWD, os.fsencode(a), _AT_FDCWD, os.fsencode(b), _RENAME_EXCHANGE
+    )
+    if rc != 0:
+        e = ctypes.get_errno()
+        raise OSError(e, os.strerror(e), a)
+
+
+def _fsync_path(p: str) -> None:
+    fd = os.open(p, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_fsync(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    _fsync_path(os.path.dirname(path))
+
+
+def recover_partition_txn(path: str) -> None:
+    """Roll FORWARD any upsert a crashed writer left mid-swap, then
+    sweep its debris — called under ``gold_writer_lock`` before every
+    transactional overwrite (and safe to call any time the lock is
+    held). The journal ``_txn.json`` is written (fsync'd) only AFTER
+    the staging write completed, so a journaled transaction always has
+    complete new data to roll forward to; a ``_staging-*`` directory
+    with no journal is a transaction that never started and is
+    discarded. ``_txn.progress`` records each partition whose swap
+    committed (fsync per append), so recovery re-swaps exactly the
+    partitions the crash interrupted."""
+    if not os.path.isdir(path):
+        return
+    manifest_path = os.path.join(path, "_txn.json")
+    progress_path = os.path.join(path, "_txn.progress")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        done: set[str] = set()
+        if os.path.exists(progress_path):
+            with open(progress_path) as f:
+                done = {ln.strip() for ln in f if ln.strip()}
+        staging = os.path.join(path, man["staging"])
+        txid = man["txid"]
+        for p in man["partitions"]:
+            if p in done:
+                continue
+            src = os.path.join(staging, p)
+            dst = os.path.join(path, p)
+            hid = os.path.join(path, f"_old-{txid}-{p}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    if _HAVE_EXCHANGE:
+                        _exchange_dirs(src, dst)
+                    else:  # pragma: no cover — non-Linux fallback
+                        os.rename(dst, hid)
+                        os.rename(src, dst)
+                else:
+                    os.rename(src, dst)
+            elif not os.path.isdir(dst) and os.path.isdir(hid):
+                # fallback path crashed between hide and rename-in
+                os.rename(hid, dst)  # pragma: no cover
+            # src gone + dst present: swap committed, progress append lost
+        for entry in (manifest_path, progress_path):
+            if os.path.exists(entry):
+                os.remove(entry)
+    # sweep: unjournaled staging dirs (txn never started) + hidden olds
+    for name in os.listdir(path):
+        if name.startswith("_staging-") or name.startswith("_old-"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    _fsync_path(path)
+
+
+def _txn_partition_overwrite(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Stage → journal → swap → sweep. New partition data is written
+    under ``<path>/_staging-<txid>/`` (underscore prefix: invisible to
+    Spark/parquet readers), the journal is fsync'd, then each partition
+    directory is atomically EXCHANGED into place (renameat2 — see
+    above), and only after every swap commits are the journal, the
+    displaced old data (now sitting in staging), and the staging dir
+    removed. A reader sees fully-old or fully-new per partition at
+    every point; a writer death at any point is rolled forward by
+    ``recover_partition_txn`` on the next locked write."""
+    txid = uuid.uuid4().hex
+    staging = os.path.join(path, f"_staging-{txid}")
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    parts = sorted(
+        d
+        for d in os.listdir(staging)
+        if d.startswith(partition_col + "=")
+        and os.path.isdir(os.path.join(staging, d))
+    )
+    _write_fsync(
+        os.path.join(path, "_txn.json"),
+        json.dumps(
+            {
+                "txid": txid,
+                "staging": os.path.basename(staging),
+                "partition_col": partition_col,
+                "partitions": parts,
+            }
+        ),
+    )
+    progress_path = os.path.join(path, "_txn.progress")
+    hidden: list[str] = []
+    for p in parts:
+        src = os.path.join(staging, p)
+        dst = os.path.join(path, p)
+        if os.path.isdir(dst):
+            if _HAVE_EXCHANGE:
+                _exchange_dirs(src, dst)  # old lands in staging for sweep
+            else:  # pragma: no cover — non-Linux fallback
+                hid = os.path.join(path, f"_old-{txid}-{p}")
+                os.rename(dst, hid)
+                hidden.append(hid)
+                os.rename(src, dst)
+        else:
+            os.rename(src, dst)
+        with open(progress_path, "a") as f:
+            f.write(p + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    os.remove(os.path.join(path, "_txn.json"))
+    if os.path.exists(progress_path):
+        os.remove(progress_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    for hid in hidden:  # pragma: no cover — non-Linux fallback
+        shutil.rmtree(hid, ignore_errors=True)
+    _fsync_path(path)
 
 
 def write_bronze(df: DataFrame, path: str) -> None:
@@ -98,19 +333,20 @@ def overwrite_gold_partitions(
     """A4/A5 — KPI upsert: replace exactly the (metric_date) partitions in
     this batch (reference ON CONFLICT DO UPDATE, services/kpi.py:143-180).
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
-    here per-write via the DataFrameWriter option so the session default
-    doesn't matter). Serialized per table path by ``gold_writer_lock``
-    so a nightly full recompute and an ingest-triggered incremental one
-    can never interleave file sets inside a partition directory.
+    Serialized per table path by ``gold_writer_lock`` so a nightly full
+    recompute and an ingest-triggered incremental one can never
+    interleave file sets inside a partition directory, and made
+    CRASH-CONSISTENT by the stage→journal→swap transaction
+    (``_txn_partition_overwrite``): dynamic partition overwrite on bare
+    parquet is delete-matching-then-append, so a writer death mid-upsert
+    could previously lose a partition outright — now every partition
+    directory is fully-old or fully-new at every instant
+    (renameat2(RENAME_EXCHANGE) swap), and ``recover_partition_txn``
+    rolls an interrupted transaction forward before the next write.
     """
     with gold_writer_lock(path, timeout_sec=lock_timeout_sec):
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("metric_date")
-            .parquet(path)
-        )
+        recover_partition_txn(path)
+        _txn_partition_overwrite(df, path, "metric_date")
 
 
 def write_bucketed_gold(
@@ -140,15 +376,13 @@ def overwrite_forecast_horizon(
     """S10 — forecast upsert per (source, metric) horizon (reference
     services/forecast.py:95-107): partition by (metric) and overwrite
     dynamically — each re-forecast replaces only its own series. Same
-    writer-lock discipline as gold (concurrent re-forecast requests for
-    overlapping metrics would otherwise interleave)."""
+    writer-lock + crash-consistent-transaction discipline as gold
+    (concurrent re-forecast requests for overlapping metrics would
+    otherwise interleave; a writer death mid-upsert would otherwise
+    lose a metric's horizon)."""
     with gold_writer_lock(path):
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("metric")
-            .parquet(path)
-        )
+        recover_partition_txn(path)
+        _txn_partition_overwrite(df, path, "metric")
 
 
 def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
