@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Hostile-blob allocation budget (round-7 ADVICE): header-declared
+# dimensions are attacker-controlled in a mixed corpus — a few-hundred-
+# byte file can declare 65535×65535 and would otherwise force a multi-GB
+# allocation (JPEG coefficient planes) or an unbounded zlib inflate (PNG
+# decompression bomb) INSIDE a Spark task. Decoders reject any image
+# whose pixel count exceeds this budget (16.7M px = 4096×4096 — far
+# above real training-corpus imagery) BEFORE allocating, returning the
+# same fail-soft None as any other out-of-contract payload.
+_MAX_PIXELS = 1 << 24
+
+
+def _blob_bytes(b) -> bytes | None:
+    """Per-row NULL guard for the mapInPandas decode kernels: a NULL
+    binary cell arrives as None and ``bytes(None)`` raises TypeError,
+    failing the whole task — out-of-contract payloads must fail soft to
+    NULL rows instead (round-7 ADVICE)."""
+    return None if b is None else bytes(b)
+
+
 def _id_field(df: DataFrame, id_col: str) -> "T.StructField":
     """The id column's OWN StructField (name + type preserved) — decode
     outputs key by whatever id the caller passed, string ids included,
@@ -72,6 +91,8 @@ def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]
     """
     import struct
 
+    if data is None:
+        return None, None, None
     if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", data[16:24])
         return "png", w, h
@@ -110,7 +131,7 @@ def parse_wav_header(
     data need not be at fixed offsets."""
     import struct
 
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+    if data is None or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None, None, None, None
     i = 12
     channels = rate = bits = block = None
@@ -149,7 +170,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_image_header(bytes(b)) for b in pdf["blob"]]
+            parsed = [parse_image_header(_blob_bytes(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -178,7 +199,7 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_wav_header(bytes(b)) for b in pdf["blob"]]
+            parsed = [parse_wav_header(_blob_bytes(b)) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -202,7 +223,7 @@ def parse_bmp_pixels(data: bytes) -> tuple[int, int, bytes] | None:
     unified behind ``decode_image_pixels``)."""
     import struct
 
-    if len(data) < 54 or data[:2] != b"BM":
+    if data is None or len(data) < 54 or data[:2] != b"BM":
         return None
     (offset,) = struct.unpack("<I", data[10:14])
     w, h = struct.unpack("<ii", data[18:26])
@@ -250,7 +271,7 @@ def decode_bmp_pixels(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_bmp_pixels(bytes(b)) for b in pdf[blob_col]]
+            parsed = [parse_bmp_pixels(_blob_bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -280,7 +301,7 @@ def parse_png_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
     import struct
     import zlib
 
-    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+    if data is None or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 12 <= len(data):
@@ -309,12 +330,20 @@ def parse_png_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
         return None
     if w == 0 or h == 0 or not idat:
         return None
+    if w * h > _MAX_PIXELS:
+        return None  # hostile header dims — see _MAX_PIXELS
+    stride = w * ch
+    want = (stride + 1) * h
+    # bounded inflate (round-7 ADVICE): an unbounded zlib.decompress on
+    # a small IDAT decompression bomb can OOM the executor — cap output
+    # at exactly the expected filtered-scanline size and require the
+    # stream to END there (a bomb hits max_length with eof False)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), want)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != want or not d.eof:
         return None
     out = bytearray(stride * h)
     prev = bytes(stride)  # the row above row 0 is all zeros (spec)
@@ -437,7 +466,7 @@ def decode_png_pixels(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_png_pixels(bytes(b)) for b in pdf[blob_col]]
+            parsed = [parse_png_pixels(_blob_bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -612,7 +641,7 @@ def parse_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
     """
     import numpy as np
 
-    if len(data) < 4 or data[:2] != b"\xff\xd8":
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     qt: dict[int, "np.ndarray"] = {}
     hdec: dict[tuple[int, int], dict] = {}
@@ -734,6 +763,12 @@ def parse_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
     vmax = max(c[2] for c in comps)
     if not hmax or not vmax:
         return None
+    if w * h > _MAX_PIXELS:
+        # hostile SOF dims (see _MAX_PIXELS): the coefficient planes
+        # below are ~(w/8)(h/8)·64·4 B per component (each component's
+        # block grid is ≤ ceil(w/8)×ceil(h/8) since hh ≤ hmax, vv ≤
+        # vmax), so bounding w·h bounds every allocation in this decode
+        return None
     for _, hh, vv, _tq in comps:
         if not hh or not vv or hmax % hh or vmax % vv:
             return None  # non-integer upsample ratio: out of contract
@@ -772,6 +807,12 @@ def parse_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
                         for bx in range(hh):
                             blk = tgt[my * vv + by, mx * hh + bx].reshape(64)
                             t = _huff_read(br, dct)
+                            if t > 15:
+                                # DC category beyond T.81's SSSS range —
+                                # a crafted DHT symbol would otherwise
+                                # overflow the int32 block (round-7
+                                # ADVICE); corrupt stream -> fail soft
+                                raise _Trunc
                             dcpred[cs] += _extend(br.bits(t), t) if t else 0
                             blk[0] = dcpred[cs]
                             k = 1
@@ -789,7 +830,9 @@ def parse_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
                                 blk[zz[k]] = _extend(br.bits(s), s)
                                 k += 1
                 mcu += 1
-    except _Trunc:
+    except (_Trunc, OverflowError):
+        # OverflowError: out-of-spec (12..15) DC categories can still
+        # accumulate dcpred past int32 before any single read is invalid
         return None
 
     m = _dct_mat()
@@ -1040,7 +1083,7 @@ def decode_jpeg_pixels(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_jpeg_pixels(bytes(b)) for b in pdf[blob_col]]
+            parsed = [parse_jpeg_pixels(_blob_bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -1067,6 +1110,8 @@ def parse_any_pixels(
     PNG / BMP / JPEG decoders. Returns (format, width, height,
     n_channels, bytes) or None. Every format decodes codec-free now —
     the former PIL gate is gone."""
+    if data is None:
+        return None
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         p = parse_png_pixels(data)
         return ("png", p[0], p[1], p[2], p[3]) if p else None
@@ -1103,7 +1148,7 @@ def decode_image_pixels(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_any_pixels(bytes(b)) for b in pdf[blob_col]]
+            parsed = [parse_any_pixels(_blob_bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -1138,18 +1183,28 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = pdf["blob"]
-            digests = [hashlib.md5(bytes(b)).hexdigest() for b in blobs]
+            blobs = [_blob_bytes(b) for b in pdf["blob"]]
+            digests = [
+                hashlib.md5(b).hexdigest() if b is not None else None
+                for b in blobs
+            ]
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bytes": blobs.map(len).astype("int32"),
-                    "header_hash": [int(d[:15], 16) for d in digests],
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None for b in blobs],
+                        dtype="Int32",
+                    ),
+                    "header_hash": pd.array(
+                        [int(d[:15], 16) if d else None for d in digests],
+                        dtype="Int64",
+                    ),
                 }
             )
             for i in range(4):
                 out[f"feat_{i}"] = [
-                    int(d[8 * i : 8 * i + 8], 16) / 4294967296.0 for d in digests
+                    int(d[8 * i : 8 * i + 8], 16) / 4294967296.0 if d else None
+                    for d in digests
                 ]
             yield out
 
