@@ -3259,14 +3259,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou 2011): per-subspace k-means
     codebooks → m-byte codes → asymmetric-distance top-k via per-query
     LUT — the embedding-compression search path (dim·4 bytes → m bytes
-    per vector). Trained KMeans ⇒ rows-only driver check (like
-    ivf_kmeans_topk); recall pinned by tests —
+    per vector; m=16 on the 64-dim corpus = 4-dim subspaces, the
+    standard PQ shape — 16× compression at recall@10 ≈ 0.48 vs exact
+    L2, property-floored at 0.35 by the correctness harness). Trained
+    KMeans ⇒ property-bound driver check (recall floor, round-7) —
     functions/similarity.py pq_train/pq_encode/pq_adc_topk."""
     emb = _emb(spark, sf_dir)
     if sf_dir not in _PQ_CODEBOOKS:
         _PQ_CODEBOOKS[sf_dir] = [
             (r["sub"], r["cent_id"], r["_cv"])
-            for r in SIM.pq_train(emb, m=4, k=16, seed=42).collect()
+            for r in SIM.pq_train(emb, m=16, k=16, seed=42).collect()
         ]
     cb = spark.createDataFrame(
         _PQ_CODEBOOKS[sf_dir], "sub int, cent_id int, _cv array<double>"
@@ -7766,3 +7768,201 @@ def _simhash_select(src: str = "t") -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_kpi_daily(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# Property-bound oracles (round-7, verdict r6 task #8): the six
+# randomized/trained queries admit no bit-exact SQL twin, but each
+# satisfies a CHECKABLE property against an exact computation —
+# tools/check_correctness.py runs these where oracle_sql() has no entry
+# and records a `property_match` verdict instead of a bare row count.
+# Floors are pinned ~25% below the measured sf0.01 value so legitimate
+# seed/version drift passes while a broken model fails loudly.
+# --------------------------------------------------------------------------
+
+
+def _recall_vs(approx: DataFrame, exact: DataFrame) -> float:
+    """|approx ∩ exact| / |exact| on (query_id, neighbor_id) pairs."""
+    total = exact.count()
+    if not total:
+        return 0.0
+    hit = approx.join(exact, ["query_id", "neighbor_id"]).count()
+    return hit / total
+
+
+def p_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> dict:
+    """IVF recall@10 against exact cosine top-k (brute_force_topk is the
+    oracle-checked exact path). Single-cell probe of 16 trained cells."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = q_ivf_kmeans_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = SIM.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    r = _recall_vs(approx, exact)
+    floor = 0.30
+    return {
+        "ok": r >= floor,
+        "metric": round(r, 4),
+        "floor": floor,
+        "property": "recall@10 vs exact cosine top-k",
+    }
+
+
+def p_pq_topk(spark: SparkSession, sf_dir: str) -> dict:
+    """PQ-ADC recall@10 against exact squared-L2 top-k (ADC approximates
+    L2 ranking, so L2 — not cosine — is its ground truth)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = q_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    r = _recall_vs(approx, exact)
+    floor = 0.35
+    return {
+        "ok": r >= floor,
+        "metric": round(r, 4),
+        "floor": floor,
+        "property": "recall@10 vs exact L2 top-k",
+    }
+
+
+def p_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> dict:
+    """Precision property: every MLlib-LSH pair must be a TRUE
+    near-duplicate — exact shingle-set Jaccard ≥ floor (the join
+    threshold is distance 0.5 ⇒ Jaccard ≥ 0.5 up to HashingTF
+    collisions, which only INFLATE the hashed estimate; 0.45 allows
+    that slack). Candidate-set containment is exactly what the
+    from-scratch banded-LSH oracle pins; this bounds the MLlib route."""
+    pairs = q_minhash_lsh_mllib(spark, sf_dir).select("doc_a", "doc_b")
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            DD.shingles(DD.tokens(F.col("text")), 3)
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    floor = 0.45
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("_sh", "_sa")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumn(
+            "_jac",
+            F.size(F.array_intersect("_sa", "_sh"))
+            / F.size(F.array_union("_sa", "_sh")),
+        )
+    )
+    n = j.count()
+    bad = j.filter(F.col("_jac") < floor).count()
+    return {
+        "ok": bad == 0 and n > 0,
+        "metric": round(1.0 - (bad / n if n else 1.0), 4),
+        "floor": 1.0,
+        "property": f"all pairs have exact shingle-Jaccard >= {floor}",
+    }
+
+
+def _iforest_property(df: DataFrame, contamination: float) -> dict:
+    """Decision-consistency: per series, the outlier set must be a
+    score-EXTREME set (min outlier score >= max inlier score, or the
+    sign-flipped orientation for sklearn decision_function), and the
+    flagged count must respect the contamination quantile."""
+    stats = df.groupBy("metric").agg(
+        F.min(F.when(F.col("is_outlier"), F.col("score"))).alias("_mino"),
+        F.max(F.when(F.col("is_outlier"), F.col("score"))).alias("_maxo"),
+        F.min(F.when(~F.col("is_outlier"), F.col("score"))).alias("_mini"),
+        F.max(F.when(~F.col("is_outlier"), F.col("score"))).alias("_maxi"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("_nout"),
+        F.count(F.when(F.col("score").isNotNull(), 1)).alias("_n"),
+    )
+    extreme_ok = (
+        F.col("_nout") == 0
+    ) | (F.col("_mino") >= F.col("_maxi")) | (F.col("_maxo") <= F.col("_mini"))
+    count_ok = F.col("_nout") <= F.ceil(F.lit(contamination) * F.col("_n")) + F.lit(1)
+    n_series = stats.count()
+    bad = stats.filter(~(extreme_ok & count_ok)).count()
+    return {
+        "ok": bad == 0 and n_series > 0,
+        "metric": round(1.0 - (bad / n_series if n_series else 1.0), 4),
+        "floor": 1.0,
+        "property": "outliers are the per-series score-extreme "
+        f"top-{contamination} quantile set",
+    }
+
+
+def p_anomaly_iforest_numpy(spark: SparkSession, sf_dir: str) -> dict:
+    return _iforest_property(q_anomaly_iforest_numpy(spark, sf_dir), 0.05)
+
+
+def p_anomaly_iforest_4d(spark: SparkSession, sf_dir: str) -> dict:
+    return _iforest_property(q_anomaly_iforest_4d(spark, sf_dir), 0.05)
+
+
+def p_quality_classifier(spark: SparkSession, sf_dir: str) -> dict:
+    """Separation: the trained model must score the hand-quality
+    positive extreme above the negative extreme by a margin — the same
+    weak labels it was fitted on (GPT-3's own sanity check shape)."""
+    d = _docs(spark, sf_dir)
+    q = TX.quality_features(d).select("doc_id", "quality")
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "quality_prob")
+    row = (
+        scored.join(q, "doc_id")
+        .agg(
+            F.avg(
+                F.when(F.col("quality") >= 0.62, F.col("quality_prob"))
+            ).alias("pos"),
+            F.avg(
+                F.when(F.col("quality") <= 0.55, F.col("quality_prob"))
+            ).alias("neg"),
+        )
+        .first()
+    )
+    margin = float(row["pos"] - row["neg"])
+    floor = 0.15
+    return {
+        "ok": margin >= floor,
+        "metric": round(margin, 4),
+        "floor": floor,
+        "property": "mean score(pos extreme) - mean score(neg extreme)",
+    }
+
+
+def property_checks() -> dict[str, Callable[[SparkSession, str], dict]]:
+    """One entry per rows-only query (every queries() key missing from
+    oracle_sql()) — the correctness harness runs these and records a
+    `property_match` verdict."""
+    return {
+        "ivf_kmeans_topk": p_ivf_kmeans_topk,
+        "pq_topk": p_pq_topk,
+        "minhash_lsh_mllib": p_minhash_lsh_mllib,
+        "anomaly_iforest_numpy": p_anomaly_iforest_numpy,
+        "anomaly_iforest_4d": p_anomaly_iforest_4d,
+        "quality_classifier": p_quality_classifier,
+    }

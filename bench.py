@@ -254,6 +254,8 @@ BENCH_QUERIES: list[str] = [
     "lexical_diversity",
     "ngram_novelty",
     "containment_pairs",
+    # round-7 additions
+    "graph_pagerank_hub",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in
@@ -439,6 +441,114 @@ def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
+def streaming_e2e(spark, sf_dir: str) -> dict[str, float]:
+    """Structured-Streaming stage group (round-7 verdict task #7): the
+    stateful operators had stream==batch equivalence tests but no bench
+    entry, so streaming overhead was invisible round-over-round. Each
+    stage drains the sf events through a file source forced into 8
+    micro-batches (``maxFilesPerTrigger=1`` + ``availableNow``) — the
+    measured cost is real micro-batch scheduling + state-store traffic,
+    not a single batch in disguise."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.session import read_events
+    from smartdatapipeline_spark.streaming.corpus import stream_corpus_ingest
+    from smartdatapipeline_spark.streaming.dedup import stream_dedup
+    from smartdatapipeline_spark.streaming.windows import (
+        session_window_kpis,
+        windowed_kpis,
+    )
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_")
+    t: dict[str, float] = {}
+    n_batches = 8
+    try:
+        # stage the event stream as n_batches files == n_batches triggers
+        (
+            read_events(spark, sf_dir)
+            .select("ts", "user_id", F.col("event_type").alias("metric"), "value")
+            .repartition(n_batches)
+            .write.mode("overwrite")
+            .parquet(f"{work}/events")
+        )
+        schema = spark.read.parquet(f"{work}/events").schema
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/events")
+            )
+
+        def drain(df, name, mode):
+            t0 = time.perf_counter()
+            q = (
+                df.writeStream.format("noop")
+                .outputMode(mode)
+                .option("checkpointLocation", f"{work}/ckpt_{name.split('/')[-1]}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            t[name] = round(time.perf_counter() - t0, 4)
+
+        # fail-soft per stage (round-7 first run: one unsupported output
+        # mode discarded the WHOLE group's timings)
+        stages = [
+            (
+                lambda: windowed_kpis(src(), window="1 hour", watermark="1 hour"),
+                "streaming/windowed_kpis",
+                "update",
+            ),
+            (
+                lambda: stream_dedup(src(), keys=("metric", "ts"), watermark="1 hour"),
+                "streaming/dedup_watermark",
+                "append",
+            ),
+            (
+                # session-window aggs only support append (finalized
+                # sessions past the watermark) or complete
+                lambda: session_window_kpis(src(), gap="30 minutes", watermark="1 hour"),
+                "streaming/session_windows",
+                "append",
+            ),
+        ]
+        for build, name, mode in stages:
+            try:
+                drain(build(), name, mode)
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                t[name] = -1.0
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+        # corpus ingest with INCREMENTAL near-dup dedup: 4 document
+        # micro-batches against a growing MinHash index (foreachBatch)
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(f"{work}/docs")
+        )
+        dschema = spark.read.parquet(f"{work}/docs").schema
+        t0 = time.perf_counter()
+        q = stream_corpus_ingest(
+            spark.readStream.schema(dschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/docs"),
+            f"{work}/corpus",
+            f"{work}/index",
+            f"{work}/ckpt_corpus",
+        )
+        q.awaitTermination()
+        t["streaming/corpus_ingest"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return t
+
+
 def _next_round() -> int:
     """Infer the CURRENT round from the driver's committed artifacts:
     BENCH_r{N}.json exists for every CLOSED round, so this run belongs
@@ -550,6 +660,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["corpus_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
+
+        try:
+            timings.update(streaming_e2e(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors["streaming_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: streaming_e2e FAILED: {errors['streaming_e2e']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -75,8 +75,11 @@ def main() -> int:
     failures = []
     records: dict[str, dict] = {}
 
+    props = getattr(E, "property_checks", dict)()
+
     def record(name, *, rows_match=None, schema_match=None, hash_match=None,
-               spark_rows=None, oracle_rows=None, err=None, oracle=True):
+               spark_rows=None, oracle_rows=None, err=None, oracle=True,
+               property_match=None, property_detail=None):
         records[name] = {
             "rows_match": rows_match,
             "schema_match": schema_match,
@@ -86,6 +89,9 @@ def main() -> int:
             "err": err,
             "oracle": oracle,
         }
+        if property_match is not None:
+            records[name]["property_match"] = property_match
+            records[name]["property_detail"] = property_detail
 
     for name, fn in qs.items():
         if only and name not in only:
@@ -101,6 +107,32 @@ def main() -> int:
         t_spark = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
+            # round-7: randomized/trained queries carry a property-bound
+            # oracle (recall floor / precision-vs-exact-Jaccard /
+            # decision consistency / separation margin) — strictly
+            # stronger than the old rows-only check
+            pfn = props.get(name)
+            if pfn is not None:
+                try:
+                    pres = pfn(spark, sf_dir)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"FAIL {name}: property check error: {exc}")
+                    failures.append(name)
+                    record(name, spark_rows=len(sdf), oracle=False,
+                           err=f"property: {exc}")
+                    continue
+                ok = bool(pres.get("ok")) and len(sdf) > 0
+                tag = "PROP" if ok else "FAIL"
+                print(
+                    f"{tag} {name}: rows={len(sdf)} "
+                    f"{pres.get('property')}: {pres.get('metric')} "
+                    f"(floor {pres.get('floor')}) [{t_spark:.1f}s]"
+                )
+                if not ok:
+                    failures.append(name)
+                record(name, rows_match=len(sdf) > 0, spark_rows=len(sdf),
+                       oracle=False, property_match=ok, property_detail=pres)
+                continue
             print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check) [{t_spark:.1f}s]")
             if len(sdf) == 0:
                 failures.append(name)
