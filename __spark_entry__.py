@@ -3399,6 +3399,42 @@ def q_bpe_merges_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_fast(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event series (S statistic, Kendall
+    τ_a, tie-corrected Var(S), continuity-corrected z) — the
+    significance twin of theilsen_trend; day²-bounded pair space —
+    operators/forecast.py mann_kendall."""
+    return FC.mann_kendall(_events(spark, sf_dir))
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sign random projection (Achlioptas/JL) of the
+    64-dim embeddings to 16 dims — the pre-ANN dimensionality cut.
+    Sign matrix from portable md5-h60, fold in index order ⇒ the
+    DuckDB oracle is bit-exact — functions/similarity.py
+    random_projection. Long-form output (vec_id, j, proj)."""
+    return SIM.random_projection(_emb(spark, sf_dir), out_dim=16, seed=7)
+
+
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ production search: ADC shortlist (50) from the m=16 codes,
+    then exact-L2 re-rank of just those candidates — corpus-size-
+    independent re-rank cost; recall@10 property-floored well above
+    bare ADC — functions/similarity.py pq_rerank_topk."""
+    emb = _emb(spark, sf_dir)
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = [
+            (r["sub"], r["cent_id"], r["_cv"])
+            for r in SIM.pq_train(emb, m=16, k=16, seed=42).collect()
+        ]
+    cb = spark.createDataFrame(
+        _PQ_CODEBOOKS[sf_dir], "sub int, cent_id int, _cv array<double>"
+    )
+    codes = SIM.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.pq_rerank_topk(cb, codes, emb, queries, k=10, shortlist=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3617,6 +3653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "ann_truncation_recall": q_ann_truncation_recall,
         "k_anonymity": q_k_anonymity,
+        # round-7 additions
+        "mann_kendall": q_mann_kendall,
+        "random_projection": q_random_projection,
+        "pq_rerank_topk": q_pq_rerank_topk,
     }
 
 
@@ -5739,6 +5779,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_lines
         FROM base GROUP BY CUBE(nation, order_year)
+    """
+
+    # Mann–Kendall: S and tie counts are exact integers; tau/var/z are
+    # single IEEE divisions/sqrt of those integers — bit-exact.
+    o["mann_kendall"] = """
+        WITH daily AS (
+            SELECT event_type AS metric, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT a.metric,
+                   CAST(SUM(CAST(SIGN(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON b.metric = a.metric AND a.d < b.d
+            GROUP BY a.metric),
+        ties AS (
+            SELECT metric,
+                   SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+            FROM (SELECT metric, y, COUNT(*) AS t FROM daily GROUP BY 1, 2) g
+            GROUP BY metric),
+        n AS (SELECT metric, COUNT(*) AS n_days FROM daily GROUP BY metric)
+        SELECT n.metric, n.n_days,
+               COALESCE(s.s_stat, 0) AS s_stat,
+               CASE WHEN n.n_days > 1
+                    THEN COALESCE(s.s_stat, 0)
+                         / (n.n_days * (n.n_days - 1) / 2.0) END AS tau,
+               CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                    - ties.tie_term AS DOUBLE) / 18.0 AS var_s,
+               CASE WHEN CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                         - ties.tie_term AS DOUBLE) / 18.0 > 0.0
+                    THEN CASE
+                        WHEN COALESCE(s.s_stat, 0) > 0 THEN
+                            (COALESCE(s.s_stat, 0) - 1)
+                            / SQRT(CAST(n.n_days * (n.n_days - 1)
+                                * (2 * n.n_days + 5) - ties.tie_term
+                                AS DOUBLE) / 18.0)
+                        WHEN COALESCE(s.s_stat, 0) < 0 THEN
+                            (COALESCE(s.s_stat, 0) + 1)
+                            / SQRT(CAST(n.n_days * (n.n_days - 1)
+                                * (2 * n.n_days + 5) - ties.tie_term
+                                AS DOUBLE) / 18.0)
+                        ELSE 0.0 END
+               END AS z
+        FROM n LEFT JOIN s ON s.metric = n.metric
+        JOIN ties ON ties.metric = n.metric
+    """
+
+    # Random projection: the sign matrix regenerates from the portable
+    # md5-h60 of 'i:j:seed' (0-based i,j); terms fold in i order —
+    # list_reduce's first-element seed == Spark's 0.0 seed (0.0+x == x).
+    o["random_projection"] = f"""
+        WITH sgn AS (
+            SELECT i.range AS i, j.range AS j,
+                   CASE WHEN {_H60.format(expr="(i.range || ':' || j.range || ':' || 7)")} % 2 = 0
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(-1.0 AS DOUBLE) END AS s
+            FROM range(64) i CROSS JOIN range(16) j),
+        ex AS (
+            SELECT e.vec_id, r.range AS i,
+                   list_extract(e.embedding, r.range + 1) AS x
+            FROM embeddings e CROSS JOIN range(64) r),
+        terms AS (
+            SELECT ex.vec_id, sgn.j,
+                   list(ex.x * sgn.s ORDER BY ex.i) AS xs
+            FROM ex JOIN sgn ON sgn.i = ex.i
+            GROUP BY ex.vec_id, sgn.j)
+        SELECT vec_id, CAST(j AS INTEGER) AS j,
+               list_reduce(xs, (a, x) -> a + x) * (1.0 / SQRT(16.0)) AS proj
+        FROM terms
     """
 
     return o
@@ -7954,6 +8063,51 @@ def p_quality_classifier(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+def p_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> dict:
+    """Re-ranked PQ must recover most of the exact L2 top-k — the
+    shortlist-then-rerank pattern's whole point. Floor well above the
+    bare-ADC floor (0.35)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = q_pq_rerank_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    r = _recall_vs(approx, exact)
+    floor = 0.70
+    return {
+        "ok": r >= floor,
+        "metric": round(r, 4),
+        "floor": floor,
+        "property": "recall@10 vs exact L2 top-k (rerank path)",
+    }
+
+
 def property_checks() -> dict[str, Callable[[SparkSession, str], dict]]:
     """One entry per rows-only query (every queries() key missing from
     oracle_sql()) — the correctness harness runs these and records a
@@ -7965,4 +8119,5 @@ def property_checks() -> dict[str, Callable[[SparkSession, str], dict]]:
         "anomaly_iforest_numpy": p_anomaly_iforest_numpy,
         "anomaly_iforest_4d": p_anomaly_iforest_4d,
         "quality_classifier": p_quality_classifier,
+        "pq_rerank_topk": p_pq_rerank_topk,
     }

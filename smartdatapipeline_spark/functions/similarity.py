@@ -700,3 +700,118 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def pq_rerank_topk(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search the way production runs it (Jégou 2011 §V): the ADC
+    scan produces a SHORTLIST of ``shortlist`` candidates per query from
+    the compressed codes (m bytes/vector — the only thing the scan
+    touches), then exact L2 re-ranks just those few full vectors. The
+    re-rank join fetches ``|Q|·shortlist`` full vectors — independent of
+    corpus size, so the 100 TB cost profile stays "scan codes, fetch a
+    shortlist" while recall@10 climbs from the bare-ADC ~0.5 to ~0.9.
+
+    Output: (query_id, neighbor_id, rank, l2_sq)."""
+    from pyspark.sql.window import Window
+
+    cand = pq_adc_topk(
+        codebooks, codes, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    exact = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "l2_sq",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2_sq")
+    )
+
+
+def projection_signs(dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """The ±1 sign matrix for ``random_projection``, derived from the
+    repo's PORTABLE h60 hash (first 15 md5 hex chars) of "i:j:seed" —
+    md5 is engine-independent, so the DuckDB oracle regenerates the
+    identical matrix and the projection is bit-exact across engines.
+    Computed driver-side once (dim·out_dim md5 calls — plan literals,
+    zero per-row hashing on the executors)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{i}:{j}:{seed}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sign random projection (Achlioptas 2003; the
+    database-friendly Johnson–Lindenstrauss transform): y_j =
+    (1/√out_dim) · Σ_i x_i·s(i,j), s(i,j) ∈ {−1,+1} from the portable
+    h60 hash — the dimensionality-reduction step that runs BEFORE ANN
+    at 100 TB (64-dim → 16-dim cuts every downstream distance, bucket,
+    and shuffle byte 4×; JL guarantees pairwise distances survive to
+    1±ε). Fully columnar: one zip_with multiply + ordered fold per
+    output dimension, zero UDFs, zero per-row hashing (the sign matrix
+    is a plan literal), and the fold order (i ascending) is fixed so
+    the DuckDB oracle reproduces every double bit-for-bit.
+
+    Output long-form (vec_id, j, proj) — one row per output dimension,
+    which is what the cross-engine value hash compares exactly."""
+    dim = len(emb.select(vec_col).first()[0])
+    signs = projection_signs(dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    cols = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        fold = F.aggregate(
+            F.zip_with(F.col(vec_col), sj, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(
+            F.struct(F.lit(j).alias("j"), (fold * F.lit(scale)).alias("proj"))
+        )
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*cols)).alias("_p")
+    ).select("vec_id", F.col("_p.j").alias("j"), F.col("_p.proj").alias("proj"))

@@ -1331,3 +1331,89 @@ def theilsen_trend(
         .join(F.broadcast(days), "metric")
         .select("metric", "n_days", "n_pairs", "slope")
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann–Kendall trend test per series — the nonparametric
+    significance twin of ``theilsen_trend`` (which estimates the slope
+    this test decides is real): S = Σ_{i<j} sign(y_j − y_i) over the
+    day-grain series, Kendall's τ_a = S / (n(n−1)/2), tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected normal score z = (S∓1)/√Var(S).
+
+    Same scale posture as Theil–Sen: the pair space is day² per series
+    (co-partitioned self-join on the series key), never fact-sized; S
+    and the tie counts are exact integers, so every float that leaves
+    this operator is a single IEEE division/sqrt — bit-reproducible at
+    any parallelism and in the DuckDB oracle.
+
+    Output: (metric, n_days, s_stat, tau, var_s, z) — z NULL when
+    Var(S)=0 (all-tied or single-day series).
+    """
+    daily = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.to_date(ts_col).alias("_d"),
+            F.col(value_col).cast("decimal(18,4)").alias("_y"),
+        )
+        .groupBy("metric", "_d")
+        .agg(F.sum("_y").cast("double").alias("_y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(b, "metric")
+        .filter(F.col("a._d") < F.col("b._d"))
+        .groupBy("metric")
+        .agg(
+            F.sum(
+                F.signum(F.col("b._y") - F.col("a._y")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("metric", "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("metric")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    n = daily.groupBy("metric").agg(F.count(F.lit(1)).alias("n_days"))
+    nn = F.col("n_days").cast("long")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("_tie_term")).cast("double")
+        / F.lit(18.0)
+    )
+    joined = (
+        n.join(s_stat, "metric", "left")
+        .join(ties, "metric")
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)))
+        .withColumn("var_s", var_s)
+        .withColumn(
+            "tau",
+            F.when(nn > 1, F.col("s_stat") / (nn * (nn - 1) / F.lit(2.0))),
+        )
+        .withColumn(
+            "z",
+            F.when(
+                F.col("var_s") > 0.0,
+                F.when(
+                    F.col("s_stat") > 0,
+                    (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+                )
+                .when(
+                    F.col("s_stat") < 0,
+                    (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+                )
+                .otherwise(F.lit(0.0)),
+            ),
+        )
+    )
+    return joined.select("metric", "n_days", "s_stat", "tau", "var_s", "z")
