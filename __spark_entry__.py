@@ -3435,6 +3435,72 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_rerank_topk(cb, codes, emb, queries, k=10, shortlist=50)
 
 
+#: per-corpus trained merge list — train once (bpe_train_fast), encode
+#: everywhere; same build/score split as the PQ codebooks and the
+#: quality classifier.
+_BPE_MERGES: dict[str, list] = {}
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step: encode the corpus under the trained merge
+    list (functions/bpe.py bpe_apply — pure column expressions, the
+    two-pass literal replace per merge, zero UDFs), aggregated per doc
+    to (n_words, n_pieces, pieces_per_word). Completes the
+    train→encode tokenizer story; merges train once per corpus snapshot
+    (memoized, bpe_train_fast at the oracle's 6-merge budget so the
+    unrolled-SQL oracle proves the END-TO-END encode bit-exact)."""
+    from smartdatapipeline_spark.functions.bpe import bpe_apply, bpe_train_fast
+
+    docs = _docs(spark, sf_dir)
+    if sf_dir not in _BPE_MERGES:
+        rows = bpe_train_fast(docs, n_merges=6).orderBy("round").collect()
+        _BPE_MERGES[sf_dir] = [(r["left"], r["right"]) for r in rows]
+    enc = bpe_apply(docs, _BPE_MERGES[sf_dir])
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        (
+            F.sum("n_pieces").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pieces_per_word"),
+    )
+
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain linear interpolation over series gaps (between nearest
+    observed neighbors; one-sided gaps stay NULL) — the trend-true
+    repair next to forward_fill's step function. Two frame-bounded
+    windows, no self-join — operators/temporal.py
+    interpolate_linear_daily."""
+    from smartdatapipeline_spark.operators.temporal import (
+        interpolate_linear_daily,
+    )
+
+    return interpolate_linear_daily(_events(spark, sf_dir))
+
+
+def q_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-window duplicate suppression (double-fire repair for
+    at-least-once producers whose retries carry fresh timestamps):
+    same-payload events chain into islands when < 60 s apart; first
+    survives, n_suppressed counts the absorbed retries. Returns the
+    suppression summary per payload key (bounded output) —
+    operators/temporal.py debounce_exact_dedup."""
+    from smartdatapipeline_spark.operators.temporal import (
+        debounce_exact_dedup,
+    )
+
+    surv = debounce_exact_dedup(_events(spark, sf_dir), tolerance_sec=60)
+    return (
+        surv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_suppressed").alias("n_suppressed"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3657,6 +3723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "random_projection": q_random_projection,
         "pq_rerank_topk": q_pq_rerank_topk,
+        "bpe_encode": q_bpe_encode,
+        "interpolate_linear": q_interpolate_linear,
+        "debounce_dedup": q_debounce_dedup,
     }
 
 
@@ -5678,6 +5747,47 @@ def oracle_sql() -> dict[str, str]:
         )
     )
     o["bpe_merges"] = "".join(_bpe)
+    # encode oracle: the same unrolled 6-round chain, but the per-word
+    # segmentation rides through every round (s0..s6 keep the word
+    # column) and the corpus re-joins it per doc occurrence at the end
+    _enc = [_TEXT_CTE + """
+        , wx AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        vocab AS (SELECT word, COUNT(*) AS cnt FROM wx
+                  WHERE word != '' GROUP BY 1),
+        s0 AS (SELECT word,
+                      regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seg,
+                      cnt FROM vocab)"""]
+    for r in range(1, _bpe_rounds + 1):
+        _enc.append(f"""
+        , q{r} AS (
+            SELECT t{r}.pr.a AS a, t{r}.pr.b AS b, SUM(v.cnt) AS n
+            FROM (SELECT list_transform(
+                      range(1, len(string_split(seg, ' '))),
+                      i -> {{'a': string_split(seg, ' ')[i],
+                            'b': string_split(seg, ' ')[i + 1]}}) AS prs,
+                      cnt
+                  FROM s{r - 1}) v, UNNEST(v.prs) AS t{r}(pr)
+            GROUP BY 1, 2),
+        c{r} AS (SELECT a, b FROM q{r}
+                 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        s{r} AS (
+            SELECT word, trim(replace(replace(' ' || seg || ' ',
+                       ' ' || c{r}.a || ' ' || c{r}.b || ' ',
+                       ' ' || c{r}.a || c{r}.b || ' '),
+                       ' ' || c{r}.a || ' ' || c{r}.b || ' ',
+                       ' ' || c{r}.a || c{r}.b || ' ')) AS seg, cnt
+            FROM s{r - 1}, c{r})""")
+    _enc.append(f"""
+        , enc AS (
+            SELECT w.doc_id, s.seg
+            FROM wx w JOIN s{_bpe_rounds} s USING (word)
+            WHERE w.word != '')
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS n_pieces,
+               CAST(SUM(len(string_split(seg, ' '))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS pieces_per_word
+        FROM enc GROUP BY doc_id""")
+    o["bpe_encode"] = "".join(_enc)
     # the fast (driver-side incremental) trainer is defined to produce the
     # IDENTICAL merge table — same oracle, independently proven
     o["bpe_merges_fast"] = o["bpe_merges"]
@@ -5848,6 +5958,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(j AS INTEGER) AS j,
                list_reduce(xs, (a, x) -> a + x) * (1.0 / SQRT(16.0)) AS proj
         FROM terms
+    """
+
+    o["interpolate_linear"] = """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                       AS observed
+            FROM events GROUP BY 1, 2),
+        b AS (SELECT series, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY series),
+        spine AS (
+            SELECT series,
+                   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                        CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM b),
+        j AS (
+            SELECT s.series, s.day, d.observed
+            FROM spine s LEFT JOIN daily d
+              ON d.series = s.series AND d.day = s.day),
+        n AS (
+            SELECT series, day, observed,
+               last_value(observed IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN observed IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER wb AS pd,
+               first_value(observed IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN observed IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER wf AS nd
+            FROM j
+            WINDOW wb AS (PARTITION BY series ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY series ORDER BY day ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT series, day, observed,
+               CASE WHEN observed IS NOT NULL THEN observed
+                    ELSE pv + (nv - pv)
+                         * (CAST(datediff('day', pd, day) AS DOUBLE)
+                            / CAST(datediff('day', pd, nd) AS DOUBLE))
+               END AS value_interp,
+               observed IS NULL AS is_imputed
+        FROM n
+    """
+
+    o["debounce_dedup"] = """
+        WITH w AS (
+            SELECT *,
+                   epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id, event_type, value
+                       ORDER BY ts ASC, event_id ASC) AS gap
+            FROM events),
+        m AS (
+            SELECT *,
+                   SUM(CASE WHEN gap IS NULL OR gap > 60 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id, event_type, value
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+            FROM w),
+        isl AS (
+            SELECT user_id, event_type, value, island,
+                   COUNT(*) - 1 AS n_suppressed
+            FROM m GROUP BY 1, 2, 3, 4)
+        SELECT event_type,
+               COUNT(*) AS n_survivors,
+               CAST(SUM(n_suppressed) AS BIGINT) AS n_suppressed
+        FROM isl GROUP BY event_type ORDER BY event_type
     """
 
     return o

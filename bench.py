@@ -256,6 +256,12 @@ BENCH_QUERIES: list[str] = [
     "containment_pairs",
     # round-7 additions
     "graph_pagerank_hub",
+    "mann_kendall",
+    "random_projection",
+    "pq_rerank_topk",
+    "bpe_encode",
+    "interpolate_linear",
+    "debounce_dedup",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

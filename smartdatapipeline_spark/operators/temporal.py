@@ -698,3 +698,127 @@ def rolling_median_daily(
         .over(w)
         .alias("rolling_median"),
     )
+
+
+def interpolate_linear_daily(
+    events,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Day-grain LINEAR interpolation over gaps — the repair step when
+    forward-fill's step function lies (a metric that trends through an
+    outage should trend through the gap too): per series, each missing
+    day takes y_prev + (y_next − y_prev) · (d − d_prev)/(d_next −
+    d_prev) between its nearest observed neighbors; leading/trailing
+    gaps (one-sided) stay NULL — interpolation, not extrapolation.
+
+    Same single-shuffle shape as ``forward_fill_daily``: spine join,
+    then TWO frame-bounded windows (last-observed backward,
+    first-observed forward) — no self-join, no per-gap pass. The
+    arithmetic is one fixed IEEE expression, so the DuckDB oracle is
+    bit-exact.
+
+    Output: (series, day, observed, value_interp, is_imputed).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.numeric import dsum
+
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("series", "day")
+        .agg(dsum("_v").alias("observed"))
+    )
+    bounds = daily.groupBy("series").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    spine = bounds.select(
+        "series",
+        F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    joined = spine.join(daily, ["series", "day"], "left")
+    wb = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed").isNotNull(), F.col("day"))
+    prev_v = F.last("observed", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wb)
+    next_v = F.first("observed", ignorenulls=True).over(wf)
+    next_d = F.first(obs_day, ignorenulls=True).over(wf)
+    interp = F.when(F.col("observed").isNotNull(), F.col("observed")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (
+            F.datediff(F.col("day"), prev_d).cast("double")
+            / F.datediff(next_d, prev_d).cast("double")
+        )
+    )
+    return joined.select(
+        "series",
+        "day",
+        "observed",
+        interp.alias("value_interp"),
+        F.col("observed").isNull().alias("is_imputed"),
+    )
+
+
+def debounce_exact_dedup(
+    events,
+    tolerance_sec: int = 5,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id", "event_type", "value"),
+):
+    """Tolerance-window duplicate suppression — the double-fire repair
+    for at-least-once producers whose retries carry a FRESH timestamp
+    (so exact (key, ts) dedup misses them): within each key, events
+    closer than ``tolerance_sec`` to their predecessor chain into one
+    island (gaps-and-islands over a lag diff) and only the island's
+    FIRST event survives. Differs from event_debounce (per-user rate
+    limiting) by keying on the full payload identity: two different
+    values 1 s apart both survive here.
+
+    One shuffle on the key; the island id is a running sum — the same
+    cumulative-flag pattern as sessionize, bit-reproducible.
+
+    Output: the surviving events (event_id, ts, user_id, event_type,
+    value) plus n_suppressed — how many duplicates the island absorbed.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    marked = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > tolerance_sec), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    wi = Window.partitionBy(*kcols, F.col("_island")).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    return (
+        marked.withColumn("_rn", F.row_number().over(wi))
+        .withColumn(
+            "n_suppressed",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*kcols, F.col("_island"))
+            )
+            - 1,
+        )
+        .filter(F.col("_rn") == 1)
+        .select("event_id", ts_col, *keys, "n_suppressed")
+    )
