@@ -3501,6 +3501,36 @@ def q_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fernet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Fernet wire format (reference security/crypto.py:38-63),
+    pure column expressions — AES-128-CBC via aes_encrypt(iv=...),
+    HMAC-SHA256 from two sha2() calls, urlsafe base64. Library interop
+    PROVEN live both directions (tests/test_fernet.py:
+    cryptography.Fernet decrypts our tokens; we decrypt its random-IV
+    tokens; from-scratch FIPS-197 AES pins the bytes independently).
+    Tokens are deterministic (SIV-style IV; exact bytes pinned by the
+    from-scratch goldens), so decrypt∘encrypt = identity on every row
+    is what the oracle pins — functions/crypto.py
+    fernet_encrypt/fernet_decrypt."""
+    key = CR.fernet_dev_key()
+    ev = _events(spark, sf_dir)
+    enc = ev.withColumn("tok", CR.fernet_encrypt("props", key, timestamp=0))
+    rt = CR.fernet_decrypt("tok", key).cast("string")
+    return (
+        enc.withColumn("rt", rt)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("rt").eqNullSafe(F.col("props")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3726,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "interpolate_linear": q_interpolate_linear,
         "debounce_dedup": q_debounce_dedup,
+        "fernet_roundtrip": q_fernet_roundtrip,
     }
 
 
@@ -6024,6 +6055,15 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_survivors,
                CAST(SUM(n_suppressed) AS BIGINT) AS n_suppressed
         FROM isl GROUP BY event_type ORDER BY event_type
+    """
+
+    # Fernet tokens are not computable in DuckDB (no AES) — what the
+    # oracle CAN pin is the roundtrip identity on every row; the token
+    # BYTES are pinned by tests/test_fernet.py's from-scratch AES
+    o["fernet_roundtrip"] = """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     return o

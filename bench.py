@@ -262,6 +262,7 @@ BENCH_QUERIES: list[str] = [
     "bpe_encode",
     "interpolate_linear",
     "debounce_dedup",
+    "fernet_roundtrip",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

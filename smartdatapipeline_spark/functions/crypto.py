@@ -143,3 +143,100 @@ def k_anonymity(
         ).alias("frac_below_k"),
         (F.min("_c") >= k).alias("k_anonymous"),
     )
+
+
+# ── Fernet wire format (round 7 — closes "What's missing" #3) ────────
+# The reference stores payloads as REAL Fernet tokens
+# (security/crypto.py:38-63, cryptography.fernet). Everything below
+# builds byte-identical-format tokens with PURE COLUMN EXPRESSIONS —
+# AES-128-CBC via aes_encrypt(..., iv), HMAC-SHA256 composed from two
+# sha2() calls with the pad constants precomputed driver-side (the key
+# is a literal, so K⊕ipad / K⊕opad are plan literals; zero Python in
+# the loop). A user can hand these tokens to the reference service and
+# cryptography.Fernet(key).decrypt() accepts them
+# (tests/test_fernet.py pins the format from-scratch; the
+# importorskip(cryptography) test proves library parity wherever that
+# wheel exists).
+#
+#   token = urlsafe_b64( 0x80 ‖ ts(8B BE) ‖ IV(16) ‖ CT ‖ HMAC(32) )
+#   key   = urlsafe_b64(signing_key(16) ‖ encryption_key(16))
+#
+# Determinism: the spec's random IV would break oracle checks and
+# idempotent re-encryption, so the IV is SIV-style — the first 16
+# bytes of HMAC(signing_key, b"iv" ‖ plaintext). Any IV decrypts and
+# verifies identically under real Fernet; the tradeoff (equal
+# plaintexts ⇒ equal tokens, like AES-SIV / convergent encryption) is
+# documented and acceptable for payload-at-rest parity. ``timestamp``
+# is an injectable clock (reference pattern M2) for the same reason.
+
+import base64 as _b64
+import hashlib as _hashlib
+import struct as _struct
+
+
+def fernet_dev_key() -> str:
+    """The reference's dev-fallback key derivation
+    (security/crypto.py:_normalize_key: sha256 of "smartdata-dev",
+    urlsafe-b64) — test/demo parity only, never production."""
+    return _b64.urlsafe_b64encode(
+        _hashlib.sha256(b"smartdata-dev").digest()
+    ).decode()
+
+
+def _fernet_keys(key: str) -> tuple[bytes, bytes]:
+    raw = _b64.urlsafe_b64decode(key)
+    if len(raw) != 32:
+        raise ValueError("Fernet key must decode to 32 bytes")
+    return raw[:16], raw[16:]
+
+
+def _hmac_sha256(key_bytes: bytes, msg: Column) -> Column:
+    """HMAC-SHA256 as a column expression: the key is driver-side, so
+    K⊕ipad / K⊕opad are 64-byte literals and each HMAC is exactly two
+    JVM sha2() evaluations."""
+    ipad = bytes(b ^ 0x36 for b in key_bytes.ljust(64, b"\0"))
+    opad = bytes(b ^ 0x5C for b in key_bytes.ljust(64, b"\0"))
+    inner = F.unhex(F.sha2(F.concat(F.lit(ipad), msg), 256))
+    return F.unhex(F.sha2(F.concat(F.lit(opad), inner), 256))
+
+
+def fernet_encrypt(
+    col: Column | str, key: str, timestamp: int = 0
+) -> Column:
+    """String/binary column → Fernet token (string), wire-compatible
+    with ``cryptography.fernet`` (see block comment: SIV-style IV,
+    injectable timestamp)."""
+    c = F.col(col) if isinstance(col, str) else col
+    sign_k, enc_k = _fernet_keys(key)
+    msg = c.cast("binary")
+    iv = F.substring(
+        _hmac_sha256(sign_k, F.concat(F.lit(b"iv"), msg)), 1, 16
+    )
+    # aes_encrypt(..., iv) returns IV-prefixed ciphertext: exactly the
+    # IV ‖ CT span of the token body
+    ivct = F.aes_encrypt(msg, F.lit(enc_k), F.lit("CBC"), F.lit("PKCS"), iv)
+    body = F.concat(F.lit(b"\x80" + _struct.pack(">Q", timestamp)), ivct)
+    tag = _hmac_sha256(sign_k, body)
+    # translate maps +/ to -_ AND deletes the MIME line breaks Spark's
+    # base64() inserts every 76 chars (unmapped chars are dropped)
+    return F.translate(F.base64(F.concat(body, tag)), "+/\r\n", "-_")
+
+
+def fernet_decrypt(col: Column | str, key: str) -> Column:
+    """Fernet token (string) → plaintext binary; NULL when the version
+    byte or HMAC does not verify (InvalidToken parity — the reference's
+    ``try_decrypt``). Cast to string for JSON payloads."""
+    c = F.col(col) if isinstance(col, str) else col
+    sign_k, enc_k = _fernet_keys(key)
+    b = F.unbase64(F.translate(c, "-_", "+/"))
+    n = F.length(b)
+    body = F.substring(b, F.lit(1), n - 32)
+    tag = F.substring(b, n - 31, F.lit(32))
+    ivct = F.substring(body, F.lit(10), n - 41)  # body minus 0x80+ts(8)
+    ok = (
+        (n >= 57)
+        & (F.substring(b, 1, 1) == F.lit(b"\x80"))
+        & (tag == _hmac_sha256(sign_k, body))
+    )
+    plain = F.try_aes_decrypt(ivct, F.lit(enc_k), F.lit("CBC"), F.lit("PKCS"))
+    return F.when(ok, plain)

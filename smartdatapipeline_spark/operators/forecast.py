@@ -1363,6 +1363,11 @@ def mann_kendall(
         )
         .groupBy("metric", "_d")
         .agg(F.sum("_y").cast("double").alias("_y"))
+        # day-grain frame is tiny (days × metrics) but consumed FOUR
+        # times (pairs×2, ties, n) — cut the lineage so events scans
+        # once, not four times (PERF lesson: cache multiply-consumed
+        # frames; localCheckpoint releases itself with the plan)
+        .localCheckpoint()
     )
     a, b = daily.alias("a"), daily.alias("b")
     s_stat = (
