@@ -3531,6 +3531,73 @@ def q_fernet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF PIXEL decode end-to-end (round 7 — the last image-
+    format gap closed; header-only GIF support becomes full LZW
+    decode): an Arrow-batched encoder builds a GIF per doc (palette
+    size, dims, and every pixel a formula of doc_id; every third doc
+    INTERLACED so the 4-pass path exercises; palettes up to 64 colors
+    force LZW code-width growth), functions/multimodal.py
+    ``decode_gif_pixels`` LZW-decodes it back, and the pixel summary is
+    computed JVM-side. The oracle recomputes everything from doc_id
+    arithmetic alone — any defect in the block walk, color table, LZW
+    width schedule, or deinterlace breaks the bit-exact match."""
+    import pandas as pd
+    from pyspark.sql import types as PT
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    enc_schema = PT.StructType(
+        [d.schema["doc_id"], PT.StructField("blob", PT.BinaryType())]
+    )
+
+    def _enc(batches):
+        from smartdatapipeline_spark.functions.multimodal import encode_gif
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 13 + 1
+                h = did % 11 + 1
+                ncol = did % 63 + 2
+                rgb = b"".join(
+                    bytes(
+                        (
+                            ((did * 31 + j * 7) % ncol * 41 + k) % 256
+                            for k in range(3)
+                        )
+                    )
+                    for j in range(w * h)
+                )
+                blobs.append(
+                    encode_gif(w, h, rgb, interlace=(did % 3 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    dec = MM.decode_gif_pixels(d.mapInPandas(_enc, schema=enc_schema))
+    hexed = dec.withColumn("_hex", F.hex("pixels"))
+    n = F.octet_length("pixels").cast("int")
+
+    def byte_at(i):
+        return F.conv(F.col("_hex").substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        )
+
+    return hexed.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + byte_at(i),
+        ).alias("pixel_sum"),
+        byte_at(F.lit(0)).alias("first_px"),
+        byte_at(n - 1).alias("last_px"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3757,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "debounce_dedup": q_debounce_dedup,
         "fernet_roundtrip": q_fernet_roundtrip,
+        "gif_pixel_decode": q_gif_pixel_decode,
     }
 
 
@@ -6064,6 +6132,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, COUNT(*) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["gif_pixel_decode"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 13 + 1 AS w,
+                   doc_id % 11 + 1 AS h,
+                   doc_id % 63 + 2 AS ncol
+            FROM documents),
+        px AS (
+            SELECT doc_id, w, h,
+                   ((doc_id * 31 + j.range * 7) % ncol * 41
+                       + k.range) % 256 AS v,
+                   j.range * 3 + k.range AS bytepos
+            FROM base
+            CROSS JOIN range(0, 143) j
+            CROSS JOIN range(0, 3) k
+            WHERE j.range < w * h),
+        sums AS (
+            SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pixel_sum
+            FROM px GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.w AS INTEGER) AS width,
+               CAST(b.h AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS n_channels,
+               s.pixel_sum,
+               CAST((b.doc_id * 31) % b.ncol * 41 % 256 AS BIGINT)
+                   AS first_px,
+               CAST(((b.doc_id * 31 + (b.w * b.h - 1) * 7) % b.ncol * 41
+                    + 2) % 256 AS BIGINT) AS last_px
+        FROM base b JOIN sums s ON s.doc_id = b.doc_id
     """
 
     return o

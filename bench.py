@@ -263,6 +263,7 @@ BENCH_QUERIES: list[str] = [
     "interpolate_linear",
     "debounce_dedup",
     "fernet_roundtrip",
+    "gif_pixel_decode",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

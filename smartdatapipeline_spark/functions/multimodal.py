@@ -1107,7 +1107,7 @@ def parse_any_pixels(
     data: bytes,
 ) -> tuple[str, int, int, int, bytes] | None:
     """Unified pixel decode: dispatch on magic bytes to the from-scratch
-    PNG / BMP / JPEG decoders. Returns (format, width, height,
+    PNG / BMP / JPEG / GIF decoders. Returns (format, width, height,
     n_channels, bytes) or None. Every format decodes codec-free now —
     the former PIL gate is gone."""
     if data is None:
@@ -1121,6 +1121,9 @@ def parse_any_pixels(
     if data[:2] == b"\xff\xd8":
         p = parse_jpeg_pixels(data)
         return ("jpeg", p[0], p[1], p[2], p[3]) if p else None
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        p = parse_gif_pixels(data)
+        return ("gif", p[0], p[1], p[2], p[3]) if p else None
     return None
 
 
@@ -1235,3 +1238,292 @@ def sample_frames(
         offset.alias("byte_offset"),
         F.conv(F.substring(F.md5(frame), 1, 15), 16, 10).cast("long").alias("frame_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF codec, from scratch (GIF87a/89a, LZW) — round 7 closes the last
+# image-format gap: header-only GIF support becomes full pixel decode.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(stream: bytes, min_code: int, max_pixels: int) -> bytes | None:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/EOI codes, width
+    grows to 12 bits then defers until CLEAR). Output capped at
+    ``max_pixels`` — a crafted stream cannot expand past the declared
+    frame size (same hostile-blob posture as the PNG bounded inflate)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    cs = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < cs:
+            if pos >= len(stream):
+                # some encoders omit EOI; accept iff we already have
+                # every pixel, else the stream is truncated
+                return bytes(out) if len(out) >= max_pixels else None
+            acc |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            cs = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out) if len(out) >= max_pixels else None
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None  # over-long stream: corrupt or hostile
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+        if len(out) == max_pixels:
+            # drain to EOI if present; tolerate its absence
+            return bytes(out)
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    out = bytearray(len(idx))
+    r = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = idx[r * w : (r + 1) * w]
+            r += 1
+    return bytes(out)
+
+
+def parse_gif_pixels(data: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL GIF pixel decode, pure stdlib: GIF87a/89a → (width, height,
+    3, RGB bytes row-major top-down) for the FIRST image frame (animated
+    GIFs decode frame 0), including local color tables and Adam-style
+    4-pass interlacing. Transparency indices render their palette color
+    (no alpha channel in the 3-channel contract). Fail-soft None for
+    missing color tables, truncated blocks, out-of-range indices,
+    hostile dimensions (``_MAX_PIXELS``), or over-long LZW streams —
+    same contract as the PNG/JPEG/BMP decoders."""
+    import struct
+
+    if data is None or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: walk (and ignore) its sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(data):
+                    return None
+                sz = data[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            w, h = struct.unpack("<HH", data[pos + 5 : pos + 9])
+            ip = data[pos + 9]
+            pos += 10
+            if not w or not h or w * h > _MAX_PIXELS:
+                return None
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                ct = data[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                pos += 3 * n
+            if ct is None or pos >= len(data):
+                return None
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            stream = bytearray()
+            while True:
+                if pos >= len(data):
+                    return None
+                sz = data[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunk = data[pos : pos + sz]
+                if len(chunk) < sz:
+                    return None
+                stream += chunk
+                pos += sz
+            idx = _gif_lzw_decode(bytes(stream), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            idx = idx[: w * h]
+            if ip & 0x40:
+                idx = _gif_deinterlace(idx, w, h)
+            ncol = len(ct) // 3
+            out = bytearray(w * h * 3)
+            for i, c in enumerate(idx):
+                if c >= ncol:
+                    return None
+                out[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
+            return w, h, 3, bytes(out)
+        elif b == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
+
+
+def encode_gif(
+    w: int, h: int, rgb: bytes, interlace: bool = False
+) -> bytes:
+    """Encoder twin for golden round-trips: RGB (≤256 distinct colors)
+    → GIF89a with a global color table and real LZW compression
+    (variable code width through 12 bits). Raises ValueError past 256
+    colors — palette quantization is out of scope for a golden
+    generator."""
+    import struct
+
+    palette: dict[bytes, int] = {}
+    idx = bytearray()
+    for i in range(w * h):
+        c = bytes(rgb[3 * i : 3 * i + 3])
+        if c not in palette:
+            palette[c] = len(palette)
+        idx.append(palette[c])
+    n = len(palette)
+    if n > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    bits = max(2, (max(n - 1, 1)).bit_length())
+    size = 1 << bits
+    gct = b"".join(sorted(palette, key=palette.get)) + b"\0" * (
+        3 * (size - n)
+    )
+    if interlace:
+        order = [
+            y
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)
+        ]
+        idx = bytearray(
+            b for y in order for b in idx[y * w : (y + 1) * w]
+        )
+
+    # LZW encode (mirror of the decoder's width schedule: the encoder
+    # bumps lazily BEFORE an emit once next_code overflows the width —
+    # one emit later than the decoder's insertion-time bump, because
+    # the decoder's dictionary runs one insertion behind)
+    min_code = bits
+    clear_c = 1 << min_code
+    eoi = clear_c + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear_c)}
+    next_code = eoi + 1
+    cs = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits, cs
+        while next_code > (1 << cs) and cs < 12:
+            cs += 1
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear_c)
+    wbuf = b""
+    for ch in idx:
+        nxt = wbuf + bytes([ch])
+        if nxt in table:
+            wbuf = nxt
+            continue
+        emit(table[wbuf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        wbuf = bytes([ch])
+    if wbuf:
+        emit(table[wbuf])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes(
+        [0x80 | (bits - 1), 0, 0]
+    ) + gct
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [0x40 if interlace else 0]
+    )
+    body = bytes([min_code])
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        body += bytes([len(chunk)]) + bytes(chunk)
+    body += b"\0"
+    return head + desc + body + b"\x3b"
+
+
+def decode_gif_pixels(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched GIF pixel decode via ``parse_gif_pixels`` — same
+    ``mapInPandas`` plumbing as the other pixel decoders; NULL rows for
+    non-GIF / out-of-contract payloads."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_gif_pixels(_blob_bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "pixels": [p[3] if p else None for p in parsed],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)

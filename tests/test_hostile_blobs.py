@@ -196,3 +196,101 @@ def test_extract_features_still_oracle_shaped(spark):
     assert r["n_bytes"] == 11
     assert r["header_hash"] == int(d[:15], 16)
     assert r["feat_0"] == int(d[0:8], 16) / 4294967296.0
+
+
+# --------------------------------------------------- GIF hostility
+
+
+def _gif_wrap(lzw_payload: bytes, w=4, h=4, min_code=2) -> bytes:
+    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0])
+    gct = bytes(12)  # 4-entry table
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    body = bytes([min_code])
+    for i in range(0, len(lzw_payload), 255):
+        chunk = lzw_payload[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    return head + gct + desc + body + b"\0\x3b"
+
+
+def test_gif_canonical_published_golden():
+    """The widely-published 1x1 white GIF89a reference bytes."""
+    g = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "21f90401000000"
+        "002c000000000100010000"
+        "0202440100"
+        "3b"
+    )
+    assert MM.parse_gif_pixels(g) == (1, 1, 3, b"\xff\xff\xff")
+
+
+def test_gif_hostile_dims_rejected():
+    import smartdatapipeline_spark.functions.multimodal as M
+
+    g = MM.encode_gif(2, 2, bytes(12))
+    big = g[:6] + struct.pack("<HH", 65535, 65535) + g[10:]
+    # image descriptor dims are what the decoder allocates from
+    bad = bytearray(MM.encode_gif(2, 2, bytes(12)))
+    di = bad.index(b"\x2c")
+    bad[di + 5 : di + 9] = struct.pack("<HH", 65535, 65535)
+    assert M.parse_gif_pixels(bytes(bad)) is None
+
+
+def test_gif_overlong_lzw_stream_capped():
+    """A stream that keeps emitting past w*h pixels must be rejected,
+    not ballooned (the LZW analogue of the PNG bomb)."""
+    good = MM.encode_gif(4, 4, bytes(48))
+    # re-wrap the same LZW payload against a 2x2 descriptor: 16 pixels
+    # of output for a 4-pixel frame
+    di = good.index(b"\x2c")
+    lzw = good[di + 11 :]
+    # strip sub-block framing back to raw payload
+    raw = bytearray()
+    pos = 0
+    while lzw[pos] != 0:
+        raw += lzw[pos + 1 : pos + 1 + lzw[pos]]
+        pos += 1 + lzw[pos]
+    assert MM.parse_gif_pixels(_gif_wrap(bytes(raw), w=2, h=2)) is None
+
+
+def test_gif_truncated_and_garbage_fail_soft():
+    enc = MM.encode_gif(8, 8, bytes(b % 256 for b in range(192)))
+    for cut in (10, 14, len(enc) // 2, len(enc) - 2):
+        assert MM.parse_gif_pixels(enc[:cut]) is None
+    assert MM.parse_gif_pixels(b"GIF89a" + b"\xff" * 40) is None
+
+
+def test_gif_out_of_range_color_index_fails_soft():
+    """An LZW stream referencing palette index 3 with a 2-color table
+    (table size 4, ncol from header smaller) must NULL, not read past
+    the palette."""
+    # encode with 4 colors, then shrink the GCT size field to 2 entries
+    rgb = bytes(
+        b
+        for i in range(16)
+        for b in ([0, 0, 0], [1, 1, 1], [2, 2, 2], [3, 3, 3])[i % 4]
+    )
+    enc = bytearray(MM.encode_gif(4, 4, rgb))
+    # GCT size field: packed byte at offset 10, low 3 bits
+    enc[10] = (enc[10] & 0xF8) | 0  # claim a 2-entry table
+    # remove the now-extra 6 palette bytes so the stream still parses
+    del enc[13 + 6 : 13 + 12]
+    assert MM.parse_gif_pixels(bytes(enc)) is None
+
+
+def test_gif_null_blob_in_kernel(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.encode_gif(2, 2, bytes(12)))), (2, None)],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.decode_gif_pixels(df).collect()}
+    assert rows[1]["width"] == 2 and rows[1]["pixels"] is not None
+    assert rows[2]["pixels"] is None
+
+
+def test_unified_dispatcher_handles_gif(spark):
+    rgb = bytes(range(12))
+    g = MM.encode_gif(2, 2, rgb)
+    got = MM.parse_any_pixels(g)
+    assert got == ("gif", 2, 2, 3, rgb)
