@@ -3598,6 +3598,48 @@ def q_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM SAMPLE decode end-to-end (round 7 — the audio story
+    past the header): an Arrow-batched encoder builds a 16-bit PCM WAV
+    per doc (every sample a formula of doc_id; every second doc STEREO
+    so the frame/block walk exercises), functions/multimodal.py
+    ``decode_audio_samples`` parses it back and reduces to exact
+    integer features (code sum/square-sum, peak, sign zero-crossings).
+    The oracle recomputes every feature from doc_id arithmetic alone —
+    any defect in the chunk walk, block math, scaling, or channel
+    de-interleave breaks the bit-exact match."""
+    import pandas as pd
+    from pyspark.sql import types as PT
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    enc_schema = PT.StructType(
+        [d.schema["doc_id"], PT.StructField("blob", PT.BinaryType())]
+    )
+
+    def _enc(batches):
+        import numpy as np
+
+        from smartdatapipeline_spark.functions.multimodal import encode_wav
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 50 + 10
+                pcm = np.array(
+                    [((did * 37 + j * 11) % 4001) - 2000 for j in range(n)],
+                    dtype=np.float64,
+                )
+                blobs.append(
+                    encode_wav(
+                        pcm / 32768.0, 8000, 16, channels=did % 2 + 1
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return MM.decode_audio_samples(d.mapInPandas(_enc, schema=enc_schema))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3825,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_dedup": q_debounce_dedup,
         "fernet_roundtrip": q_fernet_roundtrip,
         "gif_pixel_decode": q_gif_pixel_decode,
+        "wav_sample_decode": q_wav_sample_decode,
     }
 
 
@@ -6163,6 +6206,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(((b.doc_id * 31 + (b.w * b.h - 1) * 7) % b.ncol * 41
                     + 2) % 256 AS BIGINT) AS last_px
         FROM base b JOIN sums s ON s.doc_id = b.doc_id
+    """
+
+    o["wav_sample_decode"] = """
+        WITH base AS (
+            SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+        px AS (
+            SELECT doc_id, j.range AS j,
+                   ((doc_id * 37 + j.range * 11) % 4001) - 2000 AS c
+            FROM base CROSS JOIN range(0, 60) j
+            WHERE j.range < n),
+        sgn AS (
+            SELECT doc_id,
+                   list(CASE WHEN c > 0 THEN 1 ELSE -1 END ORDER BY j)
+                       FILTER (c <> 0) AS sl
+            FROM px GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.doc_id % 2 + 1 AS INTEGER) AS channels,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(b.n AS BIGINT) AS n_frames,
+               CAST(SUM(p.c) AS BIGINT) AS code_sum,
+               CAST(SUM(p.c * p.c) AS BIGINT) AS code_sq_sum,
+               CAST(MAX(ABS(p.c)) AS BIGINT) AS peak_code,
+               CAST(COALESCE(len(list_filter(range(1, len(MAX(g.sl))),
+                    i -> MAX(g.sl)[i] <> MAX(g.sl)[i + 1])), 0) AS BIGINT)
+                   AS zero_crossings
+        FROM base b
+        JOIN px p ON p.doc_id = b.doc_id
+        JOIN sgn g ON g.doc_id = b.doc_id
+        GROUP BY b.doc_id, b.n
     """
 
     return o

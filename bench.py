@@ -264,6 +264,7 @@ BENCH_QUERIES: list[str] = [
     "debounce_dedup",
     "fernet_roundtrip",
     "gif_pixel_decode",
+    "wav_sample_decode",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

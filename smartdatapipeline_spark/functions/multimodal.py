@@ -1527,3 +1527,173 @@ def decode_gif_pixels(
             )
 
     return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample decode — round 7: the audio story past the header
+# (8/16-bit integer PCM; the 100 TB posture is identical to the pixel
+# decoders: bytes stay in the executor, numpy does the batch math).
+# ---------------------------------------------------------------------------
+
+
+def parse_wav_samples(data: bytes):
+    """RIFF/WAVE → (channels, sample_rate, n_frames, samples) with
+    ``samples`` a numpy float64 array of the FIRST channel scaled to
+    [−1, 1] (8-bit PCM is unsigned-biased per spec; 16-bit is signed
+    little-endian). Fail-soft None for non-PCM formats (compressed,
+    float, 24/32-bit), truncated data chunks, or frame counts past the
+    ``_MAX_PIXELS`` sample budget — same hostile-blob contract as the
+    image decoders."""
+    import struct
+
+    import numpy as np
+
+    if data is None or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    raw = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            fmt = struct.unpack("<HHIIHH", data[i + 8 : i + 24])
+        elif cid == b"data":
+            raw = data[i + 8 : i + 8 + clen]
+            if len(raw) < clen:
+                return None
+        i += 8 + clen + (clen & 1)
+    if fmt is None or raw is None:
+        return None
+    audio_fmt, channels, rate, _, block, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or not channels or not rate:
+        return None
+    if block != channels * (bits // 8):
+        return None
+    n_frames = len(raw) // block
+    if n_frames == 0 or n_frames > _MAX_PIXELS:
+        return None
+    raw = raw[: n_frames * block]
+    if bits == 8:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        arr = (arr - 128.0) / 128.0
+    else:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    return channels, rate, n_frames, arr.reshape(n_frames, channels)[:, 0]
+
+
+def encode_wav(
+    samples, sample_rate: int = 8000, bits: int = 16, channels: int = 1
+) -> bytes:
+    """Encoder twin: mono-duplicated integer PCM WAV from float64
+    samples in [−1, 1] — golden-generator only (round-trip pins the
+    chunk walk, block math, and scaling)."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if bits == 8:
+        pcm = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(np.uint8)
+        raw_mono = pcm.tobytes()
+    else:
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+        raw_mono = pcm.tobytes()
+    frame = bits // 8
+    if channels > 1:
+        raw = b"".join(
+            raw_mono[i : i + frame] * channels
+            for i in range(0, len(raw_mono), frame)
+        )
+    else:
+        raw = raw_mono
+    block = channels * frame
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_samples(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched PCM decode + per-clip feature extraction: integer
+    stats computed in EXACT arithmetic over the raw PCM codes (sum of
+    codes, sum of squared codes, peak |code|, zero crossings of the
+    sign) so the downstream summary is bit-reproducible and oracle-
+    checkable — floats would make RMS order-dependent.
+
+    Output: (id, channels, sample_rate, n_frames, code_sum, code_sq_sum,
+    peak_code, zero_crossings) — NULL row for out-of-contract payloads."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            _id_field(df, id_col),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("code_sum", T.LongType()),
+            T.StructField("code_sq_sum", T.LongType()),
+            T.StructField("peak_code", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for b in pdf[blob_col]:
+                p = parse_wav_samples(_blob_bytes(b))
+                if p is None:
+                    rows.append((None,) * 7)
+                    continue
+                ch, rate, n, x = p
+                # back to integer codes (16-bit scale; 8-bit files land
+                # on multiples of 256) — exact arithmetic from here on
+                codes = np.round(x * 32768.0).astype(np.int64)
+                s = np.sign(codes)
+                nz = s != 0
+                sv = s[nz]
+                zc = int(np.count_nonzero(sv[1:] != sv[:-1]))
+                rows.append(
+                    (
+                        ch,
+                        rate,
+                        n,
+                        int(codes.sum()),
+                        int((codes * codes).sum()),
+                        int(np.abs(codes).max()),
+                        zc,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "channels",
+                    "sample_rate",
+                    "n_frames",
+                    "code_sum",
+                    "code_sq_sum",
+                    "peak_code",
+                    "zero_crossings",
+                ],
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            for c in ("channels", "sample_rate"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in (
+                "n_frames",
+                "code_sum",
+                "code_sq_sum",
+                "peak_code",
+                "zero_crossings",
+            ):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)

@@ -294,3 +294,66 @@ def test_unified_dispatcher_handles_gif(spark):
     g = MM.encode_gif(2, 2, rgb)
     got = MM.parse_any_pixels(g)
     assert got == ("gif", 2, 2, 3, rgb)
+
+
+# --------------------------------------------------- WAV hostility
+
+
+def test_wav_sample_roundtrip_and_stereo_first_channel():
+    x = np.sin(np.arange(300) * 0.07)
+    mono = MM.parse_wav_samples(MM.encode_wav(x, 8000, 16, 1))
+    stereo = MM.parse_wav_samples(MM.encode_wav(x, 8000, 16, 2))
+    assert mono[2] == 300 and stereo[0] == 2
+    assert np.array_equal(mono[3], stereo[3])
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767)
+    assert np.array_equal(np.round(mono[3] * 32768.0), pcm)
+
+
+def test_wav_out_of_contract_fails_soft():
+    x = np.zeros(10)
+    enc = bytearray(MM.encode_wav(x, 8000, 16, 1))
+    float_fmt = bytearray(enc)
+    float_fmt[20] = 3  # IEEE-float audio format
+    assert MM.parse_wav_samples(bytes(float_fmt)) is None
+    bad_block = bytearray(enc)
+    bad_block[32] = 7  # block align inconsistent with ch*bits/8
+    assert MM.parse_wav_samples(bytes(bad_block)) is None
+    assert MM.parse_wav_samples(bytes(enc[:24])) is None
+    assert MM.parse_wav_samples(None) is None
+    # declared data length past the actual bytes -> truncated chunk
+    trunc = bytearray(enc)
+    trunc[-12] = 0xFF  # inflate the data chunk length field region
+    # (position varies; just assert no crash on arbitrary corruption)
+    MM.parse_wav_samples(bytes(trunc))
+
+
+def test_wav_hostile_frame_count_rejected():
+    """A data chunk declaring more frames than _MAX_PIXELS must be
+    rejected before feature math."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    # declare a huge data chunk but supply the bytes (zeros) lazily is
+    # impossible in-memory at 2^25 frames x 2B = 64 MB — acceptable to
+    # build; the guard must still reject it
+    n = MM._MAX_PIXELS + 1
+    body += b"data" + struct.pack("<I", n * 2) + bytes(n * 2)
+    assert MM.parse_wav_samples(b"RIFF" + struct.pack("<I", len(body)) + body) is None
+
+
+def test_wav_kernel_null_and_feature_exactness(spark):
+    x = np.array([0.0, 0.5, -0.5, 0.25])
+    enc = MM.encode_wav(x, 8000, 16, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(enc)), (2, None), (3, bytearray(b"not a wav"))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.decode_audio_samples(df).collect()}
+    pcm = [0, 16384, -16384, 8192]
+    assert rows[1]["code_sum"] == sum(pcm)
+    assert rows[1]["code_sq_sum"] == sum(c * c for c in pcm)
+    assert rows[1]["peak_code"] == 16384
+    assert rows[1]["zero_crossings"] == 2  # +,-,+ over nonzero signs
+    for d in (2, 3):
+        assert rows[d]["n_frames"] is None and rows[d]["code_sum"] is None
