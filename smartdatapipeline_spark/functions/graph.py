@@ -51,7 +51,7 @@ def pagerank(
     damping: float = 0.85,
     residual: float = 0.15,
     src_buckets: "int | str" = 0,
-    hub_threshold: int = 4096,
+    hub_threshold: int = 1 << 20,
     auto_buckets: int = 32,
 ) -> DataFrame:
     """Unnormalized PageRank (rank₀ = 1, rankᵢ₊₁ = (1−d) + d·Σ
@@ -76,12 +76,17 @@ def pagerank(
 
     ``src_buckets="auto"`` probes the max in-degree (one tiny groupBy
     job on the already-cached edge frame) and picks the flat fold when
-    every in-degree ≤ ``hub_threshold`` (a few-thousand-struct
-    collect_list is well inside a reducer's comfort zone), else the
-    two-level fold with ``auto_buckets`` — so the hub insurance costs
-    nothing on bounded-degree graphs and kicks in exactly when a
-    power-law hub would otherwise pin one task. The decision is
-    data-deterministic (same input ⇒ same mode ⇒ same bits).
+    every in-degree ≤ ``hub_threshold``, else the two-level fold with
+    ``auto_buckets``. The two-level fold is MEMORY insurance, not
+    speed: a reducer materializes an in-degree-sized struct list
+    (~64 B/edge), so the flat fold is fine — and measured FASTER, one
+    shuffle instead of two — through ~10⁶-degree hubs (64 MB task
+    state; 5.9 s flat vs 7.0 s two-level on a 3M-edge / 10⁶-hub probe,
+    PERF.md), and only genuinely fails around 10⁸ (6 GB task state).
+    The default threshold 2²⁰ flips modes where per-task state starts
+    to threaten an executor, not merely where a list gets large. The
+    decision is data-deterministic (same input ⇒ same mode ⇒ same
+    bits).
     """
     # edge + degree frames are loop-invariant: cache once so the three
     # iteration jobs don't re-derive them from the source plan (the
