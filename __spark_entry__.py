@@ -2443,7 +2443,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct order-line pairs, symmetrized), 3 power iterations with
     the degree-adaptive fold (src_buckets="auto": a cheap max-in-degree
     probe on the cached edge frame picks the flat src-ordered fold when
-    no hub exceeds 4096 in-edges — true for this bounded-degree graph at
+    no hub exceeds 2^20 (1,048,576) in-edges — true for this bounded-degree graph at
     every test SF, max ≈ 680 at sf0.1 — and the two-level (dst,
     src-bucket) fold otherwise, so power-law hub insurance is free when
     not needed) — functions/graph.py pagerank. Top 25 suppliers by
@@ -4550,7 +4550,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # graph_pagerank now runs the degree-adaptive fold, and this graph's
-    # max in-degree (≈680 at sf0.1) is under the 4096 hub threshold, so
+    # max in-degree (≈680 at sf0.1) is under the 2^20 hub threshold, so
     # the selected mode is the FLAT src-ordered fold — one list per dst
     # ordered by src, folded left-to-right (list_reduce's first-element
     # seed == Spark's 0.0 seed because 0.0 + x == x for these

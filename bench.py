@@ -450,7 +450,7 @@ def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
-def streaming_e2e(spark, sf_dir: str) -> dict[str, float]:
+def streaming_e2e(spark, sf_dir: str, errors: dict | None = None) -> dict[str, float]:
     """Structured-Streaming stage group (round-7 verdict task #7): the
     stateful operators had stream==batch equivalence tests but no bench
     entry, so streaming overhead was invisible round-over-round. Each
@@ -529,7 +529,12 @@ def streaming_e2e(spark, sf_dir: str) -> dict[str, float]:
             try:
                 drain(build(), name, mode)
             except Exception as exc:  # noqa: BLE001 — harness boundary
-                t[name] = -1.0
+                # round-8 ADVICE: never store a -1.0 sentinel — it was
+                # summed into total_wall_sec (shrinking it) and read by
+                # bench_diff as a real timing. Failures go in `errors`,
+                # the stage is simply absent from timings.
+                if errors is not None:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
         # corpus ingest with INCREMENTAL near-dup dedup: 4 document
@@ -671,7 +676,7 @@ def main() -> None:
             print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
 
         try:
-            timings.update(streaming_e2e(spark, sf_dir))
+            timings.update(streaming_e2e(spark, sf_dir, errors))
         except Exception as exc:  # noqa: BLE001
             errors["streaming_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: streaming_e2e FAILED: {errors['streaming_e2e']}", file=sys.stderr)

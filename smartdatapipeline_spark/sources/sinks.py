@@ -35,6 +35,7 @@ def gold_writer_lock(
     timeout_sec: float = 120.0,
     stale_sec: float = 600.0,
     heartbeat_sec: float | None = None,
+    breaker_grace_sec: float = 10.0,
 ):
     """Single-writer discipline for path-based partition upserts
     (round-6: the nightly-scheduler vs ingest-triggered recompute
@@ -57,12 +58,20 @@ def gold_writer_lock(
     atomically RENAMES the lock dir aside, then re-verifies both
     staleness and token on the renamed dir — if a new holder
     re-acquired in between (different token, or fresh mtime), the dir
-    is renamed straight back, closing the stat→rmdir TOCTOU of the old
-    break path. Release only removes the lock if the owner token is
-    still ours, so a holder whose lock WAS legitimately broken cannot
-    silently delete the next holder's lock. Waiters poll until
-    ``timeout_sec`` then raise TimeoutError rather than deadlock a
-    scheduler thread.
+    is renamed straight back. While the break is in flight the renamed
+    dir itself is the sentinel: acquirers refuse to makedirs while any
+    ``<path>._LOCK.brk-*`` exists (round-8), so the lock path being
+    momentarily free during re-verification cannot admit a second
+    writer; a sentinel that outlives ``breaker_grace_sec`` is debris of
+    a crashed breaker and is swept by waiters. This narrows — it does
+    not absolutely close — the misjudged-stale TOCTOU: under NFS-class
+    mtime/clock skew a live holder can still be judged stale and lose
+    its lock, but the heartbeat verifies the owner token before every
+    ``utime`` so it can never freshen a successor's lock. Release only
+    removes the lock if the owner token is still ours, so a holder
+    whose lock WAS legitimately broken cannot silently delete the next
+    holder's lock. Waiters poll until ``timeout_sec`` then raise
+    TimeoutError rather than deadlock a scheduler thread.
 
     Scope honesty for 100 TB deployments: ``os.makedirs``/``os.rename``
     operate on the DRIVER'S filesystem, so this covers local and
@@ -80,7 +89,38 @@ def gold_writer_lock(
     hb = heartbeat_sec if heartbeat_sec is not None else max(0.5, stale_sec / 3.0)
     deadline = time.monotonic() + timeout_sec
     owner_path = os.path.join(lock_dir, "owner")
+    brk_parent = os.path.dirname(lock_dir) or "."
+    brk_prefix = os.path.basename(lock_dir) + ".brk-"
+    brk_seen: dict[str, float] = {}  # breaker sentinel → first observed
+    brk_grace = breaker_grace_sec  # verify is sub-second; >grace ⇒ dead breaker
     while True:
+        # Honor breaker sentinels (round-8 ADVICE): while any
+        # <lock>.brk-* dir exists, a breaker holds the lock renamed
+        # aside for re-verification — the lock path being momentarily
+        # free does NOT mean the lock is free. Acquiring here is the
+        # double-writer TOCTOU: the breaker's rename-back would fail
+        # and it would rmtree the new holder's lock. So waiters stand
+        # off until the sentinel clears; a sentinel that persists past
+        # the grace window is debris of a breaker that died mid-verify
+        # and is swept (equivalent to the break it was performing).
+        try:
+            brks = [n for n in os.listdir(brk_parent) if n.startswith(brk_prefix)]
+        except OSError:
+            brks = []
+        if brks:
+            now = time.monotonic()
+            for n in brks:
+                first = brk_seen.setdefault(n, now)
+                if now - first > brk_grace:
+                    shutil.rmtree(os.path.join(brk_parent, n), ignore_errors=True)
+                    brk_seen.pop(n, None)
+            if any(n in brk_seen for n in brks):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"gold_writer_lock: {lock_dir} held past {timeout_sec}s"
+                    )
+                time.sleep(0.05)
+                continue
         try:
             os.makedirs(lock_dir, exist_ok=False)
             with open(owner_path, "w") as f:
@@ -136,9 +176,15 @@ def gold_writer_lock(
     def _beat() -> None:
         while not stop.wait(hb):
             try:
+                with open(owner_path) as f:
+                    if f.read() != token:
+                        return  # lock re-acquired by another holder —
+                        # never freshen someone else's lock (ADVICE r8)
                 os.utime(lock_dir)
             except OSError:
-                return  # lock vanished (broken by a misjudging waiter) — stop
+                continue  # transient (rename-aside verify window, or
+                # lock legitimately broken) — re-check next beat; utime
+                # is only ever applied after the owner check above
 
     beater = threading.Thread(target=_beat, daemon=True)
     beater.start()
@@ -201,37 +247,65 @@ def _write_fsync(path: str, data: str) -> None:
     _fsync_path(os.path.dirname(path))
 
 
+def _marker_name(txid: str) -> str:
+    """Per-transaction marker file stamped inside every STAGED partition
+    dir before the journal is written. The marker travels with the data
+    through rename/exchange, so recovery can DETECT (not infer) whether
+    a partition's swap committed: new data carries the marker, old data
+    never does. Underscore prefix ⇒ invisible to Spark/parquet readers."""
+    return f"_txnmark-{txid}"
+
+
+def _progress_name(txid: str) -> str:
+    """Progress file is txid-scoped (round-8 ADVICE): a fixed name let a
+    crash-orphaned progress file from txn N poison txn N+1's recovery
+    when partition values recur across batches (same `metric_date=...`
+    names marked 'done' that the new txn never swapped)."""
+    return f"_txn.progress-{txid}"
+
+
 def recover_partition_txn(path: str) -> None:
     """Roll FORWARD any upsert a crashed writer left mid-swap, then
     sweep its debris — called under ``gold_writer_lock`` before every
     transactional overwrite (and safe to call any time the lock is
     held). The journal ``_txn.json`` is written (fsync'd) only AFTER
-    the staging write completed, so a journaled transaction always has
-    complete new data to roll forward to; a ``_staging-*`` directory
-    with no journal is a transaction that never started and is
-    discarded. ``_txn.progress`` records each partition whose swap
-    committed (fsync per append), so recovery re-swaps exactly the
-    partitions the crash interrupted."""
+    the staging write AND the per-partition ``_txnmark-<txid>`` stamps
+    completed, so a journaled transaction always has complete new data
+    to roll forward to; a ``_staging-*`` directory with no journal is a
+    transaction that never started and is discarded.
+
+    Swap-state detection is positive, not inferred (round-8 ADVICE —
+    the old ``src exists ⇒ swap pending`` inference was wrong for
+    renameat2 EXCHANGE, where src exists on BOTH sides of the swap
+    holding OLD data afterwards; recovery would re-exchange back to old
+    data and sweep the new): the marker file rides with the NEW data,
+    so ``dst`` holding the marker means the swap committed (even if the
+    fsync'd progress append was lost) and ``src`` holding it means the
+    swap never happened. ``_txn.progress-<txid>`` is a fast path only —
+    partitions it lists skip the marker stat."""
     if not os.path.isdir(path):
         return
     manifest_path = os.path.join(path, "_txn.json")
-    progress_path = os.path.join(path, "_txn.progress")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             man = json.load(f)
+        txid = man["txid"]
+        progress_path = os.path.join(path, _progress_name(txid))
         done: set[str] = set()
         if os.path.exists(progress_path):
             with open(progress_path) as f:
                 done = {ln.strip() for ln in f if ln.strip()}
         staging = os.path.join(path, man["staging"])
-        txid = man["txid"]
+        marker = _marker_name(txid)
         for p in man["partitions"]:
             if p in done:
                 continue
             src = os.path.join(staging, p)
             dst = os.path.join(path, p)
             hid = os.path.join(path, f"_old-{txid}-{p}")
-            if os.path.isdir(src):
+            if os.path.exists(os.path.join(dst, marker)):
+                continue  # swap committed; only the progress append was lost
+            if os.path.exists(os.path.join(src, marker)):
                 if os.path.isdir(dst):
                     if _HAVE_EXCHANGE:
                         _exchange_dirs(src, dst)
@@ -241,16 +315,33 @@ def recover_partition_txn(path: str) -> None:
                 else:
                     os.rename(src, dst)
             elif not os.path.isdir(dst) and os.path.isdir(hid):
-                # fallback path crashed between hide and rename-in
+                # fallback path crashed between hide and rename-in and
+                # the staged side also vanished — restore the old data
                 os.rename(hid, dst)  # pragma: no cover
-            # src gone + dst present: swap committed, progress append lost
+            # neither side holds the marker and dst exists: cannot
+            # happen for a journaled partition (markers precede the
+            # journal, rename/exchange is atomic); leave dst untouched.
+        # strip markers off the committed partitions, then the journal
+        for p in man["partitions"]:
+            m = os.path.join(path, p, marker)
+            if os.path.exists(m):
+                os.remove(m)
         for entry in (manifest_path, progress_path):
             if os.path.exists(entry):
                 os.remove(entry)
-    # sweep: unjournaled staging dirs (txn never started) + hidden olds
+    # sweep: unjournaled staging dirs (txn never started), hidden olds,
+    # orphaned progress files (journal removed first ⇒ any progress
+    # file remaining here belongs to no live transaction — round-8
+    # ADVICE), and half-written journal tmps.
     for name in os.listdir(path):
+        full = os.path.join(path, name)
         if name.startswith("_staging-") or name.startswith("_old-"):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("_txn.progress") or name == "_txn.json.tmp":
+            try:
+                os.remove(full)
+            except OSError:
+                pass
     _fsync_path(path)
 
 
@@ -275,6 +366,19 @@ def _txn_partition_overwrite(
         if d.startswith(partition_col + "=")
         and os.path.isdir(os.path.join(staging, d))
     )
+    # Stamp every staged partition with the txid marker BEFORE the
+    # journal exists (round-8 ADVICE): the marker rides with the new
+    # data through rename/exchange, making "did this partition's swap
+    # commit?" positively detectable by recovery instead of inferred
+    # from src existence (which EXCHANGE leaves true on both sides).
+    marker = _marker_name(txid)
+    for p in parts:
+        mpath = os.path.join(staging, p, marker)
+        with open(mpath, "w") as f:
+            f.write(txid)
+            f.flush()
+            os.fsync(f.fileno())
+        _fsync_path(os.path.join(staging, p))
     _write_fsync(
         os.path.join(path, "_txn.json"),
         json.dumps(
@@ -286,7 +390,7 @@ def _txn_partition_overwrite(
             }
         ),
     )
-    progress_path = os.path.join(path, "_txn.progress")
+    progress_path = os.path.join(path, _progress_name(txid))
     hidden: list[str] = []
     for p in parts:
         src = os.path.join(staging, p)
@@ -305,6 +409,12 @@ def _txn_partition_overwrite(
             f.write(p + "\n")
             f.flush()
             os.fsync(f.fileno())
+    # commit order: strip markers (harmless if a crash leaves some —
+    # recovery removes them), then journal, then progress, then debris.
+    for p in parts:
+        m = os.path.join(path, p, marker)
+        if os.path.exists(m):
+            os.remove(m)
     os.remove(os.path.join(path, "_txn.json"))
     if os.path.exists(progress_path):
         os.remove(progress_path)
