@@ -445,3 +445,238 @@ def weighted_median(
             F.min("_v").alias("wmedian"),
         )
     )
+
+
+# ── HyperLogLog — mergeable distinct-count sketch ────────────────────
+#
+# Flajolet et al. 2007. The summary per group is the register table
+# (bucket → max rho), built from a PORTABLE 60-bit md5 hash (same
+# discipline as functions/dedup.h60) so Spark and any SQL oracle derive
+# identical registers: bucket = top p hash bits, rho = leading-zero
+# count of the remaining 60-p bits + 1, computed with pure integer/
+# string ops (base-2 string length — no floats, no platform popcount).
+#
+# Registers are the 100-TB primitive: per-day/per-partition partials
+# merge by bucket-wise MAX without rescanning data (daily → monthly
+# distinct users is a 4 KB-per-group merge instead of a 100 TB scan),
+# and map-side combine collapses each scan task to ≤ m rows before the
+# shuffle.
+#
+# The estimator is split deliberately:
+#   hll_raw_estimate — the harmonic-mean formula only, computed as ONE
+#     double division of exact integers (a Python-precomputed constant
+#     over Σ2^(K−rho)), so it is bit-identical on every engine and can
+#     sit behind a hash-compare oracle. Emits `small_range` so callers
+#     know when the raw figure is biased.
+#   hll_estimate — adds the standard linear-counting small-range
+#     correction m·ln(m/V). ln is NOT cross-engine bit-stable (JVM
+#     Math.log is within-1-ulp, not correctly rounded — measured ~6%
+#     last-ulp disagreement vs C libm in the BM25 work), so this is the
+#     production estimator but not the oracle surface.
+
+HLL_SALT = "hll-v1:"
+
+
+def _h60_of(col: "F.Column"):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_partial(
+    df: DataFrame, key_col: str, by: list[str] | None = None, p: int = 8
+) -> DataFrame:
+    """Register table (by…, bucket, rho) for the distinct count of
+    ``key_col`` per ``by`` group. Mergeable: `hll_merge`. p ∈ [4, 16]."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_partial: p must be in [4,16], got {p}")
+    by = list(by or [])
+    wbits = 60 - p
+    h = _h60_of(F.concat(F.lit(HLL_SALT), F.col(key_col).cast("string")))
+    bucket = F.shiftrightunsigned(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # rho = wbits - bit_length(w) + 1; bit_length via the base-2 string
+    # (exact integer op on both engines; w = 0 has no leading 1 at all)
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        df.select(*by, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Merge two register tables: bucket-wise max. Associative and
+    idempotent — daily partials fold into monthly/united sketches in
+    any order, including re-merging overlapping windows."""
+    by = list(by or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_reaggregate(
+    reg: DataFrame, drop: list[str], by: list[str] | None = None
+) -> DataFrame:
+    """Coarsen a register table by folding out grouping columns (e.g.
+    per-day → per-metric): bucket-wise max over the surviving keys."""
+    by = [c for c in (by or []) if c not in set(drop)]
+    return reg.groupBy(*by, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_raw_estimate(
+    reg: DataFrame, by: list[str] | None = None, p: int = 8
+) -> DataFrame:
+    """Cross-engine-exact raw HLL estimate per group.
+
+    Z's reciprocal sum is kept as an exact integer over the common
+    denominator 2^K (K = max rho = 61−p): Σ2^(K−rho) ≤ m·2^K = 2^61
+    fits a BIGINT, so the only float op is the final single division
+    raw_est = C / z_num with C = alpha·m²·2^K precomputed in Python and
+    embedded as the same double literal in Spark and oracle SQL.
+
+    Output: (by…, buckets_used, v_empty, z_num, raw_est, small_range).
+    """
+    by = list(by or [])
+    m = 1 << p
+    k = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << k)
+    agg = reg.groupBy(*by).agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.sum(F.shiftleft(F.lit(1).cast("long"), F.lit(k) - F.col("rho")))
+        .cast("long")
+        .alias("_z_present"),
+    )
+    v_empty = (F.lit(m).cast("long") - F.col("buckets_used")).alias("v_empty")
+    z_num = (
+        F.col("_z_present") + (F.lit(m) - F.col("buckets_used")) * F.lit(1 << k)
+    ).cast("long")
+    out = agg.select(
+        *by,
+        F.col("buckets_used"),
+        v_empty,
+        z_num.alias("z_num"),
+        (F.lit(c_num) / z_num.cast("double")).alias("raw_est"),
+    )
+    return out.withColumn(
+        "small_range",
+        (F.col("v_empty") > 0) & (F.col("raw_est") <= F.lit(2.5 * m)),
+    )
+
+
+def hll_estimate(
+    reg: DataFrame, by: list[str] | None = None, p: int = 8
+) -> DataFrame:
+    """Production estimator: raw harmonic-mean figure with the standard
+    linear-counting correction on the small range (E ≤ 2.5m and empty
+    buckets present ⇒ E := m·ln(m/V)). Uses ln — accurate, mergeable,
+    but not cross-engine bit-stable; the oracle surface is
+    `hll_raw_estimate`."""
+    m = 1 << p
+    raw = hll_raw_estimate(reg, by=by, p=p)
+    corrected = F.when(
+        F.col("small_range"),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty").cast("double")),
+    ).otherwise(F.col("raw_est"))
+    return raw.withColumn("estimate", corrected)
+
+
+# ── Count–Min sketch — mergeable frequency summary ───────────────────
+#
+# Cormode & Muthukrishnan 2005. depth×width counter grid; row i uses an
+# independent salted md5 hash. Partials are (row, cell, n) counts that
+# merge by SUM (map-side combine collapses each task to ≤ depth·width
+# rows), and a point lookup is min over rows — always ≥ the true count,
+# overestimating by at most ε·N with prob 1−δ (ε = e/width,
+# δ = e^−depth). Everything is integer arithmetic on portable hashes,
+# so build, merge, and lookup are all bit-exact across engines.
+#
+# vs misra_gries/heavy_hitters above: MG keeps the top-k candidates
+# (biased down, small fixed state), CMS answers ANY point query
+# (biased up) and supports deletes/joins of sketches; a 100-TB corpus
+# health job typically wants both.
+
+CMS_SALT = "cms-v1:"
+
+
+def cms_partial(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Counter cells (row, cell, n) for the multiset of ``key_col``
+    (optionally weighted). Mergeable by SUM (`cms_merge`)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_partial: bad dims depth={depth} width={width}")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        (F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")).alias(
+            "_w"
+        ),
+    ).select("_k", "_w", rows)
+    cell = (
+        _h60_of(
+            F.concat(
+                F.lit(CMS_SALT),
+                F.col("row").cast("string"),
+                F.lit(":"),
+                F.col("_k"),
+            )
+        )
+        % width
+    ).alias("cell")
+    return (
+        keyed.select("row", cell, "_w")
+        .groupBy("row", "cell")
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge counter grids: cell-wise sum (associative, commutative)."""
+    return (
+        a.unionByName(b).groupBy("row", "cell").agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame, probes: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch for every probe key: est = min over rows
+    of the addressed cells (absent cell ⇒ 0). Broadcast the sketch —
+    it is ≤ depth·width rows by construction — so the probe side
+    never shuffles. Output: (key_col, est)."""
+    from pyspark.sql.functions import broadcast
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    addressed = probes.select(F.col(key_col).cast("string").alias(key_col)).select(
+        key_col, rows
+    )
+    cell = (
+        _h60_of(
+            F.concat(
+                F.lit(CMS_SALT),
+                F.col("row").cast("string"),
+                F.lit(":"),
+                F.col(key_col),
+            )
+        )
+        % width
+    ).alias("cell")
+    joined = addressed.select(key_col, "row", cell).join(
+        broadcast(cms), on=["row", "cell"], how="left"
+    )
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("est"))
+    )

@@ -642,3 +642,52 @@ def ngram_novelty(
             "novelty"
         ),
     )
+
+
+def char_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-distribution quality signals, log-free.
+
+    Shannon character entropy is the textbook gibberish/boilerplate
+    detector, but ln is not cross-engine bit-stable (see retrieval.py
+    header), so this computes the SIMPSON diversity index instead —
+    1 − Σ(cᵢ/n)² — the order-2 Rényi analogue: 0 for a single repeated
+    character, →1 for a uniform spread. Exact integer counts feed two
+    IEEE-exactly-rounded float ops (one divide, one subtract), so the
+    result is bit-identical on every engine. Also emits
+    ``top_char_fraction`` (max single-character share — near 1 flags
+    runs of padding) and ``distinct_chars``.
+
+    Plan shape: split→explode is the only volume intermediate (≈ one
+    row per character, the same footprint as the BM25 postings build);
+    the two groupBys share the doc-id key so AQE coalesces them into
+    one shuffle of per-(doc, char) counts — scan-bound at 100 TB.
+
+    Output: (id_col, n_chars, distinct_chars, top_char_fraction,
+    simpson).
+    """
+    per_char = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_c"))
+        .groupBy(id_col, "_c")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    agg = per_char.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.max("_n").cast("long").alias("_max"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_sumsq"),
+    )
+    return agg.select(
+        id_col,
+        "n_chars",
+        "distinct_chars",
+        (F.col("_max").cast("double") / F.col("n_chars").cast("double")).alias(
+            "top_char_fraction"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("_sumsq").cast("double")
+            / (F.col("n_chars") * F.col("n_chars")).cast("double")
+        ).alias("simpson"),
+    )
