@@ -3640,6 +3640,94 @@ def q_wav_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio_samples(d.mapInPandas(_enc, schema=enc_schema))
 
 
+# ── round 9: HLL / Count-Min / char_diversity (wiring the r8 family) ─
+#
+# The reference answers distinct counts only by exact COUNT(DISTINCT)
+# rescans (backend/app/services/kpi.py:40-43,60-61). The HLL register
+# family is the 100-TB path: per-day register partials merge by
+# bucket-wise MAX (4 KB per group) instead of rescanning events. The
+# registers are built from the portable md5-h60 hash, so DuckDB
+# replicates them bit-for-bit and the oracle hash-compares the
+# REGISTERS and the integer-exact raw-estimate arithmetic directly.
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL register tables over events.user_id (p=8, m=256):
+    (day, bucket, rho) — the mergeable daily partial a 100-TB rollup
+    stores instead of raw ids. Oracle rebuilds every register from the
+    same md5 hash: bucket = top 8 bits of h60, rho = 53 − bit_length of
+    the remaining 52 bits (base-2 string length, no floats)."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ev = ev.withColumn("day", F.to_date("ts"))
+    return SK.hll_partial(ev, "user_id", by=["day"], p=8)
+
+
+def q_hll_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(daily partials) ⇒ whole-range raw estimate, proven against
+    an oracle that sketches the WHOLE range directly — the hash match
+    is the algebraic identity merge(partial(day_i)) == partial(∪days)
+    plus the integer-exact estimator arithmetic (z_num is Σ2^(K−rho)
+    over the common denominator 2^K; raw_est is ONE double division by
+    the Python-precomputed constant embedded identically in both
+    engines)."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    ev = ev.withColumn("day", F.to_date("ts"))
+    daily = SK.hll_partial(ev, "user_id", by=["day"], p=8)
+    merged = SK.hll_reaggregate(daily, drop=["day"], by=["day"])
+    return SK.hll_raw_estimate(merged, p=8)
+
+
+def q_hll_raw_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped raw HLL estimates per event_type over event_id — the
+    large-range regime (≫ 2.5m, small_range = false), exercising the
+    non-linear-counting branch with one register table per group."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    reg = SK.hll_partial(ev, "event_id", by=["event_type"], p=8)
+    return SK.hll_raw_estimate(reg, by=["event_type"], p=8)
+
+
+def q_cms_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min counter grid (depth 4 × width 256) over
+    events.event_type: (row, cell, n) — the mergeable frequency partial
+    (map-side combine collapses each scan task to ≤ 1024 rows before
+    the shuffle). Oracle rebuilds every cell from the salted md5
+    row-hashes."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    return SK.cms_partial(ev, "event_type", depth=4, width=256)
+
+
+def q_cms_heavy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-query the Count-Min sketch for every distinct event_type:
+    est = min over the 4 addressed cells, guaranteed ≥ the true count
+    and ≤ true + (e/256)·N w.h.p. The sketch side is broadcast (≤ 1024
+    rows by construction) so the probe side never shuffles for the
+    join."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    cms = SK.cms_partial(ev, "event_type", depth=4, width=256)
+    probes = ev.select("event_type").distinct()
+    return SK.cms_lookup(cms, probes, "event_type", depth=4, width=256)
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality signals over documents: Simpson
+    diversity 1 − Σ(cᵢ/n)² (the log-free entropy stand-in — two
+    IEEE-exact float ops over exact integer character counts),
+    top-char fraction, distinct chars. Empty/NULL docs are explicit
+    zero rows with NULL fractions (round-8 ADVICE), not phantom
+    one-char docs — functions/text.py char_diversity."""
+    return TX.char_diversity(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kpi_daily": q_kpi_daily,
@@ -3868,6 +3956,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fernet_roundtrip": q_fernet_roundtrip,
         "gif_pixel_decode": q_gif_pixel_decode,
         "wav_sample_decode": q_wav_sample_decode,
+        # round-9 additions: the r8 sketch family, wired
+        "hll_registers": q_hll_registers,
+        "hll_merge_distinct": q_hll_merge_distinct,
+        "hll_raw_by_type": q_hll_raw_by_type,
+        "cms_grid": q_cms_grid,
+        "cms_heavy_lookup": q_cms_heavy_lookup,
+        "char_diversity": q_char_diversity,
     }
 
 
@@ -6235,6 +6330,124 @@ def oracle_sql() -> dict[str, str]:
         JOIN px p ON p.doc_id = b.doc_id
         JOIN sgn g ON g.doc_id = b.doc_id
         GROUP BY b.doc_id, b.n
+    """
+
+    # round 9 — HLL register family. The oracle rebuilds every register
+    # from the same portable md5-h60 hash (bucket = top 8 of 60 bits,
+    # rho = 53 − bit_length of the low 52 bits via DuckDB bin(), the
+    # twin of Spark's conv(…,10,2) length), so the hash compare pins
+    # the REGISTERS, the integer z_num = Σ2^(53−rho) (+2^53 per empty
+    # bucket), and the single-division raw estimate with the identical
+    # Python-precomputed double constant 4.2399330249068963e+20
+    # (= α·m²·2^53, α = 0.7213/(1+1.079/256)).
+    _HLL_REG = """
+        SELECT {by} h >> 52 AS bucket,
+               CAST(MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                        ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1)))
+                        END) AS INT) AS rho
+        FROM (
+            SELECT {src_by}
+                   ('0x' || substr(md5('hll-v1:' || CAST({key} AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM events WHERE {key} IS NOT NULL
+        ) GROUP BY {by} bucket
+    """
+    _HLL_RAW = """
+        SELECT {by}
+               buckets_used,
+               CAST(256 - buckets_used AS BIGINT) AS v_empty,
+               CAST(z_present + (256 - buckets_used) * (1::BIGINT << 53)
+                    AS BIGINT) AS z_num,
+               4.2399330249068963e+20
+                   / CAST(z_present + (256 - buckets_used)
+                          * (1::BIGINT << 53) AS DOUBLE) AS raw_est,
+               ((256 - buckets_used) > 0
+                AND 4.2399330249068963e+20
+                    / CAST(z_present + (256 - buckets_used)
+                           * (1::BIGINT << 53) AS DOUBLE) <= 640.0)
+                   AS small_range
+        FROM (
+            SELECT {by}
+                   CAST(COUNT(*) AS BIGINT) AS buckets_used,
+                   CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS z_present
+            FROM ({reg}) {groupby}
+        )
+    """
+    o["hll_registers"] = _HLL_REG.format(
+        by="day,",
+        src_by="CAST(ts AS DATE) AS day,",
+        key="user_id",
+    )
+    o["hll_merge_distinct"] = _HLL_RAW.format(
+        by="",
+        groupby="",
+        reg=_HLL_REG.format(by="", src_by="", key="user_id"),
+    )
+    o["hll_raw_by_type"] = _HLL_RAW.format(
+        by="event_type,",
+        groupby="GROUP BY event_type",
+        reg=_HLL_REG.format(
+            by="event_type,", src_by="event_type,", key="event_id"
+        ),
+    )
+    # round 9 — Count-Min grid + point lookup, cell-for-cell from the
+    # salted per-row md5 hashes (cell = h60('cms-v1:row:key') % 256).
+    _CMS = """
+        SELECT r.row,
+               (('0x' || substr(md5('cms-v1:' || CAST(r.row AS VARCHAR)
+                                    || ':' || e.event_type), 1, 15))::BIGINT)
+                   % 256 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events e
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS row) r
+        WHERE e.event_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    o["cms_grid"] = _CMS
+    o["cms_heavy_lookup"] = f"""
+        WITH cms AS ({_CMS}),
+        probes AS (SELECT DISTINCT event_type FROM events
+                   WHERE event_type IS NOT NULL),
+        addressed AS (
+            SELECT p.event_type, r.row,
+                   (('0x' || substr(md5('cms-v1:' || CAST(r.row AS VARCHAR)
+                                        || ':' || p.event_type),
+                                    1, 15))::BIGINT) % 256 AS cell
+            FROM probes p
+            CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS row) r
+        )
+        SELECT a.event_type, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+        FROM addressed a LEFT JOIN cms c USING (row, cell)
+        GROUP BY a.event_type
+    """
+    # round 9 — char_diversity: exact per-(doc, char) integer counts,
+    # then the same two IEEE float ops as Spark (one divide for the
+    # top-char fraction; divide + subtract for Simpson). Empty/NULL
+    # docs surface as explicit zero rows with NULL fractions.
+    o["char_diversity"] = """
+        WITH per AS (
+            SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT doc_id, UNNEST(string_split(text, '')) AS c
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE length(c) > 0
+            GROUP BY doc_id, c
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_chars,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+                   MAX(n) AS mx,
+                   CAST(SUM(n * n) AS BIGINT) AS sumsq
+            FROM per GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_chars, 0) AS n_chars,
+               COALESCE(a.distinct_chars, 0) AS distinct_chars,
+               CAST(a.mx AS DOUBLE) / CAST(a.n_chars AS DOUBLE)
+                   AS top_char_fraction,
+               1.0 - CAST(a.sumsq AS DOUBLE)
+                   / CAST(a.n_chars * a.n_chars AS DOUBLE) AS simpson
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
     return o

@@ -265,6 +265,13 @@ BENCH_QUERIES: list[str] = [
     "fernet_roundtrip",
     "gif_pixel_decode",
     "wav_sample_decode",
+    # round-9 additions: the wired sketch family
+    "hll_registers",
+    "hll_merge_distinct",
+    "hll_raw_by_type",
+    "cms_grid",
+    "cms_heavy_lookup",
+    "char_diversity",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in
@@ -450,14 +457,28 @@ def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
     return t
 
 
-def streaming_e2e(spark, sf_dir: str, errors: dict | None = None) -> dict[str, float]:
+def streaming_e2e(
+    spark,
+    sf_dir: str,
+    errors: dict | None = None,
+    detail: dict | None = None,
+) -> dict[str, float]:
     """Structured-Streaming stage group (round-7 verdict task #7): the
     stateful operators had stream==batch equivalence tests but no bench
     entry, so streaming overhead was invisible round-over-round. Each
     stage drains the sf events through a file source forced into 8
     micro-batches (``maxFilesPerTrigger=1`` + ``availableNow``) — the
     measured cost is real micro-batch scheduling + state-store traffic,
-    not a single batch in disguise."""
+    not a single batch in disguise.
+
+    Round 9 (verdict task #7 — the streaming group swung ±33–60% on
+    unchanged code in r8 with a single-rep measurement): every stateful
+    stage now runs ``SPARK_GRAFT_BENCH_STREAM_RUNS`` (default 3) reps
+    with fresh checkpoints and reports the MEDIAN, and ``detail``
+    receives per-stage min/max plus the state-store counters from the
+    last micro-batch's progress (batches, input rows, state rows,
+    state memory) so the artifact alone can separate scheduler drift
+    (wall moved, state counters identical) from a real plan change."""
     import shutil
     import tempfile
 
@@ -492,17 +513,51 @@ def streaming_e2e(spark, sf_dir: str, errors: dict | None = None) -> dict[str, f
                 .parquet(f"{work}/events")
             )
 
-        def drain(df, name, mode):
-            t0 = time.perf_counter()
-            q = (
-                df.writeStream.format("noop")
-                .outputMode(mode)
-                .option("checkpointLocation", f"{work}/ckpt_{name.split('/')[-1]}")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            t[name] = round(time.perf_counter() - t0, 4)
+        stream_runs = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_RUNS", "3"))
+
+        def _progress_metrics(q) -> dict:
+            prog = [p for p in (q.recentProgress or []) if p]
+            if not prog:
+                return {}
+            rows_in = sum(int(p.get("numInputRows", 0) or 0) for p in prog)
+            last_state = (prog[-1].get("stateOperators") or [{}])[0]
+            return {
+                "batches": len(prog),
+                "input_rows": rows_in,
+                "state_rows_total": int(last_state.get("numRowsTotal", 0) or 0),
+                "state_memory_bytes": int(
+                    last_state.get("memoryUsedBytes", 0) or 0
+                ),
+            }
+
+        def drain(build, name, mode):
+            reps: list[float] = []
+            metrics: dict = {}
+            for rep in range(stream_runs):
+                t0 = time.perf_counter()
+                q = (
+                    build().writeStream.format("noop")
+                    .outputMode(mode)
+                    .option(
+                        "checkpointLocation",
+                        f"{work}/ckpt_{name.split('/')[-1]}_{rep}",
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                reps.append(time.perf_counter() - t0)
+                if rep == 0:
+                    metrics = _progress_metrics(q)
+            reps.sort()
+            t[name] = round(reps[len(reps) // 2], 4)
+            if detail is not None:
+                detail[name] = {
+                    "min": round(reps[0], 4),
+                    "max": round(reps[-1], 4),
+                    "runs": stream_runs,
+                    **metrics,
+                }
 
         # fail-soft per stage (round-7 first run: one unsupported output
         # mode discarded the WHOLE group's timings)
@@ -527,7 +582,7 @@ def streaming_e2e(spark, sf_dir: str, errors: dict | None = None) -> dict[str, f
         ]
         for build, name, mode in stages:
             try:
-                drain(build(), name, mode)
+                drain(build, name, mode)
             except Exception as exc:  # noqa: BLE001 — harness boundary
                 # round-8 ADVICE: never store a -1.0 sentinel — it was
                 # summed into total_wall_sec (shrinking it) and read by
@@ -547,17 +602,27 @@ def streaming_e2e(spark, sf_dir: str, errors: dict | None = None) -> dict[str, f
             .parquet(f"{work}/docs")
         )
         dschema = spark.read.parquet(f"{work}/docs").schema
-        t0 = time.perf_counter()
-        q = stream_corpus_ingest(
-            spark.readStream.schema(dschema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/docs"),
-            f"{work}/corpus",
-            f"{work}/index",
-            f"{work}/ckpt_corpus",
-        )
-        q.awaitTermination()
-        t["streaming/corpus_ingest"] = round(time.perf_counter() - t0, 4)
+        creps: list[float] = []
+        for rep in range(stream_runs):
+            t0 = time.perf_counter()
+            q = stream_corpus_ingest(
+                spark.readStream.schema(dschema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/docs"),
+                f"{work}/corpus_{rep}",
+                f"{work}/index_{rep}",
+                f"{work}/ckpt_corpus_{rep}",
+            )
+            q.awaitTermination()
+            creps.append(time.perf_counter() - t0)
+        creps.sort()
+        t["streaming/corpus_ingest"] = round(creps[len(creps) // 2], 4)
+        if detail is not None:
+            detail["streaming/corpus_ingest"] = {
+                "min": round(creps[0], 4),
+                "max": round(creps[-1], 4),
+                "runs": stream_runs,
+            }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return t
@@ -661,6 +726,7 @@ def main() -> None:
 
     timings, timings_min = time_group(names)
     baselines, baselines_min = time_group(baseline_names)
+    streaming_detail: dict = {}
 
     if not only_baselines:
         try:
@@ -676,7 +742,7 @@ def main() -> None:
             print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
 
         try:
-            timings.update(streaming_e2e(spark, sf_dir, errors))
+            timings.update(streaming_e2e(spark, sf_dir, errors, streaming_detail))
         except Exception as exc:  # noqa: BLE001
             errors["streaming_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: streaming_e2e FAILED: {errors['streaming_e2e']}", file=sys.stderr)
@@ -697,6 +763,7 @@ def main() -> None:
         "runs_per_query": RUNS,
         "n_queries": len(timings),
         "sf": sf_val,
+        **({"streaming_detail": streaming_detail} if streaming_detail else {}),
         **({"errors": errors} if errors else {}),
     }
     with open(detail_path, "w") as fh:

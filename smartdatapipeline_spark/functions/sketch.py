@@ -548,9 +548,12 @@ def hll_raw_estimate(
     k = 61 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     c_num = alpha * m * m * float(1 << k)
+    # SQL-form shiftleft: the Python F.shiftleft requires a literal int
+    # shift amount (PySparkTypeError on a Column), the SQL function
+    # accepts any integral expression.
     agg = reg.groupBy(*by).agg(
         F.count("*").cast("long").alias("buckets_used"),
-        F.sum(F.shiftleft(F.lit(1).cast("long"), F.lit(k) - F.col("rho")))
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - rho)"))
         .cast("long")
         .alias("_z_present"),
     )

@@ -664,11 +664,17 @@ def char_diversity(
     the two groupBys share the doc-id key so AQE coalesces them into
     one shuffle of per-(doc, char) counts — scan-bound at 100 TB.
 
+    Empty and NULL text is an explicit, distinguishable output row —
+    n_chars = 0, distinct_chars = 0, and NULL fractions — not a phantom
+    one-character doc (``split('', '')`` yields ``['']``; the exploded
+    rows are length-filtered) and not a silently dropped doc.
+
     Output: (id_col, n_chars, distinct_chars, top_char_fraction,
     simpson).
     """
     per_char = (
         docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_c"))
+        .filter(F.length("_c") > 0)
         .groupBy(id_col, "_c")
         .agg(F.count("*").cast("long").alias("_n"))
     )
@@ -678,10 +684,13 @@ def char_diversity(
         F.max("_n").cast("long").alias("_max"),
         F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_sumsq"),
     )
-    return agg.select(
+    base = docs.select(F.col(id_col))
+    return base.join(agg, on=id_col, how="left").select(
         id_col,
-        "n_chars",
-        "distinct_chars",
+        F.coalesce(F.col("n_chars"), F.lit(0).cast("long")).alias("n_chars"),
+        F.coalesce(F.col("distinct_chars"), F.lit(0).cast("long")).alias(
+            "distinct_chars"
+        ),
         (F.col("_max").cast("double") / F.col("n_chars").cast("double")).alias(
             "top_char_fraction"
         ),

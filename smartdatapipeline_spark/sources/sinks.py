@@ -35,7 +35,7 @@ def gold_writer_lock(
     timeout_sec: float = 120.0,
     stale_sec: float = 600.0,
     heartbeat_sec: float | None = None,
-    breaker_grace_sec: float = 10.0,
+    breaker_grace_sec: float | None = None,
 ):
     """Single-writer discipline for path-based partition upserts
     (round-6: the nightly-scheduler vs ingest-triggered recompute
@@ -62,12 +62,17 @@ def gold_writer_lock(
     dir itself is the sentinel: acquirers refuse to makedirs while any
     ``<path>._LOCK.brk-*`` exists (round-8), so the lock path being
     momentarily free during re-verification cannot admit a second
-    writer; a sentinel that outlives ``breaker_grace_sec`` is debris of
-    a crashed breaker and is swept by waiters. This narrows — it does
-    not absolutely close — the misjudged-stale TOCTOU: under NFS-class
-    mtime/clock skew a live holder can still be judged stale and lose
-    its lock, but the heartbeat verifies the owner token before every
-    ``utime`` so it can never freshen a successor's lock. Release only
+    writer; a sentinel that outlives ``breaker_grace_sec`` (default
+    ``stale_sec/4``, floor 10 s — sized so a GC-paused or NFS-stalled
+    live breaker is not swept on the same clock that judges locks
+    stale) is debris of a crashed breaker and is swept by waiters. This
+    narrows — it does not absolutely close — the misjudged-stale
+    TOCTOU: under NFS-class mtime/clock skew a live holder can still be
+    judged stale and lose its lock, and the heartbeat's
+    owner-token-check-then-``utime`` is itself check-then-act (a break
+    plus re-acquire landing inside that microsecond window would be
+    freshened once), so freshening a successor's lock is NARROWED to
+    that window, not impossible. Release only
     removes the lock if the owner token is still ours, so a holder
     whose lock WAS legitimately broken cannot silently delete the next
     holder's lock. Waiters poll until ``timeout_sec`` then raise
@@ -92,7 +97,15 @@ def gold_writer_lock(
     brk_parent = os.path.dirname(lock_dir) or "."
     brk_prefix = os.path.basename(lock_dir) + ".brk-"
     brk_seen: dict[str, float] = {}  # breaker sentinel → first observed
-    brk_grace = breaker_grace_sec  # verify is sub-second; >grace ⇒ dead breaker
+    # Breaker verify is sub-second, but a live breaker can stall (GC
+    # pause, NFS hang) on exactly the deployments this lock worries
+    # about — so the sweep grace scales with the staleness clock
+    # instead of a fixed 10 s (round-8 ADVICE).
+    brk_grace = (
+        breaker_grace_sec
+        if breaker_grace_sec is not None
+        else max(10.0, stale_sec / 4.0)
+    )
     while True:
         # Honor breaker sentinels (round-8 ADVICE): while any
         # <lock>.brk-* dir exists, a breaker holds the lock renamed
@@ -179,7 +192,10 @@ def gold_writer_lock(
                 with open(owner_path) as f:
                     if f.read() != token:
                         return  # lock re-acquired by another holder —
-                        # never freshen someone else's lock (ADVICE r8)
+                        # stop freshening (ADVICE r8). The read→utime
+                        # pair below is still check-then-act, so this
+                        # NARROWS (not closes) the freshen-successor
+                        # window to the microseconds between them.
                 os.utime(lock_dir)
             except OSError:
                 continue  # transient (rename-aside verify window, or
@@ -371,13 +387,24 @@ def _txn_partition_overwrite(
     # data through rename/exchange, making "did this partition's swap
     # commit?" positively detectable by recovery instead of inferred
     # from src existence (which EXCHANGE leaves true on both sides).
+    # Batched stamping (round-9, VERDICT task #6): write every marker
+    # buffered, then fsync all files, then fsync all dirs — the
+    # durability point is unchanged (every marker is durable before the
+    # journal write below), but the kernel sees the writeback as one
+    # burst instead of n interleaved write/fsync/fsync triplets.
+    # Measured (tools/fsync_probe.py, 365 partitions, median of 5):
+    # 0.252 s interleaved → 0.207 s batched (0.69 → 0.57 ms/partition).
     marker = _marker_name(txid)
+    mfiles = []
     for p in parts:
-        mpath = os.path.join(staging, p, marker)
-        with open(mpath, "w") as f:
-            f.write(txid)
-            f.flush()
-            os.fsync(f.fileno())
+        f = open(os.path.join(staging, p, marker), "w")
+        f.write(txid)
+        f.flush()
+        mfiles.append(f)
+    for f in mfiles:
+        os.fsync(f.fileno())
+        f.close()
+    for p in parts:
         _fsync_path(os.path.join(staging, p))
     _write_fsync(
         os.path.join(path, "_txn.json"),
