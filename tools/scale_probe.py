@@ -47,6 +47,58 @@ def scaled_events(spark, sf_dir, n):
     return out.repartition(spark.sparkContext.defaultParallelism)
 
 
+def scaled_events_samedays(spark, sf_dir, n):
+    """Volume scale-up with the DAY GRAIN HELD CONSTANT (user space
+    scales, calendar doesn't) — the shape that isolates sketch-merge
+    cost: per-day HLL register tables are ≤ days×m rows no matter how
+    many events fed them, so the daily→range merge must be ~flat in n."""
+    ev = read_events(spark, sf_dir)
+    reps = [
+        ev.withColumn("user_id", F.col("user_id") + 1_000_000 * i)
+        for i in range(n)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out.repartition(spark.sparkContext.defaultParallelism)
+
+
+_HLL_REG_CACHE: dict[int, str] = {}
+
+
+def _hll_reg_path(spark, sf_dir, n) -> str:
+    """Materialize (once per scale) the per-day HLL register table for
+    the same-days scaled events — the PRE-EXISTING daily partials a
+    100-TB rollup would read; building them is the `hll_build` probe's
+    job, not the merge probe's."""
+    import tempfile
+
+    if n not in _HLL_REG_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), f"sdp_scaleprobe_hllreg_{os.getpid()}_{n}"
+        )
+        ev = scaled_events_samedays(spark, sf_dir, n).filter(
+            F.col("user_id").isNotNull()
+        )
+        SK.hll_partial(
+            ev.withColumn("day", F.to_date("ts")), "user_id", by=["day"], p=8
+        ).write.mode("overwrite").parquet(path)
+        _HLL_REG_CACHE[n] = path
+    return _HLL_REG_CACHE[n]
+
+
+def _hll_merge_probe(spark, sf_dir, n):
+    reg = spark.read.parquet(_hll_reg_path(spark, sf_dir, n))
+    return SK.hll_raw_estimate(
+        SK.hll_reaggregate(reg, drop=["day"], by=["day"]), p=8
+    )
+
+
+# first call at each scale materializes the registers (untimed warm
+# pass); the timed pass reads only the constant-size register table
+_hll_merge_probe.warm_each_scale = True
+
+
 def scaled_docs(spark, sf_dir, n):
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     reps = [
@@ -320,6 +372,11 @@ def main() -> None:
             "metric_date", "metric", F.col("value_sum").alias("value")
         )
 
+    def _hll_merge_op(n):
+        return _hll_merge_probe(spark, sf_dir, n)
+
+    _hll_merge_op.warm_each_scale = True
+
     ops = {
         "kpi_daily": lambda n: run_daily_kpis(
             scaled_events(spark, sf_dir, n),
@@ -500,6 +557,29 @@ def main() -> None:
             ("event_id", "user_id", "event_type"),
             "value",
         ),
+        # round-9 (VERDICT #8): the wired sketch family. hll_build and
+        # cms_build are scan-bound (exponent ≈1, map-side combine
+        # collapses every task to ≤m / ≤depth·width rows pre-shuffle);
+        # hll_merge reads PRE-MATERIALIZED daily registers whose size is
+        # constant in event volume (same-days scaling) — the 100-TB
+        # claim is exponent ≈0 for the daily→range merge stage.
+        "hll_build": lambda n: SK.hll_partial(
+            scaled_events(spark, sf_dir, n)
+            .filter(F.col("user_id").isNotNull())
+            .withColumn("day", F.to_date("ts")),
+            "user_id",
+            by=["day"],
+            p=8,
+        ),
+        "hll_merge": _hll_merge_op,
+        "cms_build": lambda n: SK.cms_partial(
+            scaled_events(spark, sf_dir, n).filter(
+                F.col("user_id").isNotNull()
+            ),
+            "user_id",
+            depth=4,
+            width=256,
+        ),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
@@ -511,6 +591,12 @@ def main() -> None:
         if only and name not in only:
             continue
         run(build, 1)
+        if getattr(build, "warm_each_scale", False):
+            # probes over pre-materialized inputs: the first call at a
+            # scale builds the input (not the thing being measured) —
+            # burn it untimed so the timed pass measures only the op
+            run(build, lo)
+            run(build, hi)
         t_lo, t_hi = run(build, lo), run(build, hi)
         exponent = round(math.log(t_hi / t_lo) / math.log(hi / lo), 2)
         results[name] = {f"t{lo}": t_lo, f"t{hi}": t_hi, "exponent": exponent}
