@@ -3718,6 +3718,19 @@ def q_cms_heavy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_lookup(cms, probes, "event_type", depth=4, width=256)
 
 
+def q_kpi_monthly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users per metric from DAILY register partials
+    (operators/kpi.py distinct_rollup) — the A2 COUNT(DISTINCT)
+    re-aggregation the reference answers by rescanning, done as a
+    constant-size register fold. Oracle sketches each whole month
+    directly: the hash match is the daily→month merge identity plus
+    the integer-exact estimator."""
+    ev = _events(spark, sf_dir)
+    return K.distinct_rollup(
+        ev, key_col="user_id", ts_col="ts", metric_col="event_type", period="month"
+    )
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution quality signals over documents: Simpson
     diversity 1 − Σ(cᵢ/n)² (the log-free entropy stand-in — two
@@ -3963,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_grid": q_cms_grid,
         "cms_heavy_lookup": q_cms_heavy_lookup,
         "char_diversity": q_char_diversity,
+        "kpi_monthly_distinct": q_kpi_monthly_distinct,
     }
 
 
@@ -6388,6 +6402,18 @@ def oracle_sql() -> dict[str, str]:
         groupby="GROUP BY event_type",
         reg=_HLL_REG.format(
             by="event_type,", src_by="event_type,", key="event_id"
+        ),
+    )
+    # monthly distinct from daily partials == direct whole-month sketch
+    # (merge identity); period = first-of-month DATE on both engines
+    o["kpi_monthly_distinct"] = _HLL_RAW.format(
+        by="period, event_type,",
+        groupby="GROUP BY period, event_type",
+        reg=_HLL_REG.format(
+            by="period, event_type,",
+            src_by="CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE)"
+            " AS period, event_type,",
+            key="user_id",
         ),
     )
     # round 9 — Count-Min grid + point lookup, cell-for-cell from the

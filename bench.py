@@ -272,6 +272,7 @@ BENCH_QUERIES: list[str] = [
     "cms_grid",
     "cms_heavy_lookup",
     "char_diversity",
+    "kpi_monthly_distinct",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -107,6 +107,45 @@ def run_daily_kpis(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def distinct_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    metric_col: str = "metric",
+    period: str = "month",
+    p: int = 8,
+) -> DataFrame:
+    """A2's ``COUNT(DISTINCT)`` re-aggregated across days WITHOUT
+    rescanning (reference services/kpi.py:40-43,60-61 answers every
+    period by a fresh exact scan): per-(period, day, metric) HLL
+    register partials — what a 100-TB deployment persists next to the
+    daily KPI rows — fold to the period grain by bucket-wise MAX
+    (functions/sketch.py ``hll_reaggregate``), then one raw estimate
+    per (period, metric). The fold's input is ≤ days×m register rows
+    per metric regardless of event volume (scale probe ``hll_merge``:
+    exponent 0.01), so "distinct users this month" costs the same over
+    60 k events as over 2 M.
+
+    Output: (period, metric_col, buckets_used, v_empty, z_num,
+    raw_est, small_range) — integer-exact register algebra plus one
+    double division, cross-engine bit-stable (see hll_raw_estimate).
+    """
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    df = (
+        events.filter(F.col(key_col).isNotNull())
+        .withColumn("_day", F.to_date(F.col(ts_col)))
+        .withColumn("_period", F.trunc(F.col("_day"), period))
+    )
+    daily = SK.hll_partial(df, key_col, by=["_period", "_day", metric_col], p=p)
+    folded = SK.hll_reaggregate(
+        daily, drop=["_day"], by=["_period", "_day", metric_col]
+    )
+    return SK.hll_raw_estimate(folded, by=["_period", metric_col], p=p).withColumnRenamed(
+        "_period", "period"
+    )
+
+
 def ts_minmax(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """MIN(ts)/MAX(ts) window-default scan (reference services/kpi.py:26-35).
 
