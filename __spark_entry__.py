@@ -3731,6 +3731,44 @@ def q_kpi_monthly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV/Theta) distinct sketch per event_type: the 64
+    smallest distinct user-hash order statistics — the mergeable
+    distinct summary that, unlike HLL registers, also supports set
+    INTERSECTION (functions/sketch.py kmv_partial). Oracle rebuilds the
+    exact same order statistics with ROW_NUMBER over the distinct
+    portable-md5 hashes."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    return SK.kmv_partial(ev, "user_id", by=["event_type"], k=64)
+
+
+def q_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per event_type from the bottom-k sketch:
+    exact below k, else the unbiased (k−1)/U_(k) estimator as ONE
+    double division of exact integers (cross-engine bit-stable)."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    sk = SK.kmv_partial(ev, "user_id", by=["event_type"], k=64)
+    return SK.kmv_distinct(sk, by=["event_type"], k=64)
+
+
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience intersection from sketches alone — "how many
+    users did BOTH purchase and click" answered from two 64-row
+    bottom-k summaries with NO rescan of either event stream (the set
+    operation HLL registers cannot express). Exact integer semi-joins
+    on the union sketch's membership; two IEEE-exact divisions."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    a = SK.kmv_partial(ev.filter(F.col("event_type") == "purchase"), "user_id", k=64)
+    b = SK.kmv_partial(ev.filter(F.col("event_type") == "click"), "user_id", k=64)
+    return SK.kmv_intersect(a, b, k=64)
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution quality signals over documents: Simpson
     diversity 1 − Σ(cᵢ/n)² (the log-free entropy stand-in — two
@@ -3977,6 +4015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_lookup": q_cms_heavy_lookup,
         "char_diversity": q_char_diversity,
         "kpi_monthly_distinct": q_kpi_monthly_distinct,
+        "kmv_sketch": q_kmv_sketch,
+        "kmv_distinct_by_type": q_kmv_distinct_by_type,
+        "kmv_audience_overlap": q_kmv_audience_overlap,
     }
 
 
@@ -6445,6 +6486,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.event_type, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
         FROM addressed a LEFT JOIN cms c USING (row, cell)
         GROUP BY a.event_type
+    """
+    # round 9 — KMV/bottom-k: exact order statistics of the distinct
+    # salted-md5 hashes (ROW_NUMBER over DISTINCT h), so the sketch,
+    # the (k−1)·2^60/h_k estimator (constant 7.263405479023136e+19 for
+    # k=64, precomputed in Python and embedded identically in Spark),
+    # and the intersection's integer membership counts all hash-match.
+    _KMV_SK = """
+        SELECT {by} pos, h FROM (
+            SELECT {by} h,
+                   ROW_NUMBER() OVER ({part} ORDER BY h) AS pos
+            FROM (
+                SELECT DISTINCT {by}
+                       ('0x' || substr(md5('kmv-v1:'
+                                           || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL {filt}
+            )
+        ) WHERE pos <= 64
+    """
+    o["kmv_sketch"] = _KMV_SK.format(
+        by="event_type,", part="PARTITION BY event_type", filt=""
+    )
+    o["kmv_distinct_by_type"] = f"""
+        SELECT event_type,
+               n_vals,
+               kth_h,
+               CASE WHEN n_vals < 64 THEN CAST(n_vals AS DOUBLE)
+                    ELSE 7.263405479023136e+19 / CAST(kth_h AS DOUBLE)
+               END AS est,
+               n_vals < 64 AS exact
+        FROM (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_vals,
+                   MAX(CASE WHEN pos = 64 THEN h END) AS kth_h
+            FROM ({o["kmv_sketch"]})
+            GROUP BY event_type
+        )
+    """
+    _KMV_A = _KMV_SK.format(
+        by="", part="", filt="AND event_type = 'purchase'"
+    )
+    _KMV_B = _KMV_SK.format(
+        by="", part="", filt="AND event_type = 'click'"
+    )
+    o["kmv_audience_overlap"] = f"""
+        WITH sa AS ({_KMV_A}),
+        sb AS ({_KMV_B}),
+        u AS (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos
+            FROM (SELECT DISTINCT h FROM (
+                SELECT h FROM sa UNION ALL SELECT h FROM sb))
+        ),
+        s AS (SELECT pos, h FROM u WHERE pos <= 64),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS union_n_vals,
+                   MAX(CASE WHEN pos = 64 THEN h END) AS union_kth_h
+            FROM s
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM s
+            WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+        )
+        SELECT union_n_vals, union_kth_h,
+               CASE WHEN union_n_vals < 64 THEN CAST(union_n_vals AS DOUBLE)
+                    ELSE 7.263405479023136e+19 / CAST(union_kth_h AS DOUBLE)
+               END AS union_est,
+               n_match,
+               CAST(n_match AS DOUBLE) / CAST(union_n_vals AS DOUBLE)
+                   AS jaccard_est,
+               (CAST(n_match AS DOUBLE) / CAST(union_n_vals AS DOUBLE))
+               * (CASE WHEN union_n_vals < 64
+                       THEN CAST(union_n_vals AS DOUBLE)
+                       ELSE 7.263405479023136e+19
+                            / CAST(union_kth_h AS DOUBLE) END) AS inter_est
+        FROM agg, m
     """
     # round 9 — char_diversity: exact per-(doc, char) integer counts,
     # then the same two IEEE float ops as Spark (one divide for the

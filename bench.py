@@ -273,6 +273,9 @@ BENCH_QUERIES: list[str] = [
     "cms_heavy_lookup",
     "char_diversity",
     "kpi_monthly_distinct",
+    "kmv_sketch",
+    "kmv_distinct_by_type",
+    "kmv_audience_overlap",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

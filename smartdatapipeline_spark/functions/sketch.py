@@ -683,3 +683,170 @@ def cms_lookup(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("est"))
     )
+
+
+# ── K-Minimum-Values — mergeable distinct sketch WITH set algebra ────
+#
+# Bar-Yossef et al. 2002 (the KMV / bottom-k estimator; the Theta
+# sketch of Apache DataSketches is its productionized form). The
+# summary per group is the k SMALLEST distinct portable-md5 h60 values
+# of the keys — a uniform sample of the key space's order statistics.
+#
+# Why keep this next to HLL: HLL registers merge by max and estimate
+# cardinality, but two HLL sketches cannot be INTERSECTED. KMV
+# sketches can — the k smallest of A ∪ B is computable from the two
+# sketches alone, and membership of those values in A's/B's sketch
+# estimates Jaccard, hence |A ∩ B| (the distinct-audience-overlap
+# question: "how many users did BOTH purchase and click this month"
+# without rescanning either side). Everything is exact integer order
+# statistics on the shared h60 hash, so Spark and any SQL oracle agree
+# bit-for-bit on the SKETCH; the estimators are one double division of
+# exact integers (cross-engine bit-stable, same discipline as
+# hll_raw_estimate).
+#
+# Scale shape: the build is distinct(hash) → per-group rank ≤ k — the
+# same one shuffle an exact COUNT(DISTINCT) pays, but the OUTPUT is
+# ≤ k rows per group, so downstream merges/intersections never touch
+# the data again (the same daily→period amortization as the HLL
+# registers; see scale_probe hll_merge). The rank is a window over the
+# group's distinct hashes — spillable sort, no collect_list buffering
+# of unbounded groups on any executor.
+
+KMV_SALT = "kmv-v1:"
+_KMV_DOMAIN = float(1 << 60)  # h60 values are uniform on [0, 2^60)
+
+
+def _bottom_k(hashed: DataFrame, by: list[str], k: int) -> DataFrame:
+    """Exact per-group bottom-k of a distinct ``h`` column, two-level:
+    bottom-k within 256 hash-derived sub-buckets of each group (256
+    parallel spillable sorts), then bottom-k of the ≤ 256·k survivors.
+    Identical result to a single group-wide rank — the global k
+    smallest are each among their own bucket's k smallest — but no
+    group (and in the global by=[] case, no single task) ever sorts
+    more than its bucket's share. Same two-level discipline as the
+    PageRank hub fold (functions/graph.py)."""
+    from pyspark.sql.window import Window
+
+    bucket = F.shiftrightunsigned(F.col("h"), 52)  # top 8 of 60 bits
+    w1 = Window.partitionBy(*[F.col(c) for c in by], bucket).orderBy("h")
+    pruned = (
+        hashed.withColumn("_bpos", F.row_number().over(w1))
+        .filter(F.col("_bpos") <= k)
+        .drop("_bpos")
+    )
+    w2 = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy("h")
+    return (
+        pruned.withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= k)
+        .select(*by, "pos", "h")
+    )
+
+
+def kmv_partial(
+    df: DataFrame, key_col: str, by: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """Bottom-k sketch (by…, pos, h): the ``k`` smallest distinct h60
+    hashes of ``key_col`` per group, pos = 1-based rank. Mergeable:
+    `kmv_merge`."""
+    if k < 2:
+        raise ValueError(f"kmv_partial: k must be >= 2, got {k}")
+    by = list(by or [])
+    h = _h60_of(F.concat(F.lit(KMV_SALT), F.col(key_col).cast("string")))
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*by, h.alias("h"))
+        .distinct()
+    )
+    return _bottom_k(hashed, by, k)
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, by: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """Merge two bottom-k sketches: the k smallest of the DISTINCT
+    union of their hash sets — associative, commutative, idempotent
+    (safe for overlapping/at-least-once daily partials). Inputs are
+    ≤ k rows per group, so this never touches data volume."""
+    by = list(by or [])
+    u = a.select(*by, "h").unionByName(b.select(*by, "h")).distinct()
+    return _bottom_k(u, by, k)
+
+
+def kmv_distinct(
+    sketch: DataFrame, by: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch.
+
+    If the group holds fewer than k hashes the sketch IS the distinct
+    hash set and the answer is exact (``est = n_vals``, exact=true).
+    Otherwise the classic unbiased bottom-k estimator
+    ``(k−1) / U_(k)`` with U_(k) = h_k / 2^60: computed as ONE double
+    division of exact integers — the Python-precomputed constant
+    (k−1)·2^60 over the exact kth hash — so it is bit-identical on any
+    engine (rel. std. err ≈ 1/sqrt(k−2)).
+
+    Output: (by…, n_vals, kth_h, est, exact).
+    """
+    by = list(by or [])
+    c_num = float(k - 1) * _KMV_DOMAIN
+    agg = sketch.groupBy(*by).agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("kth_h"),
+    )
+    exact = F.col("n_vals") < k
+    return agg.select(
+        *by,
+        "n_vals",
+        "kth_h",
+        F.when(exact, F.col("n_vals").cast("double"))
+        .otherwise(F.lit(c_num) / F.col("kth_h").cast("double"))
+        .alias("est"),
+        exact.alias("exact"),
+    )
+
+
+def kmv_intersect(
+    a: DataFrame,
+    b: DataFrame,
+    by: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-intersection estimate of two keyed populations from
+    their bottom-k sketches alone — the set operation HLL cannot do.
+
+    Combined-sketch rule (DataSketches' a-priori Theta intersection):
+    S = the k smallest of A ∪ B (from the sketches — no data rescan);
+    every member of S is checked for membership in BOTH input sketches
+    (exact integer semi-joins on h). With θ = kth smallest of the
+    union, ``match_frac = |S ∩ A ∩ B| / |S|`` estimates
+    |A ∩ B| / |A ∪ B| (Jaccard), and ``inter_est = match_frac ·
+    union_est``. All counts are exact integers; the two divisions are
+    IEEE-exact on both engines.
+
+    Output: (by…, union_n_vals, union_kth_h, union_est, n_match,
+    jaccard_est, inter_est).
+    """
+    by = list(by or [])
+    u = kmv_merge(a, b, by=by, k=k)
+    in_a = u.join(a.select(*by, "h"), on=[*by, "h"], how="left_semi")
+    in_both = in_a.join(b.select(*by, "h"), on=[*by, "h"], how="left_semi")
+    u_est = kmv_distinct(u, by=by, k=k).select(
+        *by,
+        F.col("n_vals").alias("union_n_vals"),
+        F.col("kth_h").alias("union_kth_h"),
+        F.col("est").alias("union_est"),
+    )
+    m = in_both.groupBy(*by).agg(F.count("*").cast("long").alias("n_match"))
+    joined = u_est.join(m, on=by, how="left") if by else u_est.crossJoin(m)
+    jac = F.coalesce(F.col("n_match"), F.lit(0)).cast("double") / F.col(
+        "union_n_vals"
+    ).cast("double")
+    return joined.select(
+        *by,
+        "union_n_vals",
+        "union_kth_h",
+        "union_est",
+        F.coalesce(F.col("n_match"), F.lit(0).cast("long")).alias("n_match"),
+        jac.alias("jaccard_est"),
+        (jac * F.col("union_est")).alias("inter_est"),
+    )

@@ -291,3 +291,84 @@ def test_distinct_rollup_matches_direct_sketch(spark):
     got = sorted(tuple(map(str, r)) for r in rolled.collect())
     want = sorted(tuple(map(str, r)) for r in direct.collect())
     assert got == want
+
+
+# ── KMV / bottom-k (distinct sketch with set algebra) ────────────────
+
+
+def test_kmv_distinct_accuracy(spark):
+    from smartdatapipeline_spark.functions.sketch import kmv_distinct, kmv_partial
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    est = kmv_distinct(kmv_partial(df, "k", k=256), k=256).collect()[0]
+    assert not est["exact"]
+    # rel std err ~ 1/sqrt(k-2) = 6.3%; allow 3 sigma
+    assert abs(est["est"] - n) / n < 3 / math.sqrt(254), est["est"]
+
+
+def test_kmv_exact_below_k(spark):
+    from smartdatapipeline_spark.functions.sketch import kmv_distinct, kmv_partial
+
+    df = spark.range(40).select(F.col("id").cast("string").alias("k"))
+    est = kmv_distinct(kmv_partial(df, "k", k=64), k=64).collect()[0]
+    assert est["exact"] and est["est"] == 40.0 and est["n_vals"] == 40
+
+
+def test_kmv_merge_equals_direct(spark):
+    from smartdatapipeline_spark.functions.sketch import kmv_merge, kmv_partial
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("k"))
+    merged = kmv_merge(kmv_partial(a, "k", k=64), kmv_partial(b, "k", k=64), k=64)
+    direct = kmv_partial(a.unionByName(b), "k", k=64)
+    got = sorted((r["pos"], r["h"]) for r in merged.collect())
+    want = sorted((r["pos"], r["h"]) for r in direct.collect())
+    assert got == want and len(got) == 64
+
+
+def test_kmv_two_level_equals_single_window(spark):
+    # the bucketed fold must be EXACTLY the naive single-window rank
+    from pyspark.sql.window import Window
+
+    from smartdatapipeline_spark.functions.sketch import kmv_partial
+    from smartdatapipeline_spark.functions.sketch import KMV_SALT, _h60_of
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    fast = kmv_partial(df, "k", k=64)
+    h = _h60_of(F.concat(F.lit(KMV_SALT), F.col("k")))
+    naive = (
+        df.select(h.alias("h"))
+        .distinct()
+        .withColumn("pos", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("pos") <= 64)
+    )
+    assert sorted(tuple(r) for r in fast.select("pos", "h").collect()) == sorted(
+        tuple(r) for r in naive.select("pos", "h").collect()
+    )
+
+
+def test_kmv_intersect_known_overlap(spark):
+    from smartdatapipeline_spark.functions.sketch import kmv_intersect, kmv_partial
+
+    # |A|=4000, |B|=4000, |A∩B|=2000, |A∪B|=6000, J=1/3
+    a = spark.range(0, 4000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("k"))
+    res = kmv_intersect(
+        kmv_partial(a, "k", k=512), kmv_partial(b, "k", k=512), k=512
+    ).collect()[0]
+    assert res["union_n_vals"] == 512
+    assert abs(res["jaccard_est"] - 1 / 3) < 0.1, res["jaccard_est"]
+    assert abs(res["inter_est"] - 2000) / 2000 < 0.25, res["inter_est"]
+
+
+def test_kmv_intersect_disjoint(spark):
+    from smartdatapipeline_spark.functions.sketch import kmv_intersect, kmv_partial
+
+    a = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(50_000, 51_000).select(F.col("id").cast("string").alias("k"))
+    res = kmv_intersect(
+        kmv_partial(a, "k", k=64), kmv_partial(b, "k", k=64), k=64
+    ).collect()[0]
+    assert res["n_match"] == 0 and res["jaccard_est"] == 0.0
+    assert res["inter_est"] == 0.0
