@@ -85,3 +85,43 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def distinct_registers_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    p: int = 8,
+) -> DataFrame:
+    """Windowed HLL register build on a stream — the streaming twin of
+    ``functions/sketch.hll_partial`` (round 9).
+
+    The register build is a plain groupBy(window, bucket).max(rho), so
+    Structured Streaming runs it natively with bounded state: ≤ m=2^p
+    register rows per (window) regardless of how many events flowed
+    through — the same constant-size summary the batch daily partial
+    persists, built incrementally. MAX is monotone, so late events
+    inside the watermark horizon can only raise registers — exactly the
+    idempotent at-least-once semantics the batch `hll_merge` relies on.
+    Downstream, `hll_reaggregate`/`hll_raw_estimate` fold the emitted
+    windows to any coarser grain without touching the stream again.
+
+    Output: (window_start, window_end, bucket, rho) — update mode.
+    """
+    from smartdatapipeline_spark.functions.sketch import hll_partial
+
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    df = df.filter(F.col(key_col).isNotNull()).withColumn(
+        "_w", F.window(F.col(ts_col), window)
+    )
+    reg = hll_partial(df, key_col, by=["_w"], p=p)
+    return reg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "bucket",
+        "rho",
+    )

@@ -582,3 +582,63 @@ def test_wow_change_stream_matches_batch(spark, tmp_path):
         assert got[k][2] == pytest.approx(want[k][2], rel=1e-12)
     assert got[("m1", "2025-01-08")][:2] == (15.0, 10.0)
     assert ("m1", "2025-01-10") not in got
+
+
+def test_distinct_registers_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL register build (r9): the windowed register table a
+    drained stream emits must equal the batch hll_partial of the same
+    rows — bounded state (≤ 2^p rows per window) and the idempotent
+    at-least-once MAX semantics."""
+    from smartdatapipeline_spark.functions.sketch import hll_partial
+    from smartdatapipeline_spark.streaming.sketch import distinct_registers_stream
+
+    import pyspark.sql.functions as F
+
+    inp = tmp_path / "reg_in"
+    inp.mkdir()
+    rows = []
+    for i in range(500):
+        hour = i % 3
+        rows.append(
+            f'{{"ts": "2025-01-01T{hour:02d}:{i % 60:02d}:00Z", "user_id": {i % 97}}}'
+        )
+    (inp / "f1.json").write_text("\n".join(rows) + "\n")
+    schema = "ts timestamp, user_id long"
+
+    stream = distinct_registers_stream(
+        spark.readStream.schema(schema).json(str(inp)),
+        key_col="user_id",
+        window="1 hour",
+        watermark="1 minute",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("reg_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_src = (
+        spark.read.schema(schema)
+        .json(str(inp))
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("_w", F.window("ts", "1 hour"))
+    )
+    batch = hll_partial(batch_src, "user_id", by=["_w"], p=8).select(
+        F.col("_w.start").alias("window_start"), "bucket", "rho"
+    )
+    got = sorted(
+        (r["window_start"], r["bucket"], r["rho"])
+        for r in spark.table("reg_test").collect()
+    )
+    want = sorted(
+        (r["window_start"], r["bucket"], r["rho"]) for r in batch.collect()
+    )
+    assert got == want and len({g[0] for g in got}) == 3
+    # every window's register table is bounded by m = 256
+    from collections import Counter
+
+    per_win = Counter(g[0] for g in got)
+    assert max(per_win.values()) <= 256
