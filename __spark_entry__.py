@@ -3769,6 +3769,37 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_intersect(a, b, k=64)
 
 
+def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom word table over the purchase audience's user ids
+    (m=4096 bits as 60-bit words, k=4 salted-md5 hash rounds) — the
+    persisted membership sketch that OR-merges daily→monthly without
+    rescans (functions/sketch.py bloom_partial). Oracle rebuilds every
+    word's bit_or bit-for-bit."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return SK.bloom_partial(ev, "user_id", m_bits=4096, n_hashes=4)
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe EVERY distinct user against the purchase Bloom filter:
+    might_contain = all 4 addressed bits set — no false negatives by
+    construction, false positives at the designed rate; the word table
+    broadcasts (≤ 69 rows), the probe side never shuffles for the
+    join."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    bloom = SK.bloom_partial(
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        m_bits=4096,
+        n_hashes=4,
+    )
+    probes = ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
+    return SK.bloom_contains(bloom, probes, "user_id", m_bits=4096, n_hashes=4)
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution quality signals over documents: Simpson
     diversity 1 − Σ(cᵢ/n)² (the log-free entropy stand-in — two
@@ -4018,6 +4049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sketch": q_kmv_sketch,
         "kmv_distinct_by_type": q_kmv_distinct_by_type,
         "kmv_audience_overlap": q_kmv_audience_overlap,
+        "bloom_words": q_bloom_words,
+        "bloom_membership": q_bloom_membership,
     }
 
 
@@ -6561,6 +6594,50 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 7.263405479023136e+19
                             / CAST(union_kth_h AS DOUBLE) END) AS inter_est
         FROM agg, m
+    """
+    # round 9 — mergeable Bloom: 60-bit words (largest mask 1<<59 stays
+    # positive in a signed BIGINT on both engines; DuckDB
+    # overflow-checks 1<<63), bit position = h60('bloom-v1:i:key') % m,
+    # word = pos // 60, bits = bit_or of masks — all exact integer ops.
+    _BLOOM_WORDS = """
+        SELECT word, bit_or(mask) AS bits FROM (
+            SELECT (h % 4096) // 60 AS word,
+                   1::BIGINT << CAST((h % 4096) % 60 AS INT) AS mask
+            FROM (
+                SELECT ('0x' || substr(md5('bloom-v1:'
+                            || CAST(r.i AS VARCHAR) || ':'
+                            || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+                           AS h
+                FROM events e
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS i) r
+                WHERE e.user_id IS NOT NULL AND e.event_type = 'purchase'
+            )
+        ) GROUP BY word
+    """
+    o["bloom_words"] = _BLOOM_WORDS
+    o["bloom_membership"] = f"""
+        WITH bloom AS ({_BLOOM_WORDS}),
+        probes AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
+        addr AS (
+            SELECT user_id,
+                   (h % 4096) // 60 AS word,
+                   1::BIGINT << CAST((h % 4096) % 60 AS INT) AS mask
+            FROM (
+                SELECT p.user_id,
+                       ('0x' || substr(md5('bloom-v1:'
+                            || CAST(r.i AS VARCHAR) || ':'
+                            || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT
+                           AS h
+                FROM probes p
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS i) r
+            )
+        )
+        SELECT a.user_id,
+               MIN(CASE WHEN (COALESCE(b.bits, 0) & a.mask) <> 0
+                        THEN 1 ELSE 0 END) = 1 AS might_contain
+        FROM addr a LEFT JOIN bloom b USING (word)
+        GROUP BY a.user_id
     """
     # round 9 — char_diversity: exact per-(doc, char) integer counts,
     # then the same two IEEE float ops as Spark (one divide for the

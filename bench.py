@@ -276,6 +276,8 @@ BENCH_QUERIES: list[str] = [
     "kmv_sketch",
     "kmv_distinct_by_type",
     "kmv_audience_overlap",
+    "bloom_words",
+    "bloom_membership",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

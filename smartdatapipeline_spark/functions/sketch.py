@@ -850,3 +850,123 @@ def kmv_intersect(
         jac.alias("jaccard_est"),
         (jac * F.col("union_est")).alias("inter_est"),
     )
+
+
+# ── Bloom filter — mergeable membership sketch ───────────────────────
+#
+# Bloom 1970. Rounds out the mergeable-summary suite: distinct count
+# (HLL registers), set algebra on distincts (KMV), point frequency
+# (Count-Min), and now MEMBERSHIP — "was this user/url/doc-id present
+# in partition X" — with no false negatives and a tunable
+# false-positive rate (1−e^{−kn/m})^k.
+#
+# Unlike bloom.py's bloom_semi_join (a broadcast bitmap literal built
+# with Spark-private xxhash64 for plan-local row pruning), this family
+# is a PERSISTED TABLE of words built from the portable md5-h60 hash:
+# daily bloom words OR-merge into weekly/monthly filters without
+# rescans, and a SQL oracle rebuilds every word bit-for-bit. Words are
+# 60 bits wide (not 64): the largest mask is 1<<59, positive in a
+# signed BIGINT on every engine (DuckDB overflow-checks 1<<63;
+# Java/Spark silently wraps negative — 60 sidesteps both).
+#
+# Scale shape: the build is scan + one groupBy(word) bit_or with
+# map-side combine (each task emits ≤ m/60 words); merge is bit_or on
+# word tables (≤ m/60 rows per group, volume-independent — same 0.01
+# exponent class as hll_merge); probes broadcast the words.
+
+BLOOM_SALT = "bloom-v1:"
+_BLOOM_WORD = 60  # bits per word — max mask 1<<59 stays positive
+
+
+def bloom_partial(
+    df: DataFrame,
+    key_col: str,
+    by: list[str] | None = None,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom word table (by…, word, bits) for the key set per group.
+    Mergeable: `bloom_merge` (bit_or). ``m_bits`` should be sized at
+    ~10 bits/key for ~1% FPR at k=4."""
+    if m_bits < _BLOOM_WORD or n_hashes < 1:
+        raise ValueError(f"bloom_partial: bad dims m={m_bits} k={n_hashes}")
+    by = list(by or [])
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        *by, F.col(key_col).cast("string").alias("_k")
+    )
+    i = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("_i")
+    exploded = keyed.select(*by, "_k", i).select(
+        *by,
+        F.expr(
+            f"CAST(({_pos_sql(m_bits)}) DIV {_BLOOM_WORD} AS BIGINT)"
+        ).alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({_pos_sql(m_bits)}) % {_BLOOM_WORD} AS INT))"
+        ).alias("_mask"),
+    )
+    return (
+        exploded.groupBy(*by, "word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def _pos_sql(m_bits: int) -> str:
+    """SQL expression for the bit position of hash round `_i` of key
+    `_k` — shared verbatim between build and probe so the two sides
+    address identical bits."""
+    return (
+        "conv(substring(md5(concat('bloom-v1:', CAST(_i AS STRING), ':', _k)),"
+        f" 1, 15), 16, 10) % {m_bits}"
+    )
+
+
+def bloom_merge(
+    a: DataFrame, b: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Merge word tables: word-wise bit_or — associative, commutative,
+    idempotent (at-least-once-safe, like the HLL/KMV merges)."""
+    by = list(by or [])
+    return (
+        a.unionByName(b).groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Membership test for every probe key: true iff ALL k addressed
+    bits are set — NO false negatives; false positives at the designed
+    rate. The word table is broadcast (≤ m/60 rows by construction);
+    the probe side never shuffles. Output: (key_col, might_contain)."""
+    from pyspark.sql.functions import broadcast
+
+    i = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("_i")
+    addressed = (
+        probes.select(F.col(key_col).cast("string").alias(key_col))
+        .withColumn("_k", F.col(key_col))
+        .select(key_col, "_k", i)
+        .select(
+            key_col,
+            F.expr(
+                f"CAST(({_pos_sql(m_bits)}) DIV {_BLOOM_WORD} AS BIGINT)"
+            ).alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(({_pos_sql(m_bits)}) % {_BLOOM_WORD} AS INT))"
+            ).alias("_mask"),
+        )
+    )
+    hit = addressed.join(broadcast(bloom), on="word", how="left").select(
+        key_col,
+        ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))) != 0)
+        .cast("int")
+        .alias("_hit"),
+    )
+    return hit.groupBy(key_col).agg(
+        (F.min("_hit") == 1).alias("might_contain")
+    )

@@ -372,3 +372,70 @@ def test_kmv_intersect_disjoint(spark):
     ).collect()[0]
     assert res["n_match"] == 0 and res["jaccard_est"] == 0.0
     assert res["inter_est"] == 0.0
+
+
+# ── Bloom membership sketch ──────────────────────────────────────────
+
+
+def test_bloom_no_false_negatives(spark):
+    from smartdatapipeline_spark.functions.sketch import bloom_contains, bloom_partial
+
+    members = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_partial(members, "k", m_bits=8192, n_hashes=4)
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_contains(bloom, members, "k", 8192, 4).collect()
+    }
+    assert len(got) == 500 and all(got.values())  # NO false negatives, ever
+
+
+def test_bloom_false_positive_rate(spark):
+    from smartdatapipeline_spark.functions.sketch import bloom_contains, bloom_partial
+
+    members = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    outsiders = spark.range(100_000, 102_000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    bloom = bloom_partial(members, "k", m_bits=8192, n_hashes=4)
+    got = [
+        r["might_contain"]
+        for r in bloom_contains(bloom, outsiders, "k", 8192, 4).collect()
+    ]
+    fpr = sum(got) / len(got)
+    # design FPR at n=500, m=8192, k=4 is ~0.24%; allow generous 2%
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_merge_equals_direct(spark):
+    from smartdatapipeline_spark.functions.sketch import bloom_merge, bloom_partial
+
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(200, 600).select(F.col("id").cast("string").alias("k"))
+    merged = bloom_merge(
+        bloom_partial(a, "k", m_bits=2048, n_hashes=4),
+        bloom_partial(b, "k", m_bits=2048, n_hashes=4),
+    )
+    direct = bloom_partial(a.unionByName(b), "k", m_bits=2048, n_hashes=4)
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+
+
+def test_bloom_words_positive(spark):
+    # 60-bit words: every mask fits positive BIGINT on any engine
+    from smartdatapipeline_spark.functions.sketch import bloom_partial
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    rows = bloom_partial(df, "k", m_bits=4096, n_hashes=4).collect()
+    assert all(r["bits"] > 0 for r in rows)
+    assert all(0 <= r["word"] < 4096 // 60 + 1 for r in rows)
+
+
+def test_bloom_bad_dims(spark):
+    from smartdatapipeline_spark.functions.sketch import bloom_partial
+
+    df = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        bloom_partial(df, "k", m_bits=32)
+    with pytest.raises(ValueError):
+        bloom_partial(df, "k", n_hashes=0)
