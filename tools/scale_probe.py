@@ -580,6 +580,26 @@ def main() -> None:
             depth=4,
             width=256,
         ),
+        # round-9 late additions: KMV build (distinct shuffle + the
+        # two-level bottom-k fold — the window runs over per-bucket
+        # slices, never one task) and Bloom build (scan + one bit_or
+        # groupBy over ≤ m/60 words — map-side combine collapses every
+        # task to the word table)
+        "kmv_build": lambda n: SK.kmv_partial(
+            scaled_events(spark, sf_dir, n).filter(
+                F.col("user_id").isNotNull()
+            ),
+            "user_id",
+            k=64,
+        ),
+        "bloom_build": lambda n: SK.bloom_partial(
+            scaled_events(spark, sf_dir, n).filter(
+                F.col("user_id").isNotNull()
+            ),
+            "user_id",
+            m_bits=1 << 20,
+            n_hashes=4,
+        ),
     }
     # scales far enough apart that real work dwarfs fixed per-query
     # overhead (~0.5-1s planning/scheduling at this sf); warm each op
