@@ -3769,6 +3769,23 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_intersect(a, b, k=64)
 
 
+def q_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distinct users — per (event_type, day), per
+    event_type, grand total — from ONE events scan: leaf HLL registers
+    cascade to coarser grains by bucket-max reaggregation
+    (functions/sketch.py hll_rollup; gid convention of kpi_rollup).
+    The oracle sketches every grain directly — the hash match is the
+    cascade-exactness identity at all three levels."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    return SK.hll_rollup(ev, "user_id", dims=["event_type", "day"])
+
+
 def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Bloom word table over the purchase audience's user ids
     (m=4096 bits as 60-bit words, k=4 salted-md5 hash rounds) — the
@@ -4051,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "bloom_words": q_bloom_words,
         "bloom_membership": q_bloom_membership,
+        "hll_rollup_distinct": q_hll_rollup_distinct,
     }
 
 
@@ -6594,6 +6612,46 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 7.263405479023136e+19
                             / CAST(union_kth_h AS DOUBLE) END) AS inter_est
         FROM agg, m
+    """
+    # rollup cascade: every grain sketched DIRECTLY by the oracle — the
+    # hash match proves the engine's register cascade (leaf → folded)
+    # equals direct sketching at each level; gid per kpi_rollup (0
+    # leaf, 1 day folded, 3 grand total)
+    _HLL_RU_LEAF = _HLL_RAW.format(
+        by="event_type, day,",
+        groupby="GROUP BY event_type, day",
+        reg=_HLL_REG.format(
+            by="event_type, day,",
+            src_by="event_type, CAST(ts AS DATE) AS day,",
+            key="user_id",
+        ),
+    )
+    _HLL_RU_TYPE = _HLL_RAW.format(
+        by="event_type,",
+        groupby="GROUP BY event_type",
+        reg=_HLL_REG.format(
+            by="event_type,", src_by="event_type,", key="user_id"
+        ),
+    )
+    _HLL_RU_ALL = _HLL_RAW.format(
+        by="",
+        groupby="",
+        reg=_HLL_REG.format(by="", src_by="", key="user_id"),
+    )
+    o["hll_rollup_distinct"] = f"""
+        SELECT event_type, day, CAST(0 AS BIGINT) AS gid,
+               buckets_used, v_empty, z_num, raw_est, small_range
+        FROM ({_HLL_RU_LEAF})
+        UNION ALL
+        SELECT event_type, CAST(NULL AS DATE) AS day,
+               CAST(1 AS BIGINT) AS gid,
+               buckets_used, v_empty, z_num, raw_est, small_range
+        FROM ({_HLL_RU_TYPE})
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS DATE) AS day, CAST(3 AS BIGINT) AS gid,
+               buckets_used, v_empty, z_num, raw_est, small_range
+        FROM ({_HLL_RU_ALL})
     """
     # round 9 — mergeable Bloom: 60-bit words (largest mask 1<<59 stays
     # positive in a signed BIGINT on both engines; DuckDB

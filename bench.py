@@ -278,6 +278,7 @@ BENCH_QUERIES: list[str] = [
     "kmv_audience_overlap",
     "bloom_words",
     "bloom_membership",
+    "hll_rollup_distinct",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

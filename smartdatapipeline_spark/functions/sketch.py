@@ -970,3 +970,61 @@ def bloom_contains(
     return hit.groupBy(key_col).agg(
         (F.min("_hit") == 1).alias("might_contain")
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    dims: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Hierarchical distinct estimates — leaf, every prefix, grand
+    total — from ONE data scan (round 9).
+
+    The ROLLUP-shaped alternative (`GROUP BY ROLLUP(dims, bucket)`)
+    pushes every hashed row through Catalyst's Expand ×(levels) before
+    the shuffle; this instead builds the LEAF register table once and
+    derives each coarser grain by `hll_reaggregate` — the fold inputs
+    are ≤ days×m register rows (volume-independent, scale-probe
+    exponent 0.01), so the cascade is ~free while the scan happens
+    once. Register algebra (bucket-max) makes the cascade EXACT: the
+    folded registers equal what sketching the coarser grain directly
+    would produce — same identity the `kpi_monthly_distinct` oracle
+    pins.
+
+    ``gid`` follows `operators/kpi.kpi_rollup`'s grouping_id
+    convention over ``dims`` (bit i set = dims[i] folded): 0 = leaf,
+    then 1, 3, 7… as the rightmost dims fold away; folded dims are
+    NULL in the output.
+
+    Output: (dims…, gid, buckets_used, v_empty, z_num, raw_est,
+    small_range).
+    """
+    if not dims:
+        raise ValueError("hll_rollup: dims must be non-empty")
+    leaf = hll_partial(df, key_col, by=dims, p=p)
+    out = None
+    reg = leaf
+    kept = list(dims)
+    gid = 0
+    while True:
+        est = hll_raw_estimate(reg, by=kept, p=p)
+        for d in dims:
+            if d not in kept:
+                est = est.withColumn(d, F.lit(None).cast(leaf.schema[d].dataType))
+        est = est.select(
+            *dims,
+            F.lit(gid).cast("long").alias("gid"),
+            "buckets_used",
+            "v_empty",
+            "z_num",
+            "raw_est",
+            "small_range",
+        )
+        out = est if out is None else out.unionByName(est)
+        if not kept:
+            break
+        folded = kept.pop()  # fold rightmost dim, like ROLLUP
+        gid = gid * 2 + 1
+        reg = hll_reaggregate(reg, drop=[folded], by=kept + [folded])
+    return out

@@ -439,3 +439,35 @@ def test_bloom_bad_dims(spark):
         bloom_partial(df, "k", m_bits=32)
     with pytest.raises(ValueError):
         bloom_partial(df, "k", n_hashes=0)
+
+
+def test_hll_rollup_cascade_exact(spark):
+    # the folded grains must equal sketching each grain directly
+    from smartdatapipeline_spark.functions.sketch import hll_rollup
+
+    rows = [
+        Row(metric=("a" if i % 3 else "b"), day=f"d{i % 4}", k=i % 333)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows)
+    out = hll_rollup(df, "k", dims=["metric", "day"]).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[0]) == 8 and len(by_gid[1]) == 2 and len(by_gid[3]) == 1
+    # gid=1 folded rows equal direct per-metric estimates
+    direct = {
+        r["metric"]: r
+        for r in hll_raw_estimate(
+            hll_partial(df, "k", by=["metric"]), by=["metric"]
+        ).collect()
+    }
+    for r in by_gid[1]:
+        d = direct[r["metric"]]
+        assert r["day"] is None
+        assert (r["z_num"], r["raw_est"]) == (d["z_num"], d["raw_est"])
+    # grand total equals direct global estimate
+    g = hll_raw_estimate(hll_partial(df, "k")).collect()[0]
+    assert by_gid[3][0]["z_num"] == g["z_num"]
+    assert by_gid[3][0]["metric"] is None and by_gid[3][0]["day"] is None
