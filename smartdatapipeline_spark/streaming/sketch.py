@@ -125,3 +125,37 @@ def distinct_registers_stream(
         "bucket",
         "rho",
     )
+
+
+def cms_stream(
+    events: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min grid (round 9): `functions/sketch.cms_partial`
+    is a pure explode→groupBy(row, cell).sum, so Structured Streaming
+    runs it natively in update/complete mode with state bounded BY
+    CONSTRUCTION at ≤ depth·width counter rows — no watermark needed;
+    the sketch cannot grow past its grid no matter how many events or
+    distinct keys flow through. SUM merges partial counts exactly, so
+    a drained stream equals the batch grid cell-for-cell."""
+    from smartdatapipeline_spark.functions.sketch import cms_partial
+
+    return cms_partial(events, key_col, depth=depth, width=width)
+
+
+def bloom_stream(
+    events: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Streaming Bloom word table (round 9): bit_or per word is a
+    streaming-native aggregation with state bounded at ≤ m/60 word
+    rows; OR is monotone and idempotent, so replays/late events can
+    only set bits that membership already requires — a drained stream
+    equals the batch word table bit-for-bit."""
+    from smartdatapipeline_spark.functions.sketch import bloom_partial
+
+    return bloom_partial(events, key_col, m_bits=m_bits, n_hashes=n_hashes)

@@ -642,3 +642,46 @@ def test_distinct_registers_stream_matches_batch(spark, tmp_path):
 
     per_win = Counter(g[0] for g in got)
     assert max(per_win.values()) <= 256
+
+
+def test_cms_and_bloom_stream_match_batch(spark, tmp_path):
+    """CMS grids and Bloom word tables are bounded-state streaming
+    aggregations by construction (≤ depth·width / ≤ m/60 state rows,
+    no watermark needed): a drained stream must equal the batch sketch
+    exactly."""
+    from smartdatapipeline_spark.functions.sketch import bloom_partial, cms_partial
+    from smartdatapipeline_spark.streaming.sketch import bloom_stream, cms_stream
+
+    inp = tmp_path / "sk_in"
+    inp.mkdir()
+    rows = [f'{{"user_id": {i % 113}}}' for i in range(3000)]
+    (inp / "f1.json").write_text("\n".join(rows) + "\n")
+    schema = "user_id long"
+
+    for name, stream_fn, batch_fn in (
+        (
+            "cms",
+            lambda df: cms_stream(df, "user_id", depth=4, width=128),
+            lambda df: cms_partial(df, "user_id", depth=4, width=128),
+        ),
+        (
+            "bloom",
+            lambda df: bloom_stream(df, "user_id", m_bits=2048, n_hashes=4),
+            lambda df: bloom_partial(df, "user_id", m_bits=2048, n_hashes=4),
+        ),
+    ):
+        q = (
+            stream_fn(spark.readStream.schema(schema).json(str(inp)))
+            .writeStream.format("memory")
+            .queryName(f"sk_{name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table(f"sk_{name}").collect())
+        want = sorted(
+            tuple(r)
+            for r in batch_fn(spark.read.schema(schema).json(str(inp))).collect()
+        )
+        assert got == want and len(got) > 0, name
