@@ -1,0 +1,97 @@
+"""Persisted register store (round 9): incremental daily builds answer
+range-distinct questions from stored registers alone, idempotently,
+through the crash-consistent txn sink."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Row
+
+from smartdatapipeline_spark.functions.sketch import hll_partial, hll_raw_estimate
+from smartdatapipeline_spark.operators.sketchstore import (
+    distinct_from_store,
+    update_register_store,
+)
+
+
+def _events(spark, days, users_per_day=120, metrics=("m1", "m2")):
+    rows = []
+    for d_i, day in enumerate(days):
+        for m_i, m in enumerate(metrics):
+            for u in range(users_per_day):
+                rows.append(
+                    Row(
+                        ts=f"{day} 0{u % 9}:00:00",
+                        metric=m,
+                        user_id=d_i * 40 + m_i * 10_000 + u,
+                    )
+                )
+    return spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _est_rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+def test_incremental_build_matches_direct(spark, tmp_path):
+    store = str(tmp_path / "reg_store")
+    d12 = _events(spark, ["2024-01-01", "2024-01-02"])
+    d3 = _events(spark, ["2024-01-03"])
+
+    assert update_register_store(d12, store) == 2
+    # incremental day: only day 3 is scanned/written
+    assert update_register_store(d12.unionByName(d3), store) == 1
+    # re-run: nothing new, store untouched
+    assert update_register_store(d12.unionByName(d3), store) == 0
+
+    # answers from the store == direct sketch of ALL events
+    got = distinct_from_store(spark, store, by_metric=True)
+    all_ev = d12.unionByName(d3).withColumn("metric_date", F.to_date("ts"))
+    want = hll_raw_estimate(
+        hll_partial(all_ev, "user_id", by=["metric"]), by=["metric"]
+    )
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_range_filter_prunes_days(spark, tmp_path):
+    store = str(tmp_path / "reg_store2")
+    ev = _events(spark, ["2024-01-01", "2024-01-02", "2024-01-03"])
+    update_register_store(ev, store)
+    got = distinct_from_store(
+        spark, store, start="2024-01-02", end="2024-01-03", by_metric=False
+    )
+    sub = ev.filter(F.to_date("ts") >= F.lit("2024-01-02"))
+    want = hll_raw_estimate(hll_partial(sub, "user_id"))
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_corrections_replace_one_day_only(spark, tmp_path):
+    store = str(tmp_path / "reg_store3")
+    ev = _events(spark, ["2024-01-01", "2024-01-02"])
+    update_register_store(ev, store)
+
+    # day 2 gets corrected data (more users); recompute JUST that day
+    extra = _events(spark, ["2024-01-02"], users_per_day=200)
+    n = update_register_store(extra, store, only_new_days=False)
+    assert n == 1
+
+    got = distinct_from_store(spark, store, by_metric=True)
+    truth = (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-01")).unionByName(extra)
+    )
+    want = hll_raw_estimate(
+        hll_partial(truth, "user_id", by=["metric"]), by=["metric"]
+    )
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_store_partitioned_by_day(spark, tmp_path):
+    import os
+
+    store = str(tmp_path / "reg_store4")
+    update_register_store(_events(spark, ["2024-01-01", "2024-01-02"]), store)
+    parts = sorted(
+        d for d in os.listdir(store) if d.startswith("metric_date=")
+    )
+    assert parts == ["metric_date=2024-01-01", "metric_date=2024-01-02"]
