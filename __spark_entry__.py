@@ -3769,6 +3769,17 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_intersect(a, b, k=64)
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every 37th vector plays the
+    eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
+    (within sign-LSH buckets — eval side broadcast, corpus never
+    shuffles) are flagged. The semantic complement of the 8-gram
+    `decontaminate` — functions/similarity.py semantic_decontaminate."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % 37 == 0)
+    return SIM.semantic_decontaminate(emb, ev, threshold=0.25, nbits=8)
+
+
 def q_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical distinct users — per (event_type, day), per
     event_type, grand total — from ONE events scan: leaf HLL registers
@@ -4069,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_words": q_bloom_words,
         "bloom_membership": q_bloom_membership,
         "hll_rollup_distinct": q_hll_rollup_distinct,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
 
 
@@ -6612,6 +6624,28 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 7.263405479023136e+19
                             / CAST(union_kth_h AS DOUBLE) END) AS inter_est
         FROM agg, m
+    """
+    # round 9 — semantic decontamination: same dot/norm fold order as
+    # every cosine oracle; eval = vec_id % 37, bucketed join
+    o["semantic_decontaminate"] = _EMB_CTE + """
+        , ev AS (SELECT vec_id AS eid, v AS evv, n AS en, bucket FROM e
+                 WHERE vec_id % 37 = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   """ + _DOT.format(a="e.v", b="ev.evv") + """
+                       / (e.n * ev.en) AS cos_sim
+            FROM e JOIN ev USING (bucket)
+            WHERE e.vec_id != ev.eid),
+        hits AS (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+                   MAX(cos_sim) AS max_sim
+            FROM scored WHERE cos_sim >= 0.25
+            GROUP BY vec_id)
+        SELECT e.vec_id,
+               COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+               h.max_sim,
+               COALESCE(h.n_eval_hits, 0) > 0 AS contaminated
+        FROM e LEFT JOIN hits h USING (vec_id)
     """
     # rollup cascade: every grain sketched DIRECTLY by the oracle — the
     # hash match proves the engine's register cascade (leaf → folded)

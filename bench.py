@@ -279,6 +279,7 @@ BENCH_QUERIES: list[str] = [
     "bloom_words",
     "bloom_membership",
     "hll_rollup_distinct",
+    "semantic_decontaminate",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

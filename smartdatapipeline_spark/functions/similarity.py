@@ -815,3 +815,66 @@ def random_projection(
     return emb.select(
         F.col(id_col).alias("vec_id"), F.explode(F.array(*cols)).alias("_p")
     ).select("vec_id", F.col("_p.j").alias("j"), F.col("_p.proj").alias("proj"))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.25,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination (round 9): flag every corpus
+    vector whose cosine to ANY eval-set vector reaches ``threshold`` —
+    the semantic complement of the n-gram `dedup.decontaminate` (an
+    eval answer PARAPHRASED into training data shares no 8-gram but
+    sits next to the eval embedding; cf. the contamination analyses in
+    the GPT-3/Llama reports).
+
+    Scale shape mirrors `embedding_near_dup_pairs`: the eval side is
+    small by definition and BROADCAST after bucketing, the corpus joins
+    only its own sign-LSH bucket — per-corpus-row work is
+    |eval ∩ bucket|, never |eval|, and the corpus never shuffles.
+    Within-bucket semantics (documented ANN recall trade) — a
+    paraphrase pair's vectors land in the same bucket with the usual
+    sign-LSH probability; raise nbits=0 to make it exhaustive.
+
+    Output: (id_col, n_eval_hits, max_sim, contaminated) — one row per
+    corpus vector; clean rows have n_eval_hits = 0, NULL max_sim.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        norm2(F.col(vec_col)).alias("_n"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    e = eval_set.select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_ev"),
+        norm2(F.col(vec_col)).alias("_en"),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(e), "bucket")
+        .filter(F.col(id_col) != F.col("_eid"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_sim"),
+        )
+    )
+    base = corpus.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_eval_hits"), F.lit(0).cast("long")).alias(
+            "n_eval_hits"
+        ),
+        "max_sim",
+        (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

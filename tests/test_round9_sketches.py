@@ -471,3 +471,27 @@ def test_hll_rollup_cascade_exact(spark):
     g = hll_raw_estimate(hll_partial(df, "k")).collect()[0]
     assert by_gid[3][0]["z_num"] == g["z_num"]
     assert by_gid[3][0]["metric"] is None and by_gid[3][0]["day"] is None
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    # eval vector e and a near-copy c (tiny perturbation, same bucket);
+    # an orthogonal-ish vector stays clean
+    from smartdatapipeline_spark.functions.similarity import semantic_decontaminate
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.2, 0.1, 0.9]),   # eval
+        Row(vec_id=2, embedding=[0.99, 0.21, 0.1, 0.88]),  # paraphrase
+        Row(vec_id=3, embedding=[-1.0, 0.4, -0.2, -0.9]),  # clean
+    ]
+    df = spark.createDataFrame(rows)
+    ev = df.filter(F.col("vec_id") == 1)
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(df, ev, threshold=0.9, nbits=4).collect()
+    }
+    assert len(got) == 3
+    assert got[2]["contaminated"] and got[2]["n_eval_hits"] == 1
+    assert got[2]["max_sim"] > 0.99
+    assert not got[3]["contaminated"] and got[3]["max_sim"] is None
+    # the eval member itself is excluded from self-match
+    assert not got[1]["contaminated"]
