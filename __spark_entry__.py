@@ -3769,6 +3769,20 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_intersect(a, b, k=64)
 
 
+def q_dyadic_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary (Cormode–Muthukrishnan dyadic CMS)
+    over events.value in integer cents (floor(value·100), 16 dyadic
+    levels, 4×2048 grid per level) — the bounded, SUM-mergeable
+    structure any quantile is answered from without rescans
+    (functions/sketch.py dyadic_cms_partial). Oracle rebuilds every
+    counter cell from the same salted hashes."""
+    from smartdatapipeline_spark.functions import sketch as SK
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = ev.select(F.floor(F.col("value") * 100).cast("long").alias("v"))
+    return SK.dyadic_cms_partial(cents, "v", levels=16, depth=4, width=2048)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 37th vector plays the
     eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
@@ -4081,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "hll_rollup_distinct": q_hll_rollup_distinct,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "dyadic_sketch": q_dyadic_sketch,
     }
 
 
@@ -6624,6 +6639,30 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 7.263405479023136e+19
                             / CAST(union_kth_h AS DOUBLE) END) AS inter_est
         FROM agg, m
+    """
+    # round 9 — dyadic-CMS quantile sketch: every counter cell from the
+    # same salted md5 hashing (cell = h60('dcms-v1:level:row:key') %
+    # 2048, key = clamped cents >> level); FLOOR (not CAST — DuckDB's
+    # double→BIGINT cast rounds, Spark's truncates) keeps the integer
+    # mapping identical.
+    o["dyadic_sketch"] = """
+        SELECT level, row,
+               (('0x' || substr(md5('dcms-v1:' || CAST(level AS VARCHAR)
+                    || ':' || CAST(row AS VARCHAR)
+                    || ':' || CAST((v >> level) AS VARCHAR)),
+                    1, 15))::BIGINT) % 2048 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT CASE WHEN v < 0 THEN 0
+                        WHEN v > 65535 THEN 65535 ELSE v END AS v
+            FROM (
+                SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            )
+        )
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS level) l
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS row) r
+        GROUP BY 1, 2, 3
     """
     # round 9 — semantic decontamination: same dot/norm fold order as
     # every cosine oracle; eval = vec_id % 37, bucketed join

@@ -280,6 +280,7 @@ BENCH_QUERIES: list[str] = [
     "bloom_membership",
     "hll_rollup_distinct",
     "semantic_decontaminate",
+    "dyadic_sketch",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

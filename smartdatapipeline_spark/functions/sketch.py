@@ -1028,3 +1028,138 @@ def hll_rollup(
         gid = gid * 2 + 1
         reg = hll_reaggregate(reg, drop=[folded], by=kept + [folded])
     return out
+
+
+# ── Dyadic-CMS quantile sketch — mergeable quantiles ─────────────────
+#
+# Cormode & Muthukrishnan 2005 §4 (range sums via dyadic decomposition
+# over Count-Min): completes the mergeable-summary suite — distinct
+# (HLL), set algebra (KMV), frequency (CMS), membership (Bloom), and
+# now QUANTILES. The engine's exact quantile paths
+# (exact_quantile_two_pass, grouped_quantiles_exact) rescan/sort the
+# data per question; this sketch is built once per partition/day,
+# merges by SUM, and answers any quantile from the summary alone.
+#
+# Construction: values are mapped to an integer domain [0, 2^L) (the
+# caller supplies the scale — e.g. cents for currency), and every
+# value increments ONE counter per dyadic level l: key = v >> l,
+# hashed into that level's own CMS row-grid. A rank query walks the
+# dyadic tree top-down, at each level asking "how much mass sits in
+# the left child's range" (one CMS point lookup, overestimate ≤ ε·n)
+# and descending until the leaf = the quantile value. Rank error is
+# ≤ L·ε·n with prob 1−δ per level — width 2048, depth 4, L=20 gives
+# ~2.7% worst-case rank error per level sum at δ = e⁻⁴.
+#
+# Scale shape: the build explodes ×L levels but every level collapses
+# map-side to ≤ depth·width cells (same combine as cms_partial), so
+# the shuffle carries ≤ L·depth·width rows per task regardless of
+# volume; merge is cell-wise SUM on bounded tables; the quantile walk
+# runs on a COLLECTED sketch (≤ L·depth·width cells — bounded by
+# construction, the same justified-collect class as the bloom bitmap).
+
+DYADIC_SALT = "dcms-v1:"
+
+
+def dyadic_cms_partial(
+    df: DataFrame,
+    value_col: str,
+    levels: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Per-level CMS grids for the dyadic decomposition of an integer
+    column (caller pre-scales floats; values clamp into [0, 2^levels)).
+    Output: (level, row, cell, n) — mergeable by SUM."""
+    if depth < 1 or width < 2 or not 1 <= levels <= 62:
+        raise ValueError(
+            f"dyadic_cms_partial: bad dims levels={levels} depth={depth} width={width}"
+        )
+    cap = (1 << levels) - 1
+    v = F.col(value_col).cast("long")
+    v = F.when(v < 0, F.lit(0)).when(v > cap, F.lit(cap)).otherwise(v)
+    lv = F.explode(F.sequence(F.lit(0), F.lit(levels - 1))).alias("level")
+    rw = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    keyed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(v.alias("_v"))
+        .select("_v", lv)
+        .select("_v", "level", rw)
+        .withColumn(
+            "_key", F.expr("shiftrightunsigned(_v, level)")
+        )
+    )
+    cell = (
+        _h60_of(
+            F.concat(
+                F.lit(DYADIC_SALT),
+                F.col("level").cast("string"),
+                F.lit(":"),
+                F.col("row").cast("string"),
+                F.lit(":"),
+                F.col("_key").cast("string"),
+            )
+        )
+        % width
+    ).alias("cell")
+    return (
+        keyed.select("level", "row", cell)
+        .groupBy("level", "row", "cell")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def dyadic_cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge dyadic grids: cell-wise sum per level (associative)."""
+    return (
+        a.unionByName(b)
+        .groupBy("level", "row", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def dyadic_cms_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    total_n: int,
+    levels: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+) -> list[int]:
+    """Answer quantiles from the collected sketch alone (bounded:
+    ≤ levels·depth·width cells). For each q, walk the dyadic tree
+    top-down: at each level take the left child if its (overestimated)
+    mass covers the remaining target rank, else subtract and go right.
+    Returns one integer (pre-scaled domain) per q."""
+    import hashlib
+
+    cells: dict[tuple[int, int, int], int] = {}
+    for r in sketch.collect():
+        cells[(r["level"], r["row"], r["cell"])] = r["n"]
+
+    def lookup(level: int, key: int) -> int:
+        est = None
+        for row in range(depth):
+            h = int(
+                hashlib.md5(
+                    f"{DYADIC_SALT}{level}:{row}:{key}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            n = cells.get((level, row, h % width), 0)
+            est = n if est is None else min(est, n)
+        return est or 0
+
+    out = []
+    for q in qs:
+        target = max(1, int(q * total_n))
+        prefix = 0  # the root: key 0 at (virtual) level `levels`
+        for level in range(levels - 1, -1, -1):
+            left = prefix << 1  # left child's key at this level
+            mass = lookup(level, left)
+            if mass >= target:
+                prefix = left
+            else:
+                target -= mass
+                prefix = left + 1
+        out.append(prefix)
+    return out

@@ -495,3 +495,77 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     assert not got[3]["contaminated"] and got[3]["max_sim"] is None
     # the eval member itself is excluded from self-match
     assert not got[1]["contaminated"]
+
+
+# ── Dyadic-CMS mergeable quantiles ───────────────────────────────────
+
+
+def test_dyadic_quantiles_rank_error(spark):
+    from smartdatapipeline_spark.functions.sketch import (
+        dyadic_cms_partial,
+        dyadic_cms_quantiles,
+    )
+
+    n = 20_000
+    # deterministic skewed-ish integer data in [0, 2^16)
+    df = spark.range(n).select(
+        ((F.col("id") * F.col("id")) % 50_000).alias("v")
+    )
+    vals = sorted(((i * i) % 50_000) for i in range(n))
+    sk = dyadic_cms_partial(df, "v", levels=16, depth=4, width=2048)
+    got = dyadic_cms_quantiles(
+        sk, [0.1, 0.5, 0.9], total_n=n, levels=16, depth=4, width=2048
+    )
+    import bisect
+
+    for q, g in zip([0.1, 0.5, 0.9], got):
+        # rank of the returned value must be within 5% of q*n
+        lo = bisect.bisect_left(vals, g)
+        hi = bisect.bisect_right(vals, g)
+        target = q * n
+        assert lo - 0.05 * n <= target <= hi + 0.05 * n, (q, g, lo, hi)
+
+
+def test_dyadic_merge_equals_direct(spark):
+    from smartdatapipeline_spark.functions.sketch import (
+        dyadic_cms_merge,
+        dyadic_cms_partial,
+    )
+
+    df = spark.range(4000).select((F.col("id") % 1000).alias("v"))
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    merged = dyadic_cms_merge(
+        dyadic_cms_partial(a, "v", levels=10, width=256),
+        dyadic_cms_partial(b, "v", levels=10, width=256),
+    )
+    direct = dyadic_cms_partial(df, "v", levels=10, width=256)
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+
+
+def test_dyadic_exact_on_tiny_domain(spark):
+    # tiny distinct domain + wide grid ⇒ no collisions ⇒ quantiles exact
+    from smartdatapipeline_spark.functions.sketch import (
+        dyadic_cms_partial,
+        dyadic_cms_quantiles,
+    )
+
+    rows = [Row(v=1)] * 10 + [Row(v=5)] * 10 + [Row(v=9)] * 10
+    df = spark.createDataFrame(rows)
+    sk = dyadic_cms_partial(df, "v", levels=4, depth=4, width=2048)
+    got = dyadic_cms_quantiles(
+        sk, [0.2, 0.5, 0.95], total_n=30, levels=4, depth=4, width=2048
+    )
+    assert got == [1, 5, 9], got
+
+
+def test_dyadic_bad_dims(spark):
+    from smartdatapipeline_spark.functions.sketch import dyadic_cms_partial
+
+    df = spark.range(3).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        dyadic_cms_partial(df, "v", levels=0)
+    with pytest.raises(ValueError):
+        dyadic_cms_partial(df, "v", levels=63)
