@@ -569,3 +569,72 @@ def test_dyadic_bad_dims(spark):
         dyadic_cms_partial(df, "v", levels=0)
     with pytest.raises(ValueError):
         dyadic_cms_partial(df, "v", levels=63)
+
+
+# ── parameter/grouping paths not covered above ───────────────────────
+
+
+def test_kmv_intersect_grouped(spark):
+    from smartdatapipeline_spark.functions.sketch import kmv_intersect, kmv_partial
+
+    # group g1: heavy overlap; group g2: disjoint
+    a = spark.createDataFrame(
+        [Row(g="g1", k=str(i)) for i in range(300)]
+        + [Row(g="g2", k=str(i)) for i in range(100)]
+    )
+    b = spark.createDataFrame(
+        [Row(g="g1", k=str(i)) for i in range(150, 450)]
+        + [Row(g="g2", k=str(i)) for i in range(5000, 5100)]
+    )
+    res = {
+        r["g"]: r
+        for r in kmv_intersect(
+            kmv_partial(a, "k", by=["g"], k=128),
+            kmv_partial(b, "k", by=["g"], k=128),
+            by=["g"],
+            k=128,
+        ).collect()
+    }
+    assert res["g1"]["n_match"] > 0 and res["g1"]["jaccard_est"] > 0.1
+    assert res["g2"]["n_match"] == 0 and res["g2"]["inter_est"] == 0.0
+
+
+def test_bloom_grouped(spark):
+    from smartdatapipeline_spark.functions.sketch import bloom_partial
+
+    df = spark.createDataFrame(
+        [Row(g="a", k=str(i)) for i in range(50)]
+        + [Row(g="b", k=str(i)) for i in range(50, 80)]
+    )
+    words = bloom_partial(df, "k", by=["g"], m_bits=1024, n_hashes=3).collect()
+    gs = {r["g"] for r in words}
+    assert gs == {"a", "b"}
+    # per-group word tables are independent: group b has fewer set bits
+    import collections
+
+    bits = collections.Counter()
+    for r in words:
+        bits[r["g"]] += bin(r["bits"] & ((1 << 60) - 1)).count("1")
+    assert bits["a"] > bits["b"] > 0
+
+
+def test_hll_p12_accuracy(spark):
+    # non-default precision end-to-end: m=4096, rel err ~1.6%
+    df = spark.range(50_000).select(F.col("id").cast("string").alias("k"))
+    est = hll_estimate(hll_partial(df, "k", p=12), p=12).collect()[0]
+    assert abs(est["estimate"] - 50_000) / 50_000 < 2 * 1.04 / math.sqrt(4096)
+
+
+def test_hll_rollup_single_dim(spark):
+    from smartdatapipeline_spark.functions.sketch import hll_rollup
+
+    df = spark.createDataFrame(
+        [Row(m="x", k=i % 100) for i in range(500)]
+        + [Row(m="y", k=i % 40) for i in range(200)]
+    )
+    out = hll_rollup(df, "k", dims=["m"]).collect()
+    gids = sorted({r["gid"] for r in out})
+    assert gids == [0, 1]
+    leafs = [r for r in out if r["gid"] == 0]
+    total = [r for r in out if r["gid"] == 1]
+    assert len(leafs) == 2 and len(total) == 1 and total[0]["m"] is None
