@@ -733,9 +733,25 @@ def main() -> None:
                 mn[name] = round(reps[0], 4)
         return med, mn
 
-    timings, timings_min = time_group(names)
-    baselines, baselines_min = time_group(baseline_names)
+    # r9 streaming obligation lever: the stateful stages measure 1.5-2x
+    # their clean-probe floor when they run at the tail of a ~25-minute
+    # 32-thread session (state counters prove it's scheduler drift, not
+    # state growth — see BENCH_ADJUDICATIONS r8->r9). Setting
+    # SPARK_GRAFT_BENCH_STREAM_FIRST=1 runs the streaming group FIRST
+    # on a fresh scheduler so r10 can decide placement from data.
+    stream_first = os.environ.get("SPARK_GRAFT_BENCH_STREAM_FIRST") == "1"
     streaming_detail: dict = {}
+    timings: dict[str, float] = {}
+    if stream_first and not only_baselines:
+        try:
+            timings.update(streaming_e2e(spark, sf_dir, errors, streaming_detail))
+        except Exception as exc:  # noqa: BLE001
+            errors["streaming_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: streaming_e2e FAILED: {errors['streaming_e2e']}", file=sys.stderr)
+
+    t_named, timings_min = time_group(names)
+    timings.update(t_named)
+    baselines, baselines_min = time_group(baseline_names)
 
     if not only_baselines:
         try:
@@ -750,11 +766,12 @@ def main() -> None:
             errors["corpus_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: corpus_e2e FAILED: {errors['corpus_e2e']}", file=sys.stderr)
 
-        try:
-            timings.update(streaming_e2e(spark, sf_dir, errors, streaming_detail))
-        except Exception as exc:  # noqa: BLE001
-            errors["streaming_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: streaming_e2e FAILED: {errors['streaming_e2e']}", file=sys.stderr)
+        if not stream_first:
+            try:
+                timings.update(streaming_e2e(spark, sf_dir, errors, streaming_detail))
+            except Exception as exc:  # noqa: BLE001
+                errors["streaming_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: streaming_e2e FAILED: {errors['streaming_e2e']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
