@@ -63,16 +63,24 @@ def update_register_store(
         events.filter(F.col(key_col).isNotNull())
         .withColumn("metric_date", F.to_date(F.col(ts_col)))
     )
-    if only_new_days and os.path.isdir(store_path):
-        spark = events.sparkSession
-        have = spark.read.parquet(store_path).select("metric_date").distinct()
-        df = df.join(F.broadcast(have), on="metric_date", how="left_anti")
-    days = [r[0] for r in df.select("metric_date").distinct().collect()]
-    if not days:
-        return 0
-    reg = hll_partial(df, key_col, by=["metric_date", metric_col], p=p)
+    # Recovery must precede the stored-days read (round 9, pinned by
+    # tests/test_sketchstore.py): a predecessor's interrupted txn may
+    # hold a fully-staged day that the store read cannot see yet —
+    # rolling it forward FIRST means the incremental scan skips it
+    # instead of recomputing it. The day-discovery action therefore
+    # runs under the lock, like the write itself.
     with gold_writer_lock(store_path):
         recover_partition_txn(store_path)
+        if only_new_days and os.path.isdir(store_path):
+            spark = events.sparkSession
+            have = (
+                spark.read.parquet(store_path).select("metric_date").distinct()
+            )
+            df = df.join(F.broadcast(have), on="metric_date", how="left_anti")
+        days = [r[0] for r in df.select("metric_date").distinct().collect()]
+        if not days:
+            return 0
+        reg = hll_partial(df, key_col, by=["metric_date", metric_col], p=p)
         _txn_partition_overwrite(reg, store_path, "metric_date")
     return len(days)
 

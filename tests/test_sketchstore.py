@@ -95,3 +95,66 @@ def test_store_partitioned_by_day(spark, tmp_path):
         d for d in os.listdir(store) if d.startswith("metric_date=")
     )
     assert parts == ["metric_date=2024-01-01", "metric_date=2024-01-02"]
+
+
+def test_store_recovers_interrupted_txn_before_next_update(spark, tmp_path):
+    """A register upsert that died after its journal fsync (zero swaps)
+    must roll FORWARD on the next update_register_store call — the
+    store inherits the sink layer's recovery, at this call site."""
+    import json
+    import os
+
+    from smartdatapipeline_spark.functions.sketch import hll_partial
+    from smartdatapipeline_spark.sources import sinks
+
+    store = str(tmp_path / "reg_store_crash")
+    day1 = _events(spark, ["2024-01-01"])
+    update_register_store(day1, store)
+
+    # hand-build the interrupted transaction: day-2 registers staged,
+    # markers stamped, journal fsync'd — crash before any swap
+    txid = "deadbeef00r9feed"
+    day2 = _events(spark, ["2024-01-02"], users_per_day=70)
+    reg2 = hll_partial(
+        day2.withColumn("metric_date", F.to_date("ts")).filter(
+            F.col("user_id").isNotNull()
+        ),
+        "user_id",
+        by=["metric_date", "metric"],
+    )
+    staging = os.path.join(store, f"_staging-{txid}")
+    reg2.write.mode("overwrite").partitionBy("metric_date").parquet(staging)
+    parts = sorted(
+        d for d in os.listdir(staging) if d.startswith("metric_date=")
+    )
+    marker = sinks._marker_name(txid)
+    for p in parts:
+        with open(os.path.join(staging, p, marker), "w") as f:
+            f.write(txid)
+    sinks._write_fsync(
+        os.path.join(store, "_txn.json"),
+        json.dumps(
+            {
+                "txid": txid,
+                "staging": os.path.basename(staging),
+                "partition_col": "metric_date",
+                "partitions": parts,
+            }
+        ),
+    )
+
+    # next (incremental) update: recovery rolls day 2 forward FIRST, so
+    # the incremental scan sees it as already stored and writes nothing
+    wrote = update_register_store(
+        day1.unionByName(day2), store, only_new_days=True
+    )
+    assert wrote == 0
+    got = distinct_from_store(spark, store, by_metric=True)
+    truth = day1.unionByName(day2)
+    want = hll_raw_estimate(
+        hll_partial(truth, "user_id", by=["metric"]), by=["metric"]
+    )
+    assert _est_rows(got) == _est_rows(want)
+    # no txn debris left behind
+    assert not os.path.exists(os.path.join(store, "_txn.json"))
+    assert not any(d.startswith("_staging-") for d in os.listdir(store))
