@@ -3791,7 +3791,10 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `decontaminate` — functions/similarity.py semantic_decontaminate."""
     emb = _emb(spark, sf_dir)
     ev = emb.filter(F.col("vec_id") % 37 == 0)
-    return SIM.semantic_decontaminate(emb, ev, threshold=0.25, nbits=8)
+    # eval drawn FROM the corpus ⇒ same id namespace: self-exclusion on
+    return SIM.semantic_decontaminate(
+        emb, ev, threshold=0.25, nbits=8, exclude_same_id=True
+    )
 
 
 def q_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -824,6 +824,7 @@ def semantic_decontaminate(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Embedding-space decontamination (round 9): flag every corpus
     vector whose cosine to ANY eval-set vector reaches ``threshold`` —
@@ -831,6 +832,15 @@ def semantic_decontaminate(
     eval answer PARAPHRASED into training data shares no 8-gram but
     sits next to the eval embedding; cf. the contamination analyses in
     the GPT-3/Llama reports).
+
+    ``exclude_same_id`` (round 10, driver ADVICE): ONLY set this when
+    ``eval_set`` is a subset of ``corpus`` sharing its id namespace —
+    it drops corpus/eval pairs with equal ids so a vector is never
+    "contaminated by itself". The default (False) treats ids as
+    unrelated namespaces: an independent eval set whose integer row
+    ids happen to collide with corpus ids still flags the genuinely
+    contaminated pair instead of silently passing it. (The n-gram
+    `decontaminate` has no exclusion at all — same default here.)
 
     Scale shape mirrors `embedding_near_dup_pairs`: the eval side is
     small by definition and BROADCAST after bucketing, the corpus joins
@@ -855,10 +865,11 @@ def semantic_decontaminate(
         norm2(F.col(vec_col)).alias("_en"),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
+    scored = c.join(F.broadcast(e), "bucket")
+    if exclude_same_id:
+        scored = scored.filter(F.col(id_col) != F.col("_eid"))
     scored = (
-        c.join(F.broadcast(e), "bucket")
-        .filter(F.col(id_col) != F.col("_eid"))
-        .withColumn(
+        scored.withColumn(
             "cos_sim",
             dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en")),
         )

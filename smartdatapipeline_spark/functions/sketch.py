@@ -772,6 +772,18 @@ def kmv_merge(
     return _bottom_k(u, by, k)
 
 
+def kmv_fold(
+    parts: DataFrame, by: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """n-ary `kmv_merge`: fold MANY stacked bottom-k partials (e.g. a
+    date range of daily sketches read from a store) into one sketch per
+    group — the k smallest of the distinct union of their hash sets.
+    Input is ≤ k rows per (group, partial); volume-independent."""
+    by = list(by or [])
+    u = parts.select(*by, "h").distinct()
+    return _bottom_k(u, by, k)
+
+
 def kmv_distinct(
     sketch: DataFrame, by: list[str] | None = None, k: int = 64
 ) -> DataFrame:
@@ -929,6 +941,16 @@ def bloom_merge(
     by = list(by or [])
     return (
         a.unionByName(b).groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_fold(parts: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """n-ary `bloom_merge`: fold stacked word tables (e.g. a date range
+    of daily filters from a store) into one per group — word-wise
+    bit_or. Input is ≤ m/60 rows per (group, partial)."""
+    by = list(by or [])
+    return (
+        parts.groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
     )
 
 

@@ -1,6 +1,6 @@
-"""Persisted sketch store — daily register partials as a TABLE, the
+"""Persisted sketch store — daily sketch partials as TABLES, the
 architecture that makes the round-9 sketch family a pipeline component
-rather than query-side math (round 9).
+rather than query-side math (rounds 9-10).
 
 At 100 TB the distinct-count question is never answered by rescanning
 events: the nightly job appends one day's HLL register partial
@@ -11,33 +11,177 @@ COUNT(DISTINCT) endpoint (backend/app/services/kpi.py:40-43,60-61)
 recomputes from events on every call; this store is the same answer
 with the data touched exactly once per day.
 
+Round 10 widens the store to the rest of the mergeable suite:
+**KMV bottom-k** partials (``update_kmv_store`` / ``overlap_from_store``
+— "how many users did BOTH purchase and click this month" from ≤ k
+stored rows per (day, metric), the set-algebra question HLL registers
+cannot answer) and **Bloom word tables** (``update_bloom_store`` /
+``membership_from_store`` — "was this user present in the range", no
+false negatives). All three share one write discipline and one
+manifest.
+
 Write discipline: each day is one ``metric_date=…`` partition written
 through the SAME crash-consistent, lock-serialized txn sink as gold
 (``sources/sinks.py overwrite_gold_partitions``'s internals), so
 re-ingesting a day (late events, corrections) idempotently replaces
 that day's registers — and ONLY that day's — while readers always see
-fully-old or fully-new partitions. Register max-merge makes replays
-harmless even if a day is upserted with a superset of its events.
+fully-old or fully-new partitions. Register max-merge / bottom-k
+distinct-union / word bit_or make replays harmless even if a day is
+upserted with a superset of its events.
+
+Manifest (round 10, driver ADVICE): the store's sketch parameters
+(kind, p / k / m_bits·n_hashes, key column) are persisted once in
+``_sketch_manifest.json`` at the store root and validated on every
+write AND read — ``distinct_from_store(p=8)`` against a p=12 store now
+raises instead of silently computing garbage estimates with the wrong
+register count.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smartdatapipeline_spark.functions.sketch import (
+    bloom_contains,
+    bloom_fold,
+    bloom_partial,
     hll_partial,
     hll_raw_estimate,
     hll_reaggregate,
+    kmv_fold,
+    kmv_intersect,
+    kmv_partial,
 )
 from smartdatapipeline_spark.sources.sinks import (
+    _txn_partition_overwrite,
+    _write_fsync,
     gold_writer_lock,
     recover_partition_txn,
-    _txn_partition_overwrite,
 )
+
+_MANIFEST = "_sketch_manifest.json"
+
+
+def _committed_days(store_path: str) -> list[str]:
+    """Committed ``metric_date=…`` partition dirs — staging/journal
+    debris is underscore-prefixed and never matches. Empty when the
+    store dir exists but holds no committed partition (first-run txn
+    rolled back by recovery, or a pre-created dir) — the case that used
+    to crash the incremental read with 'unable to infer schema'
+    (round-10 ADVICE)."""
+    if not os.path.isdir(store_path):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(store_path)
+        if d.startswith("metric_date=")
+        and os.path.isdir(os.path.join(store_path, d))
+    )
+
+
+def _read_manifest(store_path: str) -> dict | None:
+    path = os.path.join(store_path, _MANIFEST)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _require_manifest(
+    store_path: str, kind: str, params: dict, write_if_missing: bool
+) -> None:
+    """Validate the store's persisted sketch parameters against the
+    caller's; raise on ANY mismatch (a p=8 read of a p=12 register
+    store computes a negative v_empty — round-10 ADVICE). A legacy
+    store without a manifest is accepted as-is on read and stamped on
+    the next locked write."""
+    want = {"kind": kind, **params}
+    have = _read_manifest(store_path)
+    if have is None:
+        if write_if_missing:
+            os.makedirs(store_path, exist_ok=True)
+            _write_fsync(
+                os.path.join(store_path, _MANIFEST), json.dumps(want)
+            )
+        return
+    if have != want:
+        raise ValueError(
+            f"sketch store parameter mismatch at {store_path}: "
+            f"store was built with {have}, caller asked for {want}"
+        )
+
+
+def _update_store(
+    events: DataFrame,
+    store_path: str,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    kind: str,
+    params: dict,
+    key_col: str,
+    ts_col: str,
+    only_new_days: bool,
+) -> int:
+    """Shared writer skeleton for all three sketch kinds: lock →
+    recover → manifest check → (incremental) skip stored days →
+    partial-sketch the remaining days → txn partition overwrite."""
+    df = (
+        events.filter(F.col(key_col).isNotNull())
+        .withColumn("metric_date", F.to_date(F.col(ts_col)))
+    )
+    # Recovery must precede the stored-days read (round 9, pinned by
+    # tests/test_sketchstore.py): a predecessor's interrupted txn may
+    # hold a fully-staged day that the store read cannot see yet —
+    # rolling it forward FIRST means the incremental scan skips it
+    # instead of recomputing it. The day-discovery action therefore
+    # runs under the lock, like the write itself.
+    with gold_writer_lock(store_path):
+        recover_partition_txn(store_path)
+        _require_manifest(store_path, kind, params, write_if_missing=True)
+        if only_new_days and _committed_days(store_path):
+            spark = events.sparkSession
+            have = (
+                spark.read.parquet(store_path).select("metric_date").distinct()
+            )
+            df = df.join(F.broadcast(have), on="metric_date", how="left_anti")
+        days = [r[0] for r in df.select("metric_date").distinct().collect()]
+        if not days:
+            return 0
+        reg = partial_fn(df)
+        _txn_partition_overwrite(reg, store_path, "metric_date")
+    return len(days)
+
+
+def _read_store_range(
+    spark: SparkSession,
+    store_path: str,
+    kind: str,
+    params: dict,
+    start: dt.date | str | None,
+    end: dt.date | str | None,
+) -> DataFrame:
+    """Shared reader: manifest validation + partition-pruned range
+    scan. Raises a clear error on an empty/uncommitted store instead of
+    Spark's 'unable to infer schema'."""
+    _require_manifest(store_path, kind, params, write_if_missing=False)
+    if not _committed_days(store_path):
+        raise ValueError(
+            f"sketch store at {store_path} has no committed partitions"
+        )
+    reg = spark.read.parquet(store_path)
+    if start is not None:
+        reg = reg.filter(F.col("metric_date") >= F.lit(start).cast("date"))
+    if end is not None:
+        reg = reg.filter(F.col("metric_date") <= F.lit(end).cast("date"))
+    return reg
+
+
+# ── HLL register store (round 9) ─────────────────────────────────────
 
 
 def update_register_store(
@@ -59,30 +203,16 @@ def update_register_store(
 
     Returns the number of day-partitions written.
     """
-    df = (
-        events.filter(F.col(key_col).isNotNull())
-        .withColumn("metric_date", F.to_date(F.col(ts_col)))
+    return _update_store(
+        events,
+        store_path,
+        lambda df: hll_partial(df, key_col, by=["metric_date", metric_col], p=p),
+        kind="hll",
+        params={"p": p, "key_col": key_col, "metric_col": metric_col},
+        key_col=key_col,
+        ts_col=ts_col,
+        only_new_days=only_new_days,
     )
-    # Recovery must precede the stored-days read (round 9, pinned by
-    # tests/test_sketchstore.py): a predecessor's interrupted txn may
-    # hold a fully-staged day that the store read cannot see yet —
-    # rolling it forward FIRST means the incremental scan skips it
-    # instead of recomputing it. The day-discovery action therefore
-    # runs under the lock, like the write itself.
-    with gold_writer_lock(store_path):
-        recover_partition_txn(store_path)
-        if only_new_days and os.path.isdir(store_path):
-            spark = events.sparkSession
-            have = (
-                spark.read.parquet(store_path).select("metric_date").distinct()
-            )
-            df = df.join(F.broadcast(have), on="metric_date", how="left_anti")
-        days = [r[0] for r in df.select("metric_date").distinct().collect()]
-        if not days:
-            return 0
-        reg = hll_partial(df, key_col, by=["metric_date", metric_col], p=p)
-        _txn_partition_overwrite(reg, store_path, "metric_date")
-    return len(days)
 
 
 def distinct_from_store(
@@ -92,22 +222,181 @@ def distinct_from_store(
     end: dt.date | str | None = None,
     metric_col: str = "metric",
     by_metric: bool = True,
-    p: int = 8,
+    p: int | None = None,
+    key_col: str = "user_id",
 ) -> DataFrame:
     """Distinct-count estimates over ``[start, end]`` (inclusive day
     grain) from STORED registers only — no events scan. Date filters
     prune the store's ``metric_date`` partitions before any fold.
 
+    ``p=None`` reads the precision from the store manifest (the safe
+    default); passing an explicit ``p`` raises on mismatch instead of
+    silently folding with the wrong register count (round-10 ADVICE).
+
     Output: per metric (or one global row), the hll_raw_estimate
     columns.
     """
-    reg = spark.read.parquet(store_path)
-    if start is not None:
-        reg = reg.filter(F.col("metric_date") >= F.lit(start).cast("date"))
-    if end is not None:
-        reg = reg.filter(F.col("metric_date") <= F.lit(end).cast("date"))
+    manifest = _read_manifest(store_path)
+    if p is None:
+        p = (manifest or {}).get("p", 8)
+    reg = _read_store_range(
+        spark,
+        store_path,
+        kind="hll",
+        params={"p": p, "key_col": key_col, "metric_col": metric_col},
+        start=start,
+        end=end,
+    )
     keep = [metric_col] if by_metric else []
     folded = hll_reaggregate(
         reg, drop=["metric_date"], by=["metric_date", *keep]
     )
     return hll_raw_estimate(folded, by=keep, p=p)
+
+
+# ── KMV bottom-k store (round 10) ────────────────────────────────────
+
+
+def update_kmv_store(
+    events: DataFrame,
+    store_path: str,
+    key_col: str = "user_id",
+    metric_col: str = "metric",
+    ts_col: str = "ts",
+    k: int = 64,
+    only_new_days: bool = True,
+) -> int:
+    """Upsert per-(metric_date, metric) bottom-k partials: the k
+    smallest distinct h60 hashes of ``key_col`` per (day, metric) —
+    ≤ k rows per group per day, the stored currency that later answers
+    distinct-union AND distinct-INTERSECTION questions (audience
+    overlap) without any events rescan. Same incremental / corrections
+    semantics as `update_register_store`."""
+    return _update_store(
+        events,
+        store_path,
+        lambda df: kmv_partial(df, key_col, by=["metric_date", metric_col], k=k),
+        kind="kmv",
+        params={"k": k, "key_col": key_col, "metric_col": metric_col},
+        key_col=key_col,
+        ts_col=ts_col,
+        only_new_days=only_new_days,
+    )
+
+
+def overlap_from_store(
+    spark: SparkSession,
+    store_path: str,
+    metric_a: str,
+    metric_b: str,
+    start: dt.date | str | None = None,
+    end: dt.date | str | None = None,
+    metric_col: str = "metric",
+    k: int | None = None,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Audience-overlap estimate between two metrics over a date range
+    from STORED bottom-k partials alone — the `kmv_audience_overlap`
+    question answered without rescanning events: each side folds its
+    ≤ k-per-day stored rows (`kmv_fold`), then the standard combined-
+    sketch intersection (`kmv_intersect`) yields union / Jaccard /
+    intersection estimates. Partition pruning bounds the read to the
+    range's days.
+
+    Output: one row — (union_n_vals, union_kth_h, union_est, n_match,
+    jaccard_est, inter_est)."""
+    manifest = _read_manifest(store_path)
+    if k is None:
+        k = (manifest or {}).get("k", 64)
+    reg = _read_store_range(
+        spark,
+        store_path,
+        kind="kmv",
+        params={"k": k, "key_col": key_col, "metric_col": metric_col},
+        start=start,
+        end=end,
+    )
+    a = kmv_fold(reg.filter(F.col(metric_col) == metric_a), k=k)
+    b = kmv_fold(reg.filter(F.col(metric_col) == metric_b), k=k)
+    return kmv_intersect(a, b, k=k)
+
+
+# ── Bloom word store (round 10) ──────────────────────────────────────
+
+
+def update_bloom_store(
+    events: DataFrame,
+    store_path: str,
+    key_col: str = "user_id",
+    metric_col: str = "metric",
+    ts_col: str = "ts",
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+    only_new_days: bool = True,
+) -> int:
+    """Upsert per-(metric_date, metric) Bloom word tables (≤ m/60 rows
+    per group per day). Stored daily filters OR-merge into any range's
+    membership filter without rescans. Same incremental / corrections
+    semantics as `update_register_store`."""
+    return _update_store(
+        events,
+        store_path,
+        lambda df: bloom_partial(
+            df, key_col, by=["metric_date", metric_col],
+            m_bits=m_bits, n_hashes=n_hashes,
+        ),
+        kind="bloom",
+        params={
+            "m_bits": m_bits,
+            "n_hashes": n_hashes,
+            "key_col": key_col,
+            "metric_col": metric_col,
+        },
+        key_col=key_col,
+        ts_col=ts_col,
+        only_new_days=only_new_days,
+    )
+
+
+def membership_from_store(
+    spark: SparkSession,
+    store_path: str,
+    probes: DataFrame,
+    probe_col: str = "user_id",
+    start: dt.date | str | None = None,
+    end: dt.date | str | None = None,
+    metric: str | None = None,
+    metric_col: str = "metric",
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Membership test ("was this key present in the range, optionally
+    for one metric") from STORED word tables alone: fold the range's
+    daily filters by bit_or (`bloom_fold`), then probe — no false
+    negatives, designed false-positive rate, probe side never
+    shuffles. Output: (probe_col, might_contain)."""
+    manifest = _read_manifest(store_path) or {}
+    if m_bits is None:
+        m_bits = manifest.get("m_bits", 4096)
+    if n_hashes is None:
+        n_hashes = manifest.get("n_hashes", 4)
+    reg = _read_store_range(
+        spark,
+        store_path,
+        kind="bloom",
+        params={
+            "m_bits": m_bits,
+            "n_hashes": n_hashes,
+            "key_col": key_col,
+            "metric_col": metric_col,
+        },
+        start=start,
+        end=end,
+    )
+    if metric is not None:
+        reg = reg.filter(F.col(metric_col) == metric)
+    folded = bloom_fold(reg)
+    return bloom_contains(
+        folded, probes, probe_col, m_bits=m_bits, n_hashes=n_hashes
+    )

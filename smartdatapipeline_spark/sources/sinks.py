@@ -263,6 +263,13 @@ def _write_fsync(path: str, data: str) -> None:
     _fsync_path(os.path.dirname(path))
 
 
+# Max marker files held open at once during batched stamping: well
+# under the common nofile=1024 soft limit (leaving headroom for Spark's
+# own descriptors), while one fsync burst per 256 files keeps ~all of
+# the measured 18% batching win.
+_MARKER_FSYNC_CHUNK = 256
+
+
 def _marker_name(txid: str) -> str:
     """Per-transaction marker file stamped inside every STAGED partition
     dir before the journal is written. The marker travels with the data
@@ -394,18 +401,31 @@ def _txn_partition_overwrite(
     # burst instead of n interleaved write/fsync/fsync triplets.
     # Measured (tools/fsync_probe.py, 365 partitions, median of 5):
     # 0.252 s interleaved → 0.207 s batched (0.69 → 0.57 ms/partition).
+    # Chunked at 256 open files (round-10 ADVICE): a txn over more
+    # partitions than the fd headroom (a multi-year daily backfill
+    # under nofile=1024) must not EMFILE; the burst effect is per-chunk
+    # so the measured win survives, and try/finally closes every handle
+    # if a write or fsync fails mid-chunk.
     marker = _marker_name(txid)
-    mfiles = []
-    for p in parts:
-        f = open(os.path.join(staging, p, marker), "w")
-        f.write(txid)
-        f.flush()
-        mfiles.append(f)
-    for f in mfiles:
-        os.fsync(f.fileno())
-        f.close()
-    for p in parts:
-        _fsync_path(os.path.join(staging, p))
+    for lo in range(0, len(parts), _MARKER_FSYNC_CHUNK):
+        chunk = parts[lo : lo + _MARKER_FSYNC_CHUNK]
+        mfiles = []
+        try:
+            for p in chunk:
+                f = open(os.path.join(staging, p, marker), "w")
+                mfiles.append(f)
+                f.write(txid)
+                f.flush()
+            for f in mfiles:
+                os.fsync(f.fileno())
+        finally:
+            for f in mfiles:
+                try:
+                    f.close()
+                except OSError:  # pragma: no cover — close-after-fsync
+                    pass
+        for p in chunk:
+            _fsync_path(os.path.join(staging, p))
     _write_fsync(
         os.path.join(path, "_txn.json"),
         json.dumps(

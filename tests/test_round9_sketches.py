@@ -487,14 +487,40 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     ev = df.filter(F.col("vec_id") == 1)
     got = {
         r["vec_id"]: r
-        for r in semantic_decontaminate(df, ev, threshold=0.9, nbits=4).collect()
+        for r in semantic_decontaminate(
+            df, ev, threshold=0.9, nbits=4, exclude_same_id=True
+        ).collect()
     }
     assert len(got) == 3
     assert got[2]["contaminated"] and got[2]["n_eval_hits"] == 1
     assert got[2]["max_sim"] > 0.99
     assert not got[3]["contaminated"] and got[3]["max_sim"] is None
-    # the eval member itself is excluded from self-match
+    # eval ⊂ corpus with exclude_same_id=True: the eval member itself
+    # is excluded from self-match
     assert not got[1]["contaminated"]
+
+
+def test_semantic_decontaminate_independent_id_namespaces(spark):
+    """ADVICE r10: by default (exclude_same_id=False) an INDEPENDENT
+    eval set whose integer ids collide with corpus ids must still flag
+    the contaminated pair — id equality is not identity across
+    namespaces."""
+    from smartdatapipeline_spark.functions.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.2, 0.1, 0.9])]
+    )
+    # independent eval set, coincidentally also id 1, nearly identical
+    ev = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.99, 0.21, 0.1, 0.88])]
+    )
+    got = semantic_decontaminate(corpus, ev, threshold=0.9, nbits=4).collect()
+    assert len(got) == 1 and got[0]["contaminated"]
+    # opt-in exclusion reproduces the old (self-subset) semantics
+    got2 = semantic_decontaminate(
+        corpus, ev, threshold=0.9, nbits=4, exclude_same_id=True
+    ).collect()
+    assert len(got2) == 1 and not got2[0]["contaminated"]
 
 
 # ── Dyadic-CMS mergeable quantiles ───────────────────────────────────

@@ -158,3 +158,174 @@ def test_store_recovers_interrupted_txn_before_next_update(spark, tmp_path):
     # no txn debris left behind
     assert not os.path.exists(os.path.join(store, "_txn.json"))
     assert not any(d.startswith("_staging-") for d in os.listdir(store))
+
+
+# ── round 10: manifest, empty-dir guard, KMV/Bloom stores ────────────
+
+
+def test_precreated_empty_dir_treated_as_empty_store(spark, tmp_path):
+    """ADVICE r10: a store dir that exists but holds no committed
+    partition (pre-created, or first txn rolled back) must behave like
+    a missing store, not crash the incremental read."""
+    import os
+
+    store = str(tmp_path / "reg_pre")
+    os.makedirs(store)
+    ev = _events(spark, ["2024-01-01"])
+    assert update_register_store(ev, store) == 1
+    got = distinct_from_store(spark, store, by_metric=True)
+    want = hll_raw_estimate(
+        hll_partial(ev, "user_id", by=["metric"]), by=["metric"]
+    )
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_reader_on_empty_store_raises_clearly(spark, tmp_path):
+    import os
+
+    store = str(tmp_path / "reg_empty")
+    os.makedirs(store)
+    with pytest.raises(ValueError, match="no committed partitions"):
+        distinct_from_store(spark, store)
+
+
+def test_manifest_p_mismatch_raises(spark, tmp_path):
+    """ADVICE r10: the store records its HLL precision; reading or
+    re-writing with a different p raises instead of computing garbage
+    (negative v_empty) with the wrong register count."""
+    store = str(tmp_path / "reg_p12")
+    ev = _events(spark, ["2024-01-01"])
+    update_register_store(ev, store, p=12)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        distinct_from_store(spark, store, p=8)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        update_register_store(_events(spark, ["2024-01-02"]), store, p=8)
+    # p=None (default) reads the manifest precision and just works
+    got = distinct_from_store(spark, store, by_metric=True)
+    want = hll_raw_estimate(
+        hll_partial(ev, "user_id", by=["metric"], p=12), by=["metric"], p=12
+    )
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_kmv_store_incremental_matches_direct(spark, tmp_path):
+    from smartdatapipeline_spark.functions.sketch import (
+        kmv_distinct,
+        kmv_fold,
+        kmv_partial,
+    )
+    from smartdatapipeline_spark.operators.sketchstore import update_kmv_store
+
+    store = str(tmp_path / "kmv_store")
+    d12 = _events(spark, ["2024-01-01", "2024-01-02"])
+    d3 = _events(spark, ["2024-01-03"])
+    assert update_kmv_store(d12, store, k=32) == 2
+    assert update_kmv_store(d12.unionByName(d3), store, k=32) == 1
+    assert update_kmv_store(d12.unionByName(d3), store, k=32) == 0
+
+    stored = spark.read.parquet(store)
+    got = kmv_distinct(
+        kmv_fold(stored, by=["metric"], k=32), by=["metric"], k=32
+    )
+    want = kmv_distinct(
+        kmv_partial(d12.unionByName(d3), "user_id", by=["metric"], k=32),
+        by=["metric"],
+        k=32,
+    )
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_overlap_from_store_matches_direct_intersection(spark, tmp_path):
+    from smartdatapipeline_spark.functions.sketch import (
+        kmv_intersect,
+        kmv_partial,
+    )
+    from smartdatapipeline_spark.operators.sketchstore import (
+        overlap_from_store,
+        update_kmv_store,
+    )
+
+    store = str(tmp_path / "kmv_ov")
+    ev = _events(spark, ["2024-01-01", "2024-01-02", "2024-01-03"])
+    update_kmv_store(ev, store, k=32)
+
+    got = overlap_from_store(
+        spark, store, "m1", "m2", start="2024-01-02", end="2024-01-03"
+    )
+    sub = ev.filter(F.to_date("ts") >= F.lit("2024-01-02"))
+    a = kmv_partial(sub.filter(F.col("metric") == "m1"), "user_id", k=32)
+    b = kmv_partial(sub.filter(F.col("metric") == "m2"), "user_id", k=32)
+    want = kmv_intersect(a, b, k=32)
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_kmv_store_corrections_replace_one_day(spark, tmp_path):
+    from smartdatapipeline_spark.functions.sketch import (
+        kmv_distinct,
+        kmv_fold,
+        kmv_partial,
+    )
+    from smartdatapipeline_spark.operators.sketchstore import update_kmv_store
+
+    store = str(tmp_path / "kmv_corr")
+    ev = _events(spark, ["2024-01-01", "2024-01-02"])
+    update_kmv_store(ev, store, k=32)
+    extra = _events(spark, ["2024-01-02"], users_per_day=200)
+    assert update_kmv_store(extra, store, k=32, only_new_days=False) == 1
+
+    stored = spark.read.parquet(store)
+    got = kmv_distinct(
+        kmv_fold(stored, by=["metric"], k=32), by=["metric"], k=32
+    )
+    truth = ev.filter(F.to_date("ts") == F.lit("2024-01-01")).unionByName(extra)
+    want = kmv_distinct(
+        kmv_partial(truth, "user_id", by=["metric"], k=32), by=["metric"], k=32
+    )
+    assert _est_rows(got) == _est_rows(want)
+
+
+def test_bloom_store_membership_no_false_negatives(spark, tmp_path):
+    from smartdatapipeline_spark.operators.sketchstore import (
+        membership_from_store,
+        update_bloom_store,
+    )
+
+    store = str(tmp_path / "bloom_store")
+    d1 = _events(spark, ["2024-01-01"])
+    d2 = _events(spark, ["2024-01-02"])
+    assert update_bloom_store(d1, store, m_bits=8192) == 1
+    assert update_bloom_store(d1.unionByName(d2), store, m_bits=8192) == 1
+    assert update_bloom_store(d1.unionByName(d2), store, m_bits=8192) == 0
+
+    present = (
+        d1.unionByName(d2).select("user_id").distinct()
+    )
+    got = membership_from_store(
+        spark, store, present, probe_col="user_id", m_bits=8192
+    )
+    assert got.filter(~F.col("might_contain")).count() == 0
+
+    # range-pruned probe: a user only in day 2 is absent from day 1's
+    # filter unless FPR fires — check the day-1-only fold still has no
+    # false negatives for day-1 users
+    d1_users = d1.select("user_id").distinct()
+    got1 = membership_from_store(
+        spark, store, d1_users, probe_col="user_id",
+        start="2024-01-01", end="2024-01-01", m_bits=8192,
+    )
+    assert got1.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_store_fold_matches_direct_words(spark, tmp_path):
+    from smartdatapipeline_spark.functions.sketch import (
+        bloom_fold,
+        bloom_partial,
+    )
+    from smartdatapipeline_spark.operators.sketchstore import update_bloom_store
+
+    store = str(tmp_path / "bloom_words")
+    ev = _events(spark, ["2024-01-01", "2024-01-02"])
+    update_bloom_store(ev, store)
+    got = bloom_fold(spark.read.parquet(store).drop("metric_date", "metric"))
+    want = bloom_partial(ev, "user_id")
+    assert _est_rows(got) == _est_rows(want)
