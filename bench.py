@@ -733,13 +733,14 @@ def main() -> None:
                 mn[name] = round(reps[0], 4)
         return med, mn
 
-    # r9 streaming obligation lever: the stateful stages measure 1.5-2x
-    # their clean-probe floor when they run at the tail of a ~25-minute
-    # 32-thread session (state counters prove it's scheduler drift, not
-    # state growth — see BENCH_ADJUDICATIONS r8->r9). Setting
-    # SPARK_GRAFT_BENCH_STREAM_FIRST=1 runs the streaming group FIRST
-    # on a fresh scheduler so r10 can decide placement from data.
-    stream_first = os.environ.get("SPARK_GRAFT_BENCH_STREAM_FIRST") == "1"
+    # Streaming group runs FIRST by default (round 10, closing the r9
+    # adjudication obligation): the stateful stages measured 1.5-2x
+    # their clean-probe floor when run at the tail of a ~25-minute
+    # 32-thread session (state counters proved scheduler drift, not
+    # state growth — BENCH_ADJUDICATIONS r8->r9), so they now measure
+    # on a fresh scheduler. SPARK_GRAFT_BENCH_STREAM_FIRST=0 restores
+    # the tail placement for an A/B.
+    stream_first = os.environ.get("SPARK_GRAFT_BENCH_STREAM_FIRST", "1") == "1"
     streaming_detail: dict = {}
     timings: dict[str, float] = {}
     if stream_first and not only_baselines:

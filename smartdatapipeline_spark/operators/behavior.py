@@ -35,25 +35,26 @@ def funnel(
     per pass, so each pass scans a shrinking slice). Conversion shares
     are exact integer ratios vs the step-1 cohort.
 
-    Each step frame is CACHED (round 9): every frame is consumed twice
-    — by the next step's join and by the final union — and Catalyst
-    expands repeated subplans rather than deduplicating them, so the
-    uncached plan re-ran step 1's scan+aggregate once per step (13
-    shuffles / 18 aggregates in the audited plan). The frames are
-    cohort-sized (≤ one row per step-k user), so caching them is safe
-    at any scale; ownership rides on the returned frame via cachetrack
-    and the caller releases after materializing.
+    UNCACHED (round 10, adjudicated): every step frame is consumed
+    twice — by the next step's join and by the final union — and the
+    STATIC plan duplicates those subplans (7 scans / 18 aggregates in
+    the r9 ledger), which round 9 "fixed" by caching each frame. The
+    runtime plan tells the opposite story: AQE exchange reuse dedupes
+    the identical repeated step subplans at execution (3 ReusedExchange
+    nodes in the final adaptive plan — each step frame's shuffle is
+    computed once and replayed), so the caches bought nothing and paid
+    materialization barriers: measured at sf0.1 (tools/funnel_probe.py,
+    5 warm reps) — all-cached 1.24 s / step-1-only 0.83 s / uncached
+    0.61 s median. Static-ledger scans ≠ runtime scans; adjudicate on
+    the final adaptive plan (PERF.md lesson 14 boundary).
 
     Output: (step_index, step, n_users, share) — share = n / n_step1.
     """
-    from smartdatapipeline_spark.cachetrack import track_cache
-
     frames = [
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t1"))
         .withColumn("_tprev", F.col("_t1"))
-        .cache()
     ]
     horizon_end = F.col("_t1") + F.expr(f"INTERVAL {horizon_days} DAYS")
     for s in steps[1:]:
@@ -66,7 +67,6 @@ def funnel(
             .filter((F.col("_ts") > F.col("_tprev")) & (F.col("_ts") <= horizon_end))
             .groupBy(user_col, "_t1")
             .agg(F.min("_ts").alias("_tprev"))
-            .cache()
         )
     # one declarative plan: label each step frame, union, count per
     # step, and derive shares against the broadcast step-1 count — no
@@ -82,20 +82,19 @@ def funnel(
     u = labeled[0]
     for l in labeled[1:]:
         u = u.unionByName(l)
-    # per_step is also consumed twice (share denominator + output):
-    # ≤ len(steps) rows, cached alongside the step frames
+    # per_step is also consumed twice (share denominator + output) —
+    # same AQE exchange-reuse story as the step frames, uncached
     per_step = u.groupBy("step_index", "step").agg(
         F.count(F.lit(1)).alias("n_users")
-    ).cache()
+    )
     n1 = per_step.filter(F.col("step_index") == 1).select(
         F.col("n_users").alias("_n1")
     )
-    out = (
+    return (
         per_step.crossJoin(F.broadcast(n1))
         .withColumn("share", F.col("n_users") / F.col("_n1").cast("double"))
         .select("step_index", "step", "n_users", "share")
     )
-    return track_cache(out, *frames, per_step)
 
 
 def retention_cohorts(
