@@ -1088,14 +1088,21 @@ def dyadic_cms_partial(
     levels: int = 20,
     depth: int = 4,
     width: int = 2048,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Per-level CMS grids for the dyadic decomposition of an integer
     column (caller pre-scales floats; values clamp into [0, 2^levels)).
-    Output: (level, row, cell, n) — mergeable by SUM."""
+    ``by`` (round 10) keys every grid cell by the group — one
+    independent dyadic sketch per (source, metric, …), the grouped
+    analog of the reference's per-series distribution math
+    (backend/app/services/anomaly.py consumes per-series
+    distributions). Output: (by…, level, row, cell, n) — mergeable by
+    SUM within the same group."""
     if depth < 1 or width < 2 or not 1 <= levels <= 62:
         raise ValueError(
             f"dyadic_cms_partial: bad dims levels={levels} depth={depth} width={width}"
         )
+    by = list(by or [])
     cap = (1 << levels) - 1
     v = F.col(value_col).cast("long")
     v = F.when(v < 0, F.lit(0)).when(v > cap, F.lit(cap)).otherwise(v)
@@ -1103,9 +1110,9 @@ def dyadic_cms_partial(
     rw = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     keyed = (
         df.filter(F.col(value_col).isNotNull())
-        .select(v.alias("_v"))
-        .select("_v", lv)
-        .select("_v", "level", rw)
+        .select(*by, v.alias("_v"))
+        .select(*by, "_v", lv)
+        .select(*by, "_v", "level", rw)
         .withColumn(
             "_key", F.expr("shiftrightunsigned(_v, level)")
         )
@@ -1124,39 +1131,38 @@ def dyadic_cms_partial(
         % width
     ).alias("cell")
     return (
-        keyed.select("level", "row", cell)
-        .groupBy("level", "row", "cell")
+        keyed.select(*by, "level", "row", cell)
+        .groupBy(*by, "level", "row", "cell")
         .agg(F.count("*").cast("long").alias("n"))
     )
 
 
-def dyadic_cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge dyadic grids: cell-wise sum per level (associative)."""
+def dyadic_cms_merge(
+    a: DataFrame, b: DataFrame, by: list[str] | None = None
+) -> DataFrame:
+    """Merge dyadic grids: cell-wise sum per (group, level) —
+    associative. ``by`` must match the grids' grouping columns."""
+    by = list(by or [])
     return (
         a.unionByName(b)
-        .groupBy("level", "row", "cell")
+        .groupBy(*by, "level", "row", "cell")
         .agg(F.sum("n").alias("n"))
     )
 
 
-def dyadic_cms_quantiles(
-    sketch: DataFrame,
+def _dyadic_walk(
+    cells: dict[tuple[int, int, int], int],
     qs: list[float],
     total_n: int,
-    levels: int = 20,
-    depth: int = 4,
-    width: int = 2048,
+    levels: int,
+    depth: int,
+    width: int,
 ) -> list[int]:
-    """Answer quantiles from the collected sketch alone (bounded:
-    ≤ levels·depth·width cells). For each q, walk the dyadic tree
-    top-down: at each level take the left child if its (overestimated)
-    mass covers the remaining target rank, else subtract and go right.
-    Returns one integer (pre-scaled domain) per q."""
+    """Quantile walk over one group's collected cell map: for each q,
+    descend the dyadic tree top-down — take the left child if its
+    (overestimated) mass covers the remaining target rank, else
+    subtract and go right. Returns one integer per q."""
     import hashlib
-
-    cells: dict[tuple[int, int, int], int] = {}
-    for r in sketch.collect():
-        cells[(r["level"], r["row"], r["cell"])] = r["n"]
 
     def lookup(level: int, key: int) -> int:
         est = None
@@ -1184,4 +1190,58 @@ def dyadic_cms_quantiles(
                 target -= mass
                 prefix = left + 1
         out.append(prefix)
+    return out
+
+
+def dyadic_cms_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    total_n: int,
+    levels: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+) -> list[int]:
+    """Answer quantiles from the collected sketch alone (bounded:
+    ≤ levels·depth·width cells — the same justified-collect class as
+    the bloom bitmap). Returns one integer (pre-scaled domain) per q."""
+    cells: dict[tuple[int, int, int], int] = {}
+    for r in sketch.collect():
+        cells[(r["level"], r["row"], r["cell"])] = r["n"]
+    return _dyadic_walk(cells, qs, total_n, levels, depth, width)
+
+
+def dyadic_cms_quantiles_grouped(
+    sketch: DataFrame,
+    qs: list[float],
+    totals: dict[tuple, int],
+    by: list[str],
+    levels: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+) -> dict[tuple, list[int]]:
+    """Per-group quantiles from a GROUPED dyadic sketch (round 10) —
+    mergeable per-(source, metric) quantiles, the grouped analog the
+    reference's per-series distribution math implies.
+
+    ``totals`` maps each group key tuple (values of ``by``, in order)
+    to its row count — the caller already has these from the same scan
+    that built the sketch (a groupBy count) or from stored partials.
+    The collected summary is ≤ |groups|·levels·depth·width cells;
+    |groups| is dimension-bounded (sources × metrics), the same
+    justified-collect class as the global walk. Groups present in
+    ``totals`` but absent from the sketch get empty-data quantiles
+    (all zeros) only if asked — they are simply omitted here.
+
+    Returns {group_key_tuple: [quantile_per_q]}."""
+    by_cells: dict[tuple, dict[tuple[int, int, int], int]] = {}
+    for r in sketch.collect():
+        g = tuple(r[c] for c in by)
+        by_cells.setdefault(g, {})[(r["level"], r["row"], r["cell"])] = r["n"]
+    out: dict[tuple, list[int]] = {}
+    for g, cells in by_cells.items():
+        if g not in totals:
+            raise ValueError(
+                f"dyadic_cms_quantiles_grouped: no total for group {g!r}"
+            )
+        out[g] = _dyadic_walk(cells, qs, totals[g], levels, depth, width)
     return out

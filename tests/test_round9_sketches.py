@@ -664,3 +664,90 @@ def test_hll_rollup_single_dim(spark):
     leafs = [r for r in out if r["gid"] == 0]
     total = [r for r in out if r["gid"] == 1]
     assert len(leafs) == 2 and len(total) == 1 and total[0]["m"] is None
+
+
+# ── round 10: grouped dyadic-CMS quantiles ───────────────────────────
+
+
+def test_dyadic_grouped_quantiles_rank_error(spark):
+    """Per-group walk: each group's quantiles hit within 5% rank error
+    of that group's own distribution (two groups with very different
+    shapes so a cross-group leak would fail loudly)."""
+    import bisect
+
+    from smartdatapipeline_spark.functions.sketch import (
+        dyadic_cms_partial,
+        dyadic_cms_quantiles_grouped,
+    )
+
+    n = 10_000
+    # group a: quadratic residues; group b: small linear ramp
+    df = spark.range(n).select(
+        F.lit("a").alias("g"), ((F.col("id") * F.col("id")) % 50_000).alias("v")
+    ).unionByName(
+        spark.range(n).select(
+            F.lit("b").alias("g"), (F.col("id") % 977).alias("v")
+        )
+    )
+    truth = {
+        ("a",): sorted(((i * i) % 50_000) for i in range(n)),
+        ("b",): sorted((i % 977) for i in range(n)),
+    }
+    sk = dyadic_cms_partial(df, "v", levels=16, depth=4, width=2048, by=["g"])
+    got = dyadic_cms_quantiles_grouped(
+        sk, [0.1, 0.5, 0.9], totals={("a",): n, ("b",): n},
+        by=["g"], levels=16, depth=4, width=2048,
+    )
+    assert set(got) == {("a",), ("b",)}
+    for g, anss in got.items():
+        vals = truth[g]
+        for q, ans in zip([0.1, 0.5, 0.9], anss):
+            lo = bisect.bisect_left(vals, ans)
+            hi = bisect.bisect_right(vals, ans)
+            target = q * n
+            assert lo - 0.05 * n <= target <= hi + 0.05 * n, (g, q, ans, lo, hi)
+    # group b's p90 must be small (≤ 977) — proves no cross-group mass
+    assert got[("b",)][2] <= 977
+
+
+def test_dyadic_grouped_merge_equals_direct(spark):
+    """Cell-wise SUM merge of per-partial grouped grids == grid of the
+    concatenated data, per group (the mergeable-summary contract)."""
+    from smartdatapipeline_spark.functions.sketch import (
+        dyadic_cms_merge,
+        dyadic_cms_partial,
+    )
+
+    d1 = spark.range(4_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") * 7) % 30_000).alias("v"),
+    )
+    d2 = spark.range(4_000, 9_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") * 7) % 30_000).alias("v"),
+    )
+    kw = dict(levels=15, depth=4, width=512, by=["g"])
+    merged = dyadic_cms_merge(
+        dyadic_cms_partial(d1, "v", **kw),
+        dyadic_cms_partial(d2, "v", **kw),
+        by=["g"],
+    )
+    direct = dyadic_cms_partial(d1.unionByName(d2), "v", **kw)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(merged) == rows(direct)
+
+
+def test_dyadic_grouped_missing_total_raises(spark):
+    from smartdatapipeline_spark.functions.sketch import (
+        dyadic_cms_partial,
+        dyadic_cms_quantiles_grouped,
+    )
+
+    df = spark.range(100).select(
+        F.lit("a").alias("g"), (F.col("id") % 50).alias("v")
+    )
+    sk = dyadic_cms_partial(df, "v", levels=8, depth=2, width=64, by=["g"])
+    with pytest.raises(ValueError, match="no total for group"):
+        dyadic_cms_quantiles_grouped(
+            sk, [0.5], totals={}, by=["g"], levels=8, depth=2, width=64
+        )
