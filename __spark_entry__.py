@@ -3898,6 +3898,27 @@ def q_bloom_membership_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dyadic_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-quantile cells FROM THE STORE (round 10): per-day dyadic
+    partials persisted through the txn sink; the folded cell grid for
+    [2024-01-08, 2024-01-21] (the surface quantiles_from_store walks)
+    comes from stored cells only — counting is additive, so
+    fold-of-daily == direct sketch of the range and the oracle
+    rebuilding every cell from date-filtered events is bit-identical
+    (operators/sketchstore.py dyadic_cells_from_store)."""
+    from smartdatapipeline_spark.operators.sketchstore import (
+        dyadic_cells_from_store,
+        update_dyadic_store,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    store = _tmp_store("dyadic", sf_dir)
+    update_dyadic_store(ev, store, levels=16, depth=4, width=2048)
+    return dyadic_cells_from_store(
+        spark, store, start="2024-01-08", end="2024-01-21"
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 37th vector plays the
     eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
@@ -4218,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_from_store": q_distinct_from_store,
         "kmv_overlap_store": q_kmv_overlap_store,
         "bloom_membership_store": q_bloom_membership_store,
+        "dyadic_range_store": q_dyadic_range_store,
     }
 
 
@@ -6858,6 +6880,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v
                 FROM events WHERE value IS NOT NULL
+            )
+        )
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS level) l
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS row) r
+        GROUP BY 1, 2, 3
+    """
+    # round 10 — dyadic store range read: fold-of-daily-cells == direct
+    # cells of the range (counting is additive)
+    o["dyadic_range_store"] = f"""
+        SELECT level, row,
+               (('0x' || substr(md5('dcms-v1:' || CAST(level AS VARCHAR)
+                    || ':' || CAST(row AS VARCHAR)
+                    || ':' || CAST((v >> level) AS VARCHAR)),
+                    1, 15))::BIGINT) % 2048 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT CASE WHEN v < 0 THEN 0
+                        WHEN v > 65535 THEN 65535 ELSE v END AS v
+            FROM (
+                SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL {_STORE_RANGE}
             )
         )
         CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS level) l

@@ -400,3 +400,115 @@ def membership_from_store(
     return bloom_contains(
         folded, probes, probe_col, m_bits=m_bits, n_hashes=n_hashes
     )
+
+
+# ── Dyadic-CMS quantile store (round 10) ─────────────────────────────
+
+
+def update_dyadic_store(
+    events: DataFrame,
+    store_path: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    scale: int = 100,
+    levels: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    only_new_days: bool = True,
+) -> int:
+    """Upsert per-day dyadic-CMS quantile partials (≤ levels·depth·width
+    cells per day): any later range-quantile question folds stored
+    cells by SUM — the quantile analog of the register store. Values
+    are pre-scaled to integers by ``scale`` (e.g. cents). Same
+    incremental / corrections semantics as `update_register_store`."""
+    from smartdatapipeline_spark.functions.sketch import dyadic_cms_partial
+
+    def _partial(df: DataFrame) -> DataFrame:
+        scaled = df.withColumn(
+            "_sv", F.floor(F.col(value_col) * scale).cast("long")
+        )
+        return dyadic_cms_partial(
+            scaled, "_sv", levels=levels, depth=depth, width=width,
+            by=["metric_date"],
+        )
+
+    return _update_store(
+        events,
+        store_path,
+        _partial,
+        kind="dyadic",
+        params={
+            "scale": scale, "levels": levels, "depth": depth,
+            "width": width, "value_col": value_col,
+        },
+        key_col=value_col,
+        ts_col=ts_col,
+        only_new_days=only_new_days,
+    )
+
+
+def dyadic_cells_from_store(
+    spark: SparkSession,
+    store_path: str,
+    start: dt.date | str | None = None,
+    end: dt.date | str | None = None,
+) -> DataFrame:
+    """The range's folded cell grid (level, row, cell, n) from STORED
+    daily partials — cell-wise SUM, partition-pruned. This is the
+    oracle-able surface; `quantiles_from_store` walks it."""
+    manifest = _read_manifest(store_path) or {}
+    reg = _read_store_range(
+        spark,
+        store_path,
+        kind="dyadic",
+        params={
+            "scale": manifest.get("scale", 100),
+            "levels": manifest.get("levels", 20),
+            "depth": manifest.get("depth", 4),
+            "width": manifest.get("width", 2048),
+            "value_col": manifest.get("value_col", "value"),
+        },
+        start=start,
+        end=end,
+    )
+    return (
+        reg.groupBy("level", "row", "cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def quantiles_from_store(
+    spark: SparkSession,
+    store_path: str,
+    qs: list[float],
+    start: dt.date | str | None = None,
+    end: dt.date | str | None = None,
+) -> list[float]:
+    """Range quantiles (descaled to the original value domain) from
+    STORED cells alone — no events rescan. total_n is derived from the
+    stored grid itself: every value increments exactly ``depth`` cells
+    per level, so Σn over level 0 = depth·N (exact integers).
+
+    The walk runs on the collected fold (≤ levels·depth·width cells —
+    the justified-collect class of the in-memory walk)."""
+    from smartdatapipeline_spark.functions.sketch import _dyadic_walk
+
+    manifest = _read_manifest(store_path) or {}
+    scale = manifest.get("scale", 100)
+    levels = manifest.get("levels", 20)
+    depth = manifest.get("depth", 4)
+    width = manifest.get("width", 2048)
+    folded = dyadic_cells_from_store(spark, store_path, start=start, end=end)
+    cells: dict[tuple[int, int, int], int] = {}
+    lvl0 = 0
+    for r in folded.collect():
+        cells[(r["level"], r["row"], r["cell"])] = r["n"]
+        if r["level"] == 0:
+            lvl0 += r["n"]
+    total_n = lvl0 // depth
+    if total_n == 0:
+        raise ValueError(
+            f"dyadic store at {store_path} holds no mass in range"
+        )
+    ints = _dyadic_walk(cells, qs, total_n, levels, depth, width)
+    return [v / scale for v in ints]

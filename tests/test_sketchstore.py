@@ -329,3 +329,62 @@ def test_bloom_store_fold_matches_direct_words(spark, tmp_path):
     got = bloom_fold(spark.read.parquet(store).drop("metric_date", "metric"))
     want = bloom_partial(ev, "user_id")
     assert _est_rows(got) == _est_rows(want)
+
+
+def test_dyadic_store_fold_matches_direct_and_quantiles(spark, tmp_path):
+    from smartdatapipeline_spark.functions.sketch import dyadic_cms_partial
+    from smartdatapipeline_spark.operators.sketchstore import (
+        dyadic_cells_from_store,
+        quantiles_from_store,
+        update_dyadic_store,
+    )
+
+    store = str(tmp_path / "dyadic_store")
+    rows = []
+    for d_i, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"]):
+        for u in range(400):
+            rows.append(
+                Row(ts=f"{day} 06:00:00", value=float((u * u + d_i * 37) % 300))
+            )
+    ev = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    kw = dict(scale=100, levels=16, depth=4, width=1024)
+    assert update_dyadic_store(ev, store, **kw) == 3
+    assert update_dyadic_store(ev, store, **kw) == 0  # idempotent
+
+    # folded range cells == direct sketch of the same rows
+    sub = ev.filter(F.to_date("ts") >= F.lit("2024-01-02"))
+    direct = dyadic_cms_partial(
+        sub.withColumn("_sv", F.floor(F.col("value") * 100).cast("long")),
+        "_sv", levels=16, depth=4, width=1024,
+    )
+    got = dyadic_cells_from_store(spark, store, start="2024-01-02")
+    assert _est_rows(got) == _est_rows(direct)
+
+    # quantiles from the store: rank error ≤ 5% vs the true range data
+    import bisect
+
+    vals = sorted(r["value"] for r in sub.collect())
+    n = len(vals)
+    for q, ans in zip([0.25, 0.5, 0.9],
+                      quantiles_from_store(spark, store, [0.25, 0.5, 0.9],
+                                           start="2024-01-02")):
+        lo = bisect.bisect_left(vals, ans)
+        hi = bisect.bisect_right(vals, ans)
+        assert lo - 0.05 * n <= q * n <= hi + 0.05 * n, (q, ans)
+
+
+def test_dyadic_store_empty_range_raises(spark, tmp_path):
+    from smartdatapipeline_spark.operators.sketchstore import (
+        quantiles_from_store,
+        update_dyadic_store,
+    )
+
+    store = str(tmp_path / "dyadic_empty")
+    ev = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00", value=1.0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    update_dyadic_store(ev, store)
+    with pytest.raises(ValueError, match="no mass"):
+        quantiles_from_store(spark, store, [0.5], start="2024-06-01")
