@@ -159,3 +159,26 @@ def bloom_stream(
     from smartdatapipeline_spark.functions.sketch import bloom_partial
 
     return bloom_partial(events, key_col, m_bits=m_bits, n_hashes=n_hashes)
+
+
+def dyadic_stream(
+    events: DataFrame,
+    value_col: str,
+    levels: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Streaming dyadic-CMS quantile grid (round 10):
+    `functions/sketch.dyadic_cms_partial` is a pure explode→
+    groupBy(level, row, cell).count, so Structured Streaming runs it
+    natively in update/complete mode with state bounded BY CONSTRUCTION
+    at ≤ levels·depth·width counter rows (× |groups| with ``by``) — no
+    watermark needed; counting is additive, so a drained stream equals
+    the batch grid cell-for-cell and any quantile is answered from the
+    live state by the same dyadic walk."""
+    from smartdatapipeline_spark.functions.sketch import dyadic_cms_partial
+
+    return dyadic_cms_partial(
+        events, value_col, levels=levels, depth=depth, width=width, by=by
+    )

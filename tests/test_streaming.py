@@ -685,3 +685,46 @@ def test_cms_and_bloom_stream_match_batch(spark, tmp_path):
             for r in batch_fn(spark.read.schema(schema).json(str(inp))).collect()
         )
         assert got == want and len(got) > 0, name
+
+
+def test_dyadic_stream_matches_batch(spark, tmp_path):
+    """Dyadic-CMS quantile grids are bounded-state streaming
+    aggregations by construction (≤ levels·depth·width state rows, ×
+    groups with `by`): a drained stream must equal the batch grid
+    cell-for-cell — including the grouped variant (round 10)."""
+    from smartdatapipeline_spark.functions.sketch import dyadic_cms_partial
+    from smartdatapipeline_spark.streaming.sketch import dyadic_stream
+
+    inp = tmp_path / "dy_in"
+    inp.mkdir()
+    rows = [
+        f'{{"g": "{"ab"[i % 2]}", "v": {(i * i) % 20000}}}' for i in range(4000)
+    ]
+    (inp / "f1.json").write_text("\n".join(rows) + "\n")
+    schema = "g string, v long"
+
+    for name, by in (("global", None), ("grouped", ["g"])):
+        q = (
+            dyadic_stream(
+                spark.readStream.schema(schema).json(str(inp)),
+                "v", levels=15, depth=4, width=512, by=by,
+            )
+            .writeStream.format("memory")
+            .queryName(f"dy_{name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table(f"dy_{name}").collect())
+        want = sorted(
+            tuple(r)
+            for r in dyadic_cms_partial(
+                spark.read.schema(schema).json(str(inp)),
+                "v", levels=15, depth=4, width=512, by=by,
+            ).collect()
+        )
+        assert got == want and len(got) > 0, name
+        # state bound: ≤ levels·depth·width (× 2 groups)
+        bound = 15 * 4 * 512 * (2 if by else 1)
+        assert len(got) <= bound
