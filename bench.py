@@ -281,6 +281,14 @@ BENCH_QUERIES: list[str] = [
     "hll_rollup_distinct",
     "semantic_decontaminate",
     "dyadic_sketch",
+    # round-10 additions: grouped quantiles + the persisted-store reads
+    # (first rep builds the store under .tmp_stores, later reps measure
+    # the read path — the architecture's actual serving shape)
+    "dyadic_grouped",
+    "distinct_from_store",
+    "kmv_overlap_store",
+    "bloom_membership_store",
+    "dyadic_range_store",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

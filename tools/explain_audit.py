@@ -73,6 +73,12 @@ def main() -> None:
         "broadcast exchanges, join strategies, whole-stage-codegen spans,",
         "hash aggregates, window operators, Arrow/pandas stages.",
         "",
+        "NOTE (round 10, PERF.md lesson 14): these are STATIC-plan counts —",
+        "upper bounds, not measurements. AQE inserts ReusedExchange at",
+        "runtime for identical repeated subplans (funnel's static 7 scans",
+        "execute as 3 + reuse), so adjudicate perf claims on the final",
+        "adaptive plan or a measured probe, never on this table alone.",
+        "",
         "| query | scans | pushed | shuffles | bcasts | joins | wscg | aggs | win | pandas |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
