@@ -291,6 +291,67 @@ def _jaccard_probe(spark, sf_dir, n):
     return SIM.basket_jaccard_pairs(baskets, "cust", "part", top_k=20)
 
 
+_KMV_REG_CACHE: dict[int, str] = {}
+_DY_REG_CACHE: dict[int, str] = {}
+
+
+def _kmv_reg_path(spark, sf_dir, n) -> str:
+    """Materialize (once per scale) per-day bottom-k partials — the
+    stored daily sketches a KMV-store range read folds (round 10)."""
+    import tempfile
+
+    if n not in _KMV_REG_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), f"sdp_scaleprobe_kmvreg_{os.getpid()}_{n}"
+        )
+        ev = scaled_events_samedays(spark, sf_dir, n).filter(
+            F.col("user_id").isNotNull()
+        )
+        SK.kmv_partial(
+            ev.withColumn("day", F.to_date("ts")), "user_id", by=["day"], k=64
+        ).write.mode("overwrite").parquet(path)
+        _KMV_REG_CACHE[n] = path
+    return _KMV_REG_CACHE[n]
+
+
+def _kmv_fold_probe(spark, sf_dir, n):
+    reg = spark.read.parquet(_kmv_reg_path(spark, sf_dir, n))
+    return SK.kmv_distinct(SK.kmv_fold(reg, k=64), k=64)
+
+
+_kmv_fold_probe.warm_each_scale = True
+
+
+def _dyadic_reg_path(spark, sf_dir, n) -> str:
+    """Materialize per-day dyadic-CMS cell grids — the stored daily
+    quantile partials a dyadic-store range read folds (round 10)."""
+    import tempfile
+
+    if n not in _DY_REG_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), f"sdp_scaleprobe_dyreg_{os.getpid()}_{n}"
+        )
+        ev = (
+            scaled_events_samedays(spark, sf_dir, n)
+            .filter(F.col("value").isNotNull())
+            .withColumn("day", F.to_date("ts"))
+            .withColumn("_sv", F.floor(F.col("value") * 100).cast("long"))
+        )
+        SK.dyadic_cms_partial(
+            ev, "_sv", levels=16, depth=4, width=2048, by=["day"]
+        ).write.mode("overwrite").parquet(path)
+        _DY_REG_CACHE[n] = path
+    return _DY_REG_CACHE[n]
+
+
+def _dyadic_fold_probe(spark, sf_dir, n):
+    reg = spark.read.parquet(_dyadic_reg_path(spark, sf_dir, n))
+    return reg.groupBy("level", "row", "cell").agg(F.sum("n").alias("n"))
+
+
+_dyadic_fold_probe.warm_each_scale = True
+
+
 def _bloom_probe(spark, sf_dir, n):
     from smartdatapipeline_spark.functions.bloom import bloom_semi_join
 
@@ -376,6 +437,16 @@ def main() -> None:
         return _hll_merge_probe(spark, sf_dir, n)
 
     _hll_merge_op.warm_each_scale = True
+
+    def _kmv_fold_op(n):
+        return _kmv_fold_probe(spark, sf_dir, n)
+
+    _kmv_fold_op.warm_each_scale = True
+
+    def _dyadic_fold_op(n):
+        return _dyadic_fold_probe(spark, sf_dir, n)
+
+    _dyadic_fold_op.warm_each_scale = True
 
     ops = {
         "kpi_daily": lambda n: run_daily_kpis(
@@ -572,6 +643,8 @@ def main() -> None:
             p=8,
         ),
         "hll_merge": _hll_merge_op,
+        "kmv_fold": _kmv_fold_op,
+        "dyadic_fold": _dyadic_fold_op,
         "cms_build": lambda n: SK.cms_partial(
             scaled_events(spark, sf_dir, n).filter(
                 F.col("user_id").isNotNull()
