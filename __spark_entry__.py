@@ -3919,6 +3919,54 @@ def q_dyadic_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_distinct_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users for EVERY day of [01-08, 01-21],
+    all from stored registers (round 10): each stored per-day register
+    row explodes to the ≤7 output days it serves, bucket-max per day,
+    one raw estimate per point — the rolling-actives dashboard series
+    answered with zero events rescans (the reference recomputes exact
+    COUNT(DISTINCT) per point, backend/app/services/kpi.py). The
+    oracle sketches every trailing window directly — register max-fold
+    makes each day bit-identical
+    (operators/sketchstore.py rolling_distinct_from_store)."""
+    from smartdatapipeline_spark.operators.sketchstore import (
+        rolling_distinct_from_store,
+        update_register_store,
+    )
+
+    ev = _events(spark, sf_dir)
+    store = _tmp_store("hll", sf_dir)
+    update_register_store(ev, store, metric_col="event_type")
+    return rolling_distinct_from_store(
+        spark, store, start="2024-01-08", end="2024-01-21",
+        window_days=7, metric_col="event_type",
+    )
+
+
+def q_kmv_new_audience_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning purchasers from the KMV store (round 10): how
+    many of [01-08, 01-14]'s distinct purchasers were NOT active in
+    [01-01, 01-07] — `kmv_difference` over two folded range sketches,
+    ≤ k stored rows per day per side, no events rescan. Exact integer
+    anti-join membership counts + the same IEEE-exact estimator
+    divisions, so the oracle sketching both ranges directly is
+    bit-identical (operators/sketchstore.py new_audience_from_store)."""
+    from smartdatapipeline_spark.operators.sketchstore import (
+        new_audience_from_store,
+        update_kmv_store,
+    )
+
+    ev = _events(spark, sf_dir)
+    store = _tmp_store("kmv", sf_dir)
+    update_kmv_store(ev, store, metric_col="event_type")
+    return new_audience_from_store(
+        spark, store, "purchase",
+        prev_start="2024-01-01", prev_end="2024-01-07",
+        cur_start="2024-01-08", cur_end="2024-01-14",
+        metric_col="event_type",
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 37th vector plays the
     eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
@@ -4240,6 +4288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_store": q_kmv_overlap_store,
         "bloom_membership_store": q_bloom_membership_store,
         "dyadic_range_store": q_dyadic_range_store,
+        "rolling_distinct_store": q_rolling_distinct_store,
+        "kmv_new_audience_store": q_kmv_new_audience_store,
     }
 
 
@@ -6820,6 +6870,73 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY event_type, bucket
     """,
     )
+    # round 10 — rolling trailing-7-day distinct from the store: the
+    # oracle sketches every window directly (register max-fold makes
+    # the per-day points bit-identical); day spine via generate_series
+    o["rolling_distinct_store"] = _HLL_RAW.format(
+        by="day,",
+        groupby="GROUP BY day",
+        reg="""
+        SELECT d.day, h >> 52 AS bucket,
+               CAST(MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                        ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1)))
+                        END) AS INT) AS rho
+        FROM (SELECT CAST(UNNEST(generate_series(DATE '2024-01-08',
+                     DATE '2024-01-21', INTERVAL 1 DAY)) AS DATE) AS day) d
+        JOIN (
+            SELECT CAST(ts AS DATE) AS ed,
+                   ('0x' || substr(md5('hll-v1:' || CAST(user_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ) e ON e.ed BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day, bucket
+    """,
+    )
+    # round 10 — new-audience difference from the KMV store: cur-range
+    # sketch minus prev-range sketch, same estimator constants
+    _KMV_CUR = _KMV_SK.format(
+        by="", part="",
+        filt=("AND event_type = 'purchase' AND CAST(ts AS DATE) "
+              "BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'"),
+    )
+    _KMV_PREV = _KMV_SK.format(
+        by="", part="",
+        filt=("AND event_type = 'purchase' AND CAST(ts AS DATE) "
+              "BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'"),
+    )
+    o["kmv_new_audience_store"] = f"""
+        WITH sa AS ({_KMV_CUR}),
+        sb AS ({_KMV_PREV}),
+        u AS (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos
+            FROM (SELECT DISTINCT h FROM (
+                SELECT h FROM sa UNION ALL SELECT h FROM sb))
+        ),
+        s AS (SELECT pos, h FROM u WHERE pos <= 64),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS union_n_vals,
+                   MAX(CASE WHEN pos = 64 THEN h END) AS union_kth_h
+            FROM s
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_only_a FROM s
+            WHERE h IN (SELECT h FROM sa)
+              AND h NOT IN (SELECT h FROM sb)
+        )
+        SELECT union_n_vals, union_kth_h,
+               CASE WHEN union_n_vals < 64 THEN CAST(union_n_vals AS DOUBLE)
+                    ELSE 7.263405479023136e+19 / CAST(union_kth_h AS DOUBLE)
+               END AS union_est,
+               n_only_a,
+               CAST(n_only_a AS DOUBLE) / CAST(union_n_vals AS DOUBLE)
+                   AS only_a_frac,
+               (CAST(n_only_a AS DOUBLE) / CAST(union_n_vals AS DOUBLE))
+               * (CASE WHEN union_n_vals < 64
+                       THEN CAST(union_n_vals AS DOUBLE)
+                       ELSE 7.263405479023136e+19
+                            / CAST(union_kth_h AS DOUBLE) END) AS diff_est
+        FROM agg, m
+    """
     # round 10 — Bloom store range read: daily-word bit_or == direct
     # words of the range (same bits, associative OR); probes = every
     # distinct user, filter = purchases in the range

@@ -289,6 +289,8 @@ BENCH_QUERIES: list[str] = [
     "kmv_overlap_store",
     "bloom_membership_store",
     "dyadic_range_store",
+    "rolling_distinct_store",
+    "kmv_new_audience_store",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -864,6 +864,51 @@ def kmv_intersect(
     )
 
 
+def kmv_difference(
+    a: DataFrame,
+    b: DataFrame,
+    by: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-difference estimate |A \\ B| from bottom-k sketches
+    alone (round 10) — "how many of this week's actives were NOT active
+    last week", answered from stored daily partials with no rescan.
+
+    Same combined-sketch rule as `kmv_intersect`: S = the k smallest of
+    A ∪ B; members of S that are in A but NOT in B (exact integer
+    semi/anti joins on h) give ``diff_frac = |S ∩ (A \\ B)| / |S|``,
+    and ``diff_est = diff_frac · union_est``. All counts exact
+    integers; the two divisions are IEEE-exact on both engines.
+
+    Output: (by…, union_n_vals, union_kth_h, union_est, n_only_a,
+    only_a_frac, diff_est).
+    """
+    by = list(by or [])
+    u = kmv_merge(a, b, by=by, k=k)
+    in_a = u.join(a.select(*by, "h"), on=[*by, "h"], how="left_semi")
+    only_a = in_a.join(b.select(*by, "h"), on=[*by, "h"], how="left_anti")
+    u_est = kmv_distinct(u, by=by, k=k).select(
+        *by,
+        F.col("n_vals").alias("union_n_vals"),
+        F.col("kth_h").alias("union_kth_h"),
+        F.col("est").alias("union_est"),
+    )
+    m = only_a.groupBy(*by).agg(F.count("*").cast("long").alias("n_only_a"))
+    joined = u_est.join(m, on=by, how="left") if by else u_est.crossJoin(m)
+    frac = F.coalesce(F.col("n_only_a"), F.lit(0)).cast("double") / F.col(
+        "union_n_vals"
+    ).cast("double")
+    return joined.select(
+        *by,
+        "union_n_vals",
+        "union_kth_h",
+        "union_est",
+        F.coalesce(F.col("n_only_a"), F.lit(0).cast("long")).alias("n_only_a"),
+        frac.alias("only_a_frac"),
+        (frac * F.col("union_est")).alias("diff_est"),
+    )
+
+
 # ── Bloom filter — mergeable membership sketch ───────────────────────
 #
 # Bloom 1970. Rounds out the mergeable-summary suite: distinct count

@@ -512,3 +512,96 @@ def quantiles_from_store(
         )
     ints = _dyadic_walk(cells, qs, total_n, levels, depth, width)
     return [v / scale for v in ints]
+
+
+# ── Derived range reads (round 10): the store answering MANY questions ─
+
+
+def rolling_distinct_from_store(
+    spark: SparkSession,
+    store_path: str,
+    start: dt.date | str,
+    end: dt.date | str,
+    window_days: int = 7,
+    metric_col: str = "metric",
+    p: int | None = None,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Trailing-``window_days`` distinct estimate for EVERY day in
+    [start, end], all from stored registers (round 10) — the dashboard
+    "rolling 7-day active users" series that an events-rescan engine
+    recomputes per point. Each stored per-day register row serves the
+    ≤ window_days output days it falls inside: explode day →
+    day+[0, w)·1d, filter to range, bucket-max per (out_day, bucket),
+    one raw estimate per day. Register tables are days×m rows, so the
+    explode is ×w on a volume-independent input.
+
+    Output: (day, buckets_used, v_empty, z_num, raw_est, small_range)
+    — one row per day in [start, end]."""
+    manifest = _read_manifest(store_path)
+    if p is None:
+        p = (manifest or {}).get("p", 8)
+    # read a window_days-widened range so early output days see their
+    # full trailing window
+    widened = (
+        F.lit(start).cast("date") - F.expr(f"INTERVAL {window_days - 1} DAYS")
+    )
+    reg = _read_store_range(
+        spark,
+        store_path,
+        kind="hll",
+        params={"p": p, "key_col": key_col, "metric_col": metric_col},
+        start=None,
+        end=end,
+    ).filter(F.col("metric_date") >= widened)
+    served = reg.select(
+        F.explode(
+            F.sequence(
+                F.col("metric_date"),
+                F.col("metric_date") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+            )
+        ).alias("day"),
+        "bucket",
+        "rho",
+    ).filter(
+        (F.col("day") >= F.lit(start).cast("date"))
+        & (F.col("day") <= F.lit(end).cast("date"))
+    )
+    folded = served.groupBy("day", "bucket").agg(F.max("rho").alias("rho"))
+    return hll_raw_estimate(folded, by=["day"], p=p)
+
+
+def new_audience_from_store(
+    spark: SparkSession,
+    store_path: str,
+    metric: str,
+    prev_start: dt.date | str,
+    prev_end: dt.date | str,
+    cur_start: dt.date | str,
+    cur_end: dt.date | str,
+    metric_col: str = "metric",
+    k: int | None = None,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """"How many of [cur]'s distinct users were NOT active in [prev]"
+    for one metric, from stored bottom-k partials alone (round 10) —
+    the new-vs-returning split every growth dashboard asks, answered
+    by `kmv_difference` over two folded range sketches with no events
+    rescan. Output: one row of kmv_difference columns."""
+    from smartdatapipeline_spark.functions.sketch import kmv_difference
+
+    manifest = _read_manifest(store_path)
+    if k is None:
+        k = (manifest or {}).get("k", 64)
+    params = {"k": k, "key_col": key_col, "metric_col": metric_col}
+    cur = _read_store_range(
+        spark, store_path, kind="kmv", params=params,
+        start=cur_start, end=cur_end,
+    )
+    prev = _read_store_range(
+        spark, store_path, kind="kmv", params=params,
+        start=prev_start, end=prev_end,
+    )
+    a = kmv_fold(cur.filter(F.col(metric_col) == metric), k=k)
+    b = kmv_fold(prev.filter(F.col(metric_col) == metric), k=k)
+    return kmv_difference(a, b, k=k)

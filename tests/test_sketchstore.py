@@ -388,3 +388,110 @@ def test_dyadic_store_empty_range_raises(spark, tmp_path):
     update_dyadic_store(ev, store)
     with pytest.raises(ValueError, match="no mass"):
         quantiles_from_store(spark, store, [0.5], start="2024-06-01")
+
+
+# ── round 10: derived range reads (rolling distinct, new audience) ───
+
+
+def test_kmv_difference_exact_below_k(spark):
+    from smartdatapipeline_spark.functions.sketch import (
+        kmv_difference,
+        kmv_partial,
+    )
+
+    a = spark.createDataFrame([Row(k=f"u{i}") for i in range(30)])
+    b = spark.createDataFrame([Row(k=f"u{i}") for i in range(20, 50)])
+    sa = kmv_partial(a, "k", k=64)
+    sb = kmv_partial(b, "k", k=64)
+    got = kmv_difference(sa, sb, k=64).collect()[0]
+    # |A ∪ B| = 50 < k: the union sketch IS the union, counts exact
+    assert got["union_n_vals"] == 50
+    assert got["n_only_a"] == 20  # u0..u19
+    assert abs(got["diff_est"] - 20.0) < 1e-9
+    # subset: A \ A = 0
+    got2 = kmv_difference(sa, sa, k=64).collect()[0]
+    assert got2["n_only_a"] == 0 and got2["diff_est"] == 0.0
+
+
+def test_kmv_difference_accuracy_above_k(spark):
+    from smartdatapipeline_spark.functions.sketch import (
+        kmv_difference,
+        kmv_partial,
+    )
+
+    # |A|=3000 (0..2999), |B|=3000 (2000..4999) ⇒ |A\B| = 2000
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").cast("string").alias("k"))
+    got = kmv_difference(
+        kmv_partial(a, "k", k=256), kmv_partial(b, "k", k=256), k=256
+    ).collect()[0]
+    # rel err of the ratio estimator at k=256 ~ a few %, assert 20%
+    assert abs(got["diff_est"] - 2000) / 2000 < 0.2, got["diff_est"]
+
+
+def test_rolling_distinct_from_store_matches_direct_windows(spark, tmp_path):
+    from smartdatapipeline_spark.operators.sketchstore import (
+        rolling_distinct_from_store,
+    )
+
+    store = str(tmp_path / "roll_store")
+    days = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    ev = _events(spark, days, users_per_day=60)
+    update_register_store(ev, store)
+
+    got = rolling_distinct_from_store(
+        spark, store, start="2024-01-05", end="2024-01-10", window_days=3
+    )
+    # direct: per output day, sketch the trailing-3-day slice
+    import datetime as dt
+
+    rows = []
+    for d in range(5, 11):
+        day = dt.date(2024, 1, d)
+        lo = day - dt.timedelta(days=2)
+        sub = ev.filter(
+            (F.to_date("ts") >= F.lit(str(lo))) & (F.to_date("ts") <= F.lit(str(day)))
+        )
+        w = hll_raw_estimate(hll_partial(sub, "user_id")).collect()[0]
+        rows.append((str(day), str(w["buckets_used"]), str(w["v_empty"]),
+                     str(w["z_num"]), str(w["raw_est"]), str(w["small_range"])))
+    want = sorted(rows)
+    got_rows = sorted(
+        (str(r["day"]), str(r["buckets_used"]), str(r["v_empty"]),
+         str(r["z_num"]), str(r["raw_est"]), str(r["small_range"]))
+        for r in got.collect()
+    )
+    assert got_rows == want
+
+
+def test_new_audience_from_store_matches_direct(spark, tmp_path):
+    from smartdatapipeline_spark.functions.sketch import (
+        kmv_difference,
+        kmv_partial,
+    )
+    from smartdatapipeline_spark.operators.sketchstore import (
+        new_audience_from_store,
+        update_kmv_store,
+    )
+
+    store = str(tmp_path / "newaud_store")
+    days = [f"2024-01-{d:02d}" for d in range(1, 7)]
+    ev = _events(spark, days, users_per_day=80)
+    update_kmv_store(ev, store, k=32)
+
+    got = new_audience_from_store(
+        spark, store, "m1",
+        prev_start="2024-01-01", prev_end="2024-01-03",
+        cur_start="2024-01-04", cur_end="2024-01-06",
+    )
+    cur = ev.filter(
+        (F.col("metric") == "m1") & (F.to_date("ts") >= F.lit("2024-01-04"))
+    )
+    prev = ev.filter(
+        (F.col("metric") == "m1") & (F.to_date("ts") <= F.lit("2024-01-03"))
+    )
+    want = kmv_difference(
+        kmv_partial(cur, "user_id", k=32), kmv_partial(prev, "user_id", k=32),
+        k=32,
+    )
+    assert _est_rows(got) == _est_rows(want)
