@@ -3919,6 +3919,32 @@ def q_dyadic_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dyadic_series_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SERIES quantile grids from the store (round 10): daily
+    dyadic partials keyed by (day, event_type); the folded per-series
+    cell grids for [2024-01-08, 2024-01-21] are what
+    quantiles_from_store(by_metric=True) walks — per-series
+    distributions (the reference's anomaly input,
+    backend/app/services/anomaly.py) served from stored cells with no
+    events rescan. Counting is additive per series, so the oracle
+    rebuilding every (event_type, level, row, cell) from date-filtered
+    events is bit-identical
+    (operators/sketchstore.py dyadic_cells_from_store)."""
+    from smartdatapipeline_spark.operators.sketchstore import (
+        dyadic_cells_from_store,
+        update_dyadic_store,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    store = _tmp_store("dyadicm", sf_dir)
+    update_dyadic_store(
+        ev, store, levels=16, depth=4, width=2048, metric_col="event_type"
+    )
+    return dyadic_cells_from_store(
+        spark, store, start="2024-01-08", end="2024-01-21", by_metric=True
+    )
+
+
 def q_rolling_distinct_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users for EVERY day of [01-08, 01-21],
     all from stored registers (round 10): each stored per-day register
@@ -4290,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyadic_range_store": q_dyadic_range_store,
         "rolling_distinct_store": q_rolling_distinct_store,
         "kmv_new_audience_store": q_kmv_new_audience_store,
+        "dyadic_series_store": q_dyadic_series_store,
     }
 
 
@@ -7023,6 +7050,28 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS level) l
         CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS row) r
         GROUP BY 1, 2, 3
+    """
+    # round 10 — per-series dyadic store range read: grouped cells of
+    # the date range, rebuilt directly by the oracle
+    o["dyadic_series_store"] = f"""
+        SELECT event_type, level, row,
+               (('0x' || substr(md5('dcms-v1:' || CAST(level AS VARCHAR)
+                    || ':' || CAST(row AS VARCHAR)
+                    || ':' || CAST((v >> level) AS VARCHAR)),
+                    1, 15))::BIGINT) % 2048 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT event_type,
+                   CASE WHEN v < 0 THEN 0
+                        WHEN v > 65535 THEN 65535 ELSE v END AS v
+            FROM (
+                SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL {_STORE_RANGE}
+            )
+        )
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS level) l
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS row) r
+        GROUP BY 1, 2, 3, 4
     """
     # round 10 — grouped dyadic-CMS: one grid per event_type, same
     # salted cell hashing as the global sketch

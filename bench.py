@@ -291,6 +291,7 @@ BENCH_QUERIES: list[str] = [
     "dyadic_range_store",
     "rolling_distinct_store",
     "kmv_new_audience_store",
+    "dyadic_series_store",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -414,22 +414,28 @@ def update_dyadic_store(
     levels: int = 20,
     depth: int = 4,
     width: int = 2048,
+    metric_col: str | None = None,
     only_new_days: bool = True,
 ) -> int:
     """Upsert per-day dyadic-CMS quantile partials (≤ levels·depth·width
     cells per day): any later range-quantile question folds stored
     cells by SUM — the quantile analog of the register store. Values
-    are pre-scaled to integers by ``scale`` (e.g. cents). Same
-    incremental / corrections semantics as `update_register_store`."""
+    are pre-scaled to integers by ``scale`` (e.g. cents).
+    ``metric_col`` keys an independent grid per (day, metric) — the
+    PER-SERIES quantile store the reference's anomaly math consumes
+    (backend/app/services/anomaly.py reads per-series distributions).
+    Same incremental / corrections semantics as
+    `update_register_store`."""
     from smartdatapipeline_spark.functions.sketch import dyadic_cms_partial
+
+    by = ["metric_date"] + ([metric_col] if metric_col else [])
 
     def _partial(df: DataFrame) -> DataFrame:
         scaled = df.withColumn(
             "_sv", F.floor(F.col(value_col) * scale).cast("long")
         )
         return dyadic_cms_partial(
-            scaled, "_sv", levels=levels, depth=depth, width=width,
-            by=["metric_date"],
+            scaled, "_sv", levels=levels, depth=depth, width=width, by=by
         )
 
     return _update_store(
@@ -440,6 +446,7 @@ def update_dyadic_store(
         params={
             "scale": scale, "levels": levels, "depth": depth,
             "width": width, "value_col": value_col,
+            "metric_col": metric_col,
         },
         key_col=value_col,
         ts_col=ts_col,
@@ -447,32 +454,44 @@ def update_dyadic_store(
     )
 
 
+def _dyadic_manifest(store_path: str) -> dict:
+    m = _read_manifest(store_path) or {}
+    return {
+        "scale": m.get("scale", 100),
+        "levels": m.get("levels", 20),
+        "depth": m.get("depth", 4),
+        "width": m.get("width", 2048),
+        "value_col": m.get("value_col", "value"),
+        "metric_col": m.get("metric_col"),
+    }
+
+
 def dyadic_cells_from_store(
     spark: SparkSession,
     store_path: str,
     start: dt.date | str | None = None,
     end: dt.date | str | None = None,
+    by_metric: bool = False,
 ) -> DataFrame:
-    """The range's folded cell grid (level, row, cell, n) from STORED
-    daily partials — cell-wise SUM, partition-pruned. This is the
-    oracle-able surface; `quantiles_from_store` walks it."""
-    manifest = _read_manifest(store_path) or {}
+    """The range's folded cell grid from STORED daily partials —
+    cell-wise SUM, partition-pruned. ``by_metric=True`` (on a store
+    built with ``metric_col``) keeps one grid per series. This is the
+    oracle-able surface; `quantiles_from_store` walks it.
+    Output: ([metric,] level, row, cell, n)."""
+    params = _dyadic_manifest(store_path)
     reg = _read_store_range(
-        spark,
-        store_path,
-        kind="dyadic",
-        params={
-            "scale": manifest.get("scale", 100),
-            "levels": manifest.get("levels", 20),
-            "depth": manifest.get("depth", 4),
-            "width": manifest.get("width", 2048),
-            "value_col": manifest.get("value_col", "value"),
-        },
-        start=start,
-        end=end,
+        spark, store_path, kind="dyadic", params=params,
+        start=start, end=end,
     )
+    keep = []
+    if by_metric:
+        if not params["metric_col"]:
+            raise ValueError(
+                f"dyadic store at {store_path} was built without metric_col"
+            )
+        keep = [params["metric_col"]]
     return (
-        reg.groupBy("level", "row", "cell")
+        reg.groupBy(*keep, "level", "row", "cell")
         .agg(F.sum("n").cast("long").alias("n"))
     )
 
@@ -483,35 +502,57 @@ def quantiles_from_store(
     qs: list[float],
     start: dt.date | str | None = None,
     end: dt.date | str | None = None,
-) -> list[float]:
+    by_metric: bool = False,
+) -> list[float] | dict[str, list[float]]:
     """Range quantiles (descaled to the original value domain) from
     STORED cells alone — no events rescan. total_n is derived from the
     stored grid itself: every value increments exactly ``depth`` cells
-    per level, so Σn over level 0 = depth·N (exact integers).
+    per level, so Σn over level 0 = depth·N (exact integers, per
+    group).
 
-    The walk runs on the collected fold (≤ levels·depth·width cells —
-    the justified-collect class of the in-memory walk)."""
+    ``by_metric=True`` returns {metric: [quantile_per_q]} — per-series
+    quantiles from one store read, the reference's per-series
+    distribution input served without rescans.
+
+    The walk runs on the collected fold (≤ [series ×]
+    levels·depth·width cells — the justified-collect class of the
+    in-memory walk; series count is dimension-bounded)."""
     from smartdatapipeline_spark.functions.sketch import _dyadic_walk
 
-    manifest = _read_manifest(store_path) or {}
-    scale = manifest.get("scale", 100)
-    levels = manifest.get("levels", 20)
-    depth = manifest.get("depth", 4)
-    width = manifest.get("width", 2048)
-    folded = dyadic_cells_from_store(spark, store_path, start=start, end=end)
-    cells: dict[tuple[int, int, int], int] = {}
-    lvl0 = 0
+    params = _dyadic_manifest(store_path)
+    scale, levels = params["scale"], params["levels"]
+    depth, width = params["depth"], params["width"]
+    folded = dyadic_cells_from_store(
+        spark, store_path, start=start, end=end, by_metric=by_metric
+    )
+    mcol = params["metric_col"]
+    groups: dict[str | None, dict[tuple[int, int, int], int]] = {}
+    lvl0: dict[str | None, int] = {}
     for r in folded.collect():
-        cells[(r["level"], r["row"], r["cell"])] = r["n"]
+        g = r[mcol] if by_metric else None
+        groups.setdefault(g, {})[(r["level"], r["row"], r["cell"])] = r["n"]
         if r["level"] == 0:
-            lvl0 += r["n"]
-    total_n = lvl0 // depth
-    if total_n == 0:
+            lvl0[g] = lvl0.get(g, 0) + r["n"]
+    if not by_metric:
+        total_n = lvl0.get(None, 0) // depth
+        if total_n == 0:
+            raise ValueError(
+                f"dyadic store at {store_path} holds no mass in range"
+            )
+        ints = _dyadic_walk(groups[None], qs, total_n, levels, depth, width)
+        return [v / scale for v in ints]
+    out: dict[str, list[float]] = {}
+    for g, cells in groups.items():
+        total_n = lvl0.get(g, 0) // depth
+        if total_n == 0:
+            continue
+        ints = _dyadic_walk(cells, qs, total_n, levels, depth, width)
+        out[g] = [v / scale for v in ints]
+    if not out:
         raise ValueError(
             f"dyadic store at {store_path} holds no mass in range"
         )
-    ints = _dyadic_walk(cells, qs, total_n, levels, depth, width)
-    return [v / scale for v in ints]
+    return out
 
 
 # ── Derived range reads (round 10): the store answering MANY questions ─

@@ -495,3 +495,60 @@ def test_new_audience_from_store_matches_direct(spark, tmp_path):
         k=32,
     )
     assert _est_rows(got) == _est_rows(want)
+
+
+def test_dyadic_store_per_metric_quantiles(spark, tmp_path):
+    """A store built with metric_col serves PER-SERIES quantiles from
+    one read — each series' answers track its own distribution (two
+    very different shapes so a cross-series leak fails loudly)."""
+    import bisect
+
+    from smartdatapipeline_spark.operators.sketchstore import (
+        quantiles_from_store,
+        update_dyadic_store,
+    )
+
+    store = str(tmp_path / "dyadic_grouped_store")
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        for u in range(500):
+            rows.append(Row(ts=f"{day} 06:00:00", metric="wide",
+                            value=float((u * u) % 400)))
+            rows.append(Row(ts=f"{day} 06:00:00", metric="narrow",
+                            value=float(u % 7)))
+    ev = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    kw = dict(scale=100, levels=16, depth=4, width=1024, metric_col="metric")
+    assert update_dyadic_store(ev, store, **kw) == 2
+    got = quantiles_from_store(
+        spark, store, [0.5, 0.9], by_metric=True
+    )
+    assert set(got) == {"wide", "narrow"}
+    truth = {
+        "wide": sorted(float((u * u) % 400) for u in range(500)) * 2,
+        "narrow": sorted(float(u % 7) for u in range(500)) * 2,
+    }
+    for m, anss in got.items():
+        vals = sorted(truth[m])
+        n = len(vals)
+        for q, ans in zip([0.5, 0.9], anss):
+            lo = bisect.bisect_left(vals, ans)
+            hi = bisect.bisect_right(vals, ans)
+            assert lo - 0.05 * n <= q * n <= hi + 0.05 * n, (m, q, ans)
+    assert got["narrow"][1] <= 7.0  # p90 of the narrow series stays narrow
+
+
+def test_dyadic_store_by_metric_on_global_store_raises(spark, tmp_path):
+    from smartdatapipeline_spark.operators.sketchstore import (
+        dyadic_cells_from_store,
+        update_dyadic_store,
+    )
+
+    store = str(tmp_path / "dyadic_global2")
+    ev = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00", value=1.0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    update_dyadic_store(ev, store)
+    with pytest.raises(ValueError, match="without metric_col"):
+        dyadic_cells_from_store(spark, store, by_metric=True)
