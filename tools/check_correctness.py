@@ -62,6 +62,11 @@ def main() -> int:
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
+    # Disk guard (round 10): an oracle whose intermediate explodes at
+    # the 10x sweep volume (a pair-space join) must ERROR, recorded
+    # per-query, instead of spilling the root volume full — one such
+    # oracle spilled 50 GB before being killed this round.
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
