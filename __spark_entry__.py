@@ -3993,6 +3993,82 @@ def q_kmv_new_audience_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_snap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the snapshot-committed KPI table once per (sf_dir, data
+    fingerprint): v1 appends the full-range daily KPIs; v2 OVERWRITES
+    the [01-08, 01-14] partitions with a corrected recompute that
+    scrubs value>100 outliers (the late-correction upsert flow the
+    reference runs as ON CONFLICT, services/kpi.py:143-231 — here via
+    the object-store-legal commit protocol). Idempotency keys make a
+    crashed/retried build converge to the same two commits."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("snap", sf_dir)
+    if SS.table_version(root) >= 2:
+        return root
+    ev = _events(spark, sf_dir)
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+
+    def kpis(df):
+        return df.groupBy(
+            F.to_date("ts").alias("metric_date"),
+            F.col("event_type").alias("metric"),
+        ).agg(sum_dec.alias("value_sum"), F.count(F.lit(1)).alias("value_count"))
+
+    SS.append(kpis(ev), root, "metric_date", idempotency_key="snap-build-v1")
+    week = ev.filter(
+        F.to_date("ts").between("2024-01-08", "2024-01-14")
+        & (F.col("value") <= 100)
+    )
+    SS.overwrite_partitions(
+        kpis(week), root, "metric_date", idempotency_key="snap-build-v2"
+    )
+    return root
+
+
+def q_snapshot_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table partition upsert, LATEST snapshot (round 10; the
+    object-store-safe upsert path of sources/snapstore.py — put-if-
+    absent manifest commits, immutable data, copy-on-write residues —
+    closing the round-9 "missing #3" Delta/Iceberg gap from public
+    designs, Armbrust et al. VLDB 2020). v1 = full-range daily KPIs;
+    v2 overwrote [01-08, 01-14] with an outlier-scrubbed recompute;
+    this reads the live file set of v2. Oracle recomputes the same
+    CASE-corrected aggregate from events directly."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _ensure_snap_table(spark, sf_dir)
+    return SS.read_table(spark, root)
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL to the pre-correction snapshot (round 10): version 1
+    of the same table — the exact state before the outlier scrub, still
+    readable because v1's files are immutable and retained (training-
+    data reproducibility: read the corpus a model actually saw). The
+    oracle is the UNcorrected aggregate — proving the old snapshot is
+    bit-intact after the overwrite (sources/snapstore.py read_table)."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _ensure_snap_table(spark, sf_dir)
+    return SS.read_table(spark, root, version=1)
+
+
+def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-level partition pruning (round 10): the corrected-week
+    read lists ONLY the manifest entries whose tracked partition values
+    intersect [01-08, 01-14] — non-matching batch dirs never reach the
+    scan plan (Iceberg-style file pruning ahead of parquet row groups).
+    Oracle: the corrected week's aggregate from events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _ensure_snap_table(spark, sf_dir)
+    days = [f"2024-01-{d:02d}" for d in range(8, 15)]
+    return SS.read_table(
+        spark, root, partition_values=days, partition_col="metric_date"
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 37th vector plays the
     eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
@@ -4317,6 +4393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_store": q_rolling_distinct_store,
         "kmv_new_audience_store": q_kmv_new_audience_store,
         "dyadic_series_store": q_dyadic_series_store,
+        "snapshot_upsert_read": q_snapshot_upsert_read,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_pruned_read": q_snapshot_pruned_read,
     }
 
 
@@ -7230,6 +7309,31 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(a.n_chars * a.n_chars AS DOUBLE) AS simpson
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
+
+    # round 10 — snapshot-committed table (sources/snapstore.py): the
+    # store derives deterministically from events (v1 = full KPIs,
+    # v2 = [01-08, 01-14] overwritten scrubbing value>100), so each
+    # read path has an exact events-side SQL equivalent.
+    _SNAP_AGG = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(*) AS value_count
+        FROM events
+        {where}
+        GROUP BY 1, 2
+    """
+    o["snapshot_upsert_read"] = _SNAP_AGG.format(
+        where="""WHERE NOT (CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                AND DATE '2024-01-14'
+                            AND value > 100)"""
+    )
+    o["snapshot_time_travel"] = _SNAP_AGG.format(where="")
+    o["snapshot_pruned_read"] = _SNAP_AGG.format(
+        where="""WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                     AND DATE '2024-01-14'
+                 AND value <= 100"""
+    )
 
     return o
 

@@ -1,0 +1,305 @@
+"""Snapshot-committed table (sources/snapstore.py): commit protocol,
+snapshot isolation, copy-on-write residues, concurrency, crash sims,
+checkpoints, idempotency, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.sources import snapstore as SS
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "d string, k string, v long")
+
+
+def _rows(df):
+    return sorted((r["d"], r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    v2 = SS.append(_df(spark, [("2024-01-02", "b", 2)]), root, "d")
+    assert (v1, v2) == (1, 2)
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "a", 1),
+        ("2024-01-02", "b", 2),
+    ]
+    assert SS.table_version(root) == 2
+
+
+def test_empty_append_is_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert SS.append(_df(spark, []), root, "d") == 0
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    assert SS.append(_df(spark, []), root, "d") == 1
+    assert SS.table_version(root) == 1
+
+
+def test_overwrite_replaces_only_targeted_partitions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1), ("2024-01-02", "b", 2)]), root, "d")
+    SS.append(_df(spark, [("2024-01-03", "c", 3)]), root, "d")
+    SS.overwrite_partitions(_df(spark, [("2024-01-02", "B", 20)]), root, "d")
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "a", 1),
+        ("2024-01-02", "B", 20),
+        ("2024-01-03", "c", 3),
+    ]
+
+
+def test_copy_on_write_residue(spark, tmp_path):
+    """An entry holding BOTH a replaced and an untouched partition loses
+    only the replaced rows — the residue is rewritten in the same
+    commit."""
+    root = str(tmp_path / "t")
+    SS.append(
+        _df(spark, [("2024-01-01", "a", 1), ("2024-01-02", "b", 2), ("2024-01-03", "c", 3)]),
+        root,
+        "d",
+    )
+    v = SS.overwrite_partitions(_df(spark, [("2024-01-02", "B", 20)]), root, "d")
+    assert v == 2
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "a", 1),
+        ("2024-01-02", "B", 20),
+        ("2024-01-03", "c", 3),
+    ]
+    # the original 3-partition batch is fully removed from the live set
+    _, live, _ = SS._snapshot(root)
+    for e in live:
+        assert set(e["values"]) <= {"2024-01-01", "2024-01-02", "2024-01-03"}
+        assert "2024-01-02" not in e["values"] or e["rows"] == 1
+
+
+def test_overwrite_deletes_partition_rows_that_vanish(spark, tmp_path):
+    """Overwriting a partition with FEWER rows (a correction shrinking
+    the day) must not resurrect old rows."""
+    root = str(tmp_path / "t")
+    SS.append(
+        _df(spark, [("2024-01-01", "a", 1), ("2024-01-01", "b", 2)]), root, "d"
+    )
+    SS.overwrite_partitions(_df(spark, [("2024-01-01", "only", 9)]), root, "d")
+    assert _rows(SS.read_table(spark, root)) == [("2024-01-01", "only", 9)]
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    SS.overwrite_partitions(_df(spark, [("2024-01-01", "a", 100)]), root, "d")
+    assert _rows(SS.read_table(spark, root, version=1)) == [("2024-01-01", "a", 1)]
+    assert _rows(SS.read_table(spark, root, version=2)) == [("2024-01-01", "a", 100)]
+    h = SS.history(root)
+    assert [x["kind"] for x in h] == ["append", "overwrite_partitions"]
+    assert h[1]["replaced"] == ["2024-01-01"]
+
+
+def test_manifest_level_pruning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    SS.append(_df(spark, [("2024-01-02", "b", 2)]), root, "d")
+    df = SS.read_table(spark, root, partition_values=["2024-01-02"])
+    assert _rows(df) == [("2024-01-02", "b", 2)]
+    # only ONE batch dir reaches the scan
+    files = {
+        os.path.dirname(r[0])
+        for r in df.withColumn("_f", F.input_file_name()).select("_f").collect()
+    }
+    assert len(files) == 1
+
+
+def test_uncommitted_batch_is_invisible(spark, tmp_path):
+    """Crash sim: a data dir written without its commit file never
+    appears in any snapshot."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    orphan = SS._write_batch(_df(spark, [("2024-01-09", "zz", 99)]), root, "d")
+    assert orphan is not None  # written, never committed
+    assert _rows(SS.read_table(spark, root)) == [("2024-01-01", "a", 1)]
+
+
+def test_torn_tmp_commit_is_ignored(spark, tmp_path):
+    """Crash sim: a writer that died before claiming leaves only a
+    .tmp- file in the log — readers and later committers ignore it."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    with open(os.path.join(root, "_log", ".tmp-deadbeef"), "w") as f:
+        f.write('{"version": 99')  # truncated JSON
+    assert SS.table_version(root) == 1
+    assert SS.append(_df(spark, [("2024-01-02", "b", 2)]), root, "d") == 2
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "seed", 0)]), root, "d")
+    errs: list[Exception] = []
+
+    def go(i):
+        try:
+            SS.append(_df(spark, [(f"2024-02-{i + 1:02d}", f"w{i}", i)]), root, "d")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert SS.table_version(root) == 5
+    assert SS.read_table(spark, root).count() == 5
+
+
+def test_concurrent_same_partition_overwrite_conflicts(spark, tmp_path):
+    """Two overwrites of the SAME partition racing: exactly one lands,
+    the loser raises ConcurrentWriteError (its recompute is stale)."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    start = threading.Barrier(2)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def go(tag, val):
+        df = _df(spark, [("2024-01-01", tag, val)])
+        start.wait()
+        try:
+            SS.overwrite_partitions(df, root, "d")
+            with lock:
+                outcomes.append("ok")
+        except SS.ConcurrentWriteError:
+            with lock:
+                outcomes.append("conflict")
+
+    ts = [
+        threading.Thread(target=go, args=("x", 10)),
+        threading.Thread(target=go, args=("y", 20)),
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    # both may serialize cleanly (no race observed) or one conflicts —
+    # but never a torn/merged table: the final snapshot is exactly one
+    # writer's batch
+    rows = _rows(SS.read_table(spark, root))
+    assert rows in ([("2024-01-01", "x", 10)], [("2024-01-01", "y", 20)])
+    assert sorted(outcomes) in (["ok", "ok"], ["conflict", "ok"])
+
+
+def test_disjoint_overwrite_retries_past_append(spark, tmp_path):
+    """An overwrite losing the version race to an append on OTHER
+    partitions retries and lands (no false conflict)."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1), ("2024-01-05", "e", 5)]), root, "d")
+
+    real_claim = SS._try_claim
+    raced = {"done": False}
+
+    def claim_with_interloper(r, version, payload):
+        if not raced["done"] and payload["kind"] == "overwrite_partitions":
+            raced["done"] = True
+            # an append to a DIFFERENT partition steals this version
+            interloper = SS._write_batch(
+                _df(spark, [("2024-03-01", "z", 9)]), r, "d"
+            )
+            real_claim(
+                r,
+                version,
+                {
+                    "version": version,
+                    "kind": "append",
+                    "actions": [interloper],
+                    "replaced": [],
+                    "idempotency_key": None,
+                    "writer": "interloper",
+                },
+            )
+        return real_claim(r, version, payload)
+
+    SS._try_claim = claim_with_interloper
+    try:
+        v = SS.overwrite_partitions(_df(spark, [("2024-01-01", "A", 10)]), root, "d")
+    finally:
+        SS._try_claim = real_claim
+    assert v == 3  # lost v2 to the interloper, landed as v3
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "A", 10),
+        ("2024-01-05", "e", 5),
+        ("2024-03-01", "z", 9),
+    ]
+
+
+def test_idempotency_key_prevents_double_apply(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, [("2024-01-01", "a", 1)])
+    v1 = SS.append(df, root, "d", idempotency_key="job-1")
+    v2 = SS.append(df, root, "d", idempotency_key="job-1")  # retry of same job
+    assert (v1, v2) == (1, 1)
+    assert SS.read_table(spark, root).count() == 1
+    v3 = SS.overwrite_partitions(df, root, "d", idempotency_key="job-2")
+    v4 = SS.overwrite_partitions(df, root, "d", idempotency_key="job-2")
+    assert v3 == v4 == 2
+
+
+def test_checkpoint_replay_equivalence(spark, tmp_path):
+    """Past the checkpoint interval, a snapshot built from the newest
+    checkpoint + tail equals one replayed from scratch."""
+    root = str(tmp_path / "t")
+    for i in range(SS._CHECKPOINT_INTERVAL + 3):
+        SS.append(_df(spark, [(f"2024-01-{i + 1:02d}", f"k{i}", i)]), root, "d")
+    _, cps = SS._list_log(root)
+    assert cps, "expected a checkpoint to have been written"
+    v, live_cp, keys = SS._snapshot(root)
+    # force a from-scratch replay by hiding checkpoints
+    cp_paths = [
+        os.path.join(root, "_log", f"{c:0{SS._V_WIDTH}d}.checkpoint.json") for c in cps
+    ]
+    for p in cp_paths:
+        os.rename(p, p + ".hide")
+    try:
+        v2, live_full, _ = SS._snapshot(root)
+    finally:
+        for p in cp_paths:
+            os.rename(p + ".hide", p)
+    assert (v, live_cp) == (v2, live_full)
+
+
+def test_vacuum_removes_orphans_keeps_retained(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    SS.overwrite_partitions(_df(spark, [("2024-01-01", "a", 2)]), root, "d")
+    SS.overwrite_partitions(_df(spark, [("2024-01-01", "a", 3)]), root, "d")
+    orphan = SS._write_batch(_df(spark, [("2024-09-09", "x", 0)]), root, "d")
+    # grace_sec=0 so freshly-written dirs are eligible
+    deleted = SS.vacuum(root, keep_versions=2, grace_sec=0.0)
+    assert orphan["path"] in deleted  # crashed-writer garbage reclaimed
+    # v2 and v3 still readable (retention=2), v1's batch may be gone
+    assert _rows(SS.read_table(spark, root, version=2)) == [("2024-01-01", "a", 2)]
+    assert _rows(SS.read_table(spark, root, version=3)) == [("2024-01-01", "a", 3)]
+
+
+def test_read_missing_table_raises(spark, tmp_path):
+    with pytest.raises(SS.NoSuchTableError):
+        SS.read_table(spark, str(tmp_path / "nope"))
+
+
+def test_null_partition_value_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(None, "a", 1)], "d string, k string, v long")
+    with pytest.raises(ValueError, match="NULL"):
+        SS.overwrite_partitions(df, root, "d")
+
+
+def test_commit_files_are_complete_json(spark, tmp_path):
+    """The claim primitive guarantees a commit file never exists with
+    partial contents — every committed file parses."""
+    root = str(tmp_path / "t")
+    for i in range(3):
+        SS.append(_df(spark, [(f"2024-01-0{i + 1}", "k", i)]), root, "d")
+    log = os.path.join(root, "_log")
+    for n in os.listdir(log):
+        if n.endswith(".json"):
+            with open(os.path.join(log, n)) as f:
+                json.load(f)  # must not raise
