@@ -32,6 +32,7 @@ def ingest_and_refresh(
     gold_path: str,
     default_metric: str | None = None,
     source_id: int = 1,
+    store: str = "parquet",
 ) -> dict:
     """Ingest a raw frame and refresh the affected gold slices.
 
@@ -42,14 +43,33 @@ def ingest_and_refresh(
     reference's "recompute affected metrics" scoped to partitions, which
     is what keeps a 100 TB gold table's refresh proportional to the
     batch, not the history.
+
+    ``store`` picks the sink discipline: ``"parquet"`` (default) is the
+    POSIX lock+swap path of sources/sinks.py; ``"snapshot"`` routes
+    BOTH tables through the manifest-committed snapshot store
+    (sources/snapstore.py) — silver as blind appends, gold as
+    partition overwrites — the object-store-legal deployment (no
+    renames, no locks, optimistic commits). Results are identical by
+    construction; tests pin parquet==snapshot gold equality.
     """
+    if store not in ("parquet", "snapshot"):
+        raise ValueError(f"store must be 'parquet' or 'snapshot', got {store!r}")
     clean = clean_rows(raw, default_metric=default_metric).withColumn(
         "source_id", F.lit(source_id)
     )
     stats = ingest_stats_from_clean(clean)
     valid = clean.filter(F.col("_warn").isNull()).drop("_warn")
 
-    existing = read_parquet_if_exists(spark, silver_path)
+    if store == "snapshot":
+        from smartdatapipeline_spark.sources import snapstore as SS
+
+        existing = (
+            SS.read_table(spark, silver_path)
+            if SS.table_version(silver_path) > 0
+            else None
+        )
+    else:
+        existing = read_parquet_if_exists(spark, silver_path)
     to_insert, _ = upsert_clean_events(valid, existing)
     # localCheckpoint, not cache: appending to silver refreshes that
     # path's cache entries (refreshByPath), which would silently
@@ -60,12 +80,21 @@ def ingest_and_refresh(
     stats["duplicate_rows"] = stats["ingested_rows"] - inserted
     if inserted == 0:
         return stats
-    append_silver(to_insert, silver_path)
+
+    if store == "snapshot":
+        SS.append(to_insert, silver_path, partition_col=None)
+        silver = SS.read_table(spark, silver_path)
+    else:
+        append_silver(to_insert, silver_path)
+        silver = spark.read.parquet(silver_path)
 
     touched = to_insert.select(F.to_date("ts").alias("_d")).distinct()
-    silver = spark.read.parquet(silver_path)
     affected = silver.join(
         F.broadcast(touched), F.to_date(silver["ts"]) == touched["_d"], "left_semi"
     )
-    overwrite_gold_partitions(run_daily_kpis(affected), gold_path)
+    gold = run_daily_kpis(affected)
+    if store == "snapshot":
+        SS.overwrite_partitions(gold, gold_path, partition_col="metric_date")
+    else:
+        overwrite_gold_partitions(gold, gold_path)
     return stats
