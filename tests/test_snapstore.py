@@ -355,3 +355,69 @@ def test_pipeline_snapshot_store_matches_parquet(spark, tmp_path):
     # batch 2's day-1 row was a duplicate ⇒ after dedup only day 2 is
     # touched, and the refresh correctly scopes to it alone
     assert h[1]["replaced"] == ["2025-01-02"]
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """foreachBatch into the snapshot table: a file-source stream lands
+    every micro-batch once; a simulated engine RETRY of an epoch (the
+    at-least-once failure mode) is a no-op via its idempotency key, so
+    contents equal the batch read of the same input exactly."""
+    import json as _json
+
+    from smartdatapipeline_spark.streaming.snapsink import (
+        snapshot_append_sink,
+        snapshot_upsert_sink,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    rows = [
+        {"d": f"2025-02-{(i % 3) + 1:02d}", "k": f"k{i}", "v": i} for i in range(12)
+    ]
+    for i, chunk in enumerate([rows[:4], rows[4:8], rows[8:]]):
+        with open(inp / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "d string, k string, v long"
+    sink = snapshot_append_sink(root, app_id="t-stream", partition_col="d")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["d"], r["k"], r["v"]) for r in SS.read_table(spark, root).collect()
+    )
+    want = sorted((r["d"], r["k"], r["v"]) for r in rows)
+    assert got == want
+
+    # engine retry sim: re-run an already-committed epoch's batch fn
+    retry_df = spark.createDataFrame([("2025-02-01", "k0", 0)], schema)
+    v_before = SS.table_version(root)
+    sink(retry_df, 0)  # batch_id 0 already committed by the stream
+    assert SS.table_version(root) == v_before
+    assert SS.read_table(spark, root).count() == len(rows)
+
+    # upsert sink twin: per-day counts, partition overwrite, same key rules
+    root2 = str(tmp_path / "snap2")
+    up = snapshot_upsert_sink(
+        root2,
+        app_id="t-up",
+        partition_col="d",
+        transform=lambda df: df.groupBy("d").count(),
+    )
+    all_df = spark.createDataFrame([(r["d"], r["k"], r["v"]) for r in rows], schema)
+    up(all_df, 0)
+    up(all_df, 0)  # retry: no-op
+    assert SS.table_version(root2) == 1
+    cnt = {r["d"]: r["count"] for r in SS.read_table(spark, root2).collect()}
+    assert cnt == {"2025-02-01": 4, "2025-02-02": 4, "2025-02-03": 4}
