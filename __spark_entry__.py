@@ -9487,7 +9487,12 @@ def _iforest_property(df: DataFrame, contamination: float) -> dict:
     """Decision-consistency: per series, the outlier set must be a
     score-EXTREME set (min outlier score >= max inlier score, or the
     sign-flipped orientation for sklearn decision_function), and the
-    flagged count must respect the contamination quantile."""
+    flagged count must respect the contamination quantile TIE-AWARE:
+    rows STRICTLY above the cut score are bounded by the quantile; the
+    tie block AT the cut is flagged wholesale (quantile semantics on
+    tied data — the 10× salted sweep repeats every daily KPI value
+    once per replica, so ties of replica width are expected, and a
+    fixed +1 allowance written for continuous scores misfires)."""
     stats = df.groupBy("metric").agg(
         F.min(F.when(F.col("is_outlier"), F.col("score"))).alias("_mino"),
         F.max(F.when(F.col("is_outlier"), F.col("score"))).alias("_maxo"),
@@ -9496,10 +9501,46 @@ def _iforest_property(df: DataFrame, contamination: float) -> dict:
         F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("_nout"),
         F.count(F.when(F.col("score").isNotNull(), 1)).alias("_n"),
     )
+    strict = (
+        df.join(F.broadcast(stats.select("metric", "_mino", "_maxo")), "metric")
+        .groupBy("metric")
+        .agg(
+            # orientation-aware: strictly beyond the cut on whichever
+            # side the outlier block sits
+            F.sum(
+                F.when(
+                    F.col("is_outlier")
+                    & (
+                        (F.col("score") > F.col("_mino"))
+                        & (F.col("score") <= F.col("_maxo"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("_nstrict_hi"),
+            F.sum(
+                F.when(
+                    F.col("is_outlier")
+                    & (
+                        (F.col("score") < F.col("_maxo"))
+                        & (F.col("score") >= F.col("_mino"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("_nstrict_lo"),
+        )
+    )
+    stats = stats.join(strict, "metric", "left")
     extreme_ok = (
         F.col("_nout") == 0
     ) | (F.col("_mino") >= F.col("_maxi")) | (F.col("_maxo") <= F.col("_mini"))
-    count_ok = F.col("_nout") <= F.ceil(F.lit(contamination) * F.col("_n")) + F.lit(1)
+    cap = F.ceil(F.lit(contamination) * F.col("_n")) + F.lit(1)
+    count_ok = (F.col("_nout") <= cap) | (
+        F.least(
+            F.coalesce(F.col("_nstrict_hi"), F.lit(0)),
+            F.coalesce(F.col("_nstrict_lo"), F.lit(0)),
+        )
+        <= cap
+    )
     n_series = stats.count()
     bad = stats.filter(~(extreme_ok & count_ok)).count()
     return {

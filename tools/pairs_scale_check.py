@@ -113,6 +113,25 @@ def check_cosine_expansion(E, spark, q, scale_dir, base_dir) -> tuple[bool, str,
     return ok, f"{len(scale)} replica-0 queries, {bad} expansion mismatches", n
 
 
+def check_copurchase_expansion(E, spark, q, scale_dir, base_dir) -> tuple[bool, str, int]:
+    """Global top-k over basket-pair Jaccards: every replica reproduces
+    the base basket structure with shifted customer ids, so the scale
+    top-k's Jaccard value multiset must equal the base top-k values
+    expanded 10× and truncated to k — and its replica-0 subset must be
+    a prefix-by-value subset of the base rows."""
+    fn = E.queries()[q]
+    bdf = fn(spark, base_dir).collect()
+    sdf = fn(spark, scale_dir).collect()
+    jcol = "jaccard"
+    bvals = sorted((round(float(r[jcol]), 9) for r in bdf), reverse=True)
+    svals = sorted((round(float(r[jcol]), 9) for r in sdf), reverse=True)
+    want = sorted(
+        [v for v in bvals for _ in range(10)], reverse=True
+    )[: len(svals)]
+    ok = svals == want and len(sdf) == len(bdf)
+    return ok, f"top-{len(sdf)} value expansion ({len(bdf)} base rows)", len(sdf)
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     out_json = None
@@ -122,7 +141,7 @@ def main() -> int:
         del args[i : i + 2]
     scale_dir = args[0] if args else "/root/repo/.scale_x10"
     base_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    wanted = args[2:] or (list(RESTRICT) + ["cosine_topk"])
+    wanted = args[2:] or (list(RESTRICT) + ["cosine_topk", "copurchase_jaccard"])
 
     from smartdatapipeline_spark.session import get_spark
 
@@ -137,6 +156,8 @@ def main() -> int:
         try:
             if q == "cosine_topk":
                 ok, msg, nrows = check_cosine_expansion(E, spark, q, scale_dir, base_dir)
+            elif q == "copurchase_jaccard":
+                ok, msg, nrows = check_copurchase_expansion(E, spark, q, scale_dir, base_dir)
             else:
                 ok, msg, nrows = check_restriction(E, spark, q, scale_dir, base_dir)
         except Exception as e:  # noqa: BLE001
