@@ -3060,8 +3060,24 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartdatapipeline_spark.operators import temporal as T
 
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        N.dsum("value", scale=4).alias("total")
+    # ONE events scan serves both interval sides (round 10, carried
+    # bench obligation): the (metric, day) grid holds count AND the
+    # exact decimal partial sum; daily totals FOLD the ~150-row grid
+    # (decimal addition is associative, so fold == direct dsum
+    # bit-exactly) instead of re-scanning events. Exchange reuse does
+    # NOT fire here — column pruning specializes each consumer's
+    # partial aggregate (sum-only vs count-only), so without a
+    # materialization the scan runs once per side (4× through the
+    # overlap join, measured). A ~150-row grid is the cheap side of
+    # the funnel lesson (PERF lesson 14 boundary): checkpoint it.
+    md_all = ev.groupBy(
+        F.col("event_type").alias("metric"), F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,4)")).alias("_dsum"),
+    ).localCheckpoint(eager=True)
+    daily = md_all.groupBy("d").agg(
+        F.sum("_dsum").cast("double").alias("total")
     )
     promo = (
         daily.orderBy(F.col("total").desc(), F.col("d").asc())
@@ -3074,9 +3090,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    md = ev.groupBy(
-        F.col("event_type").alias("metric"), F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    md = md_all.select("metric", "d", "n")
     wm = Window.partitionBy("metric").orderBy(F.col("n").desc(), F.col("d").asc())
     burst = (
         md.withColumn("_rn", F.row_number().over(wm))
