@@ -469,12 +469,16 @@ def read_table(
     version: int | None = None,
     partition_values: list | None = None,
     partition_col: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a snapshot (latest, or time-travel to ``version``).
     ``partition_values`` prunes at the MANIFEST level: only entries
     whose tracked value set intersects are listed to Spark at all —
     the scan plan never sees the other files (Iceberg-style pruning,
-    ahead of parquet row-group pruning)."""
+    ahead of parquet row-group pruning). ``merge_schema`` unions the
+    live batches' schemas (columns added by later appends read as NULL
+    in older batches — Delta's additive schema evolution); off by
+    default because schema merging costs a footer pass per file."""
     _, live, _ = _snapshot(root, version)
     if partition_values is not None:
         want = {str(v) for v in partition_values}
@@ -483,7 +487,10 @@ def read_table(
         raise NoSuchTableError(
             f"snapshot has no live files (after pruning) under {root!r}"
         )
-    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in live])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(root, e["path"]) for e in live])
     if partition_values is not None:
         col = partition_col or live[0].get("partition_col")
         if col:

@@ -421,3 +421,73 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     assert SS.table_version(root2) == 1
     cnt = {r["d"]: r["count"] for r in SS.read_table(spark, root2).collect()}
     assert cnt == {"2025-02-01": 4, "2025-02-02": 4, "2025-02-03": 4}
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Additive schema evolution: a later append carries a NEW column;
+    merge_schema=True reads the union (old batches NULL), and
+    time-travel to v1 still returns the original schema."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    wide = spark.createDataFrame(
+        [("2024-01-02", "b", 2, "eu")], "d string, k string, v long, region string"
+    )
+    SS.append(wide, root, "d")
+    out = SS.read_table(spark, root, merge_schema=True)
+    assert sorted(out.columns) == ["d", "k", "region", "v"]
+    rows = {r["k"]: r["region"] for r in out.collect()}
+    assert rows == {"a": None, "b": "eu"}
+    v1 = SS.read_table(spark, root, version=1)
+    assert sorted(v1.columns) == ["d", "k", "v"]
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model check: a seeded random sequence of append /
+    overwrite_partitions / overwrite_table ops against a dict-of-rows
+    reference model — after every op the snapshot equals the model,
+    and every historical version stays re-readable and equal to its
+    recorded model state."""
+    import random
+
+    rng = random.Random(20251008)
+    days = [f"2024-03-{d:02d}" for d in range(1, 6)]
+    root = str(tmp_path / "t")
+    model: dict[str, list] = {}  # day -> rows
+    history: list[list] = []  # version -> sorted rows
+    seq = 0
+
+    def flat(m):
+        return sorted(t for rows in m.values() for t in rows)
+
+    for step in range(12):
+        op = rng.choice(["append", "overwrite", "overwrite", "table"] )
+        nrows = rng.randint(1, 4)
+        batch = []
+        for _ in range(nrows):
+            d = rng.choice(days)
+            batch.append((d, f"k{seq}", seq))
+            seq += 1
+        df = _df(spark, batch)
+        if op == "append":
+            SS.append(df, root, "d")
+            for t in batch:
+                model.setdefault(t[0], []).append(t)
+        elif op == "overwrite":
+            SS.overwrite_partitions(df, root, "d")
+            touched = {t[0] for t in batch}
+            for d in touched:
+                model[d] = []
+            for t in batch:
+                model.setdefault(t[0], []).append(t)
+        else:
+            SS.overwrite_table(df, root, "d")
+            model = {}
+            for t in batch:
+                model.setdefault(t[0], []).append(t)
+        history.append(flat(model))
+        assert _rows(SS.read_table(spark, root)) == flat(model), f"step {step} ({op})"
+
+    # every retained version replays to its recorded state (time travel)
+    for v, want in enumerate(history, start=1):
+        got = _rows(SS.read_table(spark, root, version=v))
+        assert got == want, f"version {v}"
