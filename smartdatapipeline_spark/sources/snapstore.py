@@ -33,7 +33,12 @@ the same public design:
   version race re-reads the log: if an intervening commit touched any
   partition value it replaces, it raises ``ConcurrentWriteError``
   (the recompute that lost is stale); disjoint writers retry and both
-  land. Pure appends never conflict with each other.
+  land. Pure appends never conflict with each other. Deliberately
+  CONSERVATIVE in one corner: an intervening overwrite's residue
+  batch "touches" the partitions it preserves unchanged, so a racer
+  replacing only those may conflict where strict semantics would
+  allow it — safety over liveness; the caller's retry recomputes and
+  succeeds.
 - **Copy-on-write residues.** ``overwrite_partitions`` removes every
   live entry intersecting the replaced partition values; an entry that
   ALSO holds other partitions is not lost — its non-replaced rows are
