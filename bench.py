@@ -292,6 +292,11 @@ BENCH_QUERIES: list[str] = [
     "rolling_distinct_store",
     "kmv_new_audience_store",
     "dyadic_series_store",
+    # round-10 snapshot-committed table (sources/snapstore.py): reps
+    # after the first measure the manifest-pruned READ paths
+    "snapshot_upsert_read",
+    "snapshot_time_travel",
+    "snapshot_pruned_read",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in
