@@ -4083,6 +4083,21 @@ def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between snapshot versions (round 10; the
+    public Delta CDF / Iceberg CDC-on-read shape,
+    sources/snapstore.py table_changes): the v1→v2 logical delta of
+    the KPI table — (day, metric) groups whose aggregates the
+    outlier-scrub correction actually changed, as delete+insert row
+    pairs; groups the scrub left identical cancel under bag-semantics
+    exceptAll, as do rows merely moved by residue rewrites. Oracle:
+    EXCEPT ALL between the two aggregates computed from events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _ensure_snap_table(spark, sf_dir)
+    return SS.table_changes(spark, root, 1, 2)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 37th vector plays the
     eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
@@ -4410,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_upsert_read": q_snapshot_upsert_read,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_pruned_read": q_snapshot_pruned_read,
+        "snapshot_changes": q_snapshot_changes,
     }
 
 
@@ -7348,6 +7364,32 @@ def oracle_sql() -> dict[str, str]:
                      AND DATE '2024-01-14'
                  AND value <= 100"""
     )
+    # v1→v2 change feed: EXCEPT ALL between the uncorrected and
+    # corrected week aggregates (groups the scrub left identical, and
+    # residue-moved rows, cancel — matching table_changes semantics)
+    o["snapshot_changes"] = """
+        WITH orig AS (
+            SELECT CAST(ts AS DATE) AS metric_date, event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                   COUNT(*) AS value_count
+            FROM events
+            WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+            GROUP BY 1, 2
+        ), corr AS (
+            SELECT CAST(ts AS DATE) AS metric_date, event_type AS metric,
+                   CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+                   COUNT(*) AS value_count
+            FROM events
+            WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+              AND value <= 100
+            GROUP BY 1, 2
+        )
+        SELECT *, 'insert' AS _change_type
+        FROM (SELECT * FROM corr EXCEPT ALL SELECT * FROM orig)
+        UNION ALL
+        SELECT *, 'delete' AS _change_type
+        FROM (SELECT * FROM orig EXCEPT ALL SELECT * FROM corr)
+    """
 
     return o
 

@@ -297,6 +297,7 @@ BENCH_QUERIES: list[str] = [
     "snapshot_upsert_read",
     "snapshot_time_travel",
     "snapshot_pruned_read",
+    "snapshot_changes",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -505,6 +505,49 @@ def read_table(
     return df
 
 
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two snapshots (the public
+    Delta CDF / Iceberg CDC-on-read shape): rows present at
+    ``to_version`` but not ``from_version`` tagged ``insert``, rows
+    gone tagged ``delete``. Computed from the file sets the log
+    already names — only files that ENTERED or LEFT the live set are
+    read, and rows merely MOVED by a copy-on-write residue rewrite
+    cancel out under bag-semantics ``exceptAll`` (a moved row appears
+    in both the removed and added files), so the feed reports logical
+    changes, not file churn. Output: data columns + ``_change_type``.
+    """
+    _, live_from, _ = _snapshot(root, from_version)
+    to_v = to_version if to_version is not None else _snapshot(root)[0]
+    _, live_to, _ = _snapshot(root, to_v)
+    paths_from = {e["path"] for e in live_from}
+    paths_to = {e["path"] for e in live_to}
+    removed = sorted(paths_from - paths_to)
+    added = sorted(paths_to - paths_from)
+
+    def _read(paths):
+        if not paths:
+            # empty frame with the table's schema
+            any_path = (live_to or live_from)[0]["path"]
+            return (
+                spark.read.parquet(os.path.join(root, any_path)).limit(0)
+            )
+        return spark.read.parquet(*[os.path.join(root, p) for p in paths])
+
+    old_df, new_df = _read(removed), _read(added)
+    inserted = new_df.exceptAll(old_df).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deleted = old_df.exceptAll(new_df).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserted.unionByName(deleted)
+
+
 def table_version(root: str) -> int:
     """Latest committed version (0 if the table does not exist)."""
     try:

@@ -491,3 +491,43 @@ def test_model_based_random_op_sequences(spark, tmp_path):
     for v, want in enumerate(history, start=1):
         got = _rows(SS.read_table(spark, root, version=v))
         assert got == want, f"version {v}"
+
+
+def test_table_changes_cdc(spark, tmp_path):
+    """Change feed between versions: an overwrite's logical delta only
+    — rows moved by a residue rewrite cancel out (no file-churn
+    noise); appends are pure inserts; v1->v3 composes."""
+    root = str(tmp_path / "t")
+    # v1: one batch straddling three days (forces a residue on v2)
+    SS.append(
+        _df(spark, [("2024-01-01", "a", 1), ("2024-01-02", "b", 2), ("2024-01-03", "c", 3)]),
+        root,
+        "d",
+    )
+    # v2: correct day 2 only
+    SS.overwrite_partitions(_df(spark, [("2024-01-02", "B", 20)]), root, "d")
+    ch = SS.table_changes(spark, root, 1, 2).collect()
+    got = sorted((r["d"], r["k"], r["v"], r["_change_type"]) for r in ch)
+    assert got == [
+        ("2024-01-02", "B", 20, "insert"),
+        ("2024-01-02", "b", 2, "delete"),
+    ]
+    # v3: plain append
+    SS.append(_df(spark, [("2024-01-04", "e", 4)]), root, "d")
+    ch23 = sorted(
+        (r["d"], r["k"], r["_change_type"])
+        for r in SS.table_changes(spark, root, 2, 3).collect()
+    )
+    assert ch23 == [("2024-01-04", "e", "insert")]
+    # composition v1->v3
+    ch13 = sorted(
+        (r["d"], r["k"], r["_change_type"])
+        for r in SS.table_changes(spark, root, 1, 3).collect()
+    )
+    assert ch13 == [
+        ("2024-01-02", "B", "insert"),
+        ("2024-01-02", "b", "delete"),
+        ("2024-01-04", "e", "insert"),
+    ]
+    # identity: no changes between a version and itself
+    assert SS.table_changes(spark, root, 2, 2).count() == 0
