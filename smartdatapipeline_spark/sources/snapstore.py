@@ -548,6 +548,49 @@ def table_changes(
     return inserted.unionByName(deleted)
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_batches: int = 1,
+    idempotency_key: str | None = None,
+) -> int:
+    """Small-file compaction (the Delta OPTIMIZE / Iceberg rewrite-
+    data-files maintenance op): rewrite ALL live batches into
+    ``target_batches`` fresh ones in a single commit — logically a
+    no-op (``table_changes`` across it is EMPTY; old versions stay
+    readable for time travel until vacuum). Conservative conflict
+    posture: the commit claims every partition it rewrites, so a
+    racing overwrite loses cleanly rather than interleaving with the
+    rewrite. Steady-state deployments run this nightly; a snapshot
+    table fed by per-batch appends otherwise accretes one file set per
+    micro-batch and the scan's file-listing cost grows without bound.
+    """
+    try:
+        _, live, _ = _snapshot(root)
+    except NoSuchTableError:
+        return 0
+    if len(live) <= target_batches:
+        return _snapshot(root)[0]
+    part_col = next(
+        (e["partition_col"] for e in live if e.get("partition_col")), None
+    )
+    touched: set[str] = set()
+    for e in live:
+        if e.get("values") is None:
+            touched = {"*"}
+            break
+        touched.update(e["values"])
+    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in live])
+    if target_batches > 1:
+        df = df.repartition(target_batches)
+    else:
+        df = df.coalesce(1)
+    new_entry = _write_batch(df, root, part_col)
+    actions: list[dict] = [new_entry] if new_entry is not None else []
+    actions.extend({"op": "remove", "path": e["path"]} for e in live)
+    return _commit(root, actions, "compact", touched, idempotency_key)
+
+
 def table_version(root: str) -> int:
     """Latest committed version (0 if the table does not exist)."""
     try:

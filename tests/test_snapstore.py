@@ -531,3 +531,28 @@ def test_table_changes_cdc(spark, tmp_path):
     ]
     # identity: no changes between a version and itself
     assert SS.table_changes(spark, root, 2, 2).count() == 0
+
+
+def test_compact_is_logical_noop(spark, tmp_path):
+    """OPTIMIZE-style compaction: live batches collapse to one, table
+    contents are unchanged, the change feed across the compaction is
+    EMPTY, and pre-compaction versions still time-travel."""
+    root = str(tmp_path / "t")
+    for i in range(4):
+        SS.append(_df(spark, [(f"2024-01-{i + 1:02d}", f"k{i}", i)]), root, "d")
+    before = _rows(SS.read_table(spark, root))
+    _, live_before, _ = SS._snapshot(root)
+    assert len(live_before) == 4
+    v = SS.compact(spark, root)
+    assert v == 5
+    _, live_after, _ = SS._snapshot(root)
+    assert len(live_after) == 1
+    assert _rows(SS.read_table(spark, root)) == before
+    assert SS.table_changes(spark, root, 4, 5).count() == 0  # logical no-op
+    assert _rows(SS.read_table(spark, root, version=2)) == before[:2]
+    # idempotent maintenance: nothing left to compact
+    assert SS.compact(spark, root) == 5
+    # vacuum reclaims the four pre-compaction batches past retention
+    deleted = SS.vacuum(root, keep_versions=1, grace_sec=0.0)
+    assert len(deleted) == 4
+    assert _rows(SS.read_table(spark, root)) == before
