@@ -214,6 +214,7 @@ def _snapshot(root: str, version: int | None = None) -> tuple[int, list[dict], s
                     "rows": a["rows"],
                     "partition_col": a.get("partition_col"),
                     "values": a.get("values"),
+                    "stats": a.get("stats"),
                 }
             elif a["op"] == "remove":
                 live.pop(a["path"], None)
@@ -245,12 +246,19 @@ def _maybe_checkpoint(root: str, version: int) -> None:
 # ------------------------------------------------------------ data writes
 
 
-def _write_batch(df: DataFrame, root: str, partition_col: str | None) -> dict | None:
+def _write_batch(
+    df: DataFrame,
+    root: str,
+    partition_col: str | None,
+    stats_cols: tuple[str, ...] = (),
+) -> dict | None:
     """Write one immutable batch dir; return its add-action entry (or
     None for an empty batch). The partition value set is computed with
     a bounded distinct (≤ _MAX_TRACKED_VALUES tracked; beyond that the
     entry intersects everything — pruning loses, correctness doesn't).
-    """
+    ``stats_cols`` additionally records per-entry min/max for those
+    columns (Iceberg-style column stats), enabling manifest-level data
+    skipping on NON-partition predicates at read time."""
     rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
     full = os.path.join(root, rel)
     values: list | None = None
@@ -266,17 +274,43 @@ def _write_batch(df: DataFrame, root: str, partition_col: str | None) -> dict | 
             values = sorted(str(v) for v in vals)
     df.write.mode("errorifexists").parquet(full)
     # rows from the written files (one light count on the materialized
-    # batch — also validates the write is readable)
-    rows = df.sparkSession.read.parquet(full).count()
+    # batch — also validates the write is readable); column stats ride
+    # the same single aggregate job
+    back = df.sparkSession.read.parquet(full)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    present = [c for c in stats_cols if c in back.columns]
+    for c in present:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    row = back.agg(*aggs).first()
+    rows = row["_n"]
     if rows == 0:
         return None
+    stats = {
+        c: {
+            "min": _json_scalar(row[f"_min_{c}"]),
+            "max": _json_scalar(row[f"_max_{c}"]),
+        }
+        for c in present
+        if row[f"_min_{c}"] is not None
+    }
     return {
         "op": "add",
         "path": rel,
         "rows": rows,
         "partition_col": partition_col,
         "values": values,
+        "stats": stats or None,
     }
+
+
+def _json_scalar(v):
+    """Manifest-safe scalar: dates/timestamps/decimals as ISO strings,
+    numbers as-is (JSON has no date type; string compare preserves ISO
+    ordering)."""
+    if v is None or isinstance(v, (int, float, bool, str)):
+        return v
+    return str(v)
 
 
 def _values_intersect(entry: dict, replaced: set[str]) -> bool:
@@ -358,6 +392,7 @@ def append(
     root: str,
     partition_col: str | None = None,
     idempotency_key: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Blind append: one immutable batch + one add-action commit.
     Never conflicts with concurrent appends or disjoint overwrites.
@@ -370,7 +405,7 @@ def append(
                 return _snapshot(root)[0]
         except NoSuchTableError:
             pass
-    entry = _write_batch(df, root, partition_col)
+    entry = _write_batch(df, root, partition_col, stats_cols)
     if entry is None:
         try:
             return _snapshot(root)[0]
@@ -384,6 +419,7 @@ def overwrite_partitions(
     root: str,
     partition_col: str,
     idempotency_key: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Replace exactly the partitions present in ``df`` (the gold-KPI
     "recompute the days this batch touched" upsert — sinks.py
@@ -405,7 +441,7 @@ def overwrite_partitions(
             return _snapshot(root)[0]
         except NoSuchTableError:
             return 0
-    new_entry = _write_batch(df, root, partition_col)
+    new_entry = _write_batch(df, root, partition_col, stats_cols)
 
     def build_actions(live: list[dict]) -> list[dict]:
         removes = [e for e in live if _values_intersect(e, replaced)]
@@ -426,7 +462,7 @@ def overwrite_partitions(
                 F.col(partition_col).isNull()
                 | ~F.col(partition_col).cast("string").isin(*sorted(replaced))
             )
-            res_entry = _write_batch(res_df, root, partition_col)
+            res_entry = _write_batch(res_df, root, partition_col, stats_cols)
             if res_entry is not None:
                 actions.append(res_entry)
         actions.extend({"op": "remove", "path": e["path"]} for e in removes)
@@ -449,9 +485,10 @@ def overwrite_partitions(
 def overwrite_table(
     df: DataFrame, root: str, partition_col: str | None = None,
     idempotency_key: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Full-table replace in one commit (conflicts with everything)."""
-    new_entry = _write_batch(df, root, partition_col)
+    new_entry = _write_batch(df, root, partition_col, stats_cols)
 
     def build_actions(live: list[dict]) -> list[dict]:
         actions: list[dict] = [new_entry] if new_entry is not None else []
@@ -475,6 +512,7 @@ def read_table(
     partition_values: list | None = None,
     partition_col: str | None = None,
     merge_schema: bool = False,
+    column_range: tuple | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest, or time-travel to ``version``).
     ``partition_values`` prunes at the MANIFEST level: only entries
@@ -483,11 +521,19 @@ def read_table(
     ahead of parquet row-group pruning). ``merge_schema`` unions the
     live batches' schemas (columns added by later appends read as NULL
     in older batches — Delta's additive schema evolution); off by
-    default because schema merging costs a footer pass per file."""
+    default because schema merging costs a footer pass per file.
+    ``column_range=(col, lo, hi)`` filters rows to ``lo <= col <= hi``
+    (either bound may be None) AND skips manifest entries whose
+    recorded min/max cannot intersect — Iceberg-style column-stats
+    data skipping on NON-partition predicates; entries without stats
+    for the column are conservatively read."""
     _, live, _ = _snapshot(root, version)
     if partition_values is not None:
         want = {str(v) for v in partition_values}
         live = [e for e in live if _values_intersect(e, want)]
+    if column_range is not None:
+        scol, lo, hi = column_range
+        live = [e for e in live if _stats_intersect(e, scol, lo, hi)]
     if not live:
         raise NoSuchTableError(
             f"snapshot has no live files (after pruning) under {root!r}"
@@ -502,7 +548,24 @@ def read_table(
             df = df.filter(
                 F.col(col).cast("string").isin(*sorted({str(v) for v in partition_values}))
             )
+    if column_range is not None:
+        scol, lo, hi = column_range
+        if lo is not None:
+            df = df.filter(F.col(scol) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(scol) <= F.lit(hi))
     return df
+
+
+def _stats_intersect(entry: dict, col: str, lo, hi) -> bool:
+    st = (entry.get("stats") or {}).get(col)
+    if not st:
+        return True  # unknown stats ⇒ must read
+    if hi is not None and st["min"] is not None and st["min"] > hi:
+        return False
+    if lo is not None and st["max"] is not None and st["max"] < lo:
+        return False
+    return True
 
 
 def table_changes(

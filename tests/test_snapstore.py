@@ -556,3 +556,39 @@ def test_compact_is_logical_noop(spark, tmp_path):
     deleted = SS.vacuum(root, keep_versions=1, grace_sec=0.0)
     assert len(deleted) == 4
     assert _rows(SS.read_table(spark, root)) == before
+
+
+def test_column_stats_data_skipping(spark, tmp_path):
+    """Manifest column stats (Iceberg-style): per-entry min/max on a
+    non-partition column skip non-intersecting batches at read time;
+    entries written WITHOUT stats are conservatively read."""
+    root = str(tmp_path / "t")
+    SS.append(
+        _df(spark, [("2024-01-01", "lo", 5), ("2024-01-01", "lo2", 9)]),
+        root, "d", stats_cols=("v",),
+    )
+    SS.append(
+        _df(spark, [("2024-01-02", "hi", 100), ("2024-01-02", "hi2", 200)]),
+        root, "d", stats_cols=("v",),
+    )
+    SS.append(_df(spark, [("2024-01-03", "nostats", 50)]), root, "d")
+    # manifest carries the ranges
+    _, live, _ = SS._snapshot(root)
+    stats = sorted(
+        (e["stats"]["v"]["min"], e["stats"]["v"]["max"])
+        for e in live if e.get("stats")
+    )
+    assert stats == [(5, 9), (100, 200)]
+    # range [0, 20]: the hi batch is SKIPPED at the manifest, the
+    # stats-less batch is read (conservative) and filtered
+    df = SS.read_table(spark, root, column_range=("v", 0, 20))
+    assert _rows(df) == [("2024-01-01", "lo", 5), ("2024-01-01", "lo2", 9)]
+    # the scan's file list (not just surviving rows): lo batch +
+    # stats-less batch; the hi batch never reaches the plan
+    dirs = {os.path.dirname(f) for f in df.inputFiles()}
+    assert len(dirs) == 2
+    # unbounded-low range
+    assert _rows(SS.read_table(spark, root, column_range=("v", 100, None))) == [
+        ("2024-01-02", "hi", 100),
+        ("2024-01-02", "hi2", 200),
+    ]
