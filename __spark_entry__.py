@@ -597,23 +597,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smoothed linear likelihood ratio. Every intermediate is an
     exact integer; the only doubles are four correctly-rounded casts +
     three IEEE ops, mirrored op-for-op by the oracle — bit-exact."""
+    from smartdatapipeline_spark.cachetrack import propagate_caches
     from smartdatapipeline_spark.functions.sampling import importance_weights
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
-    return importance_weights(d, F.col("lang") == "en").orderBy("doc_id")
+    raw = importance_weights(d, F.col("lang") == "en")
+    return propagate_caches(raw, raw.orderBy("doc_id"))
 
 
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection step: top-100 docs by importance weight
     (deterministic id tiebreak) — the keep-list a target-domain
     curation run actually ships."""
+    from smartdatapipeline_spark.cachetrack import propagate_caches
     from smartdatapipeline_spark.functions.sampling import (
         importance_resample,
         importance_weights,
     )
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
-    return importance_resample(importance_weights(d, F.col("lang") == "en"), 100)
+    raw = importance_weights(d, F.col("lang") == "en")
+    return propagate_caches(raw, importance_resample(raw, 100))
 
 
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -272,30 +272,47 @@ def importance_weights(
         target_pred.cast("int").alias("_is_tgt"),
         tokens(F.col(text_col)).alias("_toks"),
     )
-    bg = (
-        toks.filter(F.size("_toks") >= 2)
-        .select(
-            id_col,
-            "_is_tgt",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("_toks", i),
-                        F.element_at("_toks", i + 1),
-                    ),
-                )
-            ).alias("_bg"),
-        )
-        .filter(~F.col("_bg").startswith(" ") & ~F.col("_bg").endswith(" "))
+    # Bucket INSIDE the array transform so the explode emits one int per
+    # bigram, never the bigram string (r11: the string explode fed the
+    # hash-aggregate 30-60 byte rows and showed 4-5x heavy-tail reps in
+    # clean-window probes; int rows shrank the agg input ~10x). Values
+    # are bit-identical: same _bucket expression over the same strings.
+    bigrams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("_toks", i),
+                F.element_at("_toks", i + 1),
+            ),
+        ),
+        lambda s: ~s.startswith(" ") & ~s.endswith(" "),
     )
-    feat = bg.groupBy(
-        id_col, "_is_tgt", _bucket(F.col("_bg"), salt, n_buckets).alias("_bk")
-    ).agg(F.count(F.lit(1)).alias("_c"))
-    buckets = feat.groupBy("_bk").agg(
-        F.sum("_c").alias("_raw"),
-        F.sum(F.col("_c") * F.col("_is_tgt")).alias("_tgt"),
+    bg = toks.filter(F.size("_toks") >= 2).select(
+        id_col,
+        "_is_tgt",
+        F.explode(
+            F.transform(bigrams, lambda s: _bucket(s, salt, n_buckets))
+        ).alias("_bk"),
+    )
+    feat = bg.groupBy(id_col, "_is_tgt", "_bk").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # Cache the BUCKET table (≤ n_buckets rows — storage is nothing),
+    # not feat (~docs × distinct-buckets rows — r11 measured that cache
+    # costing more than it saves): buckets feeds both the broadcast
+    # join and tots, so without it the explode lineage runs 3x and
+    # first-run codegen JIT-compiles 3 copies of the md5-lambda stage
+    # (the bench-vs-probe dispersion adjudicated in r10 — see
+    # BENCH_ADJUDICATIONS.md r11 dsir entry). Ownership transfers to
+    # the caller via cachetrack (bench/check/probe release it).
+    buckets = (
+        feat.groupBy("_bk")
+        .agg(
+            F.sum("_c").alias("_raw"),
+            F.sum(F.col("_c") * F.col("_is_tgt")).alias("_tgt"),
+        )
+        .cache()
     )
     tots = buckets.agg(
         (F.sum("_tgt") + F.lit(n_buckets)).cast("decimal(38,0)").alias("_T"),
@@ -313,7 +330,9 @@ def importance_weights(
             ).alias("_B"),
         )
     )
-    return (
+    from smartdatapipeline_spark.cachetrack import track_cache
+
+    out = (
         df.select(F.col(id_col), target_pred.alias("is_target"))
         .join(scored, id_col, "left")
         .crossJoin(F.broadcast(tots))
@@ -326,6 +345,7 @@ def importance_weights(
             ).alias("weight"),
         )
     )
+    return track_cache(out, buckets)
 
 
 def importance_resample(

@@ -320,6 +320,46 @@ def _values_intersect(entry: dict, replaced: set[str]) -> bool:
     return any(v in replaced for v in vals)
 
 
+def _commit_touched(c: dict) -> set[str]:
+    """Partition values a committed payload SEMANTICALLY touched: its
+    ``replaced`` set (which already covers every remove an overwrite or
+    compact performs) plus the values of its genuine data-add actions.
+    Residue adds (``"residue": true``) are pure copy-on-write MOVES of
+    rows the commit preserved unchanged — they don't change those
+    partitions' contents, so they don't conflict with a concurrent
+    writer replacing them (that writer's recompute sees and removes the
+    residue file like any other live entry). Add actions with untracked
+    values (None) conservatively touch everything. Pre-r11 logs without
+    the residue flag stay safe: their residue adds count as touches
+    (conservative direction)."""
+    touched = set(c.get("replaced") or [])
+    for a in c.get("actions", []):
+        if a.get("op") != "add" or a.get("residue"):
+            continue
+        vals = a.get("values")
+        if vals is None:
+            return touched | {"*"}
+        touched.update(str(x) for x in vals)
+    return touched
+
+
+def _scan_conflicts(root: str, lo_v: int, hi_v: int, replaced: set[str]) -> None:
+    """Raise ConcurrentWriteError if any commit in (lo_v, hi_v] touched
+    a partition value in ``replaced`` ("*" on either side ⇒ conflict)."""
+    commits, _ = _list_log(root)
+    for v in commits:
+        if v <= lo_v or v > hi_v:
+            continue
+        c = _read_json(os.path.join(_log_path(root), _vname(v)))
+        touched = _commit_touched(c)
+        if "*" in replaced or "*" in touched or (replaced & touched):
+            raise ConcurrentWriteError(
+                f"version {v} touched partitions "
+                f"{sorted(replaced & touched) or '*'} this overwrite also "
+                f"replaces; recompute against v{hi_v}"
+            )
+
+
 def _commit(
     root: str,
     actions: list[dict],
@@ -328,19 +368,29 @@ def _commit(
     idempotency_key: str | None,
     max_retries: int = 20,
     recompute=None,
+    base_v: int = 0,
 ) -> int:
     """Optimistic-commit loop. ``replaced`` is the partition-value set
     this commit overwrites (None ⇒ append, conflicts with nothing;
     the sentinel set {"*"} ⇒ whole-table, conflicts with everything).
     ``recompute(live_entries) -> list[actions]`` rebuilds the action
     list against a fresh snapshot after losing a race (used by
-    overwrite to re-derive removes/residues)."""
+    overwrite to re-derive removes/residues). ``base_v`` is the version
+    the caller's ``actions`` were BUILT against: if newer commits landed
+    between that snapshot and this one (the r10 TOCTOU window — a racer
+    could slip in unscanned and its files survive inside a "replaced"
+    partition), they are conflict-scanned and the actions recomputed
+    BEFORE the first claim, exactly as a lost claim race is handled."""
     try:
         read_v, live, keys = _snapshot(root)
     except NoSuchTableError:
         read_v, live, keys = 0, [], set()
     if idempotency_key and idempotency_key in keys:
         return read_v  # the first attempt already committed
+    if replaced is not None and read_v > base_v:
+        _scan_conflicts(root, base_v, read_v, replaced)
+        if recompute is not None:
+            actions = recompute(live)
     for _ in range(max_retries):
         payload = {
             "version": read_v + 1,
@@ -358,26 +408,7 @@ def _commit(
         if idempotency_key and idempotency_key in new_keys:
             return new_v
         if replaced is not None:
-            commits, _ = _list_log(root)
-            for v in commits:
-                if v <= read_v or v > new_v:
-                    continue
-                c = _read_json(os.path.join(_log_path(root), _vname(v)))
-                other = set(c.get("replaced") or [])
-                touched = other | {
-                    str(x)
-                    for a in c["actions"]
-                    for x in (a.get("values") or (["*"] if a.get("values") is None else []))
-                }
-                if (
-                    "*" in replaced
-                    or "*" in touched
-                    or (replaced & touched)
-                ):
-                    raise ConcurrentWriteError(
-                        f"version {v} touched partitions {sorted(replaced & touched) or '*'} "
-                        f"this overwrite also replaces; recompute against v{new_v}"
-                    )
+            _scan_conflicts(root, read_v, new_v, replaced)
             if recompute is not None:
                 actions = recompute(new_live)
         read_v = new_v
@@ -464,14 +495,21 @@ def overwrite_partitions(
             )
             res_entry = _write_batch(res_df, root, partition_col, stats_cols)
             if res_entry is not None:
+                # Pure copy-on-write MOVE of preserved rows: mark it so
+                # the conflict scan doesn't charge this commit with
+                # "touching" partitions it merely relocated (r11 — the
+                # r10 conservative corner, now exact; a concurrent
+                # overwrite of a preserved partition recomputes against
+                # the residue entry like any other live file).
+                res_entry["residue"] = True
                 actions.append(res_entry)
         actions.extend({"op": "remove", "path": e["path"]} for e in removes)
         return actions
 
     try:
-        _, live0, _ = _snapshot(root)
+        v0, live0, _ = _snapshot(root)
     except NoSuchTableError:
-        live0 = []
+        v0, live0 = 0, []
     return _commit(
         root,
         build_actions(live0),
@@ -479,6 +517,7 @@ def overwrite_partitions(
         replaced,
         idempotency_key,
         recompute=build_actions,
+        base_v=v0,
     )
 
 
@@ -496,12 +535,12 @@ def overwrite_table(
         return actions
 
     try:
-        _, live0, _ = _snapshot(root)
+        v0, live0, _ = _snapshot(root)
     except NoSuchTableError:
-        live0 = []
+        v0, live0 = 0, []
     return _commit(
         root, build_actions(live0), "overwrite_table", {"*"},
-        idempotency_key, recompute=build_actions,
+        idempotency_key, recompute=build_actions, base_v=v0,
     )
 
 
@@ -629,11 +668,11 @@ def compact(
     micro-batch and the scan's file-listing cost grows without bound.
     """
     try:
-        _, live, _ = _snapshot(root)
+        base_v, live, _ = _snapshot(root)
     except NoSuchTableError:
         return 0
     if len(live) <= target_batches:
-        return _snapshot(root)[0]
+        return base_v
     part_col = next(
         (e["partition_col"] for e in live if e.get("partition_col")), None
     )
@@ -651,7 +690,12 @@ def compact(
     new_entry = _write_batch(df, root, part_col)
     actions: list[dict] = [new_entry] if new_entry is not None else []
     actions.extend({"op": "remove", "path": e["path"]} for e in live)
-    return _commit(root, actions, "compact", touched, idempotency_key)
+    # No recompute: compact's rewrite is a Spark job over a pinned file
+    # set, so a conflicting racer (anything touching the rewritten
+    # partitions — base_v threads the r10 TOCTOU window into the scan)
+    # makes this maintenance op raise and the scheduler retry, never
+    # resurrect overwritten rows.
+    return _commit(root, actions, "compact", touched, idempotency_key, base_v=base_v)
 
 
 def table_version(root: str) -> int:
