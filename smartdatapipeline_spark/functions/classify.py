@@ -62,13 +62,18 @@ def train_quality_classifier(
     # distributed via score_quality_linear), so one partition is right
     # at any deployment scale: 1.1 s, coefficients equal to ~1e-10
     # (gradient summation order; the objective is convex).
+    # repartition(1), NOT coalesce(1): coalesce propagates upstream and
+    # would silently run the tokenize/hash featurization of BOTH
+    # corpora in a single task too (r11 ADVICE); the shuffle barrier
+    # keeps feature extraction distributed and single-partitions only
+    # the |FEATURES|+1-column fit input.
     train = (
         _feature_frame(positives, text_col)
         .withColumn("label", F.lit(1.0))
         .unionByName(
             _feature_frame(negatives, text_col).withColumn("label", F.lit(0.0))
         )
-        .coalesce(1)
+        .repartition(1)
         .cache()
     )
     try:

@@ -5,9 +5,21 @@
 (P1–P4) → idempotent silver upsert (S8/J4) → gold recompute for ONLY the
 touched day partitions (A1/A4) → the A7 stats dict. A user of the
 reference switches by pointing this at their raw frame.
+
+r11 adds the scale-correct version of the reference's "ingest then
+recompute affected KPIs" loop (backend/app/routers/ingest.py:183-189,
+services/kpi.py:252-324): ``refresh_gold_from_changes`` reads the
+silver snapshot table's CHANGE FEED since the last refresh — only the
+files that entered/left the live set, never a silver rescan — derives
+the touched day partitions, recomputes exactly those via a
+manifest-pruned read, and upserts them into gold in one idempotent
+commit keyed by the silver version it consumed. At 100 TB the refresh
+cost is proportional to the changed days' data, not the table.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +36,112 @@ from smartdatapipeline_spark.sources.sinks import (
     read_parquet_if_exists,
 )
 
+#: gold commits made by the CDC refresh carry the silver version they
+#: consumed in their idempotency key — progress tracking AND replay
+#: protection ride the commit log itself, no side-channel state file.
+_REFRESH_KEY = "cdc-refresh"
+_REFRESH_KEY_RE = re.compile(r"^cdc-refresh(?:-del)?:(\d+)$")
+
+
+def last_refreshed_silver_version(gold_root: str) -> int:
+    """Highest silver version a ``refresh_gold_from_changes`` commit in
+    ``gold_root``'s log has consumed (0 = never refreshed — the next
+    refresh bootstraps from the full change feed)."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    best = 0
+    try:
+        hist = SS.history(gold_root)
+    except Exception:  # noqa: BLE001 — absent table ⇒ never refreshed
+        return 0
+    for c in hist:
+        m = _REFRESH_KEY_RE.match(c.get("idempotency_key") or "")
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def refresh_gold_from_changes(
+    spark: SparkSession,
+    silver_root: str,
+    gold_root: str,
+    from_version: int | None = None,
+) -> dict:
+    """Incrementally refresh the gold KPI table from the silver
+    snapshot table's change feed (r10 VERDICT #1: compose
+    ``snapstore.table_changes`` with ``run_daily_kpis``).
+
+    - ``table_changes(from_version, latest)`` reads ONLY files that
+      entered or left silver's live set — an append-heavy window costs
+      one scan of the new batches, never of silver history.
+    - The changed rows' ``event_date`` values name the touched day
+      partitions (driver-side list, bounded by days-per-window).
+    - Those days are re-read via MANIFEST-pruned ``read_table`` (only
+      batches whose tracked value set intersects are listed to Spark)
+      and re-aggregated; gold gets one ``overwrite_partitions`` commit.
+    - A touched day whose rows all vanished (a correction emptied it)
+      is REMOVED from gold via ``delete_partitions`` — full-recompute
+      equality holds even for disappearing groups.
+    - Idempotent: the gold commit's key is ``cdc-refresh:<silver_v>``;
+      a crashed-and-retried refresh of the same window replays as a
+      no-op, and ``from_version`` defaults to the last key on record.
+
+    Caveat (same as Delta CDF): a silver COMPACT rewrites every live
+    file, so a refresh window spanning it diffs the whole table (the
+    feed is still logically empty — bag-semantics cancellation — but
+    the diff reads both file sets). Run compaction right AFTER a
+    refresh, or refresh past it promptly.
+
+    Returns ``{"from_version", "silver_version", "refreshed_days",
+    "deleted_days"}``.
+    """
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    to_v = SS.table_version(silver_root)
+    if from_version is None:
+        from_version = last_refreshed_silver_version(gold_root)
+    out = {
+        "from_version": from_version,
+        "silver_version": to_v,
+        "refreshed_days": 0,
+        "deleted_days": 0,
+    }
+    if to_v <= from_version:
+        return out
+    changes = SS.table_changes(spark, silver_root, from_version, to_v)
+    days = sorted(
+        str(r["event_date"])
+        for r in changes.select("event_date").distinct().collect()
+        if r["event_date"] is not None
+    )
+    if not days:
+        return out
+    affected = SS.read_table(
+        spark, silver_root, partition_values=days, partition_col="event_date"
+    )
+    gold = run_daily_kpis(affected.drop("event_date"))
+    SS.overwrite_partitions(
+        gold,
+        gold_root,
+        partition_col="metric_date",
+        idempotency_key=f"{_REFRESH_KEY}:{to_v}",
+    )
+    gold_days = {
+        str(r["metric_date"]) for r in gold.select("metric_date").distinct().collect()
+    }
+    emptied = [d for d in days if d not in gold_days]
+    if emptied:
+        SS.delete_partitions(
+            spark,
+            gold_root,
+            "metric_date",
+            emptied,
+            idempotency_key=f"{_REFRESH_KEY}-del:{to_v}",
+        )
+    out["refreshed_days"] = len(gold_days & set(days))
+    out["deleted_days"] = len(emptied)
+    return out
+
 
 def ingest_and_refresh(
     spark: SparkSession,
@@ -33,6 +151,7 @@ def ingest_and_refresh(
     default_metric: str | None = None,
     source_id: int = 1,
     store: str = "parquet",
+    incremental: bool = False,
 ) -> dict:
     """Ingest a raw frame and refresh the affected gold slices.
 
@@ -47,13 +166,23 @@ def ingest_and_refresh(
     ``store`` picks the sink discipline: ``"parquet"`` (default) is the
     POSIX lock+swap path of sources/sinks.py; ``"snapshot"`` routes
     BOTH tables through the manifest-committed snapshot store
-    (sources/snapstore.py) — silver as blind appends, gold as
-    partition overwrites — the object-store-legal deployment (no
-    renames, no locks, optimistic commits). Results are identical by
-    construction; tests pin parquet==snapshot gold equality.
+    (sources/snapstore.py) — silver as blind appends carrying a
+    materialized ``event_date`` partition column (so the manifest
+    tracks day values and reads prune), gold as partition overwrites —
+    the object-store-legal deployment (no renames, no locks, optimistic
+    commits). Results are identical by construction; tests pin
+    parquet==snapshot gold equality.
+
+    ``incremental=True`` (snapshot store only) refreshes gold through
+    ``refresh_gold_from_changes``: the touched days come from silver's
+    CHANGE FEED — which also picks up any OTHER writer's commits since
+    the last refresh — and their recompute reads a manifest-pruned day
+    slice instead of scanning silver.
     """
     if store not in ("parquet", "snapshot"):
         raise ValueError(f"store must be 'parquet' or 'snapshot', got {store!r}")
+    if incremental and store != "snapshot":
+        raise ValueError("incremental=True requires store='snapshot'")
     clean = clean_rows(raw, default_metric=default_metric).withColumn(
         "source_id", F.lit(source_id)
     )
@@ -64,7 +193,7 @@ def ingest_and_refresh(
         from smartdatapipeline_spark.sources import snapstore as SS
 
         existing = (
-            SS.read_table(spark, silver_path)
+            SS.read_table(spark, silver_path).drop("event_date")
             if SS.table_version(silver_path) > 0
             else None
         )
@@ -82,8 +211,17 @@ def ingest_and_refresh(
         return stats
 
     if store == "snapshot":
-        SS.append(to_insert, silver_path, partition_col=None)
-        silver = SS.read_table(spark, silver_path)
+        SS.append(
+            to_insert.withColumn("event_date", F.to_date("ts")),
+            silver_path,
+            partition_col="event_date",
+        )
+        if incremental:
+            stats["refresh"] = refresh_gold_from_changes(
+                spark, silver_path, gold_path
+            )
+            return stats
+        silver = SS.read_table(spark, silver_path).drop("event_date")
     else:
         append_silver(to_insert, silver_path)
         silver = spark.read.parquet(silver_path)

@@ -544,6 +544,69 @@ def overwrite_table(
     )
 
 
+def delete_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    values: list,
+    idempotency_key: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Remove every row whose ``partition_col`` is in ``values`` — the
+    Delta ``DELETE WHERE partition IN (...)`` shape, r11: the CDC-driven
+    KPI refresh needs it when a silver correction empties a day, so the
+    day's gold partition must VANISH (``overwrite_partitions`` can only
+    replace partitions present in its input frame). Same commit
+    protocol: removes every intersecting live entry, rewrites preserved
+    partitions as a residue batch, conflicts per-partition."""
+    replaced = {str(v) for v in values}
+    if not replaced:
+        try:
+            return _snapshot(root)[0]
+        except NoSuchTableError:
+            return 0
+
+    def build_actions(live: list[dict]) -> list[dict]:
+        removes = [e for e in live if _values_intersect(e, replaced)]
+        residue_src = [
+            e
+            for e in removes
+            if e.get("values") is None
+            or any(v not in replaced for v in e["values"])
+        ]
+        actions: list[dict] = []
+        if residue_src:
+            res_df = spark.read.parquet(
+                *[os.path.join(root, e["path"]) for e in residue_src]
+            ).filter(
+                F.col(partition_col).isNull()
+                | ~F.col(partition_col).cast("string").isin(*sorted(replaced))
+            )
+            res_entry = _write_batch(res_df, root, partition_col, stats_cols)
+            if res_entry is not None:
+                res_entry["residue"] = True
+                actions.append(res_entry)
+        actions.extend({"op": "remove", "path": e["path"]} for e in removes)
+        return actions
+
+    try:
+        v0, live0, _ = _snapshot(root)
+    except NoSuchTableError:
+        return 0
+    actions = build_actions(live0)
+    if not actions:
+        return v0  # nothing live intersects — the delete is a no-op
+    return _commit(
+        root,
+        actions,
+        "delete_partitions",
+        replaced,
+        idempotency_key,
+        recompute=build_actions,
+        base_v=v0,
+    )
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -566,7 +629,8 @@ def read_table(
     recorded min/max cannot intersect — Iceberg-style column-stats
     data skipping on NON-partition predicates; entries without stats
     for the column are conservatively read."""
-    _, live, _ = _snapshot(root, version)
+    _, all_live, _ = _snapshot(root, version)
+    live = all_live
     if partition_values is not None:
         want = {str(v) for v in partition_values}
         live = [e for e in live if _values_intersect(e, want)]
@@ -574,9 +638,22 @@ def read_table(
         scol, lo, hi = column_range
         live = [e for e in live if _stats_intersect(e, scol, lo, hi)]
     if not live:
-        raise NoSuchTableError(
-            f"snapshot has no live files (after pruning) under {root!r}"
-        )
+        if not all_live:
+            raise NoSuchTableError(
+                f"snapshot has no live files under {root!r}"
+            )
+        # The table exists — pruning just matched nothing. An empty
+        # frame with the table's schema is the correct answer, not an
+        # exception (r11 ADVICE: a pruned read of a valid-but-empty
+        # range must be distinguishable from a missing table).
+        live = all_live[:1]
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+            live = all_live
+        return reader.parquet(
+            *[os.path.join(root, e["path"]) for e in live]
+        ).limit(0)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -622,8 +699,14 @@ def table_changes(
     cancel out under bag-semantics ``exceptAll`` (a moved row appears
     in both the removed and added files), so the feed reports logical
     changes, not file churn. Output: data columns + ``_change_type``.
+    ``from_version=0`` means "since before the table existed" — every
+    live row at ``to_version`` is an insert (the bootstrap read an
+    incremental consumer does on its first run).
     """
-    _, live_from, _ = _snapshot(root, from_version)
+    if from_version == 0:
+        live_from: list[dict] = []
+    else:
+        _, live_from, _ = _snapshot(root, from_version)
     to_v = to_version if to_version is not None else _snapshot(root)[0]
     _, live_to, _ = _snapshot(root, to_v)
     paths_from = {e["path"] for e in live_from}
@@ -641,6 +724,25 @@ def table_changes(
         return spark.read.parquet(*[os.path.join(root, p) for p in paths])
 
     old_df, new_df = _read(removed), _read(added)
+    # exceptAll is POSITIONAL; batches may have written the same columns
+    # in different orders (and additive schema evolution means an older
+    # batch can lack a newer column) — align both sides by NAME, padding
+    # missing columns with typed NULLs.
+    types = {f.name: f.dataType for f in new_df.schema.fields}
+    for f in old_df.schema.fields:
+        types.setdefault(f.name, f.dataType)
+    names = sorted(types)
+
+    def _align(df):
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(n) if n in have else F.lit(None).cast(types[n]).alias(n)
+                for n in names
+            ]
+        )
+
+    old_df, new_df = _align(old_df), _align(new_df)
     inserted = new_df.exceptAll(old_df).withColumn(
         "_change_type", F.lit("insert")
     )
@@ -725,12 +827,21 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def vacuum(root: str, keep_versions: int = 3, grace_sec: float = 600.0) -> list[str]:
+def vacuum(root: str, keep_versions: int = 3, grace_sec: float = 86_400.0) -> list[str]:
     """Delete data batch dirs referenced by NONE of the last
     ``keep_versions`` snapshots — crashed-writer orphans and
     overwritten batches past the time-travel retention. A dir modified
     within ``grace_sec`` is kept (it may be an in-flight writer's
-    batch whose commit hasn't landed yet). Returns deleted rel paths."""
+    batch whose commit hasn't landed yet). Returns deleted rel paths.
+
+    ``grace_sec`` must exceed the MAXIMUM possible write-job duration,
+    not just clock skew: overwrite_partitions writes its new batch,
+    then runs the residue-rewrite Spark job, then claims the commit —
+    at scale that window can be hours. A vacuum racing inside it would
+    reclaim the in-flight batch and the subsequently landed commit
+    would reference deleted files (permanent corruption). Default is
+    24 h (Delta's analogous orphan retention defaults to 7 days);
+    shorten it only in tests or when no writer can be in flight."""
     import shutil
 
     commits, _ = _list_log(root)

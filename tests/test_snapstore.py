@@ -592,3 +592,137 @@ def test_column_stats_data_skipping(spark, tmp_path):
         ("2024-01-02", "hi", 100),
         ("2024-01-02", "hi2", 200),
     ]
+
+
+# ------------------------------------------------------- r11: TOCTOU + liveness
+
+
+def test_commit_scans_window_between_build_and_claim(spark, tmp_path):
+    """r11 ADVICE (high): a commit landing BETWEEN the caller's
+    action-build snapshot and _commit's own snapshot must be
+    conflict-scanned — otherwise the first claim succeeds with stale
+    removes and the interloper's rows survive inside a "replaced"
+    partition (a torn/merged table)."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")  # v1
+    # Stale actions built against v1: remove v1's file, add a new batch.
+    _, live_v1, _ = SS._snapshot(root, 1)
+    stale_add = SS._write_batch(_df(spark, [("2024-01-01", "stale", 99)]), root, "d")
+    stale_actions = [stale_add] + [
+        {"op": "remove", "path": e["path"]} for e in live_v1
+    ]
+    # Interloper lands v2 in the TOCTOU window (before _commit is called).
+    SS.overwrite_partitions(_df(spark, [("2024-01-01", "fresh", 2)]), root, "d")
+    with pytest.raises(SS.ConcurrentWriteError):
+        SS._commit(
+            root, stale_actions, "overwrite_partitions", {"2024-01-01"},
+            None, base_v=1,
+        )
+    # The interloper's write is intact — nothing stale ever claimed.
+    assert _rows(SS.read_table(spark, root)) == [("2024-01-01", "fresh", 2)]
+
+
+def test_commit_recomputes_for_nonconflicting_window_commit(spark, tmp_path):
+    """A NON-conflicting commit in the build→claim window (append to a
+    different partition) triggers recompute against the fresh live set
+    before the first claim, then lands."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")  # v1
+    new_add = SS._write_batch(_df(spark, [("2024-01-01", "A", 10)]), root, "d")
+    _, live_v1, _ = SS._snapshot(root, 1)
+    SS.append(_df(spark, [("2024-02-01", "z", 9)]), root, "d")  # v2 in window
+    calls = []
+
+    def recompute(live):
+        calls.append(sorted(e["path"] for e in live))
+        removes = [e for e in live if SS._values_intersect(e, {"2024-01-01"})]
+        return [new_add] + [{"op": "remove", "path": e["path"]} for e in removes]
+
+    v = SS._commit(
+        root,
+        [new_add] + [{"op": "remove", "path": e["path"]} for e in live_v1],
+        "overwrite_partitions",
+        {"2024-01-01"},
+        None,
+        recompute=recompute,
+        base_v=1,
+    )
+    assert v == 3
+    assert len(calls) == 1  # recomputed once, against the v2 live set
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "A", 10),
+        ("2024-02-01", "z", 9),
+    ]
+
+
+def test_residue_move_does_not_conflict_disjoint_overwrite(spark, tmp_path):
+    """r10's conservative corner, now exact: writer A's overwrite of D1
+    rewrites a shared batch's D2 rows into a residue (a pure MOVE).
+    Writer B overwriting only D2 concurrently must NOT spuriously
+    conflict — it recomputes against the residue entry and lands."""
+    root = str(tmp_path / "t")
+    # one batch holding BOTH partitions, so A's overwrite creates a residue
+    SS.append(
+        _df(spark, [("2024-01-01", "a", 1), ("2024-01-02", "b", 2)]), root, "d"
+    )
+    real_claim = SS._try_claim
+    raced = {"done": False}
+
+    def claim_with_interloper(r, version, payload):
+        if not raced["done"] and payload["kind"] == "overwrite_partitions":
+            raced["done"] = True  # set FIRST: the interloper claims too
+            SS.overwrite_partitions(_df(spark, [("2024-01-01", "A", 10)]), r, "d")
+        return real_claim(r, version, payload)
+
+    SS._try_claim = claim_with_interloper
+    try:
+        SS.overwrite_partitions(_df(spark, [("2024-01-02", "B", 20)]), root, "d")
+    finally:
+        SS._try_claim = real_claim
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "A", 10),
+        ("2024-01-02", "B", 20),
+    ]
+
+
+def test_disjoint_overwrites_both_land(spark, tmp_path):
+    """r11 ADVICE (medium): an intervening overwrite's REMOVE actions
+    must not poison the conflict scan as touch-everything — two
+    overwrites of fully disjoint partitions both land (one retries)."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
+    SS.append(_df(spark, [("2024-01-02", "b", 2)]), root, "d")
+    real_claim = SS._try_claim
+    raced = {"done": False}
+
+    def claim_with_interloper(r, version, payload):
+        if not raced["done"] and payload["kind"] == "overwrite_partitions":
+            raced["done"] = True
+            SS.overwrite_partitions(_df(spark, [("2024-01-01", "A", 10)]), r, "d")
+        return real_claim(r, version, payload)
+
+    SS._try_claim = claim_with_interloper
+    try:
+        v = SS.overwrite_partitions(_df(spark, [("2024-01-02", "B", 20)]), root, "d")
+    finally:
+        SS._try_claim = real_claim
+    assert v >= 3
+    assert _rows(SS.read_table(spark, root)) == [
+        ("2024-01-01", "A", 10),
+        ("2024-01-02", "B", 20),
+    ]
+
+
+def test_pruned_read_of_existing_table_returns_empty(spark, tmp_path):
+    """r11 ADVICE (low): pruning that matches nothing on a VALID table
+    returns an empty frame with the table's schema — NoSuchTableError
+    is reserved for genuinely absent tables/versions."""
+    root = str(tmp_path / "t")
+    SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d", stats_cols=("v",))
+    empty = SS.read_table(spark, root, partition_values=["2030-12-31"])
+    assert empty.count() == 0
+    assert empty.columns == ["d", "k", "v"]
+    empty2 = SS.read_table(spark, root, column_range=("v", 100, 200))
+    assert empty2.count() == 0 and empty2.columns == ["d", "k", "v"]
+    with pytest.raises(SS.NoSuchTableError):
+        SS.read_table(spark, str(tmp_path / "nope"))
