@@ -120,15 +120,16 @@ def refresh_gold_from_changes(
         spark, silver_root, partition_values=days, partition_col="event_date"
     )
     gold = run_daily_kpis(affected.drop("event_date"))
+    key = f"{_REFRESH_KEY}:{to_v}"
     SS.overwrite_partitions(
-        gold,
-        gold_root,
-        partition_col="metric_date",
-        idempotency_key=f"{_REFRESH_KEY}:{to_v}",
+        gold, gold_root, partition_col="metric_date", idempotency_key=key
     )
-    gold_days = {
-        str(r["metric_date"]) for r in gold.select("metric_date").distinct().collect()
-    }
+    # Which days actually landed? Read it off the commit we just made
+    # (or replayed) instead of re-running the aggregation — the commit's
+    # ``replaced`` field IS the written day set. No commit with our key
+    # ⇒ the gold frame was empty ⇒ every touched day emptied.
+    written = SS.find_commit_by_key(gold_root, key)
+    gold_days = set((written or {}).get("replaced") or [])
     emptied = [d for d in days if d not in gold_days]
     if emptied:
         SS.delete_partitions(

@@ -743,6 +743,14 @@ def table_changes(
         )
 
     old_df, new_df = _align(old_df), _align(new_df)
+    # pure-append windows (the steady ingest case) have no removed
+    # files: skip the exceptAll entirely — it would shuffle the whole
+    # batch against an empty side for nothing. Symmetrically for
+    # pure-delete windows.
+    if not removed:
+        return new_df.withColumn("_change_type", F.lit("insert"))
+    if not added:
+        return old_df.withColumn("_change_type", F.lit("delete"))
     inserted = new_df.exceptAll(old_df).withColumn(
         "_change_type", F.lit("insert")
     )
@@ -798,6 +806,24 @@ def compact(
     # makes this maintenance op raise and the scheduler retry, never
     # resurrect overwritten rows.
     return _commit(root, actions, "compact", touched, idempotency_key, base_v=base_v)
+
+
+def find_commit_by_key(root: str, idempotency_key: str) -> dict | None:
+    """Newest-first scan for the commit carrying ``idempotency_key``;
+    returns its metadata (version/kind/replaced/n_actions) or None.
+    Lets callers recover WHAT an idempotent commit did (e.g. which
+    partitions it replaced) without re-running its computation."""
+    commits, _ = _list_log(root)
+    for v in reversed(commits):
+        c = _read_json(os.path.join(_log_path(root), _vname(v)))
+        if c.get("idempotency_key") == idempotency_key:
+            return {
+                "version": v,
+                "kind": c.get("kind"),
+                "replaced": c.get("replaced", []),
+                "n_actions": len(c.get("actions", [])),
+            }
+    return None
 
 
 def table_version(root: str) -> int:

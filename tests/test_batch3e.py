@@ -615,3 +615,45 @@ def test_benford_audit_digits_and_chi2(spark):
         e = BENFORD_P[d] * tot
         acc += (n - e) * (n - e) / e
     assert got[1]["chi2"] == acc
+
+
+def test_rfm_bounds_equals_ntile_on_distinct_metrics(spark):
+    """r10 VERDICT #3: the billion-user threshold-scoring path must
+    equal NTILE wherever boundary values are unique — with all-distinct
+    per-user metrics that means EVERYWHERE, for every column."""
+    from smartdatapipeline_spark.operators.behavior import rfm_segments
+
+    rows = []
+    eid = 0
+    # 11 users (non-divisible by 4 → uneven tile sizes), all metrics
+    # pairwise distinct: user u has u+1 events, distinct values, last
+    # event on a distinct day
+    for u in range(11):
+        for i in range(u + 1):
+            rows.append((eid, u, dt.datetime(2024, 1, 1 + u, i), 10.0 * (u + 1) + i))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    ntile = sorted(map(tuple, rfm_segments(ev, method="ntile").collect()))
+    bounds = sorted(map(tuple, rfm_segments(ev, method="bounds").collect()))
+    assert ntile == bounds
+
+
+def test_rfm_bounds_ties_take_one_tile(spark):
+    """Tied metric values land in ONE tile under bounds scoring
+    (value-deterministic), where NTILE splits them by user-id
+    tie-break."""
+    from smartdatapipeline_spark.operators.behavior import rfm_segments
+
+    # 8 users, ALL with identical frequency (1) and monetary (10.0),
+    # distinct recency days
+    rows = [(u, u, dt.datetime(2024, 1, 1 + u), 10.0) for u in range(8)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = rfm_segments(ev, method="bounds").collect()
+    assert len({r["f"] for r in got}) == 1
+    assert len({r["m"] for r in got}) == 1
+    # recency is distinct → still a full 4-tile spread
+    assert sorted({r["r"] for r in got}) == [1, 2, 3, 4]
