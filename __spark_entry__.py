@@ -2883,6 +2883,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_events(spark, sf_dir))
 
 
+def q_rfm_segments_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation via the BILLION-USER scale path (r11; r10
+    VERDICT #3): threshold scoring against the exact NTILE-boundary
+    order statistics (bounded exact_quantile_two_pass probes — GK
+    bracket + slice sort, no global sort anywhere), instead of three
+    global NTILE window sorts. Tied metric values all take one tile
+    (value-deterministic). The oracle mirrors the semantics exactly:
+    boundary = value at the NTILE tile-end rank, tile = 1 + #bounds
+    passed — operators/behavior.py rfm_segments(method='bounds')."""
+    from smartdatapipeline_spark.operators.behavior import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir), method="bounds")
+
+
 def q_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-parent: each nation's revenue share and rank within its
     region (ratio_to_report window over the dim-grain rollup); dims
@@ -4416,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "setjoin_prefix": q_setjoin_prefix,
         "rfm_segments": q_rfm_segments,
+        "rfm_segments_bounds": q_rfm_segments_bounds,
         "nation_share": q_nation_share,
         "weighted_median": q_weighted_median,
         "forward_fill": q_forward_fill,
@@ -5864,6 +5879,67 @@ def oracle_sql() -> dict[str, str]:
                    NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC)
                        AS m
             FROM p2)
+        SELECT user_id, recency_days, frequency, monetary, r, f, m,
+               CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
+                   || '-' || CAST(m AS VARCHAR) AS segment
+        FROM s
+    """
+
+    # bounds path: boundary b_i = the value at NTILE tile-end rank e_i
+    # (ascending for recency; DESCENDING rank for frequency/monetary);
+    # tile = 1 + #bounds passed. Value-at-rank via ROW_NUMBER — the
+    # value at a rank is multiset-determined, so tie order is irrelevant.
+    o["rfm_segments_bounds"] = """
+        WITH per AS (
+            SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS monetary
+            FROM events GROUP BY user_id),
+        a AS (SELECT MAX(last_d) AS anchor FROM per),
+        p2 AS (
+            SELECT per.*, datediff('day', last_d, anchor) AS recency_days
+            FROM per, a),
+        nn AS (SELECT COUNT(*) AS n FROM p2),
+        e AS (
+            SELECT i, i * (n // 4) + LEAST(i, n % 4) AS e
+            FROM nn, (VALUES (1), (2), (3)) t(i)),
+        rr AS (SELECT recency_days AS v,
+                      ROW_NUMBER() OVER (ORDER BY recency_days ASC) AS rn
+               FROM p2),
+        fr AS (SELECT frequency AS v,
+                      ROW_NUMBER() OVER (ORDER BY frequency DESC) AS rn
+               FROM p2),
+        mr AS (SELECT monetary AS v,
+                      ROW_NUMBER() OVER (ORDER BY monetary DESC) AS rn
+               FROM p2),
+        b AS (
+            SELECT
+                MAX(CASE WHEN e.i = 1 THEN rr.v END) AS rb1,
+                MAX(CASE WHEN e.i = 2 THEN rr.v END) AS rb2,
+                MAX(CASE WHEN e.i = 3 THEN rr.v END) AS rb3,
+                MAX(CASE WHEN e.i = 1 THEN fr.v END) AS fb1,
+                MAX(CASE WHEN e.i = 2 THEN fr.v END) AS fb2,
+                MAX(CASE WHEN e.i = 3 THEN fr.v END) AS fb3,
+                MAX(CASE WHEN e.i = 1 THEN mr.v END) AS mb1,
+                MAX(CASE WHEN e.i = 2 THEN mr.v END) AS mb2,
+                MAX(CASE WHEN e.i = 3 THEN mr.v END) AS mb3
+            FROM e
+            JOIN rr ON rr.rn = e.e
+            JOIN fr ON fr.rn = e.e
+            JOIN mr ON mr.rn = e.e),
+        s AS (
+            SELECT user_id, recency_days, frequency, monetary,
+                   1 + CAST(recency_days > rb1 AS INT)
+                     + CAST(recency_days > rb2 AS INT)
+                     + CAST(recency_days > rb3 AS INT) AS r,
+                   1 + CAST(frequency < fb1 AS INT)
+                     + CAST(frequency < fb2 AS INT)
+                     + CAST(frequency < fb3 AS INT) AS f,
+                   1 + CAST(monetary < mb1 AS INT)
+                     + CAST(monetary < mb2 AS INT)
+                     + CAST(monetary < mb3 AS INT) AS m
+            FROM p2, b)
         SELECT user_id, recency_days, frequency, monetary, r, f, m,
                CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
                    || '-' || CAST(m AS VARCHAR) AS segment
