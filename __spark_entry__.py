@@ -4156,6 +4156,51 @@ def _ensure_cdc_tables(spark: SparkSession, sf_dir: str) -> str:
     return gold
 
 
+def q_snapshot_stream_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over the snapshot table (r11; r10 VERDICT #4;
+    streaming/snapsource.py): the silver table's commit log — 3 slice
+    appends plus a correction that deleted 2024-01-15, with residue
+    churn — is tailed as a Structured Stream via the Python Data
+    Source API (offsets = log versions, one pyarrow file-read per
+    partition, residue moves filtered out at the source). The feed is
+    NETTED (+insert/−delete) and aggregated per (day, metric); the
+    oracle aggregates events minus the deleted day directly, so
+    equality proves the stream replays the table's whole history to
+    its exact final state — phantom-row-free."""
+    import uuid as _uuid
+
+    from smartdatapipeline_spark.streaming.snapsource import (
+        SnapshotChangeDataSource,
+    )
+
+    _ensure_cdc_tables(spark, sf_dir)
+    silver = _tmp_store("cdcsilver", sf_dir)
+    spark.dataSource.register(SnapshotChangeDataSource)
+    qn = f"snap_feed_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", silver)
+        .load()
+        .writeStream.format("memory")
+        .queryName(qn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.table(qn)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    return (
+        feed.groupBy(F.col("event_date").alias("metric_date"), "metric")
+        .agg(
+            F.sum(sign).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(28,4)") * sign)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .filter(F.col("n_rows") != 0)
+    )
+
+
 def q_cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-DRIVEN INCREMENTAL KPI REFRESH (r11 flagship; r10 VERDICT
     #1): the reference's "ingest then recompute affected KPIs" loop
@@ -4504,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pruned_read": q_snapshot_pruned_read,
         "snapshot_changes": q_snapshot_changes,
         "cdc_incremental_refresh": q_cdc_incremental_refresh,
+        "snapshot_stream_net": q_snapshot_stream_net,
     }
 
 
@@ -7529,6 +7575,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT *, 'delete' AS _change_type
         FROM (SELECT * FROM orig EXCEPT ALL SELECT * FROM corr)
     """
+    # the netted streaming change feed == the final silver state
+    o["snapshot_stream_net"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE CAST(ts AS DATE) <> DATE '2024-01-15'
+        GROUP BY 1, 2
+    """
+
     # incremental CDC refresh == full recompute, including the day the
     # correction deleted (2024-01-15 must be ABSENT from gold)
     o["cdc_incremental_refresh"] = """

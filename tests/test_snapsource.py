@@ -1,0 +1,112 @@
+"""Streaming SOURCE over the snapshot table (streaming/snapsource.py):
+the change feed read as a structured stream must NET to exactly the
+batch read of the final snapshot across a multi-commit history that
+includes an overwrite with copy-on-write residue churn, a partition
+delete, and a compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smartdatapipeline_spark.sources import snapstore as SS
+from smartdatapipeline_spark.streaming.snapsource import SnapshotChangeDataSource
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "d string, k string, v long")
+
+
+def _build_history(spark, root) -> None:
+    """v1 append (2 days in ONE batch → the overwrite later must cut a
+    residue), v2 append, v3 overwrite day-1 (residue carries day-2),
+    v4 delete day-3, v5 compact (logically empty)."""
+    SS.append(_df(spark, [("2024-01-01", "a", 1), ("2024-01-02", "b", 2)]), root, "d")
+    SS.append(_df(spark, [("2024-01-03", "c", 3)]), root, "d")
+    SS.overwrite_partitions(_df(spark, [("2024-01-01", "A", 10)]), root, "d")
+    SS.delete_partitions(spark, root, "d", ["2024-01-03"])
+    SS.compact(spark, root)
+    assert SS.table_version(root) == 5
+
+
+def _stream_all(spark, root):
+    spark.dataSource.register(SnapshotChangeDataSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("snap_cdc")
+
+
+def test_stream_nets_to_batch_read(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_history(spark, root)
+    feed = _stream_all(spark, root)
+    # net the bag: +1 per insert, −1 per delete, per data row
+    net = (
+        feed.groupBy("d", "k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+        .filter(F.col("n") != 0)
+    )
+    assert sorted((r["d"], r["k"], r["v"], r["n"]) for r in net.collect()) == [
+        ("2024-01-01", "A", 10, 1),
+        ("2024-01-02", "b", 2, 1),
+    ]
+    batch = sorted(
+        (r["d"], r["k"], r["v"]) for r in SS.read_table(spark, root).collect()
+    )
+    assert batch == [("2024-01-01", "A", 10), ("2024-01-02", "b", 2)]
+
+
+def test_stream_residue_and_compact_emit_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_history(spark, root)
+    rows = _stream_all(spark, root).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], []).append(r)
+    # v3 overwrote day-1 only: day-2's rows were MOVED to the residue —
+    # they must not appear as changes at v3 in either direction
+    v3 = by_v[3]
+    assert all(r["d"] == "2024-01-01" for r in v3)
+    assert sorted((r["_change_type"], r["k"]) for r in v3) == [
+        ("delete", "a"),
+        ("insert", "A"),
+    ]
+    # v4 deleted day-3 (pure delete, no phantom inserts from residue)
+    assert sorted((r["_change_type"], r["d"]) for r in by_v[4]) == [
+        ("delete", "2024-01-03")
+    ]
+    # v5 compact is logically empty
+    assert 5 not in by_v
+
+
+def test_stream_resumes_from_starting_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_history(spark, root)
+    spark.dataSource.register(SnapshotChangeDataSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("startingVersion", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_cdc_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vs = {
+        r["_commit_version"]
+        for r in spark.table("snap_cdc_tail").select("_commit_version").collect()
+    }
+    assert vs == {3, 4}  # window (2, 5]; compact v5 emits nothing
