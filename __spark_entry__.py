@@ -3883,6 +3883,33 @@ def q_distinct_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_from_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME store read on the SNAPSHOT backend (r11; r10 VERDICT
+    #6): daily HLL partials committed through the snapshot table
+    (put-if-absent manifest commits, no locks/renames — object-store
+    legal) instead of the POSIX txn sink; the range read prunes at the
+    manifest level via per-batch metric_date min/max stats. Same
+    incremental build, same oracle, bit-identical estimates — proving
+    the two commit mechanisms are interchangeable behind ``backend=``
+    (operators/sketchstore.py)."""
+    from smartdatapipeline_spark.operators.sketchstore import (
+        distinct_from_store,
+        update_register_store,
+    )
+
+    ev = _events(spark, sf_dir)
+    store = _tmp_store("hllsnap", sf_dir)
+    week1 = ev.filter(F.to_date("ts") <= F.lit("2024-01-07"))
+    update_register_store(
+        week1, store, metric_col="event_type", backend="snapshot"
+    )
+    update_register_store(ev, store, metric_col="event_type", backend="snapshot")
+    return distinct_from_store(
+        spark, store, start="2024-01-08", end="2024-01-21",
+        metric_col="event_type", backend="snapshot",
+    )
+
+
 def q_kmv_overlap_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap FROM THE STORE (round 10, VERDICT task #4):
     daily bottom-k partials persisted per (day, event_type), then
@@ -4538,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyadic_sketch": q_dyadic_sketch,
         "dyadic_grouped": q_dyadic_grouped,
         "distinct_from_store": q_distinct_from_store,
+        "distinct_from_store_snapshot": q_distinct_from_store_snapshot,
         "kmv_overlap_store": q_kmv_overlap_store,
         "bloom_membership_store": q_bloom_membership_store,
         "dyadic_range_store": q_dyadic_range_store,
@@ -7191,6 +7219,8 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY event_type, bucket
     """,
     )
+    # r11 — identical answer through the snapshot-table backend
+    o["distinct_from_store_snapshot"] = o["distinct_from_store"]
     # round 10 — rolling trailing-7-day distinct from the store: the
     # oracle sketches every window directly (register max-fold makes
     # the per-day points bit-identical); day spine via generate_series

@@ -49,6 +49,45 @@ class Scheduler:
         return self.jobs[job_id].fn(*args, **kwargs)
 
 
+def snapshot_maintenance_job(
+    spark,
+    roots: list[str],
+    target_batches: int = 4,
+    keep_versions: int = 3,
+    grace_sec: float = 86_400.0,
+) -> Callable[[], dict]:
+    """The nightly snapshot-table maintenance body the store's module
+    docstring promises (sources/snapstore.py; r10 VERDICT #5): OPTIMIZE
+    + VACUUM per table. Compaction bounds the live-file count (the
+    manifest ceiling measured in tools/snapstore_ceiling_probe.py —
+    scan listing cost grows with files, so a per-batch append pattern
+    needs this nightly); vacuum reclaims overwritten batches past
+    time-travel retention and crashed-writer orphans. A compact losing
+    a race to a concurrent writer raises ConcurrentWriteError — the
+    right behavior for maintenance (retry next night / next run), so
+    it is caught and reported, never fatal."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    def run() -> dict:
+        results: dict[str, dict] = {}
+        for root in roots:
+            entry: dict = {}
+            try:
+                entry["compacted_to_version"] = SS.compact(
+                    spark, root, target_batches=target_batches
+                )
+            except SS.ConcurrentWriteError as exc:
+                entry["compact_conflict"] = str(exc)
+            entry["vacuumed"] = len(
+                SS.vacuum(root, keep_versions=keep_versions, grace_sec=grace_sec)
+            )
+            results[root] = entry
+        logger.info("job.snapshot_maintenance %s", results)
+        return results
+
+    return run
+
+
 def default_scheduler(run_kpis: Callable[..., object] | None = None,
                       run_forecast: Callable[..., object] | None = None,
                       housekeeping: Callable[..., object] | None = None) -> Scheduler:

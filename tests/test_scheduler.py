@@ -27,3 +27,40 @@ def test_jobs_fire_wired_callables():
     s.run("weekly_retrain")
     s.run("daily_housekeeping")  # default stub: must not raise
     assert calls == ["kpi", "fc"]
+
+
+def test_snapshot_maintenance_job_compacts_and_vacuums(spark, tmp_path):
+    """The housekeeping slot wired to real work (r10 VERDICT #5): the
+    snapshot_maintenance_job body compacts the table's live files to
+    the target and vacuums unreferenced batches, contents unchanged;
+    registered through the standard 3-job registry."""
+    from smartdatapipeline_spark.plans.scheduler import (
+        default_scheduler,
+        snapshot_maintenance_job,
+    )
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = str(tmp_path / "t")
+    for i in range(6):
+        SS.append(
+            spark.createDataFrame(
+                [(f"2024-01-{i + 1:02d}", i)], "d string, v long"
+            ),
+            root,
+            "d",
+        )
+    before = sorted((r["d"], r["v"]) for r in SS.read_table(spark, root).collect())
+    n_files_before = len(SS._snapshot(root)[1])
+    assert n_files_before == 6
+
+    s = default_scheduler(
+        housekeeping=snapshot_maintenance_job(
+            spark, [root], target_batches=1, keep_versions=1, grace_sec=0.0
+        )
+    )
+    out = s.run("daily_housekeeping")
+    assert out[root]["compacted_to_version"] == 7
+    assert out[root]["vacuumed"] >= 6  # the six pre-compaction batches
+    assert len(SS._snapshot(root)[1]) == 1
+    after = sorted((r["d"], r["v"]) for r in SS.read_table(spark, root).collect())
+    assert after == before

@@ -34,19 +34,20 @@ def _est_rows(df):
     return sorted(tuple(map(str, r)) for r in df.collect())
 
 
-def test_incremental_build_matches_direct(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["txn", "snapshot"])
+def test_incremental_build_matches_direct(spark, tmp_path, backend):
     store = str(tmp_path / "reg_store")
     d12 = _events(spark, ["2024-01-01", "2024-01-02"])
     d3 = _events(spark, ["2024-01-03"])
 
-    assert update_register_store(d12, store) == 2
+    assert update_register_store(d12, store, backend=backend) == 2
     # incremental day: only day 3 is scanned/written
-    assert update_register_store(d12.unionByName(d3), store) == 1
+    assert update_register_store(d12.unionByName(d3), store, backend=backend) == 1
     # re-run: nothing new, store untouched
-    assert update_register_store(d12.unionByName(d3), store) == 0
+    assert update_register_store(d12.unionByName(d3), store, backend=backend) == 0
 
     # answers from the store == direct sketch of ALL events
-    got = distinct_from_store(spark, store, by_metric=True)
+    got = distinct_from_store(spark, store, by_metric=True, backend=backend)
     all_ev = d12.unionByName(d3).withColumn("metric_date", F.to_date("ts"))
     want = hll_raw_estimate(
         hll_partial(all_ev, "user_id", by=["metric"]), by=["metric"]
@@ -54,29 +55,32 @@ def test_incremental_build_matches_direct(spark, tmp_path):
     assert _est_rows(got) == _est_rows(want)
 
 
-def test_range_filter_prunes_days(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["txn", "snapshot"])
+def test_range_filter_prunes_days(spark, tmp_path, backend):
     store = str(tmp_path / "reg_store2")
     ev = _events(spark, ["2024-01-01", "2024-01-02", "2024-01-03"])
-    update_register_store(ev, store)
+    update_register_store(ev, store, backend=backend)
     got = distinct_from_store(
-        spark, store, start="2024-01-02", end="2024-01-03", by_metric=False
+        spark, store, start="2024-01-02", end="2024-01-03", by_metric=False,
+        backend=backend,
     )
     sub = ev.filter(F.to_date("ts") >= F.lit("2024-01-02"))
     want = hll_raw_estimate(hll_partial(sub, "user_id"))
     assert _est_rows(got) == _est_rows(want)
 
 
-def test_corrections_replace_one_day_only(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["txn", "snapshot"])
+def test_corrections_replace_one_day_only(spark, tmp_path, backend):
     store = str(tmp_path / "reg_store3")
     ev = _events(spark, ["2024-01-01", "2024-01-02"])
-    update_register_store(ev, store)
+    update_register_store(ev, store, backend=backend)
 
     # day 2 gets corrected data (more users); recompute JUST that day
     extra = _events(spark, ["2024-01-02"], users_per_day=200)
-    n = update_register_store(extra, store, only_new_days=False)
+    n = update_register_store(extra, store, only_new_days=False, backend=backend)
     assert n == 1
 
-    got = distinct_from_store(spark, store, by_metric=True)
+    got = distinct_from_store(spark, store, by_metric=True, backend=backend)
     truth = (
         ev.filter(F.to_date("ts") == F.lit("2024-01-01")).unionByName(extra)
     )
@@ -180,35 +184,40 @@ def test_precreated_empty_dir_treated_as_empty_store(spark, tmp_path):
     assert _est_rows(got) == _est_rows(want)
 
 
-def test_reader_on_empty_store_raises_clearly(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["txn", "snapshot"])
+def test_reader_on_empty_store_raises_clearly(spark, tmp_path, backend):
     import os
 
     store = str(tmp_path / "reg_empty")
     os.makedirs(store)
     with pytest.raises(ValueError, match="no committed partitions"):
-        distinct_from_store(spark, store)
+        distinct_from_store(spark, store, backend=backend)
 
 
-def test_manifest_p_mismatch_raises(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["txn", "snapshot"])
+def test_manifest_p_mismatch_raises(spark, tmp_path, backend):
     """ADVICE r10: the store records its HLL precision; reading or
     re-writing with a different p raises instead of computing garbage
     (negative v_empty) with the wrong register count."""
     store = str(tmp_path / "reg_p12")
     ev = _events(spark, ["2024-01-01"])
-    update_register_store(ev, store, p=12)
+    update_register_store(ev, store, p=12, backend=backend)
     with pytest.raises(ValueError, match="parameter mismatch"):
-        distinct_from_store(spark, store, p=8)
+        distinct_from_store(spark, store, p=8, backend=backend)
     with pytest.raises(ValueError, match="parameter mismatch"):
-        update_register_store(_events(spark, ["2024-01-02"]), store, p=8)
+        update_register_store(
+            _events(spark, ["2024-01-02"]), store, p=8, backend=backend
+        )
     # p=None (default) reads the manifest precision and just works
-    got = distinct_from_store(spark, store, by_metric=True)
+    got = distinct_from_store(spark, store, by_metric=True, backend=backend)
     want = hll_raw_estimate(
         hll_partial(ev, "user_id", by=["metric"], p=12), by=["metric"], p=12
     )
     assert _est_rows(got) == _est_rows(want)
 
 
-def test_kmv_store_incremental_matches_direct(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["txn", "snapshot"])
+def test_kmv_store_incremental_matches_direct(spark, tmp_path, backend):
     from smartdatapipeline_spark.functions.sketch import (
         kmv_distinct,
         kmv_fold,
@@ -219,11 +228,16 @@ def test_kmv_store_incremental_matches_direct(spark, tmp_path):
     store = str(tmp_path / "kmv_store")
     d12 = _events(spark, ["2024-01-01", "2024-01-02"])
     d3 = _events(spark, ["2024-01-03"])
-    assert update_kmv_store(d12, store, k=32) == 2
-    assert update_kmv_store(d12.unionByName(d3), store, k=32) == 1
-    assert update_kmv_store(d12.unionByName(d3), store, k=32) == 0
+    assert update_kmv_store(d12, store, k=32, backend=backend) == 2
+    assert update_kmv_store(d12.unionByName(d3), store, k=32, backend=backend) == 1
+    assert update_kmv_store(d12.unionByName(d3), store, k=32, backend=backend) == 0
 
-    stored = spark.read.parquet(store)
+    if backend == "snapshot":
+        from smartdatapipeline_spark.sources import snapstore as SS
+
+        stored = SS.read_table(spark, store)
+    else:
+        stored = spark.read.parquet(store)
     got = kmv_distinct(
         kmv_fold(stored, by=["metric"], k=32), by=["metric"], k=32
     )
