@@ -298,6 +298,15 @@ BENCH_QUERIES: list[str] = [
     "snapshot_time_travel",
     "snapshot_pruned_read",
     "snapshot_changes",
+    # round-11: CDC composition + scale paths — the CDC pair builds its
+    # silver/gold stores on rep 1 (3 slice ingests + a day-deleting
+    # correction, all idempotency-keyed) and reads after; stream_net
+    # re-runs the whole availableNow stream each rep (the measured op
+    # IS the replay); bounds is the no-global-sort RFM scoring plan
+    "cdc_incremental_refresh",
+    "snapshot_stream_net",
+    "rfm_segments_bounds",
+    "distinct_from_store_snapshot",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -114,6 +114,22 @@ def _resolve_partition_col(root: str, upto: int) -> str | None:
     return None
 
 
+def _batch_files(root: str, rel_dir: str) -> list[str]:
+    """The parquet part files inside one immutable batch dir — each
+    becomes its own InputPartition so a large batch parallelizes
+    across the cluster instead of pinning one task."""
+    full = os.path.join(root, rel_dir)
+    try:
+        names = os.listdir(full)
+    except FileNotFoundError:
+        # vacuumed past the reader's lag — same contract as Delta CDF
+        raise SS.NoSuchTableError(
+            f"batch {rel_dir!r} was vacuumed before the stream read it; "
+            "raise vacuum retention above the reader's maximum lag"
+        )
+    return [f"{rel_dir}/{n}" for n in sorted(names) if n.endswith(".parquet")]
+
+
 def _window_partitions(
     root: str, start_v: int, end_v: int
 ) -> list[_ChangeFilePartition]:
@@ -131,19 +147,21 @@ def _window_partitions(
         whole = "*" in replaced
         for a in c.get("actions", []):
             if a.get("op") == "add" and not a.get("residue"):
-                out.append(
-                    _ChangeFilePartition(root, a["path"], "insert", v, None, None)
+                out.extend(
+                    _ChangeFilePartition(root, f, "insert", v, None, None)
+                    for f in _batch_files(root, a["path"])
                 )
             elif a.get("op") == "remove":
-                out.append(
+                out.extend(
                     _ChangeFilePartition(
                         root,
-                        a["path"],
+                        f,
                         "delete",
                         v,
                         None if whole else part_col,
                         None if whole else list(replaced),
                     )
+                    for f in _batch_files(root, a["path"])
                 )
     return out
 
@@ -154,12 +172,21 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("snapshot_changes requires .option('root', <table dir>)")
         self.start_version = int(options.get("startingversion", 0))
+        # rate limit (the Delta maxFilesPerTrigger analogue): cap how
+        # many commits one micro-batch may cover, so a reader that is
+        # far behind catches up in bounded batches instead of one
+        # giant replay. 0 = unbounded.
+        self.max_versions = int(options.get("maxversionsperbatch", 0))
+        self._committed = self.start_version
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": SS.table_version(self.root)}
+        latest = SS.table_version(self.root)
+        if self.max_versions > 0:
+            latest = min(latest, self._committed + self.max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         return _window_partitions(self.root, start["version"], end["version"])
@@ -188,7 +215,9 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the engine's checkpoint
+        # offsets are durable in the engine's checkpoint; tracking the
+        # committed watermark locally lets the rate limit advance
+        self._committed = max(self._committed, end.get("version", 0))
 
     def stop(self) -> None:
         pass

@@ -110,3 +110,32 @@ def test_stream_resumes_from_starting_version(spark, tmp_path):
         for r in spark.table("snap_cdc_tail").select("_commit_version").collect()
     }
     assert vs == {3, 4}  # window (2, 5]; compact v5 emits nothing
+
+
+def test_max_versions_per_batch_rate_limit(spark, tmp_path):
+    """maxVersionsPerBatch caps one micro-batch's commit window (the
+    Delta maxFilesPerTrigger analogue): a far-behind reader catches up
+    in bounded steps. Unit-tests the reader's offset walk directly —
+    trigger timing stays out of it."""
+    from smartdatapipeline_spark.streaming.snapsource import (
+        SnapshotChangeStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    _build_history(spark, root)  # 5 commits
+    r = SnapshotChangeStreamReader({"root": root, "maxversionsperbatch": "2"})
+    start = r.initialOffset()
+    assert start == {"version": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 2}
+    parts1 = r.partitions(start, o1)
+    assert {p.version for p in parts1} == {1, 2}
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2 == {"version": 4}
+    r.commit(o2)
+    o3 = r.latestOffset()
+    assert o3 == {"version": 5}  # caught up; never past the table head
+    # unbounded reader goes straight to the head
+    r2 = SnapshotChangeStreamReader({"root": root})
+    assert r2.latestOffset() == {"version": 5}
