@@ -4228,6 +4228,48 @@ def q_snapshot_stream_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER + column-stats skipping (r11): raw events land
+    in the snapshot table as three ingest-order appends (every batch
+    spans the full value range — a value predicate skips nothing),
+    then the nightly OPTIMIZE rewrites the table z-ordered on
+    (value, user_id) into 8 tight-range batches
+    (sources/snapstore.py compact(zorder_by=…) over
+    functions/layout.py Morton keys). The benched read aggregates a
+    narrow value band via ``column_range`` — batches whose recorded
+    min/max cannot intersect are never listed to Spark. Oracle: the
+    same aggregate from events directly."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("zsnap", sf_dir)
+    if SS.table_version(root) < 4:
+        ev = _events(spark, sf_dir).select("ts", "event_type", "value", "user_id")
+        for i, key in enumerate(("z-b1", "z-b2", "z-b3")):
+            SS.append(
+                ev.filter(F.crc32(F.col("event_type")) % 3 == i).withColumn(
+                    "event_date", F.to_date("ts")
+                ),
+                root,
+                "event_date",
+                idempotency_key=key,
+                stats_cols=("value", "user_id"),
+            )
+        SS.compact(
+            spark, root, target_batches=8, zorder_by=("value", "user_id"),
+            idempotency_key="z-optimize",
+        )
+    band = SS.read_table(spark, root, column_range=("value", 20.0, 40.0))
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        band.groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_dec.alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-DRIVEN INCREMENTAL KPI REFRESH (r11 flagship; r10 VERDICT
     #1): the reference's "ingest then recompute affected KPIs" loop
@@ -4578,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "cdc_incremental_refresh": q_cdc_incremental_refresh,
         "snapshot_stream_net": q_snapshot_stream_net,
+        "snapshot_zorder_read": q_snapshot_zorder_read,
     }
 
 
@@ -7605,6 +7648,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT *, 'delete' AS _change_type
         FROM (SELECT * FROM orig EXCEPT ALL SELECT * FROM corr)
     """
+    # z-ordered narrow-band read == the direct events aggregate
+    o["snapshot_zorder_read"] = """
+        SELECT event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE value BETWEEN 20.0 AND 40.0
+        GROUP BY 1
+    """
+
     # the netted streaming change feed == the final silver state
     o["snapshot_stream_net"] = """
         SELECT CAST(ts AS DATE) AS metric_date,

@@ -307,6 +307,7 @@ BENCH_QUERIES: list[str] = [
     "snapshot_stream_net",
     "rfm_segments_bounds",
     "distinct_from_store_snapshot",
+    "snapshot_zorder_read",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

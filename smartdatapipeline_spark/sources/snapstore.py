@@ -768,6 +768,8 @@ def compact(
     root: str,
     target_batches: int = 1,
     idempotency_key: str | None = None,
+    zorder_by: tuple | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction (the Delta OPTIMIZE / Iceberg rewrite-
     data-files maintenance op): rewrite ALL live batches into
@@ -779,12 +781,21 @@ def compact(
     rewrite. Steady-state deployments run this nightly; a snapshot
     table fed by per-batch appends otherwise accretes one file set per
     micro-batch and the scan's file-listing cost grows without bound.
-    """
+
+    ``zorder_by=(colA, colB)`` is OPTIMIZE ZORDER (r11): the rewrite
+    range-partitions the table on the Morton key of the two columns
+    (functions/layout.py) and lands each z-range as its OWN batch with
+    min/max stats recorded for both columns — so after maintenance,
+    ``read_table(column_range=…)`` skips whole batches at the MANIFEST
+    level for predicates on EITHER clustered column (ingest-order
+    batches each span the full value range and skip nothing).
+    ``stats_cols`` adds further stat-tracked columns to every rewritten
+    batch."""
     try:
         base_v, live, _ = _snapshot(root)
     except NoSuchTableError:
         return 0
-    if len(live) <= target_batches:
+    if len(live) <= target_batches and zorder_by is None:
         return base_v
     part_col = next(
         (e["partition_col"] for e in live if e.get("partition_col")), None
@@ -796,12 +807,48 @@ def compact(
             break
         touched.update(e["values"])
     df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in live])
-    if target_batches > 1:
-        df = df.repartition(target_batches)
+    actions: list[dict] = []
+    if zorder_by is not None:
+        from smartdatapipeline_spark.functions.layout import zorder_key
+
+        ca, cb = zorder_by
+        track = tuple(dict.fromkeys((ca, cb) + tuple(stats_cols)))
+        keyed = zorder_key(df, [ca, cb]).cache()
+        try:
+            n_b = max(1, target_batches)
+            # z-range boundaries: exact enough from the GK sketch — the
+            # split only shapes batch extents, never row membership
+            if n_b > 1:
+                qs = [i / n_b for i in range(1, n_b)]
+                cuts = keyed.agg(
+                    F.percentile_approx("_z", qs, 10_000).alias("c")
+                ).head()["c"]
+            else:
+                cuts = []
+            for i in range(n_b):
+                part = keyed
+                if i > 0:
+                    part = part.filter(F.col("_z") > F.lit(cuts[i - 1]))
+                if i < len(cuts):
+                    part = part.filter(F.col("_z") <= F.lit(cuts[i]))
+                entry = _write_batch(
+                    part.sortWithinPartitions("_z").drop("_z"),
+                    root,
+                    part_col,
+                    track,
+                )
+                if entry is not None:
+                    actions.append(entry)
+        finally:
+            keyed.unpersist()
     else:
-        df = df.coalesce(1)
-    new_entry = _write_batch(df, root, part_col)
-    actions: list[dict] = [new_entry] if new_entry is not None else []
+        if target_batches > 1:
+            df = df.repartition(target_batches)
+        else:
+            df = df.coalesce(1)
+        new_entry = _write_batch(df, root, part_col, stats_cols)
+        if new_entry is not None:
+            actions.append(new_entry)
     actions.extend({"op": "remove", "path": e["path"]} for e in live)
     # No recompute: compact's rewrite is a Spark job over a pinned file
     # set, so a conflicting racer (anything touching the rewritten

@@ -726,3 +726,51 @@ def test_pruned_read_of_existing_table_returns_empty(spark, tmp_path):
     assert empty2.count() == 0 and empty2.columns == ["d", "k", "v"]
     with pytest.raises(SS.NoSuchTableError):
         SS.read_table(spark, str(tmp_path / "nope"))
+
+
+def test_optimize_zorder_enables_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER (r11): ingest-order batches each span the full
+    value range (column_range skips nothing); after a z-ordered
+    compact, each rewritten batch holds one tight z-range, so a narrow
+    predicate on EITHER clustered column prunes most batches at the
+    manifest level — contents unchanged, CDC across it empty."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"2024-01-{1 + i % 4:02d}", float(rnd.uniform(0, 100)), float(rnd.uniform(0, 100)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "d string, x double, y double")
+    root = str(tmp_path / "t")
+    # 4 ingest-order appends, stats tracked — every batch spans [0,100]
+    for i in range(4):
+        SS.append(
+            df.filter((F.crc32(F.concat_ws("|", "d", "x", "y")) % 4) == i),
+            root, "d", stats_cols=("x", "y"),
+        )
+    v_before = SS.table_version(root)
+    _, live0, _ = SS._snapshot(root)
+
+    def listed(live, col, lo, hi):
+        return [e for e in live if SS._stats_intersect(e, col, lo, hi)]
+
+    assert len(listed(live0, "x", 10.0, 12.0)) == 4  # nothing skips
+
+    v = SS.compact(spark, root, target_batches=8, zorder_by=("x", "y"))
+    assert v == v_before + 1
+    _, live1, _ = SS._snapshot(root)
+    assert 2 <= len(live1) <= 8
+    # a narrow x-range now intersects only a minority of batches
+    assert len(listed(live1, "x", 10.0, 12.0)) < len(live1)
+    assert len(listed(live1, "y", 90.0, 92.0)) < len(live1)
+
+    # logically a no-op: contents equal, change feed empty
+    got = sorted(
+        (r["d"], r["x"], r["y"]) for r in SS.read_table(spark, root).collect()
+    )
+    assert got == sorted((d, x, y) for d, x, y in rows)
+    assert SS.table_changes(spark, root, v_before, v).count() == 0
+    # the pruned read returns exactly the filtered rows
+    narrow = SS.read_table(spark, root, column_range=("x", 10.0, 12.0))
+    assert narrow.count() == sum(1 for _, x, _ in rows if 10.0 <= x <= 12.0)
