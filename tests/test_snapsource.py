@@ -139,3 +139,51 @@ def test_max_versions_per_batch_rate_limit(spark, tmp_path):
     # unbounded reader goes straight to the head
     r2 = SnapshotChangeStreamReader({"root": root})
     assert r2.latestOffset() == {"version": 5}
+
+
+def test_snapshot_to_snapshot_streaming_pipeline(spark, tmp_path):
+    """BOTH ENDS (r10 VERDICT #4's composition): the upstream snapshot
+    table is the STREAM SOURCE (its commit log is the offset axis) and
+    a downstream snapshot table is the exactly-once SINK — one
+    Structured Streaming query replicates upstream's net state through
+    a filter, surviving a restart without duplicating commits."""
+    from smartdatapipeline_spark.streaming.snapsink import snapshot_append_sink
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    ckpt = str(tmp_path / "ckpt")
+    SS.append(_df(spark, [("2024-01-01", "a", 1), ("2024-01-02", "b", 2)]), up, "d")
+    SS.append(_df(spark, [("2024-01-03", "c", 3)]), up, "d")
+
+    spark.dataSource.register(SnapshotChangeDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("root", up)
+            .load()
+            .filter(F.col("_change_type") == "insert")
+            .select("d", "k", "v")
+            .writeStream.foreachBatch(snapshot_append_sink(down, "repl-1", "d"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = sorted((r["d"], r["k"], r["v"]) for r in SS.read_table(spark, down).collect())
+    assert got1 == [("2024-01-01", "a", 1), ("2024-01-02", "b", 2), ("2024-01-03", "c", 3)]
+
+    # more upstream commits, then RESTART from the checkpoint: only the
+    # new window replays, and the sink's idempotency keys mean the
+    # restart cannot double-apply anything
+    SS.append(_df(spark, [("2024-01-04", "e", 4)]), up, "d")
+    run_once()
+    run_once()  # a second restart with nothing new is a no-op
+    got2 = sorted((r["d"], r["k"], r["v"]) for r in SS.read_table(spark, down).collect())
+    assert got2 == got1 + [("2024-01-04", "e", 4)]
+    # downstream history: one append commit per non-empty micro-batch,
+    # nothing duplicated
+    kinds = [h["kind"] for h in SS.history(down)]
+    assert kinds == ["append", "append"]
