@@ -88,6 +88,27 @@ def snapshot_maintenance_job(
     return run
 
 
+def cdc_refresh_job(spark, silver_root: str, gold_root: str) -> Callable[[], dict]:
+    """The nightly-KPI job body, CDC-correct (r11): refresh gold from
+    silver's change feed — only the day partitions new commits touched,
+    via `operators/pipeline.refresh_gold_from_changes`. Idempotent (a
+    re-fired job replays its keyed commit) and proportional to the
+    night's ingest, not the table. With this, all three reference cron
+    slots (backend/app/scheduler/setup.py:22-77) have real engine
+    bodies: nightly KPIs = CDC refresh, housekeeping = snapshot
+    maintenance, weekly retrain = the forecast entry point."""
+    from smartdatapipeline_spark.operators.pipeline import (
+        refresh_gold_from_changes,
+    )
+
+    def run() -> dict:
+        out = refresh_gold_from_changes(spark, silver_root, gold_root)
+        logger.info("job.nightly_kpis cdc_refresh %s", out)
+        return out
+
+    return run
+
+
 def default_scheduler(run_kpis: Callable[..., object] | None = None,
                       run_forecast: Callable[..., object] | None = None,
                       housekeeping: Callable[..., object] | None = None) -> Scheduler:

@@ -64,3 +64,35 @@ def test_snapshot_maintenance_job_compacts_and_vacuums(spark, tmp_path):
     assert len(SS._snapshot(root)[1]) == 1
     after = sorted((r["d"], r["v"]) for r in SS.read_table(spark, root).collect())
     assert after == before
+
+
+def test_nightly_kpis_job_runs_cdc_refresh(spark, tmp_path):
+    """All three reference cron slots now carry real engine bodies:
+    nightly_kpis = the CDC refresh — fired twice, the second run is a
+    no-op because the commit log already records the consumed silver
+    version."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smartdatapipeline_spark.plans.scheduler import (
+        cdc_refresh_job,
+        default_scheduler,
+    )
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    batch = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1, 12), "m", 10.0, 1)],
+        "ts timestamp, metric string, value double, source_id int",
+    ).withColumn("event_date", F.to_date("ts"))
+    SS.append(batch, silver, "event_date")
+
+    s = default_scheduler(run_kpis=cdc_refresh_job(spark, silver, gold))
+    out1 = s.run("nightly_kpis")
+    assert out1["refreshed_days"] == 1 and out1["silver_version"] == 1
+    rows = SS.read_table(spark, gold).collect()
+    assert len(rows) == 1 and rows[0]["value_sum"] == 10.0
+    out2 = s.run("nightly_kpis")
+    assert out2["refreshed_days"] == 0  # nothing new — no-op
