@@ -2389,13 +2389,22 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pass 1) + strict-below count and a sort of only the bracket slice
     (pass 2) — functions/sketch.py exact_quantile_two_pass. The oracle
     is DuckDB's quantile_disc (lower/discrete convention)."""
-    from smartdatapipeline_spark.functions.sketch import exact_quantile_two_pass
+    import math
 
-    ev = _events(spark, sf_dir).select("value")
-    rows = [
-        (float(q), float(exact_quantile_two_pass(ev, "value", q)))
-        for q in (0.5, 0.9, 0.99)
-    ]
+    from smartdatapipeline_spark.functions.sketch import values_at_ranks
+
+    ev = _events(spark, sf_dir).select("value").cache()
+    try:
+        qs = (0.5, 0.9, 0.99)
+        n = ev.count()
+        ranks = [max(1, int(math.ceil(q * n))) for q in qs]
+        # one GK bracket pass + one below/slice aggregate + one
+        # TakeOrdered per rank (r11: replaces 3 independent two-pass
+        # probes — same discrete-rank convention, half the jobs)
+        vals = values_at_ranks(ev, "value", ranks, n)
+    finally:
+        ev.unpersist()
+    rows = [(float(q), float(v)) for q, v in zip(qs, vals)]
     return spark.createDataFrame(rows, "q double, value double")
 
 

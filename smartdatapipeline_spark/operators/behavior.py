@@ -786,8 +786,10 @@ def _rfm_scores_by_bounds(per: DataFrame, n_tiles: int, user_col: str) -> DataFr
         ends = _ntile_boundary_ranks(n, n_tiles)
 
         def score(col: str, ascending: bool):
+            from smartdatapipeline_spark.functions.sketch import values_at_ranks
+
             ranks = [e if ascending else n - e + 1 for e in ends]
-            bounds = _values_at_ranks(per, col, ranks, n)
+            bounds = values_at_ranks(per, col, ranks, n)
             expr = F.lit(1)
             for b in bounds:
                 cmp = F.col(col) > F.lit(b) if ascending else F.col(col) < F.lit(b)
@@ -802,75 +804,6 @@ def _rfm_scores_by_bounds(per: DataFrame, n_tiles: int, user_col: str) -> DataFr
         )
     finally:
         per.unpersist()
-
-
-def _values_at_ranks(df, col: str, ranks: list[int], n: int) -> list:
-    """Exact order statistics at several 1-based ranks of one column in
-    THREE bounded jobs total (vs 3-4 jobs per rank through repeated
-    ``exact_quantile_two_pass`` calls — the r11 bench showed the
-    9-probe RFM bounds path spending its time on job-count, not data):
-
-    1. one GK sketch pass bracketing ALL ranks ([q−pad, q+pad] each;
-       pad > rank error, so every true rank-k element provably lies in
-       its bracket),
-    2. one aggregate counting rows strictly below every lower bracket,
-    3. one TakeOrdered per rank over its bracket slice (thousandths of
-       the data; same discipline as exact_quantile_two_pass, which this
-       generalizes — DuckDB quantile_disc convention, element at rank
-       max(1, ceil(q·n)))."""
-    accuracy = 10_000
-    pad = max(4.0 / accuracy, 1e-4)
-    qs: list[tuple[float, float]] = []
-    for k in ranks:
-        q = (k - 0.5) / n
-        qs.append((max(0.0, q - pad), min(1.0, q + pad)))
-    flat = [x for pair in qs for x in pair]
-    brackets = df.agg(
-        F.percentile_approx(col, flat, accuracy).alias("b")
-    ).head()["b"]
-    lows = {i: brackets[2 * i] for i in range(len(ranks))}
-    highs = {i: brackets[2 * i + 1] for i in range(len(ranks))}
-    below = df.agg(
-        *[
-            F.sum((F.col(col) < F.lit(lows[i])).cast("long")).alias(f"_b{i}")
-            for i in range(len(ranks))
-        ],
-        *[
-            F.sum(
-                (
-                    (F.col(col) >= F.lit(lows[i]))
-                    & (F.col(col) <= F.lit(highs[i]))
-                ).cast("long")
-            ).alias(f"_s{i}")
-            for i in range(len(ranks))
-        ],
-    ).head()
-    out = []
-    for i, k in enumerate(ranks):
-        m = k - (below[f"_b{i}"] or 0)
-        slice_n = below[f"_s{i}"] or 0
-        sliced = df.filter(
-            (F.col(col) >= F.lit(lows[i])) & (F.col(col) <= F.lit(highs[i]))
-        )
-        row = None
-        if 0 < m <= slice_n:
-            row = (
-                sliced.orderBy(F.col(col).asc())
-                .limit(m)
-                .agg(F.max(col).alias("v"))
-                .head()
-            )
-        if row is None or row["v"] is None:
-            # bracket missed (degenerate ties): exact fallback,
-            # TakeOrdered(k) rather than a full sort
-            row = (
-                df.orderBy(F.col(col).asc())
-                .limit(k)
-                .agg(F.max(col).alias("v"))
-                .head()
-            )
-        out.append(row["v"])
-    return out
 
 
 def growth_accounting(
