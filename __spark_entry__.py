@@ -4167,14 +4167,14 @@ def _ensure_cdc_tables(spark: SparkSession, sf_dir: str) -> str:
     )
     from smartdatapipeline_spark.sources import snapstore as SS
 
-    silver = _tmp_store("cdcsilver", sf_dir)
-    gold = _tmp_store("cdcgold", sf_dir)
+    silver = _tmp_store("cdcsilver2", sf_dir)
+    gold = _tmp_store("cdcgold2", sf_dir)
     sv = SS.table_version(silver)
     if sv >= 3 and last_refreshed_silver_version(gold) == sv:
         return gold
     ev = (
         _events(spark, sf_dir)
-        .select("ts", F.col("event_type").alias("metric"), "value")
+        .select("ts", F.col("event_type").alias("metric"), "value", "user_id")
         .withColumn("event_date", F.to_date("ts"))
     )
     slices = [
@@ -4210,7 +4210,7 @@ def q_snapshot_stream_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_cdc_tables(spark, sf_dir)
-    silver = _tmp_store("cdcsilver", sf_dir)
+    silver = _tmp_store("cdcsilver2", sf_dir)
     spark.dataSource.register(SnapshotChangeDataSource)
     qn = f"snap_feed_{_uuid.uuid4().hex[:8]}"
     q = (
@@ -4276,6 +4276,39 @@ def q_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_dec.alias("value_sum"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+def q_hll_store_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW beyond gold (r11): the HLL
+    register store is maintained from the SAME silver change feed as
+    the KPI table — ``refresh_register_store_from_changes`` recomputes
+    only the touched days' partials and DELETES the day a correction
+    emptied (2024-01-15 vanishes from the store), proving
+    ``refresh_from_changes`` generalizes to any day-grain derived
+    table. The read answers per-metric distinct-user estimates from
+    stored registers alone; the oracle sketches events minus the
+    deleted day directly — register max-fold makes them bit-identical
+    (operators/sketchstore.py refresh_register_store_from_changes)."""
+    from smartdatapipeline_spark.operators.sketchstore import (
+        distinct_from_store,
+        refresh_register_store_from_changes,
+    )
+    from smartdatapipeline_spark.operators.pipeline import (
+        last_refreshed_silver_version,
+    )
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    _ensure_cdc_tables(spark, sf_dir)
+    silver = _tmp_store("cdcsilver2", sf_dir)
+    store = _tmp_store("hllmv", sf_dir)
+    if last_refreshed_silver_version(store) < SS.table_version(silver):
+        refresh_register_store_from_changes(
+            spark, silver, store, key_col="user_id", metric_col="metric", p=8
+        )
+    return distinct_from_store(
+        spark, store, key_col="user_id", metric_col="metric",
+        by_metric=True, backend="snapshot",
     )
 
 
@@ -4628,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pruned_read": q_snapshot_pruned_read,
         "snapshot_changes": q_snapshot_changes,
         "cdc_incremental_refresh": q_cdc_incremental_refresh,
+        "hll_store_cdc_refresh": q_hll_store_cdc_refresh,
         "snapshot_stream_net": q_snapshot_stream_net,
         "snapshot_zorder_read": q_snapshot_zorder_read,
     }
@@ -7273,6 +7307,26 @@ def oracle_sql() -> dict[str, str]:
     )
     # r11 — identical answer through the snapshot-table backend
     o["distinct_from_store_snapshot"] = o["distinct_from_store"]
+    # r11 — the store as a CDC-maintained materialized view of silver:
+    # full-range read, minus the day the correction deleted
+    o["hll_store_cdc_refresh"] = _HLL_RAW.format(
+        by="metric,",
+        groupby="GROUP BY metric",
+        reg="""
+        SELECT metric, h >> 52 AS bucket,
+               CAST(MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                        ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1)))
+                        END) AS INT) AS rho
+        FROM (
+            SELECT event_type AS metric,
+                   ('0x' || substr(md5('hll-v1:' || CAST(user_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND CAST(ts AS DATE) <> DATE '2024-01-15'
+        ) GROUP BY metric, bucket
+    """,
+    )
     # round 10 — rolling trailing-7-day distinct from the store: the
     # oracle sketches every window directly (register max-fold makes
     # the per-day points bit-identical); day spine via generate_series

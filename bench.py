@@ -308,6 +308,7 @@ BENCH_QUERIES: list[str] = [
     "rfm_segments_bounds",
     "distinct_from_store_snapshot",
     "snapshot_zorder_read",
+    "hll_store_cdc_refresh",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -61,15 +61,18 @@ def last_refreshed_silver_version(gold_root: str) -> int:
     return best
 
 
-def refresh_gold_from_changes(
+def refresh_from_changes(
     spark: SparkSession,
     silver_root: str,
-    gold_root: str,
+    dest_root: str,
+    aggregate,
+    dest_partition_col: str = "metric_date",
     from_version: int | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> dict:
-    """Incrementally refresh the gold KPI table from the silver
-    snapshot table's change feed (r10 VERDICT #1: compose
-    ``snapstore.table_changes`` with ``run_daily_kpis``).
+    """GENERAL incremental materialized view over the silver snapshot
+    table (r11 generalization of the r10-VERDICT-#1 gold refresh —
+    any day-grain derived table maintains itself the same way):
 
     - ``table_changes(from_version, latest)`` reads ONLY files that
       entered or left silver's live set — an append-heavy window costs
@@ -77,20 +80,23 @@ def refresh_gold_from_changes(
     - The changed rows' ``event_date`` values name the touched day
       partitions (driver-side list, bounded by days-per-window).
     - Those days are re-read via MANIFEST-pruned ``read_table`` (only
-      batches whose tracked value set intersects are listed to Spark)
-      and re-aggregated; gold gets one ``overwrite_partitions`` commit.
+      batches whose tracked value set intersects are listed to Spark),
+      fed to ``aggregate(day_slice) -> day-grain frame`` (must carry
+      ``dest_partition_col``), and the result lands as ONE
+      ``overwrite_partitions`` commit on ``dest_root``.
     - A touched day whose rows all vanished (a correction emptied it)
-      is REMOVED from gold via ``delete_partitions`` — full-recompute
-      equality holds even for disappearing groups.
-    - Idempotent: the gold commit's key is ``cdc-refresh:<silver_v>``;
-      a crashed-and-retried refresh of the same window replays as a
-      no-op, and ``from_version`` defaults to the last key on record.
+      is REMOVED from the view via ``delete_partitions`` —
+      full-recompute equality holds even for disappearing groups.
+    - Idempotent: the commit's key is ``cdc-refresh:<silver_v>``; a
+      crashed-and-retried refresh of the same window replays as a
+      no-op, and ``from_version`` defaults to the last key on record
+      IN THE DEST's log — each view tracks its own progress.
 
     Caveat (same as Delta CDF): a silver COMPACT rewrites every live
     file, so a refresh window spanning it diffs the whole table (the
     feed is still logically empty — bag-semantics cancellation — but
-    the diff reads both file sets). Run compaction right AFTER a
-    refresh, or refresh past it promptly.
+    the diff reads both file sets). Run compaction right AFTER the
+    views refresh, or refresh past it promptly.
 
     Returns ``{"from_version", "silver_version", "refreshed_days",
     "deleted_days"}``.
@@ -99,7 +105,7 @@ def refresh_gold_from_changes(
 
     to_v = SS.table_version(silver_root)
     if from_version is None:
-        from_version = last_refreshed_silver_version(gold_root)
+        from_version = last_refreshed_silver_version(dest_root)
     out = {
         "from_version": from_version,
         "silver_version": to_v,
@@ -119,29 +125,50 @@ def refresh_gold_from_changes(
     affected = SS.read_table(
         spark, silver_root, partition_values=days, partition_col="event_date"
     )
-    gold = run_daily_kpis(affected.drop("event_date"))
+    derived = aggregate(affected)
     key = f"{_REFRESH_KEY}:{to_v}"
     SS.overwrite_partitions(
-        gold, gold_root, partition_col="metric_date", idempotency_key=key
+        derived, dest_root, partition_col=dest_partition_col,
+        idempotency_key=key, stats_cols=stats_cols,
     )
     # Which days actually landed? Read it off the commit we just made
     # (or replayed) instead of re-running the aggregation — the commit's
     # ``replaced`` field IS the written day set. No commit with our key
-    # ⇒ the gold frame was empty ⇒ every touched day emptied.
-    written = SS.find_commit_by_key(gold_root, key)
-    gold_days = set((written or {}).get("replaced") or [])
-    emptied = [d for d in days if d not in gold_days]
+    # ⇒ the derived frame was empty ⇒ every touched day emptied.
+    written = SS.find_commit_by_key(dest_root, key)
+    dest_days = set((written or {}).get("replaced") or [])
+    emptied = [d for d in days if d not in dest_days]
     if emptied:
         SS.delete_partitions(
             spark,
-            gold_root,
-            "metric_date",
+            dest_root,
+            dest_partition_col,
             emptied,
             idempotency_key=f"{_REFRESH_KEY}-del:{to_v}",
         )
-    out["refreshed_days"] = len(gold_days & set(days))
+    out["refreshed_days"] = len(dest_days & set(days))
     out["deleted_days"] = len(emptied)
     return out
+
+
+def refresh_gold_from_changes(
+    spark: SparkSession,
+    silver_root: str,
+    gold_root: str,
+    from_version: int | None = None,
+) -> dict:
+    """The gold-KPI instance of ``refresh_from_changes`` (r10 VERDICT
+    #1): ``run_daily_kpis`` recomputed for exactly the day partitions
+    the silver change feed names — the reference's "ingest then
+    recompute affected KPIs" loop (backend/app/routers/ingest.py:
+    183-189, services/kpi.py:252-324) at change-feed cost."""
+    return refresh_from_changes(
+        spark,
+        silver_root,
+        gold_root,
+        lambda affected: run_daily_kpis(affected.drop("event_date")),
+        from_version=from_version,
+    )
 
 
 def ingest_and_refresh(

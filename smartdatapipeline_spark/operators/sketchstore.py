@@ -273,6 +273,45 @@ def update_register_store(
     )
 
 
+def refresh_register_store_from_changes(
+    spark: SparkSession,
+    silver_root: str,
+    store_path: str,
+    key_col: str = "user_id",
+    metric_col: str = "metric",
+    p: int = 8,
+) -> dict:
+    """Maintain the HLL register store as an INCREMENTAL MATERIALIZED
+    VIEW of the silver snapshot table (r11): the silver change feed
+    names the touched days, ONLY those days' partials are recomputed
+    (manifest-pruned day reads), and a correction that empties a day
+    deletes its partition — the same ``refresh_from_changes`` mechanism
+    that maintains gold, proving it generalizes to any day-grain
+    derived table. Store params are manifest-validated exactly like the
+    batch writers; the store must live on the snapshot backend."""
+    from smartdatapipeline_spark.operators.pipeline import refresh_from_changes
+
+    _require_manifest(
+        store_path,
+        "hll",
+        {"p": p, "key_col": key_col, "metric_col": metric_col},
+        write_if_missing=True,
+    )
+
+    def agg(affected: DataFrame) -> DataFrame:
+        df = (
+            affected.filter(F.col(key_col).isNotNull())
+            .withColumn("metric_date", F.col("event_date"))
+            .drop("event_date")
+        )
+        return hll_partial(df, key_col, by=["metric_date", metric_col], p=p)
+
+    return refresh_from_changes(
+        spark, silver_root, store_path, agg,
+        stats_cols=("metric_date",),
+    )
+
+
 def distinct_from_store(
     spark: SparkSession,
     store_path: str,

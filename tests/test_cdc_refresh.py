@@ -150,3 +150,77 @@ def test_ingest_and_refresh_incremental_matches_batch_mode(spark, tmp_path):
     assert outs["full"] == outs["inc"]
     # the incremental path recorded its progress in the gold log
     assert last_refreshed_silver_version(str(tmp_path / "gold_inc")) == 2
+
+
+def test_hll_store_as_incremental_materialized_view(spark, tmp_path):
+    """refresh_from_changes generalizes past gold: the HLL register
+    store maintained from the silver change feed equals the direct
+    batch sketch of the CURRENT silver — including after a correction
+    that empties a day (its partition vanishes from the store)."""
+    from smartdatapipeline_spark.functions.sketch import (
+        hll_partial,
+        hll_raw_estimate,
+    )
+    from smartdatapipeline_spark.operators.sketchstore import (
+        distinct_from_store,
+        refresh_register_store_from_changes,
+    )
+
+    silver = str(tmp_path / "silver")
+    store = str(tmp_path / "hllmv")
+    b1 = _silver_batch(spark, [
+        ("2025-01-01T00:00:00", "m", 1, 1),
+        ("2025-01-01T01:00:00", "m", 2, 2),
+        ("2025-01-02T00:00:00", "m", 3, 3),
+    ])
+    SS.append(b1, silver, "event_date")
+    r1 = refresh_register_store_from_changes(
+        spark, silver, store, key_col="source_id"
+    )
+    assert r1["refreshed_days"] == 2
+
+    b2 = _silver_batch(spark, [
+        ("2025-01-02T12:00:00", "m", 4, 9),   # more users on an existing day
+        ("2025-01-03T00:00:00", "m", 5, 4),
+    ])
+    SS.append(b2, silver, "event_date")
+    r2 = refresh_register_store_from_changes(
+        spark, silver, store, key_col="source_id"
+    )
+    assert r2["refreshed_days"] == 2 and r2["from_version"] == 1
+
+    def want():
+        cur = SS.read_table(spark, silver).withColumn(
+            "metric_date", F.col("event_date")
+        )
+        return sorted(
+            tuple(map(str, r))
+            for r in hll_raw_estimate(
+                hll_partial(cur.filter(F.col("source_id").isNotNull()),
+                            "source_id", by=["metric"], p=8),
+                by=["metric"], p=8,
+            ).collect()
+        )
+
+    def got():
+        return sorted(
+            tuple(map(str, r))
+            for r in distinct_from_store(
+                spark, store, key_col="source_id", by_metric=True,
+                backend="snapshot",
+            ).collect()
+        )
+
+    assert got() == want()
+    # correction: delete day 01-02 from silver; the view must drop it
+    SS.delete_partitions(spark, silver, "event_date", ["2025-01-02"])
+    r3 = refresh_register_store_from_changes(
+        spark, silver, store, key_col="source_id"
+    )
+    assert r3["deleted_days"] == 1
+    store_days = {
+        str(r["metric_date"])
+        for r in SS.read_table(spark, store).select("metric_date").collect()
+    }
+    assert "2025-01-02" not in store_days
+    assert got() == want()
