@@ -639,8 +639,23 @@ def read_table(
         live = [e for e in live if _stats_intersect(e, scol, lo, hi)]
     if not live:
         if not all_live:
+            # The table EXISTS but holds no live files (every row was
+            # deleted/overwritten away): an empty frame is the correct
+            # answer. Schema comes from the newest retained version
+            # that still has a readable file; only a table with no
+            # usable history anywhere raises.
+            commits, _ = _list_log(root)
+            target = commits[-1] if version is None else version
+            for v in reversed([c for c in commits if c <= target]):
+                _, old_live, _ = _snapshot(root, v)
+                for e in old_live:
+                    if os.path.isdir(os.path.join(root, e["path"])):
+                        return spark.read.parquet(
+                            os.path.join(root, e["path"])
+                        ).limit(0)
             raise NoSuchTableError(
-                f"snapshot has no live files under {root!r}"
+                f"snapshot has no live files under {root!r} and no "
+                "retained historical batch to derive a schema from"
             )
         # The table exists — pruning just matched nothing. An empty
         # frame with the table's schema is the correct answer, not an

@@ -774,3 +774,70 @@ def test_optimize_zorder_enables_column_skipping(spark, tmp_path):
     # the pruned read returns exactly the filtered rows
     narrow = SS.read_table(spark, root, column_range=("x", 10.0, 12.0))
     assert narrow.count() == sum(1 for _, x, _ in rows if 10.0 <= x <= 12.0)
+
+
+def test_model_based_with_delete_and_zorder_compact(spark, tmp_path):
+    """r11 model check extended to the new ops: random append /
+    overwrite / delete_partitions / compact(zorder_by) sequences track
+    a dict-of-rows model exactly; compact steps are logical no-ops
+    (model unchanged, CDC across them empty) and deletes remove whole
+    day partitions. Versions may advance by >1 per op (residue batches
+    ride the same commit), so the model is checked against the LATEST
+    snapshot after every op, and time travel is checked against the
+    per-op recorded version."""
+    import random
+
+    rng = random.Random(20260816)
+    days = [f"2024-03-{d:02d}" for d in range(1, 6)]
+    root = str(tmp_path / "t")
+    model: dict[str, list] = {}
+    checkpoints: list[tuple[int, list]] = []
+    seq = 0
+
+    def flat(m):
+        return sorted(t for rows in m.values() for t in rows)
+
+    SS.append(_df(spark, [(days[0], "seed", -1)]), root, "d")
+    model[days[0]] = [(days[0], "seed", -1)]
+
+    for step in range(14):
+        op = rng.choice(["append", "overwrite", "delete", "compact"])
+        if op in ("append", "overwrite"):
+            batch = []
+            for _ in range(rng.randint(1, 4)):
+                d = rng.choice(days)
+                batch.append((d, f"k{seq}", seq))
+                seq += 1
+            df = _df(spark, batch)
+            if op == "append":
+                SS.append(df, root, "d")
+                for t in batch:
+                    model.setdefault(t[0], []).append(t)
+            else:
+                SS.overwrite_partitions(df, root, "d")
+                for d in {t[0] for t in batch}:
+                    model[d] = []
+                for t in batch:
+                    model.setdefault(t[0], []).append(t)
+        elif op == "delete":
+            d = rng.choice(days)
+            SS.delete_partitions(spark, root, "d", [d])
+            model.pop(d, None)
+        else:
+            v0 = SS.table_version(root)
+            SS.compact(spark, root, target_batches=2, zorder_by=("v", "v"))
+            v1 = SS.table_version(root)
+            if v1 > v0:
+                assert SS.table_changes(spark, root, v0, v1).count() == 0
+        want = flat(model)
+        if want:
+            assert _rows(SS.read_table(spark, root)) == want, f"step {step} ({op})"
+        else:
+            empty = SS.read_table(spark, root)
+            assert empty.count() == 0, f"step {step} ({op})"
+        checkpoints.append((SS.table_version(root), want))
+
+    for v, want in checkpoints:
+        if not want:
+            continue
+        assert _rows(SS.read_table(spark, root, version=v)) == want, f"v{v}"
