@@ -180,6 +180,7 @@ def ingest_and_refresh(
     source_id: int = 1,
     store: str = "parquet",
     incremental: bool = False,
+    quarantine_path: str | None = None,
 ) -> dict:
     """Ingest a raw frame and refresh the affected gold slices.
 
@@ -206,6 +207,17 @@ def ingest_and_refresh(
     CHANGE FEED — which also picks up any OTHER writer's commits since
     the last refresh — and their recompute reads a manifest-pruned day
     slice instead of scanning silver.
+
+    ``quarantine_path`` (r11): the reference DROPS invalid rows after
+    50 capped warnings (services/ingestion.py:178-206) — fine at demo
+    scale, unacceptable at 100 TB where the dropped rows ARE the
+    debugging evidence. When set, every rejected row lands in a
+    dead-letter table with its rejection ``reason`` and the raw
+    columns, appended through the same store discipline as silver;
+    ``stats["quarantined_rows"]`` counts them. Re-ingesting the same
+    file appends its bad rows again (the DLQ is an audit LOG, not a
+    deduplicated table — pass the snapshot store an idempotency key
+    per logical batch upstream if replays must collapse).
     """
     if store not in ("parquet", "snapshot"):
         raise ValueError(f"store must be 'parquet' or 'snapshot', got {store!r}")
@@ -216,6 +228,19 @@ def ingest_and_refresh(
     )
     stats = ingest_stats_from_clean(clean)
     valid = clean.filter(F.col("_warn").isNull()).drop("_warn")
+    if quarantine_path is not None:
+        bad = clean.filter(F.col("_warn").isNotNull()).withColumnRenamed(
+            "_warn", "reason"
+        )
+        n_bad = bad.count()
+        stats["quarantined_rows"] = n_bad
+        if n_bad:
+            if store == "snapshot":
+                from smartdatapipeline_spark.sources import snapstore as SS
+
+                SS.append(bad, quarantine_path, partition_col=None)
+            else:
+                bad.write.mode("append").parquet(quarantine_path)
 
     if store == "snapshot":
         from smartdatapipeline_spark.sources import snapstore as SS

@@ -224,3 +224,40 @@ def test_hll_store_as_incremental_materialized_view(spark, tmp_path):
     }
     assert "2025-01-02" not in store_days
     assert got() == want()
+
+
+def test_quarantine_dead_letter_table(spark, tmp_path):
+    """Rejected rows are EVIDENCE, not log lines: with quarantine_path
+    set, every invalid row lands in the dead-letter table with its
+    rejection reason, in both store modes, and the valid pipeline is
+    byte-identical to a run without quarantine."""
+    from smartdatapipeline_spark.sources import readers as R
+
+    p = str(tmp_path / "a.csv")
+    open(p, "w").write(
+        "timestamp,value,metric\n"
+        "2025-01-01T00:00:00Z,10,m\n"
+        "bad-ts,99,m\n"
+        "2025-01-02T00:00:00Z,not-a-number,m\n"
+    )
+    for mode in ("parquet", "snapshot"):
+        silver = str(tmp_path / f"s_{mode}")
+        gold = str(tmp_path / f"g_{mode}")
+        dlq = str(tmp_path / f"q_{mode}")
+        stats = ingest_and_refresh(
+            spark, R.read_csv(spark, p), silver, gold,
+            store=mode, quarantine_path=dlq,
+        )
+        assert stats["quarantined_rows"] == 2
+        if mode == "snapshot":
+            q = SS.read_table(spark, dlq)
+        else:
+            q = spark.read.parquet(dlq)
+        rows = {(r["reason"] is not None) for r in q.collect()}
+        assert q.count() == 2 and rows == {True}
+        reasons = sorted(r["reason"] for r in q.select("reason").collect())
+        assert len(reasons) == 2 and all(reasons)
+    # no-quarantine run unchanged
+    silver2, gold2 = str(tmp_path / "s2"), str(tmp_path / "g2")
+    stats2 = ingest_and_refresh(spark, R.read_csv(spark, p), silver2, gold2)
+    assert "quarantined_rows" not in stats2
