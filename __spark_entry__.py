@@ -4251,7 +4251,11 @@ def q_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smartdatapipeline_spark.sources import snapstore as SS
 
     root = _tmp_store("zsnap", sf_dir)
-    if SS.table_version(root) < 4:
+    # build-once guard keyed on the OPTIMIZE commit itself (a version
+    # floor broke when an ingest slice hashed empty and skipped its
+    # append — r11 final-bench finding: the guard re-ran the whole
+    # build, including 8 orphan batch writes, on every rep)
+    if SS.find_commit_by_key(root, "z-optimize") is None:
         ev = _events(spark, sf_dir).select("ts", "event_type", "value", "user_id")
         for i, key in enumerate(("z-b1", "z-b2", "z-b3")):
             SS.append(
