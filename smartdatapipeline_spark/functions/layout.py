@@ -55,25 +55,49 @@ def interleave2(a: Column, b: Column, bits: int) -> Column:
     return z
 
 
+def interleave_k(cols: list[Column], bits: int) -> Column:
+    """Morton-interleave k ``bits``-wide non-negative ints (r11 — the
+    Delta OPTIMIZE ZORDER shape supports N columns): bit ``i`` of
+    column ``j`` lands at position ``i·k + j``. k·bits shift/and/add
+    terms — all whole-stage-codegen JVM expressions, no UDF. Total key
+    width k·bits must stay ≤ 62 (long)."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError(f"interleave_k: {k} cols × {bits} bits exceeds a long")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return z
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
-    """Append ``_z``: the Morton key over two numeric columns, scaled by
-    the frame's global min/max (one tiny agg, broadcast to every row).
+    """Append ``_z``: the Morton key over k ≥ 2 numeric columns, scaled
+    by the frame's global min/max (one tiny agg, broadcast to every
+    row). Two columns keep the original ``interleave2`` bit order
+    (stable with pre-r11 layouts); k > 2 uses ``interleave_k``.
     """
-    if len(cols) != 2:
-        raise ValueError("zorder_key interleaves exactly two columns")
-    a, b = cols
-    stats = df.agg(
-        F.min(a).alias("_amin"),
-        F.max(a).alias("_amax"),
-        F.min(b).alias("_bmin"),
-        F.max(b).alias("_bmax"),
-    )
+    if len(cols) < 2:
+        raise ValueError("zorder_key interleaves at least two columns")
+    uniq = list(dict.fromkeys(cols))
+    aggs = []
+    for c in uniq:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
-    sa = minmax_scale(F.col(a), F.col("_amin"), F.col("_amax"), bits)
-    sb = minmax_scale(F.col(b), F.col("_bmin"), F.col("_bmax"), bits)
-    return out.withColumn("_z", interleave2(sa, sb, bits)).drop(
-        "_amin", "_amax", "_bmin", "_bmax"
-    )
+    scaled = [
+        minmax_scale(F.col(c), F.col(f"_min_{c}"), F.col(f"_max_{c}"), bits)
+        for c in cols
+    ]
+    if len(cols) == 2:
+        key = interleave2(scaled[0], scaled[1], bits)
+    else:
+        key = interleave_k(scaled, bits)
+    drop = [f"_min_{c}" for c in uniq] + [f"_max_{c}" for c in uniq]
+    return out.withColumn("_z", key).drop(*drop)
 
 
 def zorder_write(

@@ -854,9 +854,9 @@ def compact(
     if zorder_by is not None:
         from smartdatapipeline_spark.functions.layout import zorder_key
 
-        ca, cb = zorder_by
-        track = tuple(dict.fromkeys((ca, cb) + tuple(stats_cols)))
-        keyed = zorder_key(df, [ca, cb]).cache()
+        zcols = list(zorder_by)
+        track = tuple(dict.fromkeys(tuple(zcols) + tuple(stats_cols)))
+        keyed = zorder_key(df, zcols).cache()
         try:
             n_b = max(1, target_batches)
             # z-range boundaries: exact enough from the GK sketch — the

@@ -841,3 +841,41 @@ def test_model_based_with_delete_and_zorder_compact(spark, tmp_path):
         if not want:
             continue
         assert _rows(SS.read_table(spark, root, version=v)) == want, f"v{v}"
+
+
+def test_optimize_zorder_three_columns(spark, tmp_path):
+    """k-way OPTIMIZE ZORDER (r11): clustering on THREE columns gives
+    manifest-level skipping on narrow predicates of EACH of them."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            "2024-01-01",
+            float(rnd.uniform(0, 100)),
+            float(rnd.uniform(0, 100)),
+            float(rnd.uniform(0, 100)),
+        )
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "d string, x double, y double, w double")
+    root = str(tmp_path / "t")
+    for i in range(3):
+        SS.append(
+            df.filter((F.crc32(F.concat_ws("|", "x", "y", "w")) % 3) == i),
+            root, "d", stats_cols=("x", "y", "w"),
+        )
+    SS.compact(spark, root, target_batches=8, zorder_by=("x", "y", "w"))
+    _, live, _ = SS._snapshot(root)
+
+    def listed(col):
+        return len([e for e in live if SS._stats_intersect(e, col, 5.0, 8.0)])
+
+    assert 2 <= len(live) <= 8
+    for col in ("x", "y", "w"):
+        assert listed(col) < len(live), col
+    got = sorted(
+        (r["d"], r["x"], r["y"], r["w"])
+        for r in SS.read_table(spark, root).collect()
+    )
+    assert got == sorted(rows)
