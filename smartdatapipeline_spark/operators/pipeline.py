@@ -67,6 +67,7 @@ def refresh_from_changes(
     dest_root: str,
     aggregate,
     dest_partition_col: str = "metric_date",
+    src_partition_col: str = "event_date",
     from_version: int | None = None,
     stats_cols: tuple[str, ...] = (),
 ) -> dict:
@@ -116,14 +117,15 @@ def refresh_from_changes(
         return out
     changes = SS.table_changes(spark, silver_root, from_version, to_v)
     days = sorted(
-        str(r["event_date"])
-        for r in changes.select("event_date").distinct().collect()
-        if r["event_date"] is not None
+        str(r[src_partition_col])
+        for r in changes.select(src_partition_col).distinct().collect()
+        if r[src_partition_col] is not None
     )
     if not days:
         return out
     affected = SS.read_table(
-        spark, silver_root, partition_values=days, partition_col="event_date"
+        spark, silver_root, partition_values=days,
+        partition_col=src_partition_col,
     )
     derived = aggregate(affected)
     key = f"{_REFRESH_KEY}:{to_v}"
