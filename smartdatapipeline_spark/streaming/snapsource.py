@@ -175,20 +175,28 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         # rate limit (the Delta maxFilesPerTrigger analogue): cap how
         # many commits one micro-batch may cover, so a reader that is
         # far behind catches up in bounded batches instead of one
-        # giant replay. 0 = unbounded.
+        # giant replay. 0 = unbounded. The cap floor is learned from
+        # the engine (initialOffset on a fresh query; the first
+        # partitions() call on a RESTART, whose start comes from the
+        # engine's checkpoint) — capping against a locally-guessed
+        # floor below the checkpointed offset would make latestOffset
+        # return end < start and wedge the restarted query.
         self.max_versions = int(options.get("maxversionsperbatch", 0))
-        self._committed = self.start_version
+        self._committed: int | None = None
 
     def initialOffset(self) -> dict:
+        self._committed = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         latest = SS.table_version(self.root)
-        if self.max_versions > 0:
+        if self.max_versions > 0 and self._committed is not None:
             latest = min(latest, self._committed + self.max_versions)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if self._committed is None or start["version"] > self._committed:
+            self._committed = start["version"]
         return _window_partitions(self.root, start["version"], end["version"])
 
     def read(self, partition: _ChangeFilePartition) -> Iterator:
@@ -217,7 +225,7 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets are durable in the engine's checkpoint; tracking the
         # committed watermark locally lets the rate limit advance
-        self._committed = max(self._committed, end.get("version", 0))
+        self._committed = max(self._committed or 0, end.get("version", 0))
 
     def stop(self) -> None:
         pass

@@ -187,3 +187,26 @@ def test_snapshot_to_snapshot_streaming_pipeline(spark, tmp_path):
     # nothing duplicated
     kinds = [h["kind"] for h in SS.history(down)]
     assert kinds == ["append", "append"]
+
+
+def test_rate_limit_restart_does_not_wedge(spark, tmp_path):
+    """A RESTARTED rate-limited reader (fresh object, engine supplies
+    the checkpointed start via partitions(), initialOffset never
+    called) must not cap latestOffset below the engine's start — the
+    cap floor is learned from the engine, so the first post-restart
+    batch proceeds and subsequent ones are bounded."""
+    from smartdatapipeline_spark.streaming.snapsource import (
+        SnapshotChangeStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    _build_history(spark, root)  # 5 commits
+    r = SnapshotChangeStreamReader({"root": root, "maxversionsperbatch": "1"})
+    # restart flow: engine checkpoint says we're at v3; no initialOffset
+    o = r.latestOffset()
+    assert o == {"version": 5}  # uncapped until the floor is learned
+    parts = r.partitions({"version": 3}, o)
+    assert {p.version for p in parts} == {4}  # v5 is compact (empty)
+    r.commit(o)
+    # floor learned — further batches are bounded relative to it
+    assert r.latestOffset() == {"version": 5}
