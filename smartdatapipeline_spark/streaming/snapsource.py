@@ -131,10 +131,11 @@ def _batch_files(root: str, rel_dir: str) -> list[str]:
 
 
 def _window_partitions(
-    root: str, start_v: int, end_v: int
+    root: str, start_v: int, end_v: int, part_col: str | None = None
 ) -> list[_ChangeFilePartition]:
     commits, _ = SS._list_log(root)
-    part_col = _resolve_partition_col(root, end_v)
+    if part_col is None:
+        part_col = _resolve_partition_col(root, end_v)
     out: list[_ChangeFilePartition] = []
     for v in commits:
         if v <= start_v or v > end_v:
@@ -197,7 +198,15 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if self._committed is None or start["version"] > self._committed:
             self._committed = start["version"]
-        return _window_partitions(self.root, start["version"], end["version"])
+        # the table's partition column is log-constant: resolve once —
+        # re-scanning the full log per micro-batch is O(commits) JSON
+        # reads that a long-lived stream over a long log would repay
+        # every trigger
+        if getattr(self, "_part_col", None) is None:
+            self._part_col = _resolve_partition_col(self.root, end["version"])
+        return _window_partitions(
+            self.root, start["version"], end["version"], self._part_col
+        )
 
     def read(self, partition: _ChangeFilePartition) -> Iterator:
         import pyarrow as pa
