@@ -39,8 +39,17 @@ from smartdatapipeline_spark.sources.sinks import (
 #: gold commits made by the CDC refresh carry the silver version they
 #: consumed in their idempotency key — progress tracking AND replay
 #: protection ride the commit log itself, no side-channel state file.
+#: r12 (ADVICE): the PROGRESS key ``cdc-refresh:<v>`` is landed by an
+#: action-free marker commit as the LAST step of a refresh; the data
+#: overwrite (``cdc-refresh-data:<v>``) and the emptied-partition
+#: delete (``cdc-refresh-del:<v>``) no longer match the progress regex,
+#: so a crash between them can never masquerade as a completed refresh
+#: (every step is idempotency-keyed — the retry replays the done parts
+#: and finishes the rest). Pre-r12 logs keyed their overwrite
+#: ``cdc-refresh:<v>`` directly; those still match, preserving their
+#: recorded progress.
 _REFRESH_KEY = "cdc-refresh"
-_REFRESH_KEY_RE = re.compile(r"^cdc-refresh(?:-del)?:(\d+)$")
+_REFRESH_KEY_RE = re.compile(r"^cdc-refresh:(\d+)$")
 
 
 def last_refreshed_silver_version(gold_root: str) -> int:
@@ -70,34 +79,47 @@ def refresh_from_changes(
     src_partition_col: str = "event_date",
     from_version: int | None = None,
     stats_cols: tuple[str, ...] = (),
+    src_to_dest=None,
 ) -> dict:
     """GENERAL incremental materialized view over the silver snapshot
     table (r11 generalization of the r10-VERDICT-#1 gold refresh —
-    any day-grain derived table maintains itself the same way):
+    any partition-grain derived table maintains itself the same way):
 
-    - ``table_changes(from_version, latest)`` reads ONLY files that
-      entered or left silver's live set — an append-heavy window costs
-      one scan of the new batches, never of silver history.
-    - The changed rows' ``event_date`` values name the touched day
-      partitions (driver-side list, bounded by days-per-window).
-    - Those days are re-read via MANIFEST-pruned ``read_table`` (only
-      batches whose tracked value set intersects are listed to Spark),
-      fed to ``aggregate(day_slice) -> day-grain frame`` (must carry
-      ``dest_partition_col``), and the result lands as ONE
+    - ``table_changes(from_version, latest)`` resolves the window PER
+      COMMIT (r12) — only files that genuinely entered or left silver's
+      live set are read, and a window spanning scheduled COMPACTION
+      costs nothing extra (compact commits are logically empty and
+      skipped at resolution; the r11 "refresh before compacting"
+      operational caveat is gone).
+    - The changed rows' ``src_partition_col`` values name the touched
+      source partitions (driver-side list, bounded by the window).
+    - GRAIN CONTRACT (r12 ADVICE): with the default
+      ``src_to_dest=None`` the dest partition values must BE source
+      partition values (identity grain, e.g. daily KPIs over daily
+      events); ``aggregate`` output landing outside the touched source
+      values raises instead of silently corrupting the emptied-
+      partition delete. For a COARSER dest grain pass
+      ``src_to_dest(src_value) -> dest_value`` (e.g. day → ISO week):
+      the touched source values map to touched dest partitions, the
+      recompute slice EXPANDS to every live source partition feeding
+      those dest partitions (a pure manifest read — falling back to
+      one distinct scan only if silver's values overflowed manifest
+      tracking), so a partially-touched week recomputes from its whole
+      week of data.
+    - Touched slice → MANIFEST-pruned ``read_table`` →
+      ``aggregate(slice)`` (must carry ``dest_partition_col``) → ONE
       ``overwrite_partitions`` commit on ``dest_root``.
-    - A touched day whose rows all vanished (a correction emptied it)
-      is REMOVED from the view via ``delete_partitions`` —
+    - A touched dest partition whose rows all vanished (a correction
+      emptied it) is REMOVED via ``delete_partitions`` —
       full-recompute equality holds even for disappearing groups.
-    - Idempotent: the commit's key is ``cdc-refresh:<silver_v>``; a
-      crashed-and-retried refresh of the same window replays as a
-      no-op, and ``from_version`` defaults to the last key on record
-      IN THE DEST's log — each view tracks its own progress.
-
-    Caveat (same as Delta CDF): a silver COMPACT rewrites every live
-    file, so a refresh window spanning it diffs the whole table (the
-    feed is still logically empty — bag-semantics cancellation — but
-    the diff reads both file sets). Run compaction right AFTER the
-    views refresh, or refresh past it promptly.
+    - Crash-safe idempotency (r12 ADVICE): the overwrite is keyed
+      ``cdc-refresh-data:<silver_v>``, the delete
+      ``cdc-refresh-del:<silver_v>``, and ONLY a final action-free
+      marker commit ``cdc-refresh:<silver_v>`` advances the recorded
+      progress — a crash anywhere mid-refresh leaves progress at the
+      prior version, and the retry replays completed steps as no-ops
+      and finishes the rest. ``from_version`` defaults to the last
+      marker in the DEST's log — each view tracks its own progress.
 
     Returns ``{"from_version", "silver_version", "refreshed_days",
     "deleted_days"}``.
@@ -122,24 +144,68 @@ def refresh_from_changes(
         if r[src_partition_col] is not None
     )
     if not days:
+        # nothing touched in the window (e.g. pure compaction): land
+        # the progress marker so the next refresh starts past it
+        SS.commit_marker(dest_root, "refresh-mark", f"{_REFRESH_KEY}:{to_v}")
         return out
+    if src_to_dest is None:
+        expected_dest = set(days)
+        src_days = days
+    else:
+        expected_dest = {str(src_to_dest(d)) for d in days}
+        # coarser grain: recompute needs EVERY source partition that
+        # feeds a touched dest partition, not just the changed ones
+        all_src = SS.partition_values(silver_root)
+        if all_src is None:  # manifest overflow — one distinct scan
+            all_src = sorted(
+                str(r[0])
+                for r in SS.read_table(spark, silver_root)
+                .select(src_partition_col)
+                .distinct()
+                .collect()
+                if r[0] is not None
+            )
+        src_days = sorted(
+            d for d in all_src if str(src_to_dest(d)) in expected_dest
+        )
     affected = SS.read_table(
-        spark, silver_root, partition_values=days,
+        spark, silver_root, partition_values=src_days,
         partition_col=src_partition_col,
     )
-    derived = aggregate(affected)
-    key = f"{_REFRESH_KEY}:{to_v}"
-    SS.overwrite_partitions(
-        derived, dest_root, partition_col=dest_partition_col,
-        idempotency_key=key, stats_cols=stats_cols,
-    )
-    # Which days actually landed? Read it off the commit we just made
-    # (or replayed) instead of re-running the aggregation — the commit's
-    # ``replaced`` field IS the written day set. No commit with our key
-    # ⇒ the derived frame was empty ⇒ every touched day emptied.
-    written = SS.find_commit_by_key(dest_root, key)
+    data_key = f"{_REFRESH_KEY}-data:{to_v}"
+    derived = aggregate(affected).cache()
+    try:
+        # grain guard BEFORE anything lands: aggregate output outside
+        # the touched dest grain means the declared mapping is wrong —
+        # fail with dest untouched rather than overwrite stray
+        # partitions and mis-target the emptied-partition delete
+        produced = {
+            str(r[0])
+            for r in derived.select(dest_partition_col).distinct().collect()
+            if r[0] is not None
+        }
+        stray = produced - expected_dest
+        if stray:
+            raise ValueError(
+                f"refresh_from_changes: aggregate produced {dest_partition_col} "
+                f"values {sorted(stray)[:5]} outside the touched source grain — "
+                f"pass src_to_dest to declare the {src_partition_col}→"
+                f"{dest_partition_col} mapping (r12 grain contract)"
+            )
+        SS.overwrite_partitions(
+            derived, dest_root, partition_col=dest_partition_col,
+            idempotency_key=data_key, stats_cols=stats_cols,
+        )
+    finally:
+        derived.unpersist()
+    # Which dest partitions actually landed? Read it off the commit we
+    # just made (or replayed) instead of re-running the aggregation —
+    # the commit's ``replaced`` field IS the written partition set. No
+    # commit with our key ⇒ the derived frame was empty ⇒ every touched
+    # dest partition emptied.
+    written = SS.find_commit_by_key(dest_root, data_key)
     dest_days = set((written or {}).get("replaced") or [])
-    emptied = [d for d in days if d not in dest_days]
+    emptied = sorted(expected_dest - dest_days)
     if emptied:
         SS.delete_partitions(
             spark,
@@ -148,7 +214,9 @@ def refresh_from_changes(
             emptied,
             idempotency_key=f"{_REFRESH_KEY}-del:{to_v}",
         )
-    out["refreshed_days"] = len(dest_days & set(days))
+    # marker LAST: progress advances only once the whole refresh landed
+    SS.commit_marker(dest_root, "refresh-mark", f"{_REFRESH_KEY}:{to_v}")
+    out["refreshed_days"] = len(dest_days)
     out["deleted_days"] = len(emptied)
     return out
 

@@ -96,24 +96,6 @@ def _us_schema(schema):
     return pa.schema(fields)
 
 
-def _commit_json(root: str, v: int) -> dict:
-    return SS._read_json(os.path.join(SS._log_path(root), SS._vname(v)))
-
-
-def _resolve_partition_col(root: str, upto: int) -> str | None:
-    """The table's partition column, from any add action in the log
-    (one consistent column per table is this store's usage contract)."""
-    commits, _ = SS._list_log(root)
-    for v in commits:
-        if v > upto:
-            break
-        c = _commit_json(root, v)
-        for a in c.get("actions", []):
-            if a.get("op") == "add" and a.get("partition_col"):
-                return a["partition_col"]
-    return None
-
-
 def _batch_files(root: str, rel_dir: str) -> list[str]:
     """The parquet part files inside one immutable batch dir — each
     becomes its own InputPartition so a large batch parallelizes
@@ -133,37 +115,25 @@ def _batch_files(root: str, rel_dir: str) -> list[str]:
 def _window_partitions(
     root: str, start_v: int, end_v: int, part_col: str | None = None
 ) -> list[_ChangeFilePartition]:
-    commits, _ = SS._list_log(root)
-    if part_col is None:
-        part_col = _resolve_partition_col(root, end_v)
+    """Per-commit change resolution is SHARED with batch
+    ``table_changes`` (snapstore.resolve_commit_changes, r12): compacts
+    skipped, overwrite residues skipped with partition-scoped deletes,
+    merge/delete_where move-pairs emitted for consumer-side netting.
+    This wrapper only explodes each changed batch dir into per-FILE
+    input partitions so a large batch parallelizes across executors."""
     out: list[_ChangeFilePartition] = []
-    for v in commits:
-        if v <= start_v or v > end_v:
-            continue
-        c = _commit_json(root, v)
-        kind = c.get("kind")
-        if kind == "compact":
-            continue  # logically empty rewrite
-        replaced = c.get("replaced") or []
-        whole = "*" in replaced
-        for a in c.get("actions", []):
-            if a.get("op") == "add" and not a.get("residue"):
-                out.extend(
-                    _ChangeFilePartition(root, f, "insert", v, None, None)
-                    for f in _batch_files(root, a["path"])
-                )
-            elif a.get("op") == "remove":
-                out.extend(
-                    _ChangeFilePartition(
-                        root,
-                        f,
-                        "delete",
-                        v,
-                        None if whole else part_col,
-                        None if whole else list(replaced),
-                    )
-                    for f in _batch_files(root, a["path"])
-                )
+    for ch in SS.resolve_commit_changes(root, start_v, end_v, part_col):
+        out.extend(
+            _ChangeFilePartition(
+                root,
+                f,
+                ch["change_type"],
+                ch["version"],
+                ch["filter_col"],
+                ch["filter_values"],
+            )
+            for f in _batch_files(root, ch["path"])
+        )
     return out
 
 
@@ -182,6 +152,19 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         # engine's checkpoint) — capping against a locally-guessed
         # floor below the checkpointed offset would make latestOffset
         # return end < start and wedge the restarted query.
+        #
+        # PINNED CONTRACT (r12; tests/test_snapsource.py pins both):
+        # 1. The FIRST micro-batch after a RESTART is uncapped — the
+        #    engine calls latestOffset() before this reader learns the
+        #    checkpointed start (the Python DataSource API gives
+        #    latestOffset no start argument), and any locally-guessed
+        #    floor below the checkpoint wedges the query, so the cap
+        #    resumes from the SECOND post-restart batch. Size executors
+        #    for one full-backlog batch, or restart promptly.
+        # 2. Under .trigger(availableNow=True) Spark 4 falls back to a
+        #    SINGLE-batch drain for Python data sources (the engine
+        #    logs the fallback warning) — maxversionsperbatch is
+        #    inoperative there by engine design, not a reader bug.
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         self._committed: int | None = None
 
@@ -203,7 +186,7 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         # reads that a long-lived stream over a long log would repay
         # every trigger
         if getattr(self, "_part_col", None) is None:
-            self._part_col = _resolve_partition_col(self.root, end["version"])
+            self._part_col = SS.resolve_partition_col(self.root, end["version"])
         return _window_partitions(
             self.root, start["version"], end["version"], self._part_col
         )
@@ -257,13 +240,34 @@ class SnapshotChangeDataSource(DataSource):
         root = self.options.get("root")
         if not root:
             raise ValueError("snapshot_changes requires .option('root', <table dir>)")
-        _, live, _ = SS._snapshot(root)
-        if not live:
-            raise SS.NoSuchTableError(f"no live files under {root!r}")
+        v, live, _ = SS._snapshot(root)
+        batch_dir = None
+        for e in live:
+            if os.path.isdir(os.path.join(root, e["path"])):
+                batch_dir = e["path"]
+                break
+        if batch_dir is None:
+            # fully-emptied table (every row deleted): the change
+            # history is still replayable, so the stream must still
+            # start — mirror read_table's fallback and derive the
+            # schema from the newest retained historical batch
+            # (r11 ADVICE on snapsource.schema)
+            commits, _ = SS._list_log(root)
+            for old_v in reversed(commits):
+                _, old_live, _ = SS._snapshot(root, old_v)
+                for e in old_live:
+                    if os.path.isdir(os.path.join(root, e["path"])):
+                        batch_dir = e["path"]
+                        break
+                if batch_dir is not None:
+                    break
+        if batch_dir is None:
+            raise SS.NoSuchTableError(
+                f"no live files under {root!r} and no retained historical "
+                "batch to derive a schema from"
+            )
         arrow_schema = _us_schema(
-            ds.dataset(
-                os.path.join(root, live[0]["path"]), format="parquet"
-            ).schema
+            ds.dataset(os.path.join(root, batch_dir), format="parquet").schema
         )
         base = from_arrow_schema(arrow_schema)
         return StructType(

@@ -71,9 +71,13 @@ def test_refresh_from_changes_equals_full_recompute(spark, tmp_path):
     assert (r2["from_version"], r2["silver_version"]) == (1, 2)
     assert r2["refreshed_days"] == 2  # 01-02 (re-agg) + 01-03 (new)
     assert _gold_rows(spark, gold) == _full_rows(SS.read_table(spark, silver))
-    # day 01-01 was NOT rewritten by the second refresh
+    # day 01-01 was NOT rewritten by the second refresh; the refresh's
+    # LAST commit is the action-free progress marker (r12 crash-safety:
+    # progress advances only after data + cleanup have both landed)
     h = SS.history(gold)
-    assert h[-1]["replaced"] == ["2025-01-02", "2025-01-03"]
+    assert h[-1]["kind"] == "refresh-mark"
+    assert h[-1]["idempotency_key"] == "cdc-refresh:2"
+    assert h[-2]["replaced"] == ["2025-01-02", "2025-01-03"]
     assert last_refreshed_silver_version(gold) == 2
 
 
