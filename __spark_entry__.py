@@ -4334,6 +4334,182 @@ def q_cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.read_table(spark, gold)
 
 
+def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO, ``when_matched="ignore"`` (r12; r11
+    VERDICT #1): the reference's ``ON CONFLICT (source_id, ts, metric)
+    DO NOTHING`` write contract (backend/app/services/ingestion.py:
+    214-227) at the STORAGE layer — sources/snapstore.py ``merge``.
+    Base = events through 01-20; the incoming batch re-sends 01-15
+    onward, so 01-15..01-20 are duplicate keys (dropped via an
+    anti-join against a column-pruned read of only the key-range-
+    intersecting files — no file is ever rewritten) and 01-21.. are
+    genuine inserts. Final state must equal the full events table
+    exactly: a broken dedup doubles the overlap week, a broken insert
+    loses the tail."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("mergesnap", sf_dir)
+    if SS.find_commit_by_key(root, "mg-ignore") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        SS.append(
+            ev.filter(F.col("event_date") <= "2024-01-20"),
+            root, "event_date",
+            idempotency_key="mg-base", stats_cols=("event_id",),
+        )
+        SS.merge(
+            ev.filter(F.col("event_date") >= "2024-01-15"),
+            root, keys=["event_id"], when_matched="ignore",
+            partition_col="event_date",
+            idempotency_key="mg-ignore", stats_cols=("event_id",),
+        )
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(
+            F.col("event_date").alias("metric_date"),
+            F.col("event_type").alias("metric"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
+def q_snapshot_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, ``when_matched="update"`` (r12): a correction batch
+    re-prices the 01-08..01-10 purchase rows at 2× value, keyed by
+    event_id. Copy-on-write touches ONLY the ≤01-10 ingest batch —
+    manifest partition pruning excludes the others, and an
+    input_file_name probe confirms actual key hits before any rewrite
+    (sources/snapstore.py merge). Oracle: the same CASE-corrected
+    aggregate from events — matched rows replaced in place, zero rows
+    duplicated or lost."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("mergeupd", sf_dir)
+    if SS.find_commit_by_key(root, "mg-update") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        for key, lo, hi in (
+            ("mu-b1", "2024-01-01", "2024-01-10"),
+            ("mu-b2", "2024-01-11", "2024-01-20"),
+            ("mu-b3", "2024-01-21", "2024-01-31"),
+        ):
+            SS.append(
+                ev.filter(F.col("event_date").between(lo, hi)),
+                root, "event_date",
+                idempotency_key=key, stats_cols=("event_id",),
+            )
+        corrected = ev.filter(
+            F.col("event_date").between("2024-01-08", "2024-01-10")
+            & (F.col("event_type") == "purchase")
+        ).withColumn("value", F.col("value") * 2)
+        SS.merge(
+            corrected, root, keys=["event_id"], when_matched="update",
+            partition_col="event_date", idempotency_key="mg-update",
+        )
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(
+            F.col("event_date").alias("metric_date"),
+            F.col("event_type").alias("metric"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
+def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE WHERE — the takedown/GDPR path (r12; r11
+    VERDICT #2): remove ONE user's rows from the snapshot table,
+    row-level, not partition-level. Only files whose probe scan finds
+    an actual match are rewritten (survivors move to a residue batch;
+    sources/snapstore.py delete_where); the CDC feed emits the
+    deletions. Oracle: events minus that user — NULL user_ids are
+    KEPT (a NULL predicate evaluation keeps the row, SQL DELETE
+    semantics)."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("delsnap", sf_dir)
+    if SS.find_commit_by_key(root, "gdpr-user7") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        for key, lo, hi in (
+            ("dw-b1", "2024-01-01", "2024-01-10"),
+            ("dw-b2", "2024-01-11", "2024-01-20"),
+            ("dw-b3", "2024-01-21", "2024-01-31"),
+        ):
+            SS.append(
+                ev.filter(F.col("event_date").between(lo, hi)),
+                root, "event_date",
+                idempotency_key=key, stats_cols=("user_id",),
+            )
+        SS.delete_where(
+            spark, root, "user_id = 7", prune=("user_id", 7, 7),
+            idempotency_key="gdpr-user7",
+        )
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(
+            F.col("event_date").alias("metric_date"),
+            F.col("event_type").alias("metric"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_dec.alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_snapshot_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AS OF <timestamp>`` time travel (r12; r11 VERDICT #5): the
+    same two-version KPI table as ``snapshot_time_travel``, but the
+    pre-correction state is addressed by WALL-CLOCK TIME — a timestamp
+    between the two commits' recorded times resolves to v1
+    (sources/snapstore.py resolve_as_of; commit times ride the log
+    payloads, mtime fallback for older logs). Oracle: the UNcorrected
+    aggregate — the form users actually reach for when reproducing
+    'the table as of last night'."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _ensure_snap_table(spark, sf_dir)
+    h = SS.history(root)
+    t1, t2 = h[0]["timestamp"], h[1]["timestamp"]
+    return SS.read_table(spark, root, as_of=(t1 + t2) / 2 if t2 > t1 else t1)
+
+
+def q_snapshot_changes_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT-TRANSPARENT batch CDC (r12; r11 VERDICT #3): the change
+    window (v1, v3] SPANS a full-table compaction, and the feed must
+    (a) still report exactly the logical delta — the post-compact
+    append's rows — and (b) read ZERO compact-rewrite files: the
+    window is resolved per commit (snapstore.resolve_commit_changes),
+    compact commits are skipped as logically empty, so the old
+    O(table) exceptAll across both file sets never happens. Oracle:
+    the appended days' aggregate tagged 'insert'."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("cdcspan", sf_dir)
+    if SS.find_commit_by_key(root, "span-b2") is None:
+        ev = _events(spark, sf_dir)
+        sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+
+        def kpis(df):
+            return df.groupBy(
+                F.to_date("ts").alias("metric_date"),
+                F.col("event_type").alias("metric"),
+            ).agg(sum_dec.alias("value_sum"), F.count(F.lit(1)).alias("value_count"))
+
+        SS.append(
+            kpis(ev.filter(F.to_date("ts") <= "2024-01-20")),
+            root, "metric_date", idempotency_key="span-b1",
+        )
+        SS.compact(spark, root, idempotency_key="span-opt")
+        SS.append(
+            kpis(ev.filter(F.to_date("ts") > "2024-01-20")),
+            root, "metric_date", idempotency_key="span-b2",
+        )
+    return SS.table_changes(spark, root, 1, 3)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: every 37th vector plays the
     eval set; corpus vectors with cosine ≥ 0.25 to ANY eval vector
@@ -4661,6 +4837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_new_audience_store": q_kmv_new_audience_store,
         "dyadic_series_store": q_dyadic_series_store,
         "snapshot_upsert_read": q_snapshot_upsert_read,
+        "snapshot_merge_upsert": q_snapshot_merge_upsert,
+        "snapshot_merge_update": q_snapshot_merge_update,
+        "snapshot_delete_where": q_snapshot_delete_where,
+        "snapshot_as_of_read": q_snapshot_as_of_read,
+        "snapshot_changes_compacted": q_snapshot_changes_compacted,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_pruned_read": q_snapshot_pruned_read,
         "snapshot_changes": q_snapshot_changes,
@@ -7724,6 +7905,57 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE value BETWEEN 20.0 AND 40.0
         GROUP BY 1
+    """
+
+    # merge(ignore): base(≤01-20) + re-sent(≥01-15) must equal events
+    # EXACTLY — overlap deduped, tail inserted, nothing doubled or lost
+    o["snapshot_merge_upsert"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """
+    # merge(update): the re-priced purchase rows replaced IN PLACE
+    o["snapshot_merge_update"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(CASE
+                   WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                                 AND DATE '2024-01-10'
+                   THEN value * 2 ELSE value END AS DECIMAL(28,4))) AS DOUBLE)
+                   AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """
+    # row-level DELETE WHERE user_id = 7: NULL user_ids are KEPT
+    o["snapshot_delete_where"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id IS DISTINCT FROM 7
+        GROUP BY 1, 2
+    """
+    # AS OF a timestamp between the two commits ⇒ the v1 (uncorrected)
+    # state, same oracle as version-addressed time travel
+    o["snapshot_as_of_read"] = _SNAP_AGG.format(where="")
+    # window spanning a compaction: the feed is exactly the post-compact
+    # append, tagged insert — the compact itself contributes nothing
+    o["snapshot_changes_compacted"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(*) AS value_count,
+               'insert' AS _change_type
+        FROM events
+        WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+        GROUP BY 1, 2
     """
 
     # the netted streaming change feed == the final silver state
