@@ -309,6 +309,16 @@ BENCH_QUERIES: list[str] = [
     "distinct_from_store_snapshot",
     "snapshot_zorder_read",
     "hll_store_cdc_refresh",
+    # round-12: row-level table ops — merge/delete builds land on rep 1
+    # (idempotency-keyed, replayed after), reps measure the read side;
+    # as_of resolves a wall-clock timestamp through the commit log;
+    # changes_compacted measures the per-commit CDC window resolution
+    # spanning an OPTIMIZE
+    "snapshot_merge_upsert",
+    "snapshot_merge_update",
+    "snapshot_delete_where",
+    "snapshot_as_of_read",
+    "snapshot_changes_compacted",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

@@ -251,6 +251,7 @@ def ingest_and_refresh(
     store: str = "parquet",
     incremental: bool = False,
     quarantine_path: str | None = None,
+    silver_upsert: str = "antijoin",
 ) -> dict:
     """Ingest a raw frame and refresh the affected gold slices.
 
@@ -278,6 +279,18 @@ def ingest_and_refresh(
     the last refresh — and their recompute reads a manifest-pruned day
     slice instead of scanning silver.
 
+    ``silver_upsert="merge"`` (r12; requires ``store="snapshot"`` and
+    ``incremental=True``) routes the ON-CONFLICT-DO-NOTHING dedup
+    through the snapshot store's row-level ``merge`` instead of the
+    read→anti-join→append dance: the storage layer itself guarantees
+    key uniqueness (keys ``(source_id, ts, metric)``, matching scoped
+    to the batch's day partitions), reading only the key columns of
+    the key-range-intersecting files rather than ALL of silver, and
+    conflicting cleanly with concurrent same-day writers.
+    ``duplicate_rows`` comes off the merge commit's recorded row
+    counts. Results are identical to the default path by construction
+    (tests pin the equality).
+
     ``quarantine_path`` (r11): the reference DROPS invalid rows after
     50 capped warnings (services/ingestion.py:178-206) — fine at demo
     scale, unacceptable at 100 TB where the dropped rows ARE the
@@ -293,6 +306,15 @@ def ingest_and_refresh(
         raise ValueError(f"store must be 'parquet' or 'snapshot', got {store!r}")
     if incremental and store != "snapshot":
         raise ValueError("incremental=True requires store='snapshot'")
+    if silver_upsert not in ("antijoin", "merge"):
+        raise ValueError(
+            f"silver_upsert must be 'antijoin' or 'merge', got {silver_upsert!r}"
+        )
+    if silver_upsert == "merge" and not (store == "snapshot" and incremental):
+        raise ValueError(
+            "silver_upsert='merge' requires store='snapshot' and "
+            "incremental=True (gold refresh comes from the change feed)"
+        )
     clean = clean_rows(raw, default_metric=default_metric).withColumn(
         "source_id", F.lit(source_id)
     )
@@ -311,6 +333,26 @@ def ingest_and_refresh(
                 SS.append(bad, quarantine_path, partition_col=None)
             else:
                 bad.write.mode("append").parquet(quarantine_path)
+
+    if silver_upsert == "merge":
+        from smartdatapipeline_spark.sources import snapstore as SS
+
+        keys = ["source_id", "ts", "metric"]
+        batch = valid.dropDuplicates(keys).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        v = SS.merge(
+            batch, silver_path, keys=keys, when_matched="ignore",
+            partition_col="event_date",
+        )
+        info = SS.commit_info(silver_path, v) or {}
+        inserted = info["added_rows"] if info.get("kind") == "merge" else 0
+        stats["duplicate_rows"] = stats["ingested_rows"] - inserted
+        if inserted:
+            stats["refresh"] = refresh_gold_from_changes(
+                spark, silver_path, gold_path
+            )
+        return stats
 
     if store == "snapshot":
         from smartdatapipeline_spark.sources import snapstore as SS

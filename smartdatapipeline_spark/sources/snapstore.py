@@ -57,12 +57,20 @@ the same public design:
   snapshot — the exact corpus state a model was trained on is
   reproducible as long as ``vacuum`` retention keeps V's files.
 
-Scale honesty: the manifest is driver-side JSON — fine into the tens
-of thousands of live files; beyond that Iceberg moves manifests into
-Avro read by the engine itself, and this module would grow a
-manifest-as-DataFrame path. Partition values per entry are tracked up
-to ``_MAX_TRACKED_VALUES`` distinct values; past that the entry is
-marked intersect-everything (pruning degrades, correctness does not).
+Scale honesty: commits are driver-side JSON, but checkpoints — the
+bulk of any snapshot load — are PARQUET manifests (r12, the Iceberg
+manifest-file answer), and the three access paths materialize only
+what they need (tools/snapstore_ceiling_probe.py at 10⁵ live files):
+READS prune partition values inside Arrow before pythonizing entries
+(``_snapshot_for_read``: ~20 ms plans a 1-day read of a 10⁵-file
+table); COMMITS take version + idempotency keys from the checkpoint
+FOOTER alone (``_snapshot_meta``: claims stay 3-14 ms flat to 10⁵);
+only ops that genuinely rewrite the live set (overwrite/compact/merge
+recomputes) pay the full manifest pythonization (~0.6 s at 10⁵).
+Pre-r12 JSON checkpoints remain readable. Partition values per entry
+are tracked up to ``_MAX_TRACKED_VALUES`` distinct values; past that
+the entry is marked intersect-everything (pruning degrades,
+correctness does not).
 
 Reference parity: the call sites this serves are the same RDBMS
 ``ON CONFLICT`` upserts as sinks.py (backend/app/services/kpi.py:143-231,
@@ -115,11 +123,16 @@ def _list_log(root: str) -> tuple[list[int], list[int]]:
         names = os.listdir(d)
     except FileNotFoundError:
         return [], []
-    commits, cps = [], []
+    commits, cps = [], set()
     for n in names:
         if n.endswith(".checkpoint.json"):
             try:
-                cps.append(int(n[: -len(".checkpoint.json")]))
+                cps.add(int(n[: -len(".checkpoint.json")]))
+            except ValueError:
+                pass
+        elif n.endswith(".checkpoint.parquet"):
+            try:
+                cps.add(int(n[: -len(".checkpoint.parquet")]))
             except ValueError:
                 pass
         elif n.endswith(".json") and not n.startswith(".tmp-"):
@@ -194,12 +207,7 @@ def _snapshot(root: str, version: int | None = None) -> tuple[int, list[dict], s
     keys: set[str] = set()
     usable_cps = [c for c in cps if c <= target and c in commits]
     if usable_cps:
-        cp = _read_json(
-            os.path.join(_log_path(root), f"{usable_cps[-1]:0{_V_WIDTH}d}.checkpoint.json")
-        )
-        base_v = cp["version"]
-        live = {e["path"]: e for e in cp["live"]}
-        keys = set(cp.get("txn_keys", []))
+        base_v, live, keys = _read_checkpoint(root, usable_cps[-1])
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -221,6 +229,195 @@ def _snapshot(root: str, version: int | None = None) -> tuple[int, list[dict], s
     return target, sorted(live.values(), key=lambda e: e["path"]), keys
 
 
+def _read_checkpoint(root: str, version: int) -> tuple[int, dict[str, dict], set[str]]:
+    """Load a checkpoint: PARQUET format (r12 — the Iceberg answer to
+    the driver-side JSON ceiling: columnar manifest entries parsed by
+    Arrow, ~10× faster than json.loads at 10⁵ live files) preferred,
+    falling back to the pre-r12 JSON format."""
+    d = _log_path(root)
+    pq_path = os.path.join(d, f"{version:0{_V_WIDTH}d}.checkpoint.parquet")
+    if os.path.exists(pq_path):
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(pq_path)
+        meta = t.schema.metadata or {}
+        base_v = int(meta.get(b"version", str(version).encode()))
+        keys = set(json.loads(meta.get(b"txn_keys", b"[]")))
+        live: dict[str, dict] = {}
+        cols = t.to_pydict()
+        for i in range(t.num_rows):
+            st = cols["stats"][i]
+            live[cols["path"][i]] = {
+                "path": cols["path"][i],
+                "rows": cols["rows"][i],
+                "partition_col": cols["partition_col"][i],
+                "values": cols["values"][i],
+                "stats": json.loads(st) if st else None,
+            }
+        return base_v, live, keys
+    cp = _read_json(os.path.join(d, f"{version:0{_V_WIDTH}d}.checkpoint.json"))
+    return cp["version"], {e["path"]: e for e in cp["live"]}, set(cp.get("txn_keys", []))
+
+
+def _snapshot_meta(root: str, version: int | None = None) -> tuple[int, set[str]]:
+    """(version, idempotency keys) WITHOUT materializing the live set —
+    the write path's snapshot (r12): an append/commit needs only the
+    current version and the replay-protection keys, and a parquet
+    checkpoint serves both from its FOOTER metadata (pq.read_schema —
+    no manifest rows read), so a commit against a 10⁵-file table costs
+    milliseconds, not the 0.6 s full-manifest pythonization. Falls back
+    to ``_snapshot`` for legacy JSON checkpoints."""
+    commits, cps = _list_log(root)
+    if not commits:
+        raise NoSuchTableError(f"no committed snapshot under {root!r}")
+    target = commits[-1] if version is None else version
+    if target not in commits:
+        raise NoSuchTableError(f"version {target} not committed under {root!r}")
+    usable = [c for c in cps if c <= target and c in commits]
+    base_v = 0
+    keys: set[str] = set()
+    if usable:
+        pq_path = os.path.join(
+            _log_path(root), f"{usable[-1]:0{_V_WIDTH}d}.checkpoint.parquet"
+        )
+        if os.path.exists(pq_path):
+            import pyarrow.parquet as _pq
+
+            meta = _pq.read_schema(pq_path).metadata or {}
+            base_v = int(meta.get(b"version", str(usable[-1]).encode()))
+            keys = set(json.loads(meta.get(b"txn_keys", b"[]")))
+        else:
+            base_v, _, keys = _read_checkpoint(root, usable[-1])
+            keys = set(keys)
+    for v in commits:
+        if v <= base_v or v > target:
+            continue
+        c = _read_json(os.path.join(_log_path(root), _vname(v)))
+        k = c.get("idempotency_key")
+        if k:
+            keys.add(k)
+    return target, keys
+
+
+def _snapshot_for_read(
+    root: str,
+    version: int | None,
+    partition_values: set[str] | None,
+    column_range: tuple | None,
+) -> tuple[int, list[dict], int, str | None]:
+    """Scan-planning snapshot: ``(version, PRUNED live entries,
+    total_live_count, sample_live_path)``.
+
+    The r12 scale path: when the newest usable checkpoint is a PARQUET
+    manifest, partition-value pruning runs INSIDE Arrow (flatten the
+    tracked-values lists, vectorized ``is_in``, filter) and only the
+    surviving entries are materialized as Python dicts — a pruned read
+    of a 10⁵-file table pythonizes dozens of entries, not the whole
+    manifest (the 0.7 s/10⁵ row-dict build measured in the ceiling
+    probe never happens on the read path). The ≤ checkpoint-interval
+    log-tail commits are applied as plain dicts. Column-range stats
+    pruning applies AFTER partition pruning on the (small) survivor
+    set. Tables with legacy JSON checkpoints (or none) fall back to the
+    full ``_snapshot`` with Python-side pruning — same results."""
+    commits, cps = _list_log(root)
+    if not commits:
+        raise NoSuchTableError(f"no committed snapshot under {root!r}")
+    target = commits[-1] if version is None else version
+    if target not in commits:
+        raise NoSuchTableError(f"version {target} not committed under {root!r}")
+    usable = [c for c in cps if c <= target and c in commits]
+    pq_path = (
+        os.path.join(_log_path(root), f"{usable[-1]:0{_V_WIDTH}d}.checkpoint.parquet")
+        if usable
+        else None
+    )
+
+    def _prune_py(entries: list[dict]) -> list[dict]:
+        out = entries
+        if partition_values is not None:
+            out = [e for e in out if _values_intersect(e, partition_values)]
+        if column_range is not None:
+            scol, lo, hi = column_range
+            out = [e for e in out if _stats_intersect(e, scol, lo, hi)]
+        return out
+
+    if pq_path is None or not os.path.exists(pq_path):
+        _, live, _ = _snapshot(root, target)
+        sample = live[0]["path"] if live else None
+        return target, _prune_py(live), len(live), sample
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(pq_path)
+    base_v = int((t.schema.metadata or {}).get(b"version", str(usable[-1]).encode()))
+    # log tail: adds as dicts, removes as a path set
+    tail_adds: dict[str, dict] = {}
+    tail_removes: set[str] = set()
+    for v in commits:
+        if v <= base_v or v > target:
+            continue
+        c = _read_json(os.path.join(_log_path(root), _vname(v)))
+        for a in c["actions"]:
+            if a["op"] == "add":
+                tail_adds[a["path"]] = {
+                    "path": a["path"],
+                    "rows": a["rows"],
+                    "partition_col": a.get("partition_col"),
+                    "values": a.get("values"),
+                    "stats": a.get("stats"),
+                }
+            elif a["op"] == "remove":
+                if a["path"] in tail_adds:
+                    del tail_adds[a["path"]]
+                else:
+                    tail_removes.add(a["path"])
+    if tail_removes:
+        t = t.filter(
+            pc.invert(
+                pc.is_in(t["path"], value_set=pa.array(sorted(tail_removes)))
+            )
+        )
+    total_live = t.num_rows + len(tail_adds)
+    sample = t["path"][0].as_py() if t.num_rows else (
+        next(iter(tail_adds)) if tail_adds else None
+    )
+    if partition_values is not None and t.num_rows:
+        # vectorized manifest pruning: an entry survives if its tracked
+        # values intersect the wanted set, or its values are untracked
+        import numpy as np
+
+        want = pa.array(sorted(partition_values), pa.string())
+        vals = (
+            t["values"].combine_chunks()
+            if t["values"].num_chunks != 1
+            else t["values"].chunk(0)
+        )
+        flat_hit = pc.is_in(pc.list_flatten(vals), value_set=want)
+        parents = pc.list_parent_indices(vals).to_numpy(zero_copy_only=False)
+        hits = flat_hit.to_numpy(zero_copy_only=False)
+        mask = np.zeros(t.num_rows, dtype=bool)
+        if parents.size:
+            mask[parents[hits]] = True
+        mask |= pc.is_null(vals).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(mask))
+    survivors = t.to_pylist()
+    for e in survivors:
+        st = e.get("stats")
+        e["stats"] = json.loads(st) if isinstance(st, str) else st
+    entries = survivors + [
+        e
+        for e in tail_adds.values()
+        if partition_values is None or _values_intersect(e, partition_values)
+    ]
+    if column_range is not None:
+        scol, lo, hi = column_range
+        entries = [e for e in entries if _stats_intersect(e, scol, lo, hi)]
+    entries.sort(key=lambda e: e["path"])
+    return target, entries, total_live, sample
+
+
 def _maybe_checkpoint(root: str, version: int) -> None:
     if version % _CHECKPOINT_INTERVAL != 0:
         return
@@ -228,13 +425,41 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         v, live, keys = _snapshot(root, version)
     except NoSuchTableError:
         return
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
     d = _log_path(root)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-    final = os.path.join(d, f"{version:0{_V_WIDTH}d}.checkpoint.json")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": v, "live": live, "txn_keys": sorted(keys)}, f)
-        f.flush()
-        os.fsync(f.fileno())
+    final = os.path.join(d, f"{version:0{_V_WIDTH}d}.checkpoint.parquet")
+    table = pa.table(
+        {
+            "path": pa.array([e["path"] for e in live], pa.string()),
+            "rows": pa.array([e["rows"] for e in live], pa.int64()),
+            "partition_col": pa.array(
+                [e.get("partition_col") for e in live], pa.string()
+            ),
+            "values": pa.array(
+                [e.get("values") for e in live], pa.list_(pa.string())
+            ),
+            "stats": pa.array(
+                [
+                    json.dumps(e["stats"], sort_keys=True) if e.get("stats") else None
+                    for e in live
+                ],
+                pa.string(),
+            ),
+        },
+        metadata={
+            b"version": str(v).encode(),
+            b"txn_keys": json.dumps(sorted(keys)).encode(),
+        },
+    )
+    _pq.write_table(table, tmp)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)  # durable before publication, same as the log claim
+    finally:
+        os.close(fd)
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -330,7 +555,7 @@ def _already_committed(root: str, idempotency_key: str | None) -> int | None:
     if not idempotency_key:
         return None
     try:
-        v, _, keys = _snapshot(root)
+        v, keys = _snapshot_meta(root)
     except NoSuchTableError:
         return None
     return v if idempotency_key in keys else None
@@ -398,15 +623,16 @@ def _commit(
     partition), they are conflict-scanned and the actions recomputed
     BEFORE the first claim, exactly as a lost claim race is handled."""
     try:
-        read_v, live, keys = _snapshot(root)
+        read_v, keys = _snapshot_meta(root)
     except NoSuchTableError:
-        read_v, live, keys = 0, [], set()
+        read_v, keys = 0, set()
     if idempotency_key and idempotency_key in keys:
         return read_v  # the first attempt already committed
     if replaced is not None and read_v > base_v:
         _scan_conflicts(root, base_v, read_v, replaced)
         if recompute is not None:
-            actions = recompute(live)
+            # live set materialized only when a recompute actually runs
+            actions = recompute(_snapshot(root)[1])
     for _ in range(max_retries):
         payload = {
             "version": read_v + 1,
@@ -424,13 +650,13 @@ def _commit(
             _maybe_checkpoint(root, read_v + 1)
             return read_v + 1
         # Lost the race: inspect what landed in between.
-        new_v, new_live, new_keys = _snapshot(root)
+        new_v, new_keys = _snapshot_meta(root)
         if idempotency_key and idempotency_key in new_keys:
             return new_v
         if replaced is not None:
             _scan_conflicts(root, read_v, new_v, replaced)
             if recompute is not None:
-                actions = recompute(new_live)
+                actions = recompute(_snapshot(root)[1])
         read_v = new_v
     raise ConcurrentWriteError(f"gave up after {max_retries} commit races under {root!r}")
 
@@ -449,19 +675,12 @@ def append(
     Never conflicts with concurrent appends or disjoint overwrites.
     Returns the committed version (or the current one for empty df /
     replayed idempotency key)."""
-    if idempotency_key:
-        try:
-            _, _, keys = _snapshot(root)
-            if idempotency_key in keys:
-                return _snapshot(root)[0]
-        except NoSuchTableError:
-            pass
+    done = _already_committed(root, idempotency_key)
+    if done is not None:
+        return done
     entry = _write_batch(df, root, partition_col, stats_cols)
     if entry is None:
-        try:
-            return _snapshot(root)[0]
-        except NoSuchTableError:
-            return 0
+        return table_version(root)
     return _commit(root, [entry], "append", None, idempotency_key)
 
 
@@ -944,23 +1163,22 @@ def read_table(
         if version is not None:
             raise ValueError("pass version OR as_of, not both")
         version = resolve_as_of(root, as_of)
-    _, all_live, _ = _snapshot(root, version)
-    live = all_live
-    if partition_values is not None:
-        want = {str(v) for v in partition_values}
-        live = [e for e in live if _values_intersect(e, want)]
-    if column_range is not None:
-        scol, lo, hi = column_range
-        live = [e for e in live if _stats_intersect(e, scol, lo, hi)]
+    want = (
+        {str(v) for v in partition_values} if partition_values is not None else None
+    )
+    # scan planning goes through the Arrow-pruned manifest path (r12):
+    # only entries surviving partition/stats pruning are materialized
+    target, live, total_live, sample = _snapshot_for_read(
+        root, version, want, column_range
+    )
     if not live:
-        if not all_live:
+        if total_live == 0:
             # The table EXISTS but holds no live files (every row was
             # deleted/overwritten away): an empty frame is the correct
             # answer. Schema comes from the newest retained version
             # that still has a readable file; only a table with no
             # usable history anywhere raises.
             commits, _ = _list_log(root)
-            target = commits[-1] if version is None else version
             for v in reversed([c for c in commits if c <= target]):
                 _, old_live, _ = _snapshot(root, v)
                 for e in old_live:
@@ -976,14 +1194,14 @@ def read_table(
         # frame with the table's schema is the correct answer, not an
         # exception (r11 ADVICE: a pruned read of a valid-but-empty
         # range must be distinguishable from a missing table).
-        live = all_live[:1]
-        reader = spark.read
         if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-            live = all_live
-        return reader.parquet(
-            *[os.path.join(root, e["path"]) for e in live]
-        ).limit(0)
+            _, all_live, _ = _snapshot(root, target)
+            return (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(root, e["path"]) for e in all_live])
+                .limit(0)
+            )
+        return spark.read.parquet(os.path.join(root, sample)).limit(0)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -1128,8 +1346,10 @@ def _align_by_name(dfs: list[DataFrame]) -> list[DataFrame]:
 def table_changes(
     spark: SparkSession,
     root: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    from_ts=None,
+    to_ts=None,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between two snapshots (the public
     Delta CDF / Iceberg CDC-on-read shape): rows present at
@@ -1151,7 +1371,26 @@ def table_changes(
     ``from_version=0`` means "since before the table existed": the
     bootstrap read — served straight from the live file set (no
     history replay; every live row is an insert).
+
+    Window bounds may also be WALL-CLOCK times (r12, symmetric with
+    ``read_table(as_of=…)``): ``from_ts``/``to_ts`` resolve through
+    the log's recorded commit times to the latest version at or
+    before each — "changes since last night" without bookkeeping
+    version numbers.
     """
+    if from_ts is not None:
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_ts, not both")
+        try:
+            from_version = resolve_as_of(root, from_ts)
+        except NoSuchTableError:
+            from_version = 0  # before the first commit ⇒ bootstrap
+    if to_ts is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_ts, not both")
+        to_version = resolve_as_of(root, to_ts)
+    if from_version is None:
+        raise ValueError("table_changes requires from_version or from_ts")
     to_v = to_version if to_version is not None else _snapshot(root)[0]
     if from_version == 0:
         # bootstrap: the net feed IS the live set — cheaper than
@@ -1446,11 +1685,10 @@ def commit_info(root: str, version: int) -> dict | None:
 
 
 def table_version(root: str) -> int:
-    """Latest committed version (0 if the table does not exist)."""
-    try:
-        return _snapshot(root)[0]
-    except NoSuchTableError:
-        return 0
+    """Latest committed version (0 if the table does not exist) — a
+    pure log listing, no manifest materialization."""
+    commits, _ = _list_log(root)
+    return commits[-1] if commits else 0
 
 
 def partition_values(root: str, version: int | None = None) -> list[str] | None:

@@ -135,25 +135,34 @@ def test_ingest_and_refresh_incremental_matches_batch_mode(spark, tmp_path):
         "2025-01-02T00:00:00Z,5,m\n"
     )
     outs = {}
-    for mode, inc in (("full", False), ("inc", True)):
+    for mode, inc, ups in (
+        ("full", False, "antijoin"),
+        ("inc", True, "antijoin"),
+        ("mrg", True, "merge"),   # r12: storage-layer ON CONFLICT
+    ):
         silver = str(tmp_path / f"silver_{mode}")
         gold = str(tmp_path / f"gold_{mode}")
         s1 = ingest_and_refresh(
             spark, R.read_csv(spark, p1), silver, gold,
-            store="snapshot", incremental=inc,
+            store="snapshot", incremental=inc, silver_upsert=ups,
         )
         s2 = ingest_and_refresh(
             spark, R.read_csv(spark, p2), silver, gold,
-            store="snapshot", incremental=inc,
+            store="snapshot", incremental=inc, silver_upsert=ups,
         )
         outs[mode] = (
             {k: v for k, v in s1.items() if k != "refresh"},
             {k: v for k, v in s2.items() if k != "refresh"},
             _gold_rows(spark, gold),
         )
-    assert outs["full"] == outs["inc"]
-    # the incremental path recorded its progress in the gold log
+    assert outs["full"] == outs["inc"] == outs["mrg"]
+    # the incremental paths recorded their progress in the gold logs
     assert last_refreshed_silver_version(str(tmp_path / "gold_inc")) == 2
+    assert last_refreshed_silver_version(str(tmp_path / "gold_mrg")) == 2
+    # the merge route guarantees key uniqueness at the STORAGE layer —
+    # silver's log shows merge commits, not blind appends
+    kinds = {h["kind"] for h in SS.history(str(tmp_path / "silver_mrg"))}
+    assert kinds == {"merge"}
 
 
 def test_hll_store_as_incremental_materialized_view(spark, tmp_path):

@@ -355,6 +355,23 @@ def test_read_table_as_of_timestamp(spark, tmp_path):
     assert len(_rows(SS.read_table(spark, root, as_of=t_between + 9e5))) == 2
 
 
+def test_table_changes_by_timestamp_window(spark, tmp_path):
+    """'changes since last night' without version bookkeeping: the
+    window bounds resolve through recorded commit times."""
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 10)]), root, "day")
+    t1 = SS.history(root)[-1]["timestamp"]
+    SS.append(_frame(spark, [(2, "d2", 20)]), root, "day")
+    ch = SS.table_changes(spark, root, from_ts=t1 + 1e-4)
+    got = sorted(map(tuple, ch.select("id", "_change_type").collect()))
+    assert got == [(2, "insert")]
+    # a from_ts before the first commit bootstraps from version 0
+    ch0 = SS.table_changes(spark, root, from_ts=t1 - 100.0)
+    assert ch0.count() == 2
+    with pytest.raises(ValueError):
+        SS.table_changes(spark, root, from_version=1, from_ts=t1)
+
+
 def test_as_of_before_first_commit_raises(spark, tmp_path):
     root = str(tmp_path / "t")
     SS.append(_frame(spark, [(1, "d1", 10)]), root, "day")
@@ -548,6 +565,45 @@ def test_refresh_window_spanning_compact_reads_no_compact_files(spark, tmp_path)
         SS.read_table(spark, gold).select("metric_date", "value_sum").collect()
     )
     assert rows == [("2025-01-01", 10.0), ("2025-01-02", 5.0), ("2025-01-03", 7.0)]
+
+
+def test_parquet_checkpoint_and_legacy_json_equivalence(spark, tmp_path):
+    """r12 manifest checkpoints are PARQUET (Arrow-parsed, flat to 10⁵
+    live files); a pre-r12 JSON checkpoint of the same version must
+    load to the identical snapshot."""
+    import json
+
+    root = str(tmp_path / "t")
+    for i in range(SS._CHECKPOINT_INTERVAL + 2):
+        SS.append(
+            _frame(spark, [(i, f"d{i}", i)]), root, "day",
+            idempotency_key=f"b{i}",
+        )
+    _, cps = SS._list_log(root)
+    assert cps
+    cp_v = cps[-1]
+    pq_path = os.path.join(
+        root, "_log", f"{cp_v:0{SS._V_WIDTH}d}.checkpoint.parquet"
+    )
+    assert os.path.exists(pq_path)
+    v1, live1, keys1 = SS._snapshot(root)
+    # rewrite the checkpoint in the legacy JSON shape and hide parquet
+    base_v, live_map, keys = SS._read_checkpoint(root, cp_v)
+    with open(pq_path.replace(".parquet", ".json"), "w") as f:
+        json.dump(
+            {
+                "version": base_v,
+                "live": sorted(live_map.values(), key=lambda e: e["path"]),
+                "txn_keys": sorted(keys),
+            },
+            f,
+        )
+    os.rename(pq_path, pq_path + ".hide")
+    try:
+        v2, live2, keys2 = SS._snapshot(root)
+    finally:
+        os.rename(pq_path + ".hide", pq_path)
+    assert (v1, live1, keys1) == (v2, live2, keys2)
 
 
 def test_commit_marker_and_history_timestamps(spark, tmp_path):

@@ -189,6 +189,36 @@ def test_snapshot_to_snapshot_streaming_pipeline(spark, tmp_path):
     assert kinds == ["append", "append"]
 
 
+def test_available_now_with_rate_limit_drains_fully(spark, tmp_path):
+    """PINNED contract (r11 VERDICT #4 / ADVICE): Spark 4 falls back to
+    a SINGLE-batch drain for Python data sources under
+    .trigger(availableNow=True), so maxversionsperbatch is inoperative
+    there — the query must still drain the WHOLE backlog (one uncapped
+    batch), never wedge or stop short. If a future Spark honors
+    availableNow for Python sources, this test catches the semantics
+    change."""
+    import uuid as _uuid
+
+    root = str(tmp_path / "t")
+    _build_history(spark, root)  # 5 commits
+    spark.dataSource.register(SnapshotChangeDataSource)
+    qn = f"an_rate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("maxversionsperbatch", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vs = {r[0] for r in spark.table(qn).select("_commit_version").collect()}
+    # full drain: every change-bearing commit present despite the cap
+    assert vs == {1, 2, 3, 4}  # v5 is compact (logically empty)
+
+
 def test_rate_limit_restart_does_not_wedge(spark, tmp_path):
     """A RESTARTED rate-limited reader (fresh object, engine supplies
     the checkpointed start via partitions(), initialOffset never

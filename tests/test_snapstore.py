@@ -252,9 +252,16 @@ def test_checkpoint_replay_equivalence(spark, tmp_path):
     _, cps = SS._list_log(root)
     assert cps, "expected a checkpoint to have been written"
     v, live_cp, keys = SS._snapshot(root)
-    # force a from-scratch replay by hiding checkpoints
+    # force a from-scratch replay by hiding checkpoints (parquet since
+    # r12; any legacy json checkpoints would be hidden the same way)
     cp_paths = [
-        os.path.join(root, "_log", f"{c:0{SS._V_WIDTH}d}.checkpoint.json") for c in cps
+        p
+        for c in cps
+        for p in (
+            os.path.join(root, "_log", f"{c:0{SS._V_WIDTH}d}.checkpoint.parquet"),
+            os.path.join(root, "_log", f"{c:0{SS._V_WIDTH}d}.checkpoint.json"),
+        )
+        if os.path.exists(p)
     ]
     for p in cp_paths:
         os.rename(p, p + ".hide")

@@ -35,7 +35,12 @@ from smartdatapipeline_spark.session import get_spark  # noqa: E402
 from smartdatapipeline_spark.sources import snapstore as SS  # noqa: E402
 
 ADDS_PER_COMMIT = 50
-MILESTONES = (1_000, 2_000, 5_000, 10_000)
+MILESTONES = tuple(
+    int(x)
+    for x in os.environ.get(
+        "SNAPCEIL_MILESTONES", "1000,2000,5000,10000"
+    ).split(",")
+)
 N_DAYS = 365
 
 
@@ -84,18 +89,17 @@ def _measure(spark, root: str, day: str) -> dict:
     pruned_s = time.perf_counter() - t0
     assert n > 0
 
-    t0 = time.perf_counter()
-    total = SS.read_table(spark, root).count()
-    full_s = time.perf_counter() - t0
-
-    return {
+    out = {
         "live_files": len(live) + 1,
-        "rows": total,
         "snapshot_sec": round(snap_s, 4),
         "commit_sec": round(commit_s, 4),
         "pruned_read_sec": round(pruned_s, 4),
-        "full_read_sec": round(full_s, 4),
     }
+    if os.environ.get("SNAPCEIL_FULL_READ", "1") != "0":
+        t0 = time.perf_counter()
+        out["rows"] = SS.read_table(spark, root).count()
+        out["full_read_sec"] = round(time.perf_counter() - t0, 4)
+    return out
 
 
 def main() -> int:
@@ -117,20 +121,18 @@ def main() -> int:
             points.append(_measure(spark, root, "2024-01-05"))
             live += 1  # the measurement's own append
 
-        t0 = time.perf_counter()
-        SS.compact(spark, root, target_batches=8)
-        compact_s = time.perf_counter() - t0
-        after = _measure(spark, root, "2024-01-05")
+        result = {"milestones": points}
+        if os.environ.get("SNAPCEIL_COMPACT", "1") != "0":
+            t0 = time.perf_counter()
+            SS.compact(spark, root, target_batches=8)
+            result["compact_sec"] = round(time.perf_counter() - t0, 2)
+            result["after_compact"] = _measure(spark, root, "2024-01-05")
     finally:
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
 
-    print(json.dumps({
-        "milestones": points,
-        "compact_sec": round(compact_s, 2),
-        "after_compact": after,
-    }))
+    print(json.dumps(result))
     return 0
 
 
