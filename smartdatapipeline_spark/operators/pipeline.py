@@ -55,16 +55,20 @@ _REFRESH_KEY_RE = re.compile(r"^cdc-refresh:(\d+)$")
 def last_refreshed_silver_version(gold_root: str) -> int:
     """Highest silver version a ``refresh_gold_from_changes`` commit in
     ``gold_root``'s log has consumed (0 = never refreshed — the next
-    refresh bootstraps from the full change feed)."""
+    refresh bootstraps from the full change feed). Read from the
+    snapshot's IDEMPOTENCY-KEY SET rather than a history walk (r12):
+    checkpoints fold every key forward, so progress survives
+    ``vacuum_log`` truncating old commits, and the lookup is one
+    checkpoint-footer read plus the log tail instead of O(commits)."""
     from smartdatapipeline_spark.sources import snapstore as SS
 
-    best = 0
     try:
-        hist = SS.history(gold_root)
+        _, keys = SS._snapshot_meta(gold_root)
     except Exception:  # noqa: BLE001 — absent table ⇒ never refreshed
         return 0
-    for c in hist:
-        m = _REFRESH_KEY_RE.match(c.get("idempotency_key") or "")
+    best = 0
+    for k in keys:
+        m = _REFRESH_KEY_RE.match(k)
         if m:
             best = max(best, int(m.group(1)))
     return best

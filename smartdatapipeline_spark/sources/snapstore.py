@@ -1235,8 +1235,10 @@ def _stats_intersect(entry: dict, col: str, lo, hi) -> bool:
 def resolve_partition_col(root: str, upto: int | None = None) -> str | None:
     """The table's partition column, from the first add action found in
     the log (one consistent column per table is this store's usage
-    contract; used by CDC resolution to scope delete emission)."""
-    commits, _ = _list_log(root)
+    contract; used by CDC resolution to scope delete emission). After
+    ``vacuum_log`` the retained tail may hold no add actions — fall
+    back to the newest checkpoint's per-entry column."""
+    commits, cps = _list_log(root)
     for v in commits:
         if upto is not None and v > upto:
             break
@@ -1244,6 +1246,15 @@ def resolve_partition_col(root: str, upto: int | None = None) -> str | None:
         for a in c.get("actions", []):
             if a.get("op") == "add" and a.get("partition_col"):
                 return a["partition_col"]
+    for cp_v in reversed(cps):
+        if upto is not None and cp_v > upto:
+            continue
+        if cp_v not in commits:
+            continue
+        _, live, _ = _read_checkpoint(root, cp_v)
+        for e in live.values():
+            if e.get("partition_col"):
+                return e["partition_col"]
     return None
 
 
@@ -1724,6 +1735,54 @@ def history(root: str) -> list[dict]:
             }
         )
     return out
+
+
+def vacuum_log(root: str, keep_versions: int = 100) -> list[str]:
+    """Bound the COMMIT LOG itself (the Delta ``logRetentionDuration``
+    analogue, r12): a year of 5-minute micro-batches is ~10⁵ commit
+    files, and every helper that walks the log (``history``,
+    ``find_commit_by_key``, change-feed resolution) pays O(commits).
+    Deletes commit JSONs and checkpoints STRICTLY BELOW the newest
+    checkpoint that is ≤ ``latest − keep_versions``; that checkpoint
+    stays as the replay base, so every retained version ≥ it reads
+    exactly as before. Versions below it stop being addressable
+    (time travel / CDC windows / ``resolve_as_of`` raise — the same
+    bounded-retention contract as ``vacuum`` for data). Run AFTER
+    ``vacuum`` with at least the same retention: the last
+    ``keep_versions`` snapshots stay replayable. Returns deleted log
+    filenames."""
+    commits, cps = _list_log(root)
+    if not commits:
+        return []
+    floor = commits[-1] - keep_versions
+    base_cps = [c for c in cps if c <= floor and c in commits]
+    if not base_cps:
+        return []
+    base = base_cps[-1]
+    d = _log_path(root)
+    deleted = []
+    for v in commits:
+        if v >= base:
+            continue
+        p = os.path.join(d, _vname(v))
+        try:
+            os.unlink(p)
+            deleted.append(os.path.basename(p))
+        except OSError:
+            pass
+    for c in cps:
+        if c >= base:
+            continue
+        for suffix in (".checkpoint.parquet", ".checkpoint.json"):
+            p = os.path.join(d, f"{c:0{_V_WIDTH}d}{suffix}")
+            try:
+                os.unlink(p)
+                deleted.append(os.path.basename(p))
+            except FileNotFoundError:
+                pass
+            except OSError:
+                pass
+    return deleted
 
 
 def vacuum(root: str, keep_versions: int = 3, grace_sec: float = 86_400.0) -> list[str]:

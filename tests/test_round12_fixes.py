@@ -606,6 +606,82 @@ def test_parquet_checkpoint_and_legacy_json_equivalence(spark, tmp_path):
     assert (v1, live1, keys1) == (v2, live2, keys2)
 
 
+def test_vacuum_log_bounds_commit_log(spark, tmp_path):
+    """r12 log retention: commits below the newest checkpoint ≤
+    (latest − keep) are deleted; every retained version reads exactly
+    as before, older versions stop being addressable (the bounded-
+    retention contract, same as data vacuum)."""
+    root = str(tmp_path / "t")
+    n = SS._CHECKPOINT_INTERVAL * 2 + 5  # 25 commits, checkpoints at 10, 20
+    for i in range(n):
+        SS.append(
+            _frame(spark, [(i, f"d{i}", i)]), root, "day",
+            idempotency_key=f"b{i}",
+        )
+    before = _rows(SS.read_table(spark, root))
+    deleted = SS.vacuum_log(root, keep_versions=5)
+    # base = newest checkpoint ≤ 20: commits 1..19 and checkpoint 10 gone
+    assert deleted and f"{1:020d}.json" in deleted
+    commits, cps = SS._list_log(root)
+    assert commits[0] == SS._CHECKPOINT_INTERVAL * 2
+    assert _rows(SS.read_table(spark, root)) == before
+    # retained versions still time-travel; vacuumed ones raise
+    assert len(_rows(SS.read_table(spark, root, version=commits[0]))) == 20
+    with pytest.raises(SS.NoSuchTableError):
+        SS.read_table(spark, root, version=5)
+    # change feed within retention still works
+    ch = SS.table_changes(spark, root, n - 2, n)
+    assert ch.count() == 2
+    # idempotency keys survive through the checkpoint fold
+    assert SS.append(
+        _frame(spark, [(99, "d99", 99)]), root, "day", idempotency_key="b3"
+    ) == SS.table_version(root)
+    assert (99,) not in {
+        (r[0],) for r in SS.read_table(spark, root).select("id").collect()
+    }
+
+
+def test_vacuum_log_noop_without_eligible_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(5):  # below the checkpoint interval — nothing to base on
+        SS.append(_frame(spark, [(i, f"d{i}", i)]), root, "day")
+    assert SS.vacuum_log(root, keep_versions=2) == []
+    assert len(SS.history(root)) == 5
+
+
+def test_refresh_progress_survives_log_vacuum(spark, tmp_path):
+    """Progress rides the idempotency-key set, which checkpoints fold
+    forward — truncating the gold log must not reset the CDC refresh
+    to a from-version-0 bootstrap."""
+    from smartdatapipeline_spark.operators import pipeline as P
+
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    ev = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1), "m", 10.0, 1)],
+        "ts timestamp, metric string, value double, source_id int",
+    ).withColumn("event_date", F.to_date("ts"))
+    SS.append(ev, silver, "event_date")
+    P.refresh_gold_from_changes(spark, silver, gold)
+    # pad gold's log past a checkpoint, then truncate it
+    for i in range(SS._CHECKPOINT_INTERVAL + 2):
+        SS.commit_marker(gold, "pad", f"pad:{i}")
+    SS.vacuum_log(gold, keep_versions=2)
+    assert P.last_refreshed_silver_version(gold) == 1
+    r = P.refresh_gold_from_changes(spark, silver, gold)
+    assert (r["from_version"], r["refreshed_days"]) == (1, 0)
+
+
+def test_resolve_partition_col_from_checkpoint_after_log_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 1)]), root, "day")
+    for i in range(SS._CHECKPOINT_INTERVAL + 3):
+        SS.commit_marker(root, "pad", f"pad:{i}")
+    SS.vacuum_log(root, keep_versions=2)
+    # the retained log tail holds no add actions — the checkpoint does
+    assert SS.resolve_partition_col(root) == "day"
+
+
 def test_commit_marker_and_history_timestamps(spark, tmp_path):
     root = str(tmp_path / "t")
     SS.append(_frame(spark, [(1, "d1", 10)]), root, "day")
