@@ -1287,6 +1287,17 @@ def resolve_commit_changes(
       ``table_changes``; signed aggregation in stream consumers).
     """
     commits, _ = _list_log(root)
+    if commits and start_v < commits[0] - 1:
+        # vacuum_log truncated commits inside this window — skipping
+        # them would silently DROP their changes from the feed; the
+        # consumer must re-bootstrap (from_version=0 net read) or start
+        # within retention (same contract as Delta CDF past
+        # logRetentionDuration)
+        raise NoSuchTableError(
+            f"change window starts at v{start_v + 1} but the log is "
+            f"vacuumed below v{commits[0]} under {root!r}; re-bootstrap "
+            "the consumer or raise vacuum_log retention above its lag"
+        )
     if part_col is None:
         part_col = resolve_partition_col(root, end_v)
     out: list[dict] = []

@@ -641,6 +641,23 @@ def test_vacuum_log_bounds_commit_log(spark, tmp_path):
     }
 
 
+def test_change_window_into_vacuumed_log_raises(spark, tmp_path):
+    """A CDC window reaching below the vacuumed log must fail loudly —
+    silently skipping truncated commits would drop their changes."""
+    root = str(tmp_path / "t")
+    n = SS._CHECKPOINT_INTERVAL * 2 + 5
+    for i in range(n):
+        SS.append(_frame(spark, [(i, f"d{i}", i)]), root, "day")
+    SS.vacuum_log(root, keep_versions=5)
+    base = SS._list_log(root)[0][0]
+    with pytest.raises(SS.NoSuchTableError, match="vacuumed"):
+        SS.table_changes(spark, root, base - 5, n)
+    # windows within retention (start ≥ base-1) still resolve
+    assert SS.table_changes(spark, root, base - 1, base + 1).count() == 2
+    # bootstrap (from_version=0) stays valid — it reads the live set
+    assert SS.table_changes(spark, root, 0).count() == n
+
+
 def test_vacuum_log_noop_without_eligible_checkpoint(spark, tmp_path):
     root = str(tmp_path / "t")
     for i in range(5):  # below the checkpoint interval — nothing to base on
