@@ -4384,16 +4384,18 @@ def q_snapshot_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated or lost."""
     from smartdatapipeline_spark.sources import snapstore as SS
 
-    root = _tmp_store("mergeupd", sf_dir)
+    root = _tmp_store("mergeupd2", sf_dir)
     if SS.find_commit_by_key(root, "mg-update") is None:
         ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
-        for key, lo, hi in (
-            ("mu-b1", "2024-01-01", "2024-01-10"),
-            ("mu-b2", "2024-01-11", "2024-01-20"),
-            ("mu-b3", "2024-01-21", "2024-01-31"),
+        # slice bounds must COVER the table at any scale: the 10x dir
+        # spreads events far past January, so the tail slice is open
+        for key, cond in (
+            ("mu-b1", F.col("event_date") <= "2024-01-10"),
+            ("mu-b2", F.col("event_date").between("2024-01-11", "2024-01-20")),
+            ("mu-b3", F.col("event_date") > "2024-01-20"),
         ):
             SS.append(
-                ev.filter(F.col("event_date").between(lo, hi)),
+                ev.filter(cond),
                 root, "event_date",
                 idempotency_key=key, stats_cols=("event_id",),
             )
@@ -4427,16 +4429,16 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics)."""
     from smartdatapipeline_spark.sources import snapstore as SS
 
-    root = _tmp_store("delsnap", sf_dir)
+    root = _tmp_store("delsnap2", sf_dir)
     if SS.find_commit_by_key(root, "gdpr-user7") is None:
         ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
-        for key, lo, hi in (
-            ("dw-b1", "2024-01-01", "2024-01-10"),
-            ("dw-b2", "2024-01-11", "2024-01-20"),
-            ("dw-b3", "2024-01-21", "2024-01-31"),
+        for key, cond in (
+            ("dw-b1", F.col("event_date") <= "2024-01-10"),
+            ("dw-b2", F.col("event_date").between("2024-01-11", "2024-01-20")),
+            ("dw-b3", F.col("event_date") > "2024-01-20"),
         ):
             SS.append(
-                ev.filter(F.col("event_date").between(lo, hi)),
+                ev.filter(cond),
                 root, "event_date",
                 idempotency_key=key, stats_cols=("user_id",),
             )
