@@ -56,13 +56,16 @@ def snapshot_maintenance_job(
     keep_versions: int = 3,
     grace_sec: float = 86_400.0,
     log_keep_versions: int = 100,
+    small_only_rows: int | None = None,
 ) -> Callable[[], dict]:
     """The nightly snapshot-table maintenance body the store's module
     docstring promises (sources/snapstore.py; r10 VERDICT #5): OPTIMIZE
     + VACUUM + LOG VACUUM per table. Compaction bounds the live-file
     count (the manifest ceiling measured in
     tools/snapstore_ceiling_probe.py — scan listing cost grows with
-    files, so a per-batch append pattern needs this nightly); vacuum
+    files, so a per-batch append pattern needs this nightly —
+    ``small_only_rows`` makes it PARTIAL bin-packing so the nightly
+    rewrite costs O(new small files), not O(table)); vacuum
     reclaims overwritten batches past time-travel retention and
     crashed-writer orphans; ``vacuum_log`` (r12) bounds the commit log
     itself so a year of micro-batches doesn't leave O(10⁵) commit
@@ -78,7 +81,8 @@ def snapshot_maintenance_job(
             entry: dict = {}
             try:
                 entry["compacted_to_version"] = SS.compact(
-                    spark, root, target_batches=target_batches
+                    spark, root, target_batches=target_batches,
+                    small_only_rows=small_only_rows,
                 )
             except SS.ConcurrentWriteError as exc:
                 entry["compact_conflict"] = str(exc)

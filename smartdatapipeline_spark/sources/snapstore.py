@@ -1492,6 +1492,7 @@ def compact(
     idempotency_key: str | None = None,
     zorder_by: tuple | None = None,
     stats_cols: tuple[str, ...] = (),
+    small_only_rows: int | None = None,
 ) -> int:
     """Small-file compaction (the Delta OPTIMIZE / Iceberg rewrite-
     data-files maintenance op): rewrite ALL live batches into
@@ -1515,18 +1516,39 @@ def compact(
     batch. Arity note: the Morton key packs ``zorder_by`` at the
     default 8 bits/column into one 63-bit long, so z-ordering caps at
     7 columns (functions/layout.py interleave_k) — pick the few
-    columns queries actually filter on, as with Delta ZORDER BY."""
+    columns queries actually filter on, as with Delta ZORDER BY.
+
+    ``small_only_rows`` (r12) makes OPTIMIZE PARTIAL, the way Delta's
+    bin-packing actually runs: only live batches holding ≤ that many
+    rows are rewritten; larger batches — last night's compaction
+    output — are left untouched. Nightly maintenance then costs
+    O(yesterday's small files), not O(table): without this, a steady
+    table pays a FULL rewrite every night, which is the real scale
+    ceiling at 100 TB. The conflict claim covers only the rewritten
+    batches' partitions, so disjoint writers proceed. Mutually
+    exclusive with ``zorder_by`` (a z-order is a global layout — a
+    partial rewrite would break the clustering invariant the manifest
+    stats promise)."""
+    if small_only_rows is not None and zorder_by is not None:
+        raise ValueError(
+            "small_only_rows and zorder_by are mutually exclusive: "
+            "OPTIMIZE ZORDER is a global rewrite by definition"
+        )
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
     try:
-        base_v, live, _ = _snapshot(root)
+        base_v, all_live, _ = _snapshot(root)
     except NoSuchTableError:
         return 0
+    live = all_live
+    if small_only_rows is not None:
+        live = [e for e in live if e.get("rows", 0) <= small_only_rows]
     if not live:
-        # fully-emptied table (every row deleted): OPTIMIZE — z-ordered
-        # or not — is a no-op, never a zero-path spark.read (r11 ADVICE:
-        # scheduled maintenance over an emptied table must not error)
+        # fully-emptied table (every row deleted) or nothing small
+        # enough to rewrite: OPTIMIZE — z-ordered or not — is a no-op,
+        # never a zero-path spark.read (r11 ADVICE: scheduled
+        # maintenance over an emptied table must not error)
         return base_v
     if len(live) <= target_batches and zorder_by is None:
         return base_v

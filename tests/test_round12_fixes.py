@@ -606,6 +606,38 @@ def test_parquet_checkpoint_and_legacy_json_equivalence(spark, tmp_path):
     assert (v1, live1, keys1) == (v2, live2, keys2)
 
 
+def test_partial_compaction_rewrites_only_small_files(spark, tmp_path):
+    """OPTIMIZE with small_only_rows bin-packs ONLY the small batches —
+    last night's compaction output is untouched, so nightly maintenance
+    costs O(new small files), not O(table)."""
+    root = str(tmp_path / "t")
+    big = _frame(spark, [(i, "d0", i) for i in range(500)])
+    SS.append(big, root, "day")
+    for i in range(4):  # four small per-batch appends (the steady flow)
+        SS.append(_frame(spark, [(1000 + i, f"d{i + 1}", i)]), root, "day")
+    before = _rows(SS.read_table(spark, root))
+    big_path = next(e["path"] for e in SS._snapshot(root)[1] if e["rows"] == 500)
+    v = SS.compact(spark, root, target_batches=1, small_only_rows=100)
+    live = SS._snapshot(root)[1]
+    assert big_path in {e["path"] for e in live}  # big batch untouched
+    assert len(live) == 2  # big + one packed batch
+    assert _rows(SS.read_table(spark, root)) == before
+    # logically empty: CDC across the partial compact is empty
+    assert SS.table_changes(spark, root, v - 1, v).count() == 0
+    # conflict claim covers only the small batches' partitions
+    c = SS._read_json(os.path.join(root, "_log", SS._vname(v)))
+    assert set(c["replaced"]) == {"d1", "d2", "d3", "d4"}
+    # nothing small left: the next partial OPTIMIZE is a no-op
+    assert SS.compact(spark, root, target_batches=1, small_only_rows=100) == v
+
+
+def test_partial_compaction_excludes_zorder(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 1)]), root, "day")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SS.compact(spark, root, zorder_by=("id",), small_only_rows=10)
+
+
 def test_vacuum_log_bounds_commit_log(spark, tmp_path):
     """r12 log retention: commits below the newest checkpoint ≤
     (latest − keep) are deleted; every retained version reads exactly
