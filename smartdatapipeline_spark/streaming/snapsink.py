@@ -54,6 +54,45 @@ def snapshot_append_sink(
     return _write
 
 
+def snapshot_merge_sink(
+    root: str,
+    app_id: str,
+    keys: list[str],
+    when_matched: str = "ignore",
+    partition_col: str | None = None,
+):
+    """``foreachBatch`` row-level MERGE: each micro-batch upserts by
+    key into the snapshot table exactly once (r12 — the streaming twin
+    of ``snapstore.merge``). ``when_matched="ignore"`` is streaming
+    ON-CONFLICT-DO-NOTHING: duplicate keys arriving across micro-
+    batches (at-least-once upstreams, replayed epochs, overlapping
+    backfills) collapse at the STORAGE layer — no watermarked
+    dropDuplicates state to size or expire, and the dedup horizon is
+    the whole table, not a state-store window. ``"update"`` keeps the
+    latest version of each key (CDC upsert ingestion). The engine-side
+    epoch retry is a no-op via the ``<app_id>:<batch_id>`` key; a
+    WITHIN-batch duplicate key should be pre-collapsed by the caller
+    for ``update`` (merge appends source rows verbatim).
+
+    Scale contract (same as batch merge): record ``stats_cols``/z-order
+    on the key columns upstream so candidate pruning holds, and keep
+    keys partition-aligned with ``partition_col`` so a micro-batch
+    conflicts only with writers of its own partitions."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        SS.merge(
+            batch_df,
+            root,
+            keys=keys,
+            when_matched=when_matched,
+            partition_col=partition_col,
+            idempotency_key=f"{app_id}:{batch_id}",
+        )
+
+    return _write
+
+
 def snapshot_upsert_sink(
     root: str,
     app_id: str,

@@ -606,6 +606,63 @@ def test_parquet_checkpoint_and_legacy_json_equivalence(spark, tmp_path):
     assert (v1, live1, keys1) == (v2, live2, keys2)
 
 
+def test_streaming_merge_sink_dedups_across_batches_exactly_once(spark, tmp_path):
+    """snapshot_merge_sink (r12): a file-source stream whose micro-
+    batches OVERLAP in keys (at-least-once upstream) lands each key
+    once — storage-layer ON CONFLICT DO NOTHING, no dropDuplicates
+    state — and a replayed epoch is a no-op via its idempotency key."""
+    import json as _json
+
+    from smartdatapipeline_spark.streaming.snapsink import snapshot_merge_sink
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # three chunks with overlapping keys: k0-k5, k3-k8, k6-k11
+    chunks = [
+        [{"d": f"2025-02-{(i % 3) + 1:02d}", "k": f"k{i}", "v": i}
+         for i in range(lo, hi)]
+        for lo, hi in ((0, 6), (3, 9), (6, 12))
+    ]
+    for i, chunk in enumerate(chunks):
+        with open(inp / f"{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "d string, k string, v long"
+    sink = snapshot_merge_sink(
+        root, app_id="t-merge", keys=["k"], when_matched="ignore",
+        partition_col="d",
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["k"], r["v"]) for r in SS.read_table(spark, root).collect())
+    assert got == sorted((f"k{i}", i) for i in range(12))  # each key once
+    # engine retry of a committed epoch: no-op
+    v = SS.table_version(root)
+    sink(spark.createDataFrame([("2025-02-01", "k0", 0)], schema), 0)
+    assert SS.table_version(root) == v
+    # update-mode twin: a later batch re-keys k0 to a new value in place
+    upd = snapshot_merge_sink(
+        root, app_id="t-merge-upd", keys=["k"], when_matched="update",
+        partition_col="d",
+    )
+    upd(spark.createDataFrame([("2025-02-01", "k0", 999)], schema), 0)
+    vals = dict(
+        (r["k"], r["v"]) for r in SS.read_table(spark, root).collect()
+    )
+    assert vals["k0"] == 999 and len(vals) == 12
+
+
 def test_partial_compaction_rewrites_only_small_files(spark, tmp_path):
     """OPTIMIZE with small_only_rows bin-packs ONLY the small batches —
     last night's compaction output is untouched, so nightly maintenance
