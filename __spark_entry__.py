@@ -4461,6 +4461,178 @@ def q_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE via DELETION VECTORS (r13; r12 VERDICT #2): the
+    same takedown as ``snapshot_delete_where`` — remove user 7's rows
+    — but merge-on-read: the commit lands one tiny (_file, _pos)
+    position sidecar and rewrites NOTHING (sources/snapstore.py
+    delete_where(mode="dv"), the Delta deletion-vector / Iceberg
+    position-delete trade); readers apply the sidecar as a position
+    anti-join until the next OPTIMIZE folds it. Identical oracle to
+    the copy-on-write path — the two physical strategies must be
+    indistinguishable to a reader. Reference parity: row-targeted ORM
+    deletes (takedown endpoints) at takedown frequency, where a 1-row
+    delete must not pay a file rewrite."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("delsnapdv", sf_dir)
+    if SS.find_commit_by_key(root, "dv-user7") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        for key, cond in (
+            ("dvb-1", F.col("event_date") <= "2024-01-10"),
+            ("dvb-2", F.col("event_date").between("2024-01-11", "2024-01-20")),
+            ("dvb-3", F.col("event_date") > "2024-01-20"),
+        ):
+            SS.append(
+                ev.filter(cond),
+                root, "event_date",
+                idempotency_key=key, stats_cols=("user_id",),
+            )
+        SS.delete_where(
+            spark, root, "user_id = 7", prune=("user_id", 7, 7),
+            idempotency_key="dv-user7", mode="dv",
+        )
+    # the read-side proof the sidecar landed instead of a rewrite:
+    # every data batch is still live, plus exactly one DV entry
+    _, live, _ = SS._snapshot(root)
+    assert [e for e in live if SS._is_dv(e)], "expected a live DV sidecar"
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(
+            F.col("event_date").alias("metric_date"),
+            F.col("event_type").alias("metric"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_dec.alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_snapshot_zorder_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL z-order maintenance (r13; r12 VERDICT #1): a table
+    fully z-ordered on (user_id, value) absorbs a day of small appends,
+    then ``compact(zorder_by=…, small_only_rows=…)`` z-keys ONLY those
+    small batches on the recorded lattice and splits them at the
+    existing z-batches' extents — the big z-batches stay untouched
+    byte-for-byte (sources/snapstore.py compact, functions/layout.py
+    zorder_key_with_domain), so nightly maintenance on the z-ordered
+    production table costs O(day's ingest). The read is a narrow
+    user_id range through the stats-pruned path; oracle: the same
+    range straight off events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("zpartial", sf_dir)
+    if SS.find_commit_by_key(root, "zp-day2") is None:
+        ev = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id").isNotNull())
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        base = ev.filter(F.col("event_date") <= "2024-01-25")
+        for key, m in (("zp-b1", 0), ("zp-b2", 1)):
+            SS.append(
+                base.filter(F.col("event_id") % 2 == m),
+                root, "event_date", idempotency_key=key,
+            )
+        SS.compact(
+            spark, root, target_batches=6, zorder_by=("user_id", "value"),
+            idempotency_key="zp-full",
+        )
+        day2 = ev.filter(F.col("event_date") > "2024-01-25")
+        for key, m in (("zp-day0", 0), ("zp-day1", 1), ("zp-day2", 2)):
+            SS.append(day2.filter(F.col("event_id") % 3 == m),
+                      root, "event_date", idempotency_key=key)
+        # threshold strictly between the day batches and the anchors,
+        # derived from the manifest so it holds at every sf
+        _, live0, _ = SS._snapshot(root)
+        anchor_min = min(
+            e["rows"] for e in live0 if (e["stats"] or {}).get("__zorder__")
+        )
+        day_max = max(
+            e["rows"] for e in live0 if not (e["stats"] or {}).get("__zorder__")
+        )
+        assert day_max < anchor_min, (day_max, anchor_min)
+        SS.compact(
+            spark, root, zorder_by=("user_id", "value"),
+            small_only_rows=anchor_min - 1,
+            idempotency_key="zp-partial",
+        )
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root, column_range=("user_id", 10, 19))
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
+def q_snapshot_multicol_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN partitioning (r13; r12 VERDICT #4): an events table
+    partitioned on (event_date, event_type) — the canonical lakehouse
+    layout — with composite tracked values in the manifest
+    (sources/snapstore.py _part_name/encode_partition_value). One
+    (day, type) CELL is deleted (a per-source correction), which
+    rewrites only intersecting batches; the read prunes to January
+    21-25 purchases at the MANIFEST level. Oracle: the same slice
+    minus the deleted cell, straight off events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("multicol", sf_dir)
+    if SS.find_commit_by_key(root, "mc-del") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        for key, m in (("mc-b1", 0), ("mc-b2", 1)):
+            SS.append(
+                ev.filter(F.col("event_id") % 2 == m),
+                root, ["event_date", "event_type"], idempotency_key=key,
+            )
+        SS.delete_partitions(
+            spark, root, ["event_date", "event_type"],
+            [("2024-01-22", "purchase")], idempotency_key="mc-del",
+        )
+    cells = [(f"2024-01-{d}", "purchase") for d in range(21, 26)]
+    got = SS.read_table(spark, root, partition_values=cells)
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return got.groupBy(
+        F.col("event_date").alias("metric_date"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+
+
+def q_snapshot_is_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-count manifest stats (r13; r12 VERDICT #7): the anonymous-
+    traffic audit — ``read_table(where_null="user_id")`` — skips every
+    batch whose recorded null count for user_id is zero at the MANIFEST
+    level (sources/snapstore.py _stats_nulls_possible) and filters the
+    rest to IS NULL rows. Oracle: the same audit straight off events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("nullscan", sf_dir)
+    if SS.find_commit_by_key(root, "ns-b2") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        # anonymize every 7th event (deterministic), landing the
+        # anonymous rows in their own batch: one fully-populated batch
+        # (null count 0 — prunes away) + one batch carrying the NULLs
+        SS.append(
+            ev.filter(F.col("event_id") % 7 != 0),
+            root, "event_date", idempotency_key="ns-b1",
+            stats_cols=("user_id",),
+        )
+        SS.append(
+            ev.filter(F.col("event_id") % 7 == 0).withColumn(
+                "user_id", F.lit(None).cast("long")
+            ),
+            root, "event_date", idempotency_key="ns-b2",
+            stats_cols=("user_id",),
+        )
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root, where_null="user_id")
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
 def q_snapshot_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``AS OF <timestamp>`` time travel (r12; r11 VERDICT #5): the
     same two-version KPI table as ``snapshot_time_travel``, but the
@@ -4489,7 +4661,7 @@ def q_snapshot_changes_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the appended days' aggregate tagged 'insert'."""
     from smartdatapipeline_spark.sources import snapstore as SS
 
-    root = _tmp_store("cdcspan", sf_dir)
+    root = _tmp_store("cdcspan2", sf_dir)
     if SS.find_commit_by_key(root, "span-b2") is None:
         ev = _events(spark, sf_dir)
         sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
@@ -4500,16 +4672,34 @@ def q_snapshot_changes_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type").alias("metric"),
             ).agg(sum_dec.alias("value_sum"), F.count(F.lit(1)).alias("value_count"))
 
+        # TWO base appends so the compact genuinely lands (one live
+        # batch <= target_batches=1 is a no-op — r12 ADVICE: the old
+        # single-append setup validated nothing); the window below then
+        # truly spans a compact commit
         SS.append(
-            kpis(ev.filter(F.to_date("ts") <= "2024-01-20")),
-            root, "metric_date", idempotency_key="span-b1",
+            kpis(ev.filter(F.to_date("ts") <= "2024-01-10")),
+            root, "metric_date", idempotency_key="span-b1a",
+        )
+        SS.append(
+            kpis(
+                ev.filter(
+                    (F.to_date("ts") > "2024-01-10")
+                    & (F.to_date("ts") <= "2024-01-20")
+                )
+            ),
+            root, "metric_date", idempotency_key="span-b1b",
         )
         SS.compact(spark, root, idempotency_key="span-opt")
         SS.append(
             kpis(ev.filter(F.to_date("ts") > "2024-01-20")),
             root, "metric_date", idempotency_key="span-b2",
         )
-    return SS.table_changes(spark, root, 1, 3)
+    kinds = {h["kind"] for h in SS.history(root)}
+    assert "compact" in kinds, f"cdcspan2 setup never compacted: {kinds}"
+    # window (2, latest]: strictly AFTER the base appends, spanning the
+    # compact (v3) and the post-compact append (v4); to_version computed
+    # from the log, never assumed (r12 ADVICE)
+    return SS.table_changes(spark, root, 2, SS.table_version(root))
 
 
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4842,6 +5032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge_upsert": q_snapshot_merge_upsert,
         "snapshot_merge_update": q_snapshot_merge_update,
         "snapshot_delete_where": q_snapshot_delete_where,
+        "snapshot_delete_dv": q_snapshot_delete_dv,
+        "snapshot_zorder_partial": q_snapshot_zorder_partial,
+        "snapshot_multicol_partition": q_snapshot_multicol_partition,
+        "snapshot_is_null_scan": q_snapshot_is_null_scan,
         "snapshot_as_of_read": q_snapshot_as_of_read,
         "snapshot_changes_compacted": q_snapshot_changes_compacted,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -7946,6 +8140,49 @@ def oracle_sql() -> dict[str, str]:
     """
     # AS OF a timestamp between the two commits ⇒ the v1 (uncorrected)
     # state, same oracle as version-addressed time travel
+    # deletion-vector delete is reader-indistinguishable from the
+    # copy-on-write delete: the exact same oracle
+    o["snapshot_delete_dv"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id IS DISTINCT FROM 7
+        GROUP BY 1, 2
+    """
+    # incremental z-order is a logical no-op over the union of base +
+    # day appends: the narrow user range straight off events
+    o["snapshot_zorder_partial"] = """
+        SELECT user_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE user_id BETWEEN 10 AND 19
+        GROUP BY 1
+    """
+    # composite-partition pruned read: Jan 21-25 purchases minus the
+    # deleted (2024-01-22, purchase) cell
+    o["snapshot_multicol_partition"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS DATE) BETWEEN DATE '2024-01-21' AND DATE '2024-01-25'
+          AND CAST(ts AS DATE) <> DATE '2024-01-22'
+        GROUP BY 1
+    """
+    # the IS NULL audit: every 7th event was anonymized in the store
+    o["snapshot_is_null_scan"] = """
+        SELECT event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE event_id % 7 = 0
+        GROUP BY 1
+    """
     o["snapshot_as_of_read"] = _SNAP_AGG.format(where="")
     # window spanning a compaction: the feed is exactly the post-compact
     # append, tagged insert — the compact itself contributes nothing

@@ -317,6 +317,10 @@ BENCH_QUERIES: list[str] = [
     "snapshot_merge_upsert",
     "snapshot_merge_update",
     "snapshot_delete_where",
+    "snapshot_delete_dv",
+    "snapshot_zorder_partial",
+    "snapshot_multicol_partition",
+    "snapshot_is_null_scan",
     "snapshot_as_of_read",
     "snapshot_changes_compacted",
 ]

@@ -100,6 +100,28 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     return out.withColumn("_z", key).drop(*drop)
 
 
+def zorder_key_with_domain(
+    df: DataFrame, cols: list[str], domain: dict, bits: int = 8
+) -> DataFrame:
+    """Append ``_z`` scaled by an EXPLICIT per-column domain
+    ``{col: (min, max)}`` instead of the frame's own min/max — the
+    incremental-maintenance form (r12 VERDICT #1): today's small
+    batches must land on the SAME lattice the existing z-batches were
+    keyed on, or their Morton keys aren't comparable to the recorded
+    z-extents. Values outside the domain clamp to the edge cells
+    (greatest/least), so drift in new data degrades envelope tightness
+    gracefully instead of corrupting the curve."""
+    if len(cols) < 2:
+        raise ValueError("zorder_key_with_domain interleaves at least two columns")
+    scaled = []
+    for c in cols:
+        lo, hi = domain[c]
+        s = minmax_scale(F.col(c), F.lit(lo), F.lit(hi), bits)
+        scaled.append(F.greatest(F.lit(0), F.least(s, F.lit((1 << bits) - 1))))
+    key = interleave2(scaled[0], scaled[1], bits) if len(cols) == 2 else interleave_k(scaled, bits)
+    return df.withColumn("_z", key)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -79,6 +79,7 @@ services/forecast.py:95-107) — here with object-store-legal atomicity.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -116,13 +117,96 @@ def _vname(v: int) -> str:
     return f"{v:0{_V_WIDTH}d}.json"
 
 
+def _fsync_dir(path: str) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+class LogStore:
+    """The three object-store primitives the commit protocol actually
+    needs (r13, r12 VERDICT #3) — everything else in this module is
+    pure logic over them. Implementations swap the transport: the
+    default uses local hard links (put-if-absent via EEXIST); an S3
+    deployment implements ``try_claim`` as a conditional PUT
+    (If-None-Match) and ``list_names`` as a prefix LIST, exactly the
+    mapping Delta's LogStore interface formalizes (VLDB 2020 §3.2).
+    Tests inject a fault double (lost claim races, list-after-write
+    lag) to drive the optimistic-commit loop through failure modes the
+    happy-path local store can never exhibit."""
+
+    def try_claim(self, log_dir: str, name: str, data: bytes) -> bool:
+        """Put-if-absent of ``log_dir/name`` with the full contents —
+        atomic publication; False means another writer won the name."""
+        raise NotImplementedError
+
+    def list_names(self, log_dir: str) -> list[str]:
+        """Names in the log dir ([] if it doesn't exist)."""
+        raise NotImplementedError
+
+    def read(self, path: str) -> bytes:
+        """Full contents of one committed log object."""
+        raise NotImplementedError
+
+
+class LocalLinkLogStore(LogStore):
+    """Local-filesystem LogStore: write to a tmp name, fsync, then
+    ``os.link`` into place — the claimed name appears atomically with
+    complete contents, and EEXIST means a concurrent writer won the
+    version."""
+
+    def try_claim(self, log_dir: str, name: str, data: bytes) -> bool:
+        os.makedirs(log_dir, exist_ok=True)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(log_dir, name)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, final)
+            _fsync_dir(log_dir)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def list_names(self, log_dir: str) -> list[str]:
+        try:
+            return os.listdir(log_dir)
+        except FileNotFoundError:
+            return []
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+
+_LOG_STORE: LogStore = LocalLinkLogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Swap the module's LogStore (returns the previous one) — the
+    test/deployment seam. Production code never calls this; tests use
+    it to run the whole snapstore suite through a fault-injecting
+    double."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store
+    return prev
+
+
 def _list_log(root: str) -> tuple[list[int], list[int]]:
     """(sorted committed versions, sorted checkpoint versions)."""
-    d = _log_path(root)
-    try:
-        names = os.listdir(d)
-    except FileNotFoundError:
-        return [], []
+    names = _LOG_STORE.list_names(_log_path(root))
     commits, cps = [], set()
     for n in names:
         if n.endswith(".checkpoint.json"):
@@ -144,46 +228,15 @@ def _list_log(root: str) -> tuple[list[int], list[int]]:
 
 
 def _read_json(path: str) -> dict:
-    with open(path, "r", encoding="utf-8") as f:
-        return json.load(f)
-
-
-def _fsync_dir(path: str) -> None:
-    try:
-        fd = os.open(path, os.O_RDONLY)
-    except OSError:
-        return
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    return json.loads(_LOG_STORE.read(path).decode("utf-8"))
 
 
 def _try_claim(root: str, version: int, payload: dict) -> bool:
-    """Put-if-absent of ``_log/<version>.json``: write the full JSON to
-    a tmp name, fsync it, then ``os.link`` it into place — the claimed
-    name appears atomically with complete contents, and EEXIST means a
-    concurrent writer won the version. The object-store translation is
-    one conditional PUT of the same bytes."""
-    d = _log_path(root)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-    final = os.path.join(d, _vname(version))
+    """Put-if-absent of ``_log/<version>.json`` through the LogStore.
+    The object-store translation is one conditional PUT of the same
+    bytes."""
     data = json.dumps(payload, sort_keys=True).encode("utf-8")
-    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    try:
-        os.write(fd, data)
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-    try:
-        os.link(tmp, final)
-        _fsync_dir(d)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    return _LOG_STORE.try_claim(_log_path(root), _vname(version), data)
 
 
 # ------------------------------------------------------------- snapshots
@@ -304,9 +357,13 @@ def _snapshot_for_read(
     version: int | None,
     partition_values: set[str] | None,
     column_range: tuple | None,
-) -> tuple[int, list[dict], int, str | None]:
-    """Scan-planning snapshot: ``(version, PRUNED live entries,
-    total_live_count, sample_live_path)``.
+    null_col: str | None = None,
+) -> tuple[int, list[dict], int, str | None, list[dict]]:
+    """Scan-planning snapshot: ``(version, PRUNED live DATA entries,
+    total_live_data_count, sample_live_path, live DV sidecar entries)``.
+    Deletion-vector sidecars are split out BEFORE pruning — a pruned
+    read must still see every live sidecar or deleted rows resurface —
+    and never count toward the data totals.
 
     The r12 scale path: when the newest usable checkpoint is a PARQUET
     manifest, partition-value pruning runs INSIDE Arrow (flatten the
@@ -339,12 +396,15 @@ def _snapshot_for_read(
         if column_range is not None:
             scol, lo, hi = column_range
             out = [e for e in out if _stats_intersect(e, scol, lo, hi)]
+        if null_col is not None:
+            out = [e for e in out if _stats_nulls_possible(e, null_col)]
         return out
 
     if pq_path is None or not os.path.exists(pq_path):
         _, live, _ = _snapshot(root, target)
+        live, dvs = _split_dvs(live)
         sample = live[0]["path"] if live else None
-        return target, _prune_py(live), len(live), sample
+        return target, _prune_py(live), len(live), sample, dvs
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -379,6 +439,22 @@ def _snapshot_for_read(
                 pc.is_in(t["path"], value_set=pa.array(sorted(tail_removes)))
             )
         )
+    # split sidecars out (cheap vectorized substring probe on the stats
+    # JSON — the reserved "__dv__" key only ever appears in DV entries)
+    dvs: list[dict] = []
+    dv_mask = pc.match_substring(
+        pc.fill_null(t["stats"], pa.scalar("", pa.string())), '"__dv__"'
+    )
+    if pc.any(dv_mask).as_py():
+        dvs = t.filter(dv_mask).to_pylist()
+        for e in dvs:
+            st = e.get("stats")
+            e["stats"] = json.loads(st) if isinstance(st, str) else st
+        t = t.filter(pc.invert(dv_mask))
+    tail_dv = {p: e for p, e in tail_adds.items() if _is_dv(e)}
+    if tail_dv:
+        dvs.extend(tail_dv.values())
+        tail_adds = {p: e for p, e in tail_adds.items() if p not in tail_dv}
     total_live = t.num_rows + len(tail_adds)
     sample = t["path"][0].as_py() if t.num_rows else (
         next(iter(tail_adds)) if tail_adds else None
@@ -414,8 +490,10 @@ def _snapshot_for_read(
     if column_range is not None:
         scol, lo, hi = column_range
         entries = [e for e in entries if _stats_intersect(e, scol, lo, hi)]
+    if null_col is not None:
+        entries = [e for e in entries if _stats_nulls_possible(e, null_col)]
     entries.sort(key=lambda e: e["path"])
-    return target, entries, total_live, sample
+    return target, entries, total_live, sample, dvs
 
 
 def _maybe_checkpoint(root: str, version: int) -> None:
@@ -481,16 +559,21 @@ def _write_batch(
     None for an empty batch). The partition value set is computed with
     a bounded distinct (≤ _MAX_TRACKED_VALUES tracked; beyond that the
     entry intersects everything — pruning loses, correctness doesn't).
-    ``stats_cols`` additionally records per-entry min/max for those
-    columns (Iceberg-style column stats), enabling manifest-level data
-    skipping on NON-partition predicates at read time."""
+    ``stats_cols`` additionally records per-entry min/max AND null
+    count for those columns (Iceberg-style column stats), enabling
+    manifest-level data skipping on NON-partition predicates at read
+    time — the null count (r12 VERDICT #7) lets ``IS NULL`` predicates
+    (takedown scrubs, quality filters) skip every file that provably
+    holds zero nulls in the column."""
     rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
     full = os.path.join(root, rel)
     values: list | None = None
     if partition_col is not None:
+        # partition_col is the manifest-encoded name (possibly a
+        # composite); the tracked value set uses the same encoding
         vals = [
             r[0]
-            for r in df.select(partition_col)
+            for r in df.select(_part_value_expr(partition_col).alias("_pv"))
             .distinct()
             .limit(_MAX_TRACKED_VALUES + 1)
             .collect()
@@ -507,6 +590,7 @@ def _write_batch(
     for c in present:
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
     row = back.agg(*aggs).first()
     rows = row["_n"]
     if rows == 0:
@@ -515,9 +599,12 @@ def _write_batch(
         c: {
             "min": _json_scalar(row[f"_min_{c}"]),
             "max": _json_scalar(row[f"_max_{c}"]),
+            "nulls": int(row[f"_nulls_{c}"] or 0),
         }
         for c in present
-        if row[f"_min_{c}"] is not None
+        # an all-NULL column still gets an entry (min/max None): its
+        # null count is exactly what IS NOT NULL pruning needs
+        if row[f"_min_{c}"] is not None or (row[f"_nulls_{c}"] or 0) > 0
     }
     return {
         "op": "add",
@@ -543,6 +630,163 @@ def _values_intersect(entry: dict, replaced: set[str]) -> bool:
     if vals is None:
         return True  # untracked ⇒ must assume overlap
     return any(v in replaced for v in vals)
+
+
+# --------------------------------------------------- composite partitioning
+#
+# Multi-column partitioning (r13, r12 VERDICT #4): a partition spec may
+# be a LIST of columns — (day, source) is the canonical lakehouse
+# layout. The manifest encoding stays scalar: the spec is stored as the
+# column names joined by a unit separator, and each partition VALUE is
+# the row's stringified column values joined the same way, so every
+# existing mechanism — tracked-value pruning (including the Arrow
+# checkpoint path), conflict claims, CDC delete scoping — works on the
+# composite exactly as it does on a single column, with no manifest or
+# checkpoint schema change.
+
+_PART_SEP = "\x1f"
+
+
+def _part_name(partition_col) -> str | None:
+    """Normalize a partition spec (str | list[str] | None) to its
+    manifest encoding."""
+    if partition_col is None or isinstance(partition_col, str):
+        return partition_col
+    cols = list(partition_col)
+    if not cols:
+        return None
+    if any(not isinstance(c, str) or _PART_SEP in c for c in cols):
+        raise ValueError(f"invalid partition columns: {cols!r}")
+    return cols[0] if len(cols) == 1 else _PART_SEP.join(cols)
+
+
+def _part_cols(name: str) -> list[str]:
+    return name.split(_PART_SEP)
+
+
+def _part_value_expr(name: str):
+    """The row's composite partition value as ONE string column — NULL
+    if ANY component is NULL (so the writers' existing non-null checks
+    and the readers' NULL-excluding filters apply unchanged)."""
+    cols = _part_cols(name)
+    if len(cols) == 1:
+        return F.col(cols[0]).cast("string")
+    anynull = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in cols]
+    )
+    return F.when(anynull, F.lit(None)).otherwise(
+        F.concat_ws(_PART_SEP, *[F.col(c).cast("string") for c in cols])
+    )
+
+
+def encode_partition_value(v) -> str:
+    """Public encoding of one partition value for reads/deletes over a
+    multi-column-partitioned table: pass ``("2024-01-05", "web")`` and
+    get the manifest's composite string. Scalars pass through."""
+    if isinstance(v, (tuple, list)):
+        return _PART_SEP.join(str(x) for x in v)
+    return str(v)
+
+
+# ------------------------------------------------------- deletion vectors
+#
+# A deletion-vector sidecar (r13, r12 VERDICT #2 — Delta deletion
+# vectors / Iceberg position deletes) is a tiny parquet batch of
+# (_file, _pos) rows: "row ``_pos`` of data file ``_file`` is deleted".
+# It rides the manifest as a normal add entry whose stats JSON carries
+# the reserved ``__dv__`` key ({"targets": [file rel paths]}) — so it
+# round-trips through checkpoints, time travel, and vacuum untouched —
+# with ``values: []`` so no partition op ever claims or removes it.
+# Readers apply live sidecars as a position anti-join (merge-on-read);
+# the next compact folds them away (copy-on-write catches up).
+
+
+def _is_dv(entry: dict) -> bool:
+    return bool((entry.get("stats") or {}).get("__dv__"))
+
+
+def _dv_targets(entry: dict) -> list[str]:
+    return ((entry.get("stats") or {}).get("__dv__") or {}).get("targets", [])
+
+
+def _split_dvs(entries: list[dict]) -> tuple[list[dict], list[dict]]:
+    """(data entries, deletion-vector sidecar entries)."""
+    data = [e for e in entries if not _is_dv(e)]
+    dvs = [e for e in entries if _is_dv(e)]
+    return data, dvs
+
+
+def _file_ref_col() -> "F.Column":
+    """Root-relative data-file reference of the current row, matching
+    the ``_file`` strings a sidecar stores: the last three path
+    segments of ``_metadata.file_path`` (``data/<hex>/<part file>`` —
+    batch dirs are exactly one uuid level under the data dir, so the
+    form is stable however the filesystem spells the URI prefix)."""
+    p = F.col("_metadata.file_path")
+    return F.concat_ws(
+        "/",
+        F.element_at(F.split(p, "/"), -3),
+        F.element_at(F.split(p, "/"), -2),
+        F.element_at(F.split(p, "/"), -1),
+    )
+
+
+def _dvs_for(dvs: list[dict], data_entries: list[dict]) -> list[dict]:
+    """Sidecars holding ≥1 position inside the given batch dirs."""
+    dirs = {e["path"] for e in data_entries}
+    return [
+        d
+        for d in dvs
+        if any(os.path.dirname(t) in dirs for t in _dv_targets(d))
+    ]
+
+
+def _apply_dvs(
+    spark: SparkSession, root: str, df: DataFrame, dvs: list[dict]
+) -> DataFrame:
+    """Anti-join ``df`` (a read over snapshot data batches) against the
+    given sidecars' positions. ``df`` must be a plain parquet read of
+    batch dirs under ``root`` (the ``_metadata`` columns must still be
+    addressable)."""
+    if not dvs:
+        return df
+    side = (
+        spark.read.parquet(*[os.path.join(root, d["path"]) for d in dvs])
+        .select(F.col("_file").alias("_dv_file"), F.col("_pos").alias("_dv_pos"))
+        .distinct()
+    )
+    # broadcast while the accumulated positions are small (the steady
+    # state between compacts); a table that outran its maintenance
+    # window falls back to a shuffle join instead of OOMing the driver
+    total_pos = sum(d.get("rows", 0) for d in dvs)
+    if total_pos <= 10_000_000:
+        side = F.broadcast(side)
+    return (
+        df.withColumn("_dv_file", _file_ref_col())
+        .withColumn("_dv_pos", F.col("_metadata.row_index"))
+        .join(side, ["_dv_file", "_dv_pos"], "left_anti")
+        .drop("_dv_file", "_dv_pos")
+    )
+
+
+def _read_data(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict],
+    dvs: list[dict],
+    with_file_ref: bool = False,
+) -> DataFrame:
+    """Read data batches with every relevant live deletion vector
+    applied — the one entry point internal rewrites (residues, merge,
+    compact) use so copy-on-write never resurrects a DV-deleted row.
+    ``with_file_ref`` adds a ``_file`` column (root-relative data file
+    of each row) computed AT THE SCAN — callers that need per-file
+    probes must not use ``input_file_name()`` downstream of the DV
+    anti-join, where it no longer binds to the scan task."""
+    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in entries])
+    if with_file_ref:
+        df = df.withColumn("_file", _file_ref_col())
+    return _apply_dvs(spark, root, df, _dvs_for(dvs, entries))
 
 
 def _already_committed(root: str, idempotency_key: str | None) -> int | None:
@@ -649,8 +893,15 @@ def _commit(
         if _try_claim(root, read_v + 1, payload):
             _maybe_checkpoint(root, read_v + 1)
             return read_v + 1
-        # Lost the race: inspect what landed in between.
-        new_v, new_keys = _snapshot_meta(root)
+        # Lost the race: inspect what landed in between. On a real
+        # object store a claim can fail SPURIOUSLY (conditional-PUT
+        # ambiguity) with nothing landed — including before the first
+        # commit, where the snapshot still raises (r13, found by the
+        # LogStore fault double).
+        try:
+            new_v, new_keys = _snapshot_meta(root)
+        except NoSuchTableError:
+            new_v, new_keys = 0, set()
         if idempotency_key and idempotency_key in new_keys:
             return new_v
         if replaced is not None:
@@ -667,18 +918,20 @@ def _commit(
 def append(
     df: DataFrame,
     root: str,
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     idempotency_key: str | None = None,
     stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Blind append: one immutable batch + one add-action commit.
     Never conflicts with concurrent appends or disjoint overwrites.
     Returns the committed version (or the current one for empty df /
-    replayed idempotency key)."""
+    replayed idempotency key). ``partition_col`` may be a LIST of
+    columns (r13 multi-column partitioning — values tracked as the
+    composite encoding, see ``encode_partition_value``)."""
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
-    entry = _write_batch(df, root, partition_col, stats_cols)
+    entry = _write_batch(df, root, _part_name(partition_col), stats_cols)
     if entry is None:
         return table_version(root)
     return _commit(root, [entry], "append", None, idempotency_key)
@@ -687,7 +940,7 @@ def append(
 def overwrite_partitions(
     df: DataFrame,
     root: str,
-    partition_col: str,
+    partition_col: str | list[str],
     idempotency_key: str | None = None,
     stats_cols: tuple[str, ...] = (),
 ) -> int:
@@ -702,7 +955,9 @@ def overwrite_partitions(
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
-    raw_vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+    pname = _part_name(partition_col)
+    pexpr = _part_value_expr(pname)
+    raw_vals = [r[0] for r in df.select(pexpr.alias("_pv")).distinct().collect()]
     if any(v is None for v in raw_vals):
         raise ValueError(
             f"overwrite_partitions: NULL in partition column {partition_col!r} "
@@ -714,7 +969,7 @@ def overwrite_partitions(
             return _snapshot(root)[0]
         except NoSuchTableError:
             return 0
-    new_entry = _write_batch(df, root, partition_col, stats_cols)
+    new_entry = _write_batch(df, root, pname, stats_cols)
 
     def build_actions(live: list[dict]) -> list[dict]:
         removes = [e for e in live if _values_intersect(e, replaced)]
@@ -728,14 +983,15 @@ def overwrite_partitions(
         if new_entry is not None:
             actions.append(new_entry)
         if residue_src:
-            res_df = spark.read.parquet(
-                *[os.path.join(root, e["path"]) for e in residue_src]
+            res_df = _read_data(
+                spark, root, residue_src, _split_dvs(live)[1]
             ).filter(
-                # keep NULL-partition rows too: NOT IN is NULL for NULLs
-                F.col(partition_col).isNull()
-                | ~F.col(partition_col).cast("string").isin(*sorted(replaced))
+                # keep NULL-partition rows too (any NULL component
+                # makes the composite NULL): NOT IN is NULL for NULLs
+                _part_value_expr(pname).isNull()
+                | ~_part_value_expr(pname).isin(*sorted(replaced))
             )
-            res_entry = _write_batch(res_df, root, partition_col, stats_cols)
+            res_entry = _write_batch(res_df, root, pname, stats_cols)
             if res_entry is not None:
                 # Pure copy-on-write MOVE of preserved rows: mark it so
                 # the conflict scan doesn't charge this commit with
@@ -792,7 +1048,7 @@ def overwrite_table(
 def delete_partitions(
     spark: SparkSession,
     root: str,
-    partition_col: str,
+    partition_col: str | list[str],
     values: list,
     idempotency_key: str | None = None,
     stats_cols: tuple[str, ...] = (),
@@ -807,7 +1063,8 @@ def delete_partitions(
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
-    replaced = {str(v) for v in values}
+    pname = _part_name(partition_col)
+    replaced = {encode_partition_value(v) for v in values}
     if not replaced:
         try:
             return _snapshot(root)[0]
@@ -824,13 +1081,13 @@ def delete_partitions(
         ]
         actions: list[dict] = []
         if residue_src:
-            res_df = spark.read.parquet(
-                *[os.path.join(root, e["path"]) for e in residue_src]
+            res_df = _read_data(
+                spark, root, residue_src, _split_dvs(live)[1]
             ).filter(
-                F.col(partition_col).isNull()
-                | ~F.col(partition_col).cast("string").isin(*sorted(replaced))
+                _part_value_expr(pname).isNull()
+                | ~_part_value_expr(pname).isin(*sorted(replaced))
             )
-            res_entry = _write_batch(res_df, root, partition_col, stats_cols)
+            res_entry = _write_batch(res_df, root, pname, stats_cols)
             if res_entry is not None:
                 res_entry["residue"] = True
                 actions.append(res_entry)
@@ -860,9 +1117,10 @@ def merge(
     root: str,
     keys: list[str],
     when_matched: str = "ignore",
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     idempotency_key: str | None = None,
     stats_cols: tuple[str, ...] = (),
+    validate_source_unique: bool = False,
 ) -> int:
     """Row-level MERGE INTO — keyed upsert on the snapshot table (r11
     VERDICT #1: the most-used operation on Delta/Iceberg tables, and
@@ -895,7 +1153,11 @@ def merge(
     NULL in any key column never matches (SQL join semantics). Source
     rows must be key-unique for ``update`` (multiple source rows for
     one target key land verbatim, as in a blind append) — pre-dedup
-    with a window if unsure.
+    with a window if unsure, or pass ``validate_source_unique=True``
+    (r12 VERDICT #6) to RAISE with the offending keys named before
+    anything lands: one extra count-distinct aggregate over the
+    incoming batch, the guarded form of Delta's "multiple source rows
+    matched" merge error.
 
     Returns the committed version; ``commit_info(root, v)`` reports
     ``added_rows`` (inserted count) for callers that need the
@@ -909,8 +1171,32 @@ def merge(
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
-    if partition_col is not None:
-        raw_vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+    if validate_source_unique:
+        dupes = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dupes:
+            named = ", ".join(
+                "(" + ", ".join(f"{k}={r[k]!r}" for k in keys) + f") ×{r['_n']}"
+                for r in dupes
+            )
+            raise ValueError(
+                f"merge: source batch has duplicate keys on {keys}: "
+                f"{named}{' …' if len(dupes) == 5 else ''} — dedup the "
+                "source or drop validate_source_unique"
+            )
+    pname = _part_name(partition_col)
+    if pname is not None:
+        raw_vals = [
+            r[0]
+            for r in df.select(_part_value_expr(pname).alias("_pv"))
+            .distinct()
+            .collect()
+        ]
         if any(v is None for v in raw_vals):
             raise ValueError(
                 f"merge: NULL in partition column {partition_col!r} — "
@@ -939,7 +1225,9 @@ def merge(
     def _candidates(live: list[dict]) -> list[dict]:
         out = []
         for e in live:
-            if partition_col is not None and not _values_intersect(e, replaced):
+            if _is_dv(e):
+                continue
+            if pname is not None and not _values_intersect(e, replaced):
                 continue
             if any(
                 not _stats_intersect(e, k, key_rng[k][0], key_rng[k][1])
@@ -950,37 +1238,37 @@ def merge(
         return out
 
     in_scope = (
-        F.col(partition_col).cast("string").isin(*sorted(replaced))
-        if partition_col is not None
+        _part_value_expr(pname).isin(*sorted(replaced))
+        if pname is not None
         else F.lit(True)
     )
 
     def build_actions(live: list[dict]) -> list[dict]:
         cand = _candidates(live)
+        _, dvs = _split_dvs(live)
         actions: list[dict] = []
         if when_matched == "ignore":
             if cand:
                 # column-pruned target read: only the key columns reach
                 # the scan; matching is scoped to the batch's partitions
+                # (DV-deleted rows must NOT block a re-insert)
                 tgt_keys = (
-                    spark.read.parquet(*[os.path.join(root, e["path"]) for e in cand])
+                    _read_data(spark, root, cand, dvs)
                     .filter(in_scope)
                     .select(*keys)
                 )
                 remainder = df.join(tgt_keys, on=keys, how="left_anti")
             else:
                 remainder = df
-            entry = _write_batch(remainder, root, partition_col, stats_cols)
+            entry = _write_batch(remainder, root, pname, stats_cols)
             if entry is not None:
                 actions.append(entry)
             return actions
         # update: find files that actually contain a matched key
         if cand:
-            cpaths = [os.path.join(root, e["path"]) for e in cand]
             inc_keys = df.select(*keys).distinct()
             probe = (
-                spark.read.parquet(*cpaths)
-                .withColumn("_file", F.input_file_name())
+                _read_data(spark, root, cand, dvs, with_file_ref=True)
                 .filter(in_scope)
                 .join(inc_keys, on=keys, how="left_semi")
                 .select("_file")
@@ -990,22 +1278,26 @@ def merge(
             hit = [
                 e
                 for e in cand
-                if any(f"/{e['path']}/" in h for h in hit_files)
+                if any(h.startswith(f"{e['path']}/") for h in hit_files)
             ]
             if hit:
-                hp = [os.path.join(root, e["path"]) for e in hit]
-                marked = spark.read.parquet(*hp).join(
+                marked = _read_data(spark, root, hit, dvs).join(
                     inc_keys.withColumn("_m", F.lit(1)), on=keys, how="left"
                 )
+                # coalesce: a NULL partition_col makes in_scope NULL,
+                # and NOT NULL is NULL — without the coalesce the
+                # filter would silently DROP an unmatched target row
+                # whose partition value is NULL instead of keeping it
+                # (r12 ADVICE); only matched in-scope rows are replaced
                 survivors = marked.filter(
-                    ~(in_scope & F.col("_m").isNotNull())
+                    ~F.coalesce(in_scope & F.col("_m").isNotNull(), F.lit(False))
                 ).drop("_m")
-                res_entry = _write_batch(survivors, root, partition_col, stats_cols)
+                res_entry = _write_batch(survivors, root, pname, stats_cols)
                 if res_entry is not None:
                     res_entry["residue"] = True
                     actions.append(res_entry)
                 actions.extend({"op": "remove", "path": e["path"]} for e in hit)
-        inc_entry = _write_batch(df, root, partition_col, stats_cols)
+        inc_entry = _write_batch(df, root, pname, stats_cols)
         if inc_entry is not None:
             actions.append(inc_entry)
         return actions
@@ -1033,6 +1325,8 @@ def delete_where(
     partition_values: list | None = None,
     idempotency_key: str | None = None,
     stats_cols: tuple[str, ...] = (),
+    prune_nulls: str | None = None,
+    mode: str = "cow",
 ) -> int:
     """Row-level DELETE WHERE — the takedown/GDPR path for a
     training-data store (r11 VERDICT #2): remove exactly the rows
@@ -1044,7 +1338,10 @@ def delete_where(
     1. Candidate files = live entries surviving ``partition_values``
        manifest pruning and the optional ``prune=(col, lo, hi)``
        column-stats hint (e.g. ``("user_id", 42, 42)`` for a user
-       takedown over a user-z-ordered table). A one-pass
+       takedown over a user-z-ordered table); ``prune_nulls=col``
+       additionally skips files whose recorded null count for ``col``
+       is zero (r12 VERDICT #7 — the ``WHERE col IS NULL`` scrub
+       never opens a fully-populated file). A one-pass
        ``input_file_name`` probe with the predicate pushed to the scan
        then narrows to files with ≥1 actual match.
     2. Those files' surviving rows move to a residue batch; the files
@@ -1057,19 +1354,41 @@ def delete_where(
     not covered — re-run the delete for as-of-append coverage (same
     contract as Delta DELETE). Idempotency-keyed retries replay as
     no-ops. Returns the committed version (unchanged if nothing
-    matched)."""
+    matched).
+
+    ``mode="dv"`` (r13, r12 VERDICT #2) switches to MERGE-ON-READ
+    deletion vectors: instead of rewriting each hit file, the commit
+    adds one tiny (_file, _pos) position sidecar and removes nothing —
+    a 1-row takedown costs O(sidecar write), not O(file rewrite).
+    Readers apply live sidecars as a position anti-join; the next
+    ``compact`` folds them into a clean rewrite. Identical row-level
+    semantics to the copy-on-write path (same candidates, same NULL-
+    keeps-row predicate, same CDC delete emission, same conflict
+    claim) — only the physical strategy differs, exactly Delta's
+    ``delta.enableDeletionVectors`` trade: cheap frequent deletes, a
+    small per-read join until maintenance catches up."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"delete_where mode must be 'cow' or 'dv', got {mode!r}")
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    want = {str(v) for v in partition_values} if partition_values is not None else None
+    want = (
+        {encode_partition_value(v) for v in partition_values}
+        if partition_values is not None
+        else None
+    )
 
     def _candidates(live: list[dict]) -> list[dict]:
         out = []
         for e in live:
+            if _is_dv(e):
+                continue
             if want is not None and not _values_intersect(e, want):
                 continue
             if prune is not None and not _stats_intersect(e, prune[0], prune[1], prune[2]):
+                continue
+            if prune_nulls is not None and not _stats_nulls_possible(e, prune_nulls):
                 continue
             out.append(e)
         return out
@@ -1078,21 +1397,45 @@ def delete_where(
         cand = _candidates(live)
         if not cand:
             return []
-        cpaths = [os.path.join(root, e["path"]) for e in cand]
+        _, dvs = _split_dvs(live)
+        if mode == "dv":
+            # one pass: the matching rows' positions, minus positions
+            # already deleted by live sidecars (never re-emit a delete)
+            marked = _apply_dvs(
+                spark,
+                root,
+                spark.read.parquet(*[os.path.join(root, e["path"]) for e in cand])
+                .withColumn("_file", _file_ref_col())
+                .withColumn("_pos", F.col("_metadata.row_index")),
+                _dvs_for(dvs, cand),
+            )
+            positions = marked.filter(cond).select("_file", "_pos")
+            dv_entry = _write_batch(positions, root, None, ())
+            if dv_entry is None:
+                return []
+            # targets from the WRITTEN sidecar (tiny) — no probe re-run
+            tgt = sorted(
+                r[0]
+                for r in spark.read.parquet(os.path.join(root, dv_entry["path"]))
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            dv_entry["values"] = []  # never claimed/removed by partition ops
+            dv_entry["stats"] = {"__dv__": {"targets": tgt}}
+            return [dv_entry]
         probe = (
-            spark.read.parquet(*cpaths)
-            .withColumn("_file", F.input_file_name())
+            _read_data(spark, root, cand, dvs, with_file_ref=True)
             .filter(cond)
             .select("_file")
             .distinct()
         )
         hit_files = {r[0] for r in probe.collect()}
-        hit = [e for e in cand if any(f"/{e['path']}/" in h for h in hit_files)]
+        hit = [e for e in cand if any(h.startswith(f"{e['path']}/") for h in hit_files)]
         if not hit:
             return []
-        hp = [os.path.join(root, e["path"]) for e in hit]
         part_col = hit[0].get("partition_col")
-        survivors = spark.read.parquet(*hp).filter(
+        survivors = _read_data(spark, root, hit, dvs).filter(
             ~F.coalesce(cond, F.lit(False))
         )
         actions: list[dict] = []
@@ -1137,10 +1480,11 @@ def read_table(
     root: str,
     version: int | None = None,
     partition_values: list | None = None,
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     merge_schema: bool = False,
     column_range: tuple | None = None,
     as_of=None,
+    where_null: str | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest, time-travel to ``version``, or
     ``as_of`` a wall-clock timestamp — epoch seconds / datetime / ISO
@@ -1158,18 +1502,22 @@ def read_table(
     (either bound may be None) AND skips manifest entries whose
     recorded min/max cannot intersect — Iceberg-style column-stats
     data skipping on NON-partition predicates; entries without stats
-    for the column are conservatively read."""
+    for the column are conservatively read. ``where_null=col`` filters
+    rows to ``col IS NULL`` AND skips entries whose recorded null count
+    is zero (r12 VERDICT #7 — the scrub/quality-audit read pattern)."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version OR as_of, not both")
         version = resolve_as_of(root, as_of)
     want = (
-        {str(v) for v in partition_values} if partition_values is not None else None
+        {encode_partition_value(v) for v in partition_values}
+        if partition_values is not None
+        else None
     )
     # scan planning goes through the Arrow-pruned manifest path (r12):
     # only entries surviving partition/stats pruning are materialized
-    target, live, total_live, sample = _snapshot_for_read(
-        root, version, want, column_range
+    target, live, total_live, sample, dvs = _snapshot_for_read(
+        root, version, want, column_range, where_null
     )
     if not live:
         if total_live == 0:
@@ -1180,7 +1528,7 @@ def read_table(
             # usable history anywhere raises.
             commits, _ = _list_log(root)
             for v in reversed([c for c in commits if c <= target]):
-                _, old_live, _ = _snapshot(root, v)
+                old_live, _ = _split_dvs(_snapshot(root, v)[1])
                 for e in old_live:
                     if os.path.isdir(os.path.join(root, e["path"])):
                         return spark.read.parquet(
@@ -1195,7 +1543,7 @@ def read_table(
         # exception (r11 ADVICE: a pruned read of a valid-but-empty
         # range must be distinguishable from a missing table).
         if merge_schema:
-            _, all_live, _ = _snapshot(root, target)
+            all_live, _ = _split_dvs(_snapshot(root, target)[1])
             return (
                 spark.read.option("mergeSchema", "true")
                 .parquet(*[os.path.join(root, e["path"]) for e in all_live])
@@ -1206,18 +1554,20 @@ def read_table(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*[os.path.join(root, e["path"]) for e in live])
+    # merge-on-read: apply live deletion vectors before any row filter
+    df = _apply_dvs(spark, root, df, _dvs_for(dvs, live))
     if partition_values is not None:
-        col = partition_col or live[0].get("partition_col")
+        col = _part_name(partition_col) or live[0].get("partition_col")
         if col:
-            df = df.filter(
-                F.col(col).cast("string").isin(*sorted({str(v) for v in partition_values}))
-            )
+            df = df.filter(_part_value_expr(col).isin(*sorted(want)))
     if column_range is not None:
         scol, lo, hi = column_range
         if lo is not None:
             df = df.filter(F.col(scol) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(scol) <= F.lit(hi))
+    if where_null is not None:
+        df = df.filter(F.col(where_null).isNull())
     return df
 
 
@@ -1230,6 +1580,17 @@ def _stats_intersect(entry: dict, col: str, lo, hi) -> bool:
     if lo is not None and st["max"] is not None and st["max"] < lo:
         return False
     return True
+
+
+def _stats_nulls_possible(entry: dict, col: str) -> bool:
+    """False only when the entry PROVABLY holds zero NULLs in ``col``
+    (recorded null count == 0, r12 VERDICT #7) — the manifest-level
+    skip for ``IS NULL`` predicates. Entries without a recorded null
+    count (pre-r13 manifests, untracked columns) conservatively read."""
+    st = (entry.get("stats") or {}).get(col)
+    if not st or "nulls" not in st:
+        return True
+    return st["nulls"] > 0
 
 
 def resolve_partition_col(root: str, upto: int | None = None) -> str | None:
@@ -1285,9 +1646,23 @@ def resolve_commit_changes(
       delete+insert pairs for moved rows that cancel under the
       caller's netting (bag-semantics ``exceptAll`` in
       ``table_changes``; signed aggregation in stream consumers).
+    - Deletion vectors (r13): a sidecar ADD is never an insert — it
+      emits one ``dv_select`` delete record per target batch dir (the
+      deleted rows = that dir's rows at the sidecar's positions). A
+      data-file REMOVE carries ``dv_except`` = the sidecars that had
+      already deleted rows from it, so those rows — emitted as deletes
+      when their sidecar landed — are never emitted a second time. A
+      sidecar remove (compact folding) is skipped outright.
     """
     commits, _ = _list_log(root)
-    if commits and start_v < commits[0] - 1:
+    if not commits:
+        raise NoSuchTableError(f"no committed snapshot under {root!r}")
+    if end_v not in commits:
+        # match _snapshot's contract (r12 ADVICE: a to_version beyond
+        # the latest commit silently returned a short window, masking
+        # caller bugs like a miscomputed bench to_version)
+        raise NoSuchTableError(f"version {end_v} not committed under {root!r}")
+    if start_v < commits[0] - 1:
         # vacuum_log truncated commits inside this window — skipping
         # them would silently DROP their changes from the feed; the
         # consumer must re-bootstrap (from_version=0 net read) or start
@@ -1300,14 +1675,36 @@ def resolve_commit_changes(
         )
     if part_col is None:
         part_col = resolve_partition_col(root, end_v)
-    out: list[dict] = []
+    window: list[tuple[int, dict]] = []
     for v in commits:
         if v <= start_v or v > end_v:
             continue
-        c = _read_json(os.path.join(_log_path(root), _vname(v)))
+        window.append((v, _read_json(os.path.join(_log_path(root), _vname(v)))))
+    # DV registry — built only when the window can need it (a data
+    # remove must subtract already-DV-deleted rows; a sidecar remove
+    # must be skipped): sidecars LIVE at the window start plus those
+    # added inside the window cover every case, including sidecars that
+    # predate the retained log via a checkpoint.
+    dv_by_target: dict[str, list[str]] = {}
+    dv_paths: set[str] = set()
+    needs_registry = any(
+        a.get("op") == "remove" or (a.get("op") == "add" and _is_dv(a))
+        for _, c in window
+        if c.get("kind") != "compact"
+        for a in c.get("actions", [])
+    )
+    if needs_registry:
+        base = max((c for c in commits if c <= start_v), default=None)
+        if base is not None:
+            for d in _split_dvs(_snapshot(root, base)[1])[1]:
+                dv_paths.add(d["path"])
+                for t in _dv_targets(d):
+                    dv_by_target.setdefault(t, []).append(d["path"])
+    out: list[dict] = []
+    for v, c in window:
         kind = c.get("kind")
         if kind == "compact":
-            continue  # logically empty rewrite
+            continue  # logically empty rewrite (DV folds included)
         replaced = c.get("replaced") or []
         whole = "*" in replaced
         # row-level ops move rows WITHIN replaced partitions: emit their
@@ -1315,6 +1712,25 @@ def resolve_commit_changes(
         row_level = kind in ("merge", "delete_where")
         for a in c.get("actions", []):
             if a.get("op") == "add":
+                if _is_dv(a):
+                    dv_paths.add(a["path"])
+                    by_dir: dict[str, list[str]] = {}
+                    for t in _dv_targets(a):
+                        dv_by_target.setdefault(t, []).append(a["path"])
+                        by_dir.setdefault(os.path.dirname(t), []).append(t)
+                    for tdir in sorted(by_dir):
+                        out.append(
+                            {
+                                "path": tdir,
+                                "change_type": "delete",
+                                "version": v,
+                                "filter_col": None,
+                                "filter_values": None,
+                                "dv_select": [a["path"]],
+                                "dv_except": None,
+                            }
+                        )
+                    continue
                 if a.get("residue") and not row_level:
                     continue
                 out.append(
@@ -1324,10 +1740,22 @@ def resolve_commit_changes(
                         "version": v,
                         "filter_col": None,
                         "filter_values": None,
+                        "dv_select": None,
+                        "dv_except": None,
                     }
                 )
             elif a.get("op") == "remove":
+                if a["path"] in dv_paths:
+                    continue  # sidecar folding, not a data change
                 scoped = part_col is not None and not whole and not row_level
+                exc = sorted(
+                    {
+                        s
+                        for t, sides in dv_by_target.items()
+                        if os.path.dirname(t) == a["path"]
+                        for s in sides
+                    }
+                )
                 out.append(
                     {
                         "path": a["path"],
@@ -1335,6 +1763,8 @@ def resolve_commit_changes(
                         "version": v,
                         "filter_col": part_col if scoped else None,
                         "filter_values": list(replaced) if scoped else None,
+                        "dv_select": None,
+                        "dv_except": exc or None,
                     }
                 )
     return out
@@ -1416,13 +1846,14 @@ def table_changes(
     to_v = to_version if to_version is not None else _snapshot(root)[0]
     if from_version == 0:
         # bootstrap: the net feed IS the live set — cheaper than
-        # replaying per-commit churn through exceptAll
-        _, live_to, _ = _snapshot(root, to_v)
+        # replaying per-commit churn through exceptAll. Live deletion
+        # vectors apply: a DV-deleted row is not part of the net state.
+        live_to, dvs_to = _split_dvs(_snapshot(root, to_v)[1])
         if not live_to:
             return _empty_like(spark, root, to_v).withColumn(
                 "_change_type", F.lit("insert")
             )
-        df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in live_to])
+        df = _read_data(spark, root, live_to, dvs_to)
         return df.withColumn("_change_type", F.lit("insert"))
     changes = resolve_commit_changes(root, from_version, to_v)
     adds = [c for c in changes if c["change_type"] == "insert"]
@@ -1432,18 +1863,58 @@ def table_changes(
         return spark.read.parquet(*[os.path.join(root, c["path"]) for c in adds])
 
     def _read_dels():
-        # group removed files by their delete-scope filter; one read per
-        # distinct scope (bounded by commits in the window)
+        # group removed files by their delete-scope filter AND their
+        # deletion-vector role; one read per distinct scope (bounded by
+        # commits in the window)
         groups: dict = {}
         for c in dels:
-            key = (c["filter_col"], tuple(c["filter_values"] or ()) or None)
+            # keep the EMPTY tuple distinct from None: () is a scope
+            # that matches NOTHING (skip the group), None means the
+            # whole removed file is a delete (r12 ADVICE — the old
+            # `tuple(x or ()) or None` coerced empty scope to
+            # unfiltered, flipping its meaning)
+            fv = c["filter_values"]
+            key = (
+                c["filter_col"],
+                None if fv is None else tuple(fv),
+                tuple(sorted(c.get("dv_select") or [])),
+                tuple(sorted(c.get("dv_except") or [])),
+            )
             groups.setdefault(key, []).append(c["path"])
         parts = []
-        for (fcol, fvals), paths in groups.items():
+        for (fcol, fvals, dvsel, dvexc), paths in groups.items():
+            if fvals is not None and not fvals:
+                continue  # empty delete scope: emits no rows
             d = spark.read.parquet(*[os.path.join(root, p) for p in paths])
+            if dvsel or dvexc:
+                # dv_select: the deleted rows ARE the sidecar positions;
+                # dv_except: rows a sidecar already deleted must not be
+                # re-emitted when their file is later removed
+                side = (
+                    spark.read.parquet(
+                        *[os.path.join(root, s) for s in (dvsel or dvexc)]
+                    )
+                    .select(
+                        F.col("_file").alias("_dv_file"),
+                        F.col("_pos").alias("_dv_pos"),
+                    )
+                    .distinct()
+                )
+                d = (
+                    d.withColumn("_dv_file", _file_ref_col())
+                    .withColumn("_dv_pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(side),
+                        ["_dv_file", "_dv_pos"],
+                        "left_semi" if dvsel else "left_anti",
+                    )
+                    .drop("_dv_file", "_dv_pos")
+                )
             if fcol is not None and fvals is not None:
-                d = d.filter(F.col(fcol).cast("string").isin(*sorted(fvals)))
+                d = d.filter(_part_value_expr(fcol).isin(*sorted(fvals)))
             parts.append(d)
+        if not parts:
+            return _empty_like(spark, root, to_v)
         parts = _align_by_name(parts)
         out = parts[0]
         for p in parts[1:]:
@@ -1476,7 +1947,7 @@ def _empty_like(spark: SparkSession, root: str, version: int | None) -> DataFram
     commits, _ = _list_log(root)
     target = commits[-1] if version is None else version
     for v in reversed([c for c in commits if c <= target]):
-        _, live, _ = _snapshot(root, v)
+        live, _ = _split_dvs(_snapshot(root, v)[1])
         for e in live:
             if os.path.isdir(os.path.join(root, e["path"])):
                 return spark.read.parquet(os.path.join(root, e["path"])).limit(0)
@@ -1525,15 +1996,23 @@ def compact(
     O(yesterday's small files), not O(table): without this, a steady
     table pays a FULL rewrite every night, which is the real scale
     ceiling at 100 TB. The conflict claim covers only the rewritten
-    batches' partitions, so disjoint writers proceed. Mutually
-    exclusive with ``zorder_by`` (a z-order is a global layout — a
-    partial rewrite would break the clustering invariant the manifest
-    stats promise)."""
-    if small_only_rows is not None and zorder_by is not None:
-        raise ValueError(
-            "small_only_rows and zorder_by are mutually exclusive: "
-            "OPTIMIZE ZORDER is a global rewrite by definition"
-        )
+    batches' partitions, so disjoint writers proceed.
+
+    ``zorder_by`` + ``small_only_rows`` TOGETHER (r13, r12 VERDICT #1)
+    is INCREMENTAL z-order maintenance: only the small batches are
+    z-keyed — on the SAME scaling domain the last full ZORDER pass
+    recorded in the manifest (``stats["__zorder__"]``) — and split at
+    the existing z-batches' recorded z-extents, landing one small
+    z-aligned batch per extent. The big z-batches are untouched
+    byte-for-byte, so the production posture (z-order the merge keys,
+    then nightly maintenance) costs O(day's ingest) instead of a full
+    nightly rewrite, and reads keep pruning on the clustered columns:
+    each new sub-batch's min/max envelope nests inside its anchor's.
+    A table with NO prior z-batches bootstraps: the small batches are
+    z-keyed on their own domain and split into ``target_batches``
+    ranges. Periodic FULL ZORDER (no ``small_only_rows``) re-tightens
+    envelopes as the day-batches accrete — same cadence Delta users
+    run OPTIMIZE ZORDER vs plain OPTIMIZE."""
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
@@ -1541,7 +2020,8 @@ def compact(
         base_v, all_live, _ = _snapshot(root)
     except NoSuchTableError:
         return 0
-    live = all_live
+    data_all, dvs_all = _split_dvs(all_live)
+    live = data_all
     if small_only_rows is not None:
         live = [e for e in live if e.get("rows", 0) <= small_only_rows]
     if not live:
@@ -1550,7 +2030,13 @@ def compact(
         # never a zero-path spark.read (r11 ADVICE: scheduled
         # maintenance over an emptied table must not error)
         return base_v
-    if len(live) <= target_batches and zorder_by is None:
+    if (
+        len(live) <= target_batches
+        and zorder_by is None
+        and not _dvs_for(dvs_all, live)
+    ):
+        # nothing to bin-pack AND no deletion vectors to fold into the
+        # rewrite (compact doubles as Delta's PURGE): a true no-op
         return base_v
     part_col = next(
         (e["partition_col"] for e in live if e.get("partition_col")), None
@@ -1561,31 +2047,93 @@ def compact(
             touched = {"*"}
             break
         touched.update(e["values"])
-    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in live])
+    # rewrite reads fold every relevant deletion vector away (merge-on-
+    # read debt paid down by maintenance, exactly Delta's DV lifecycle)
+    df = _read_data(spark, root, live, dvs_all)
     actions: list[dict] = []
     if zorder_by is not None:
-        from smartdatapipeline_spark.functions.layout import zorder_key
+        from smartdatapipeline_spark.functions.layout import (
+            zorder_key_with_domain,
+        )
 
         zcols = list(zorder_by)
         track = tuple(dict.fromkeys(tuple(zcols) + tuple(stats_cols)))
-        keyed = zorder_key(df, zcols).cache()
-        try:
+        # anchors: untouched big z-batches from the last full ZORDER
+        # pass over the SAME columns — their recorded scaling domain
+        # and z-extents define the lattice the incremental pass lands on
+        rewrite_paths = {e["path"] for e in live}
+        anchors = (
+            [
+                e
+                for e in all_live
+                if e["path"] not in rewrite_paths
+                and ((e.get("stats") or {}).get("__zorder__") or {}).get("cols")
+                == zcols
+            ]
+            if small_only_rows is not None
+            else []
+        )
+        if anchors:
+            metas = {
+                json.dumps(
+                    {
+                        "domain": e["stats"]["__zorder__"]["domain"],
+                        "bits": e["stats"]["__zorder__"].get("bits", 8),
+                    },
+                    sort_keys=True,
+                )
+                for e in anchors
+            }
+            if len(metas) > 1:
+                raise ValueError(
+                    "compact: live z-batches carry MIXED scaling domains "
+                    f"for {zcols} — run a full compact(zorder_by=…) to "
+                    "re-establish one lattice before incremental passes"
+                )
+            zm = anchors[0]["stats"]["__zorder__"]
+            bits = zm.get("bits", 8)
+            domain = {c: (zm["domain"][c][0], zm["domain"][c][1]) for c in zcols}
+            # split boundaries = the anchors' recorded z-extent uppers:
+            # each small row lands in the extent that contains its key,
+            # so the new sub-batch's envelope NESTS inside its anchor's
+            anchors.sort(key=lambda e: e["stats"]["__zorder__"]["z"][0])
+            cuts = sorted(
+                e["stats"]["__zorder__"]["z"][1] for e in anchors
+            )[:-1]
+            n_b = len(anchors)
+        else:
+            bits = 8
+            dom_row = df.agg(
+                *[
+                    m
+                    for c in zcols
+                    for m in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))
+                ]
+            ).first()
+            domain = {c: (dom_row[f"_lo_{c}"], dom_row[f"_hi_{c}"]) for c in zcols}
+            cuts = None  # percentile split below, once keyed
             n_b = max(1, target_batches)
+        keyed = zorder_key_with_domain(df, zcols, domain, bits).cache()
+        try:
             # z-range boundaries: exact enough from the GK sketch — the
             # split only shapes batch extents, never row membership
-            if n_b > 1:
-                qs = [i / n_b for i in range(1, n_b)]
-                cuts = keyed.agg(
-                    F.percentile_approx("_z", qs, 10_000).alias("c")
-                ).head()["c"]
-            else:
-                cuts = []
+            if cuts is None:
+                if n_b > 1:
+                    qs = [i / n_b for i in range(1, n_b)]
+                    cuts = keyed.agg(
+                        F.percentile_approx("_z", qs, 10_000).alias("c")
+                    ).head()["c"]
+                else:
+                    cuts = []
             for i in range(n_b):
                 part = keyed
                 if i > 0:
                     part = part.filter(F.col("_z") > F.lit(cuts[i - 1]))
                 if i < len(cuts):
                     part = part.filter(F.col("_z") <= F.lit(cuts[i]))
+                ext = part.agg(
+                    F.min("_z").alias("zlo"), F.max("_z").alias("zhi")
+                ).first()
                 entry = _write_batch(
                     part.sortWithinPartitions("_z").drop("_z"),
                     root,
@@ -1593,6 +2141,25 @@ def compact(
                     track,
                 )
                 if entry is not None:
+                    entry["stats"] = {
+                        **(entry.get("stats") or {}),
+                        # reserved manifest key: the z-curve metadata an
+                        # incremental pass needs — scaling domain, bit
+                        # width, and this batch's z-extent (rides the
+                        # stats JSON through checkpoints untouched)
+                        "__zorder__": {
+                            "cols": zcols,
+                            "bits": bits,
+                            "domain": {
+                                c: [
+                                    _json_scalar(domain[c][0]),
+                                    _json_scalar(domain[c][1]),
+                                ]
+                                for c in zcols
+                            },
+                            "z": [int(ext["zlo"]), int(ext["zhi"])],
+                        },
+                    }
                     actions.append(entry)
         finally:
             keyed.unpersist()
@@ -1605,6 +2172,16 @@ def compact(
         if new_entry is not None:
             actions.append(new_entry)
     actions.extend({"op": "remove", "path": e["path"]} for e in live)
+    # drop every sidecar with no remaining live target: its positions
+    # were folded into the rewrite above (or its targets are already
+    # gone) — a DV still covering an untouched batch stays live
+    removed_paths = {e["path"] for e in live}
+    remaining_dirs = {e["path"] for e in data_all} - removed_paths
+    actions.extend(
+        {"op": "remove", "path": d["path"]}
+        for d in dvs_all
+        if not any(os.path.dirname(t) in remaining_dirs for t in _dv_targets(d))
+    )
     # No recompute: compact's rewrite is a Spark job over a pinned file
     # set, so a conflicting racer (anything touching the rewritten
     # partitions — base_v threads the r10 TOCTOU window into the scan)
@@ -1681,12 +2258,15 @@ def resolve_as_of(root: str, as_of) -> int:
         raise NoSuchTableError(f"no committed snapshot under {root!r}")
     target = _as_of_epoch(as_of)
     best = None
+    # NO early break on the first too-new commit: mixed logs (pre-r12
+    # mtime fallbacks interleaved with recorded payload ts, or writer
+    # clock skew) can be non-monotone — take the LATEST version whose
+    # time qualifies over the full retained list (r12 ADVICE; the list
+    # is already bounded by vacuum_log retention)
     for v in commits:
         c = _read_json(os.path.join(_log_path(root), _vname(v)))
         if _commit_ts(root, v, c) <= target:
             best = v
-        else:
-            break  # commit times are monotone with versions
     if best is None:
         raise NoSuchTableError(
             f"no commit at or before the requested timestamp under {root!r} "
@@ -1708,7 +2288,12 @@ def commit_info(root: str, version: int) -> dict | None:
     added = sum(
         a.get("rows", 0)
         for a in c.get("actions", [])
-        if a.get("op") == "add" and not a.get("residue")
+        if a.get("op") == "add" and not a.get("residue") and not _is_dv(a)
+    )
+    dv_rows = sum(
+        a.get("rows", 0)
+        for a in c.get("actions", [])
+        if a.get("op") == "add" and _is_dv(a)
     )
     residue = sum(
         a.get("rows", 0)
@@ -1725,6 +2310,7 @@ def commit_info(root: str, version: int) -> dict | None:
         "added_rows": added,
         "residue_rows": residue,
         "removed_files": removed,
+        "dv_rows": dv_rows,
     }
 
 

@@ -71,6 +71,8 @@ class _ChangeFilePartition(InputPartition):
         version: int,
         partition_col: str | None,
         values: list[str] | None,
+        dv_select: list[str] | None = None,
+        dv_except: list[str] | None = None,
     ) -> None:
         self.root = root
         self.rel_path = rel_path
@@ -78,6 +80,12 @@ class _ChangeFilePartition(InputPartition):
         self.version = version
         self.partition_col = partition_col
         self.values = values
+        # deletion-vector scoping (r13): dv_select = emit ONLY the
+        # sidecar positions of this file (a sidecar commit's deletes);
+        # dv_except = drop positions a sidecar already deleted (a file
+        # remove must not re-emit them)
+        self.dv_select = dv_select
+        self.dv_except = dv_except
 
 
 def _us_schema(schema):
@@ -131,6 +139,8 @@ def _window_partitions(
                 ch["version"],
                 ch["filter_col"],
                 ch["filter_values"],
+                ch.get("dv_select"),
+                ch.get("dv_except"),
             )
             for f in _batch_files(root, ch["path"])
         )
@@ -200,10 +210,39 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
             os.path.join(partition.root, partition.rel_path), format="parquet"
         ).to_table()
         table = table.cast(_us_schema(table.schema))
+        if partition.dv_select or partition.dv_except:
+            # position filter against the sidecar(s): a single parquet
+            # file read preserves row order, so row index == position
+            import numpy as np
+
+            pos: set[int] = set()
+            for s in partition.dv_select or partition.dv_except:
+                st = ds.dataset(
+                    os.path.join(partition.root, s), format="parquet"
+                ).to_table()
+                m = pc.equal(st["_file"], pa.scalar(partition.rel_path))
+                pos.update(st.filter(m)["_pos"].to_pylist())
+            mask = np.zeros(table.num_rows, dtype=bool)
+            if pos:
+                idx = np.fromiter(pos, dtype=np.int64)
+                mask[idx[idx < table.num_rows]] = True
+            if partition.dv_except:
+                mask = ~mask
+            table = table.filter(pa.array(mask))
         if partition.partition_col is not None and partition.values is not None:
+            # composite partition specs (r13) are encoded as names and
+            # values joined by the unit separator — rebuild the row's
+            # composite value Arrow-side before the membership test
+            cols = partition.partition_col.split(SS._PART_SEP)
+            if len(cols) == 1:
+                key = pc.cast(table.column(cols[0]), pa.string())
+            else:
+                key = pc.binary_join_element_wise(
+                    *[pc.cast(table.column(c), pa.string()) for c in cols],
+                    SS._PART_SEP,
+                )
             mask = pc.is_in(
-                pc.cast(table.column(partition.partition_col), pa.string()),
-                value_set=pa.array(partition.values, pa.string()),
+                key, value_set=pa.array(partition.values, pa.string())
             )
             table = table.filter(mask)
         n = table.num_rows
@@ -243,6 +282,10 @@ class SnapshotChangeDataSource(DataSource):
         v, live, _ = SS._snapshot(root)
         batch_dir = None
         for e in live:
+            # never derive the schema from a deletion-vector sidecar
+            # (its (_file, _pos) layout is not the table's schema)
+            if SS._is_dv(e):
+                continue
             if os.path.isdir(os.path.join(root, e["path"])):
                 batch_dir = e["path"]
                 break
@@ -256,6 +299,8 @@ class SnapshotChangeDataSource(DataSource):
             for old_v in reversed(commits):
                 _, old_live, _ = SS._snapshot(root, old_v)
                 for e in old_live:
+                    if SS._is_dv(e):
+                        continue
                     if os.path.isdir(os.path.join(root, e["path"])):
                         batch_dir = e["path"]
                         break

@@ -688,11 +688,16 @@ def test_partial_compaction_rewrites_only_small_files(spark, tmp_path):
     assert SS.compact(spark, root, target_batches=1, small_only_rows=100) == v
 
 
-def test_partial_compaction_excludes_zorder(spark, tmp_path):
+def test_partial_compaction_with_zorder_now_supported(spark, tmp_path):
+    """r13 superseded the r12 exclusivity: compact(zorder_by,
+    small_only_rows) is the INCREMENTAL z-order pass (r12 VERDICT #1,
+    tests/test_zorder_incremental.py). Here: the combined call is
+    accepted and is a logical no-op on contents."""
     root = str(tmp_path / "t")
-    SS.append(_frame(spark, [(1, "d1", 1)]), root, "day")
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        SS.compact(spark, root, zorder_by=("id",), small_only_rows=10)
+    SS.append(_frame(spark, [(1, "d1", 1), (2, "d1", 2)]), root, "day")
+    v = SS.compact(spark, root, zorder_by=("id", "value"), small_only_rows=10)
+    assert v == 2
+    assert _rows(SS.read_table(spark, root)) == [(1, "d1", 1.0), (2, "d1", 2.0)]
 
 
 def test_vacuum_log_bounds_commit_log(spark, tmp_path):
