@@ -4599,6 +4599,36 @@ def q_snapshot_multicol_partition(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
 
 
+def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION (r13 — Delta RESTORE, the operational partner
+    of time travel): a bad whole-table overwrite (every value zeroed)
+    is rolled back by ONE manifest-only commit re-instating the good
+    snapshot's live set (sources/snapstore.py restore — no data copied,
+    history preserved for audit, racing writers conflict). The read is
+    the restored table; oracle: the original aggregate, as if the bad
+    write never happened."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("restsnap", sf_dir)
+    if SS.find_commit_by_key(root, "rb-good") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        SS.append(ev, root, "event_date", idempotency_key="rb-base")
+        good_v = SS.table_version(root)
+        SS.overwrite_table(
+            ev.withColumn("value", F.lit(0.0)),
+            root, "event_date", idempotency_key="rb-bad",
+        )
+        SS.restore(root, version=good_v, idempotency_key="rb-good")
+    kinds = [h["kind"] for h in SS.history(root)]
+    assert kinds[-1] == "restore", kinds
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
 def q_snapshot_is_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-count manifest stats (r13; r12 VERDICT #7): the anonymous-
     traffic audit — ``read_table(where_null="user_id")`` — skips every
@@ -5035,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delete_dv": q_snapshot_delete_dv,
         "snapshot_zorder_partial": q_snapshot_zorder_partial,
         "snapshot_multicol_partition": q_snapshot_multicol_partition,
+        "snapshot_restore": q_snapshot_restore,
         "snapshot_is_null_scan": q_snapshot_is_null_scan,
         "snapshot_as_of_read": q_snapshot_as_of_read,
         "snapshot_changes_compacted": q_snapshot_changes_compacted,
@@ -8172,6 +8203,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE event_type = 'purchase'
           AND CAST(ts AS DATE) BETWEEN DATE '2024-01-21' AND DATE '2024-01-25'
           AND CAST(ts AS DATE) <> DATE '2024-01-22'
+        GROUP BY 1
+    """
+    # the restore rolls the zeroing overwrite back: the original aggregate
+    o["snapshot_restore"] = """
+        SELECT event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
         GROUP BY 1
     """
     # the IS NULL audit: every 7th event was anonymized in the store

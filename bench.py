@@ -320,6 +320,7 @@ BENCH_QUERIES: list[str] = [
     "snapshot_delete_dv",
     "snapshot_zorder_partial",
     "snapshot_multicol_partition",
+    "snapshot_restore",
     "snapshot_is_null_scan",
     "snapshot_as_of_read",
     "snapshot_changes_compacted",

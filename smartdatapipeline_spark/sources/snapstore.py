@@ -2314,6 +2314,62 @@ def commit_info(root: str, version: int) -> dict | None:
     }
 
 
+def restore(root: str, version: int | None = None, as_of=None,
+            idempotency_key: str | None = None) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (r13 — the Delta
+    RESTORE op, the operational partner of time travel): land ONE new
+    commit whose live set is exactly the target snapshot's, by
+    re-adding the target's entries that are no longer live and removing
+    the current entries the target lacks. No data is copied — the old
+    batch dirs are still on disk within vacuum retention, and re-adding
+    their manifest entries makes them live (and vacuum-protected)
+    again. History is preserved: the bad commits stay in the log for
+    audit, and the restore itself is just another commit (restorable
+    away in turn). Raises if any required batch dir was already
+    vacuumed — then the state is genuinely unrecoverable and the caller
+    must repair from upstream.
+
+    Conflict posture: whole-table ({"*"}) — a restore is a declaration
+    that the current state is wrong, so racing writers must lose.
+    CDC across a restore emits the net delta (removed entries' rows as
+    deletes, re-added entries' rows as inserts, netted by the caller),
+    so downstream incremental consumers converge without re-bootstrap."""
+    if (version is None) == (as_of is None):
+        raise ValueError("restore: pass exactly one of version / as_of")
+    if as_of is not None:
+        version = resolve_as_of(root, as_of)
+    done = _already_committed(root, idempotency_key)
+    if done is not None:
+        return done
+    cur_v, cur_live, _ = _snapshot(root)
+    if version == cur_v:
+        return cur_v
+    _, tgt_live, _ = _snapshot(root, version)
+    cur_by_path = {e["path"]: e for e in cur_live}
+    tgt_by_path = {e["path"]: e for e in tgt_live}
+    missing = [
+        p for p in tgt_by_path
+        if p not in cur_by_path and not os.path.isdir(os.path.join(root, p))
+    ]
+    if missing:
+        raise NoSuchTableError(
+            f"restore to v{version} impossible: {len(missing)} required "
+            f"batch dir(s) already vacuumed (first: {missing[0]!r}); "
+            "raise vacuum retention or repair from upstream"
+        )
+    actions: list[dict] = [
+        dict(tgt_by_path[p], op="add") for p in sorted(tgt_by_path)
+        if p not in cur_by_path
+    ]
+    actions.extend(
+        {"op": "remove", "path": p} for p in sorted(cur_by_path)
+        if p not in tgt_by_path
+    )
+    if not actions:
+        return cur_v  # same live set (e.g. only markers in between)
+    return _commit(root, actions, "restore", {"*"}, idempotency_key, base_v=cur_v)
+
+
 def table_version(root: str) -> int:
     """Latest committed version (0 if the table does not exist) — a
     pure log listing, no manifest materialization."""

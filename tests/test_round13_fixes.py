@@ -228,3 +228,74 @@ def test_delete_where_prune_nulls_skips_clean_files(spark, tmp_path):
     # the zero-null batch was never touched: still live under its path
     _, live_after, _ = SS._snapshot(root)
     assert clean["path"] in {e["path"] for e in live_after}
+
+
+# ----------------------------------------------------------------- RESTORE
+
+
+def test_restore_to_version_rolls_back(spark, tmp_path):
+    """RESTORE lands one commit whose live set equals the target
+    snapshot's — no data copied, history preserved, CDC nets to the
+    rollback delta."""
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 10), (2, "d2", 20)]), root, "day")
+    good_v = SS.table_version(root)
+    SS.overwrite_partitions(_frame(spark, [(1, "d1", 999)]), root, "day")
+    SS.append(_frame(spark, [(9, "d9", 90)]), root, "day")
+    v = SS.restore(root, version=good_v)
+    assert v == SS.table_version(root) and v > good_v
+    assert _rows(SS.read_table(spark, root)) == [(1, "d1", 10.0), (2, "d2", 20.0)]
+    # history intact: the bad commits are still in the log
+    kinds = [h["kind"] for h in SS.history(root)]
+    assert kinds == ["append", "overwrite_partitions", "append", "restore"]
+    # CDC across the restore nets to the final state from the pre-bad view
+    import pyspark.sql.functions as F
+    ch = SS.table_changes(spark, root, good_v, v)
+    net = (
+        ch.withColumn("_s", F.when(F.col("_change_type") == "insert", 1).otherwise(-1))
+        .groupBy("id", "day", "value").agg(F.sum("_s").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    assert net.count() == 0  # round-trip: nothing net-changed since good_v
+
+
+def test_restore_as_of_and_idempotency(spark, tmp_path):
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 10)]), root, "day")
+    t_good = SS.history(root)[-1]["timestamp"]
+    SS.overwrite_table(_frame(spark, [(2, "d2", 20)]), root, "day")
+    v = SS.restore(root, as_of=t_good, idempotency_key="rb-1")
+    assert _rows(SS.read_table(spark, root)) == [(1, "d1", 10.0)]
+    assert SS.restore(root, as_of=t_good, idempotency_key="rb-1") == v
+    with pytest.raises(ValueError, match="exactly one"):
+        SS.restore(root, version=1, as_of=t_good)
+    with pytest.raises(ValueError, match="exactly one"):
+        SS.restore(root)
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 10)]), root, "day")
+    SS.overwrite_table(_frame(spark, [(2, "d2", 20)]), root, "day")
+    _, old_live, _ = SS._snapshot(root, 1)
+    shutil.rmtree(os.path.join(root, old_live[0]["path"]))
+    with pytest.raises(SS.NoSuchTableError, match="vacuumed"):
+        SS.restore(root, version=1)
+    # current state untouched by the failed restore
+    assert _rows(SS.read_table(spark, root)) == [(2, "d2", 20.0)]
+
+
+def test_restore_reinstates_deletion_vectors(spark, tmp_path):
+    """Restoring to a DV state re-adds the sidecar: reads re-apply it;
+    restoring past the DV un-deletes."""
+    root = str(tmp_path / "t")
+    SS.append(_frame(spark, [(1, "d1", 10), (2, "d1", 20)]), root, "day")
+    v_full = SS.table_version(root)
+    SS.delete_where(spark, root, "id = 2", mode="dv")
+    v_dv = SS.table_version(root)
+    SS.restore(root, version=v_full)
+    assert _rows(SS.read_table(spark, root)) == [(1, "d1", 10.0), (2, "d1", 20.0)]
+    SS.restore(root, version=v_dv)
+    assert _rows(SS.read_table(spark, root)) == [(1, "d1", 10.0)]
