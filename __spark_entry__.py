@@ -4524,14 +4524,18 @@ def q_snapshot_zorder_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     range straight off events."""
     from smartdatapipeline_spark.sources import snapstore as SS
 
-    root = _tmp_store("zpartial", sf_dir)
+    root = _tmp_store("zpartial2", sf_dir)
     if SS.find_commit_by_key(root, "zp-day2") is None:
         ev = (
             _events(spark, sf_dir)
             .filter(F.col("user_id").isNotNull())
             .withColumn("event_date", F.to_date("ts"))
         )
-        base = ev.filter(F.col("event_date") <= "2024-01-25")
+        # scale-invariant base/day split on event_id (a DATE split
+        # breaks at the salted 10× sweep, whose replicas shift ts):
+        # 90% base in 2 appends → full ZORDER; 10% "day" ingest in 3
+        # small appends → the incremental pass
+        base = ev.filter(F.col("event_id") % 10 != 0)
         for key, m in (("zp-b1", 0), ("zp-b2", 1)):
             SS.append(
                 base.filter(F.col("event_id") % 2 == m),
@@ -4541,9 +4545,9 @@ def q_snapshot_zorder_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, target_batches=6, zorder_by=("user_id", "value"),
             idempotency_key="zp-full",
         )
-        day2 = ev.filter(F.col("event_date") > "2024-01-25")
+        day2 = ev.filter(F.col("event_id") % 10 == 0)
         for key, m in (("zp-day0", 0), ("zp-day1", 1), ("zp-day2", 2)):
-            SS.append(day2.filter(F.col("event_id") % 3 == m),
+            SS.append(day2.filter((F.col("event_id") / 10).cast("long") % 3 == m),
                       root, "event_date", idempotency_key=key)
         # threshold strictly between the day batches and the anchors,
         # derived from the manifest so it holds at every sf
