@@ -106,6 +106,49 @@ class NoSuchTableError(RuntimeError):
     """No committed version exists at the given root."""
 
 
+class ProtocolVersionError(RuntimeError):
+    """The log declares a min reader/writer protocol version newer than
+    this engine supports (r14 — the Delta protocol-version / Iceberg
+    format-version guard): refusing loudly beats misreading reserved
+    actions a future format may add. Upgrade the engine to proceed."""
+
+
+class SchemaMismatchError(RuntimeError):
+    """The incoming DataFrame's schema does not match the table's
+    recorded schema (r14 write-side schema enforcement — the Delta
+    append-schema check; reference analog: fixed Alembic-migrated ORM
+    schema, backend/migrations/versions/20251104_0001_*.py). New
+    columns require an explicit ``allow_new_columns=True``."""
+
+
+#: protocol versions THIS engine can read / write. Every commit and
+#: checkpoint stamps the minimum versions required to consume it;
+#: absent stamps (pre-r14 logs) are implicitly version 1.
+_READER_VERSION = 1
+_WRITER_VERSION = 1
+
+#: accumulated deletion-vector positions above which DV anti/semi
+#: joins fall back to a shuffle instead of broadcasting the position
+#: frame (a table that outran its compaction window must not OOM the
+#: driver — applies to reads, CDC, and the streaming-batch twin).
+_DV_BROADCAST_MAX_POS = 10_000_000
+
+
+def _check_protocol(payload: dict, where: str) -> None:
+    """Raise if ``payload`` declares a min READER version beyond this
+    engine (writer gating happens once per commit in ``_commit``)."""
+    p = payload.get("protocol")
+    if not p:
+        return  # pre-r14 log object: implicit version 1
+    mr = int(p.get("min_reader_version", 1))
+    if mr > _READER_VERSION:
+        raise ProtocolVersionError(
+            f"{where} requires min_reader_version={mr} but this engine "
+            f"supports {_READER_VERSION}; upgrade the engine to read "
+            "this table"
+        )
+
+
 # ---------------------------------------------------------------- log I/O
 
 
@@ -228,7 +271,9 @@ def _list_log(root: str) -> tuple[list[int], list[int]]:
 
 
 def _read_json(path: str) -> dict:
-    return json.loads(_LOG_STORE.read(path).decode("utf-8"))
+    d = json.loads(_LOG_STORE.read(path).decode("utf-8"))
+    _check_protocol(d, os.path.basename(path))
+    return d
 
 
 def _try_claim(root: str, version: int, payload: dict) -> bool:
@@ -294,6 +339,11 @@ def _read_checkpoint(root: str, version: int) -> tuple[int, dict[str, dict], set
 
         t = _pq.read_table(pq_path)
         meta = t.schema.metadata or {}
+        if b"protocol" in meta:
+            _check_protocol(
+                {"protocol": json.loads(meta[b"protocol"])},
+                os.path.basename(pq_path),
+            )
         base_v = int(meta.get(b"version", str(version).encode()))
         keys = set(json.loads(meta.get(b"txn_keys", b"[]")))
         live: dict[str, dict] = {}
@@ -337,6 +387,11 @@ def _snapshot_meta(root: str, version: int | None = None) -> tuple[int, set[str]
             import pyarrow.parquet as _pq
 
             meta = _pq.read_schema(pq_path).metadata or {}
+            if b"protocol" in meta:
+                _check_protocol(
+                    {"protocol": json.loads(meta[b"protocol"])},
+                    os.path.basename(pq_path),
+                )
             base_v = int(meta.get(b"version", str(usable[-1]).encode()))
             keys = set(json.loads(meta.get(b"txn_keys", b"[]")))
         else:
@@ -411,7 +466,13 @@ def _snapshot_for_read(
     import pyarrow.parquet as _pq
 
     t = _pq.read_table(pq_path)
-    base_v = int((t.schema.metadata or {}).get(b"version", str(usable[-1]).encode()))
+    _meta = t.schema.metadata or {}
+    if b"protocol" in _meta:
+        _check_protocol(
+            {"protocol": json.loads(_meta[b"protocol"])},
+            os.path.basename(pq_path),
+        )
+    base_v = int(_meta.get(b"version", str(usable[-1]).encode()))
     # log tail: adds as dicts, removes as a path set
     tail_adds: dict[str, dict] = {}
     tail_removes: set[str] = set()
@@ -439,25 +500,32 @@ def _snapshot_for_read(
                 pc.is_in(t["path"], value_set=pa.array(sorted(tail_removes)))
             )
         )
-    # split sidecars out (cheap vectorized substring probe on the stats
-    # JSON — the reserved "__dv__" key only ever appears in DV entries)
+    # split sidecars out: a cheap vectorized substring probe on the
+    # stats JSON pre-filters candidates, then each candidate is PARSED
+    # and re-checked with _is_dv — a data entry whose tracked min/max
+    # string value is literally ``__dv__`` serializes as '"__dv__"' and
+    # must return to the data table, not vanish as a phantom sidecar
+    # (r13 ADVICE: silent data loss on a pathological but legal value)
     dvs: list[dict] = []
+    dv_false_pos: list[dict] = []
     dv_mask = pc.match_substring(
         pc.fill_null(t["stats"], pa.scalar("", pa.string())), '"__dv__"'
     )
     if pc.any(dv_mask).as_py():
-        dvs = t.filter(dv_mask).to_pylist()
-        for e in dvs:
+        for e in t.filter(dv_mask).to_pylist():
             st = e.get("stats")
             e["stats"] = json.loads(st) if isinstance(st, str) else st
+            (dvs if _is_dv(e) else dv_false_pos).append(e)
         t = t.filter(pc.invert(dv_mask))
     tail_dv = {p: e for p, e in tail_adds.items() if _is_dv(e)}
     if tail_dv:
         dvs.extend(tail_dv.values())
         tail_adds = {p: e for p, e in tail_adds.items() if p not in tail_dv}
-    total_live = t.num_rows + len(tail_adds)
+    total_live = t.num_rows + len(tail_adds) + len(dv_false_pos)
     sample = t["path"][0].as_py() if t.num_rows else (
-        next(iter(tail_adds)) if tail_adds else None
+        next(iter(tail_adds))
+        if tail_adds
+        else (dv_false_pos[0]["path"] if dv_false_pos else None)
     )
     if partition_values is not None and t.num_rows:
         # vectorized manifest pruning: an entry survives if its tracked
@@ -487,6 +555,11 @@ def _snapshot_for_read(
         for e in tail_adds.values()
         if partition_values is None or _values_intersect(e, partition_values)
     ]
+    if dv_false_pos:
+        # substring-probe false positives rejoin the data table, subject
+        # to the same partition/stats pruning (they were filtered out of
+        # the Arrow table before vectorized pruning ran)
+        entries.extend(_prune_py(dv_false_pos))
     if column_range is not None:
         scol, lo, hi = column_range
         entries = [e for e in entries if _stats_intersect(e, scol, lo, hi)]
@@ -530,6 +603,12 @@ def _maybe_checkpoint(root: str, version: int) -> None:
         metadata={
             b"version": str(v).encode(),
             b"txn_keys": json.dumps(sorted(keys)).encode(),
+            b"protocol": json.dumps(
+                {
+                    "min_reader_version": _READER_VERSION,
+                    "min_writer_version": _WRITER_VERSION,
+                }
+            ).encode(),
         },
     )
     _pq.write_table(table, tmp)
@@ -759,7 +838,7 @@ def _apply_dvs(
     # state between compacts); a table that outran its maintenance
     # window falls back to a shuffle join instead of OOMing the driver
     total_pos = sum(d.get("rows", 0) for d in dvs)
-    if total_pos <= 10_000_000:
+    if total_pos <= _DV_BROADCAST_MAX_POS:
         side = F.broadcast(side)
     return (
         df.withColumn("_dv_file", _file_ref_col())
@@ -870,6 +949,18 @@ def _commit(
         read_v, keys = _snapshot_meta(root)
     except NoSuchTableError:
         read_v, keys = 0, set()
+    if read_v:
+        # writer gate (r14): the newest commit carries the table's
+        # current protocol stamp; a future min_writer_version means this
+        # engine may read but must not write (Delta protocol semantics)
+        newest = _read_json(os.path.join(_log_path(root), _vname(read_v)))
+        mw = int((newest.get("protocol") or {}).get("min_writer_version", 1))
+        if mw > _WRITER_VERSION:
+            raise ProtocolVersionError(
+                f"table at {root!r} requires min_writer_version={mw} but "
+                f"this engine supports {_WRITER_VERSION}; upgrade the "
+                "engine to write this table"
+            )
     if idempotency_key and idempotency_key in keys:
         return read_v  # the first attempt already committed
     if replaced is not None and read_v > base_v:
@@ -889,6 +980,14 @@ def _commit(
             # time travel resolves against it (Delta records the same in
             # commitInfo; pre-r12 logs fall back to the log file's mtime)
             "ts": time.time(),
+            # r14: the minimum engine versions required to consume this
+            # commit (absent in pre-r14 logs ⇒ implicit version 1); a
+            # future format bump raises ProtocolVersionError loudly
+            # instead of old engines misreading reserved actions
+            "protocol": {
+                "min_reader_version": _READER_VERSION,
+                "min_writer_version": _WRITER_VERSION,
+            },
         }
         if _try_claim(root, read_v + 1, payload):
             _maybe_checkpoint(root, read_v + 1)
@@ -1646,13 +1745,21 @@ def resolve_commit_changes(
       delete+insert pairs for moved rows that cancel under the
       caller's netting (bag-semantics ``exceptAll`` in
       ``table_changes``; signed aggregation in stream consumers).
-    - Deletion vectors (r13): a sidecar ADD is never an insert — it
-      emits one ``dv_select`` delete record per target batch dir (the
-      deleted rows = that dir's rows at the sidecar's positions). A
-      data-file REMOVE carries ``dv_except`` = the sidecars that had
-      already deleted rows from it, so those rows — emitted as deletes
-      when their sidecar landed — are never emitted a second time. A
-      sidecar remove (compact folding) is skipped outright.
+    - Deletion vectors (r13; restore-aware since r14): a sidecar ADD is
+      never an insert — it emits one ``dv_select`` delete record per
+      target batch dir that was live before the commit (the deleted
+      rows = that dir's rows at the sidecar's positions). A sidecar
+      REMOVE inside a ``compact`` commit is folding (skipped with the
+      rest of the commit); a sidecar remove anywhere else — ``restore``
+      is the real case — is an UN-delete and emits a ``dv_select``
+      INSERT of its positions for every target dir live across the
+      commit. A data-file REMOVE carries ``dv_except`` = the sidecars
+      that had already deleted rows from it, so those rows are never
+      emitted a second time; symmetrically a data-file ADD (a restore
+      re-instating a file still covered by a live sidecar) carries
+      ``dv_except`` so suppressed rows are never emitted as inserts.
+      Every dv-carrying record also reports ``dv_rows`` (total sidecar
+      positions) so consumers can size the position join.
     """
     commits, _ = _list_log(root)
     if not commits:
@@ -1680,93 +1787,149 @@ def resolve_commit_changes(
         if v <= start_v or v > end_v:
             continue
         window.append((v, _read_json(os.path.join(_log_path(root), _vname(v)))))
-    # DV registry — built only when the window can need it (a data
-    # remove must subtract already-DV-deleted rows; a sidecar remove
-    # must be skipped): sidecars LIVE at the window start plus those
-    # added inside the window cover every case, including sidecars that
-    # predate the retained log via a checkpoint.
-    dv_by_target: dict[str, list[str]] = {}
-    dv_paths: set[str] = set()
+    # Live-state registry — built only when the window can need it (any
+    # remove, any sidecar add, or a restore commit): the live DATA dirs
+    # and live SIDECARS ({path: {"targets", "rows"}}) at the window
+    # start, maintained commit-by-commit below. Restore commits can
+    # remove a live sidecar (un-delete) or re-add a DV-covered data
+    # file, and both emissions need exact before/after context
+    # (r13 ADVICE — the old additive registry never saw either).
+    dv_info: dict[str, dict] = {}
+    live_dirs: set[str] = set()
     needs_registry = any(
         a.get("op") == "remove" or (a.get("op") == "add" and _is_dv(a))
         for _, c in window
         if c.get("kind") != "compact"
         for a in c.get("actions", [])
-    )
+    ) or any(c.get("kind") == "restore" for _, c in window)
     if needs_registry:
         base = max((c for c in commits if c <= start_v), default=None)
         if base is not None:
-            for d in _split_dvs(_snapshot(root, base)[1])[1]:
-                dv_paths.add(d["path"])
-                for t in _dv_targets(d):
-                    dv_by_target.setdefault(t, []).append(d["path"])
+            data0, dvs0 = _split_dvs(_snapshot(root, base)[1])
+            live_dirs = {e["path"] for e in data0}
+            dv_info = {
+                d["path"]: {"targets": _dv_targets(d), "rows": d.get("rows", 0)}
+                for d in dvs0
+            }
+
+    def _covering(registry: dict[str, dict], tdir: str) -> list[str]:
+        return sorted(
+            p
+            for p, info in registry.items()
+            if any(os.path.dirname(t) == tdir for t in info["targets"])
+        )
+
     out: list[dict] = []
     for v, c in window:
         kind = c.get("kind")
+        acts = c.get("actions", [])
+        dv_adds = [a for a in acts if a.get("op") == "add" and _is_dv(a)]
+        data_adds = [a for a in acts if a.get("op") == "add" and not _is_dv(a)]
+        dv_removes = [
+            a for a in acts if a.get("op") == "remove" and a["path"] in dv_info
+        ]
+        data_removes = [
+            a for a in acts if a.get("op") == "remove" and a["path"] not in dv_info
+        ]
+        added_dirs = {a["path"] for a in data_adds}
+        live_before = live_dirs
+        live_after = (
+            live_dirs - {r["path"] for r in data_removes}
+        ) | added_dirs
+        # sidecar registry around this commit's atomic state transition:
+        # "at" = suppressions in effect when the transition applies
+        # (pre-existing + this commit's adds); "after" = at minus removes
+        dv_at = dict(dv_info)
+        for a in dv_adds:
+            dv_at[a["path"]] = {
+                "targets": _dv_targets(a),
+                "rows": a.get("rows", 0),
+            }
+        removed_dv = {r["path"] for r in dv_removes}
+        dv_after = {p: i for p, i in dv_at.items() if p not in removed_dv}
         if kind == "compact":
-            continue  # logically empty rewrite (DV folds included)
+            # logically empty rewrite (DV folds included) — emit nothing
+            # but keep the live-state registry current
+            live_dirs, dv_info = live_after, dv_after
+            continue
         replaced = c.get("replaced") or []
         whole = "*" in replaced
         # row-level ops move rows WITHIN replaced partitions: emit their
         # residues and full removes, net at the consumer
         row_level = kind in ("merge", "delete_where")
-        for a in c.get("actions", []):
-            if a.get("op") == "add":
-                if _is_dv(a):
-                    dv_paths.add(a["path"])
-                    by_dir: dict[str, list[str]] = {}
-                    for t in _dv_targets(a):
-                        dv_by_target.setdefault(t, []).append(a["path"])
-                        by_dir.setdefault(os.path.dirname(t), []).append(t)
-                    for tdir in sorted(by_dir):
-                        out.append(
-                            {
-                                "path": tdir,
-                                "change_type": "delete",
-                                "version": v,
-                                "filter_col": None,
-                                "filter_values": None,
-                                "dv_select": [a["path"]],
-                                "dv_except": None,
-                            }
-                        )
-                    continue
-                if a.get("residue") and not row_level:
-                    continue
-                out.append(
-                    {
-                        "path": a["path"],
-                        "change_type": "insert",
-                        "version": v,
-                        "filter_col": None,
-                        "filter_values": None,
-                        "dv_select": None,
-                        "dv_except": None,
-                    }
-                )
-            elif a.get("op") == "remove":
-                if a["path"] in dv_paths:
-                    continue  # sidecar folding, not a data change
-                scoped = part_col is not None and not whole and not row_level
-                exc = sorted(
-                    {
-                        s
-                        for t, sides in dv_by_target.items()
-                        if os.path.dirname(t) == a["path"]
-                        for s in sides
-                    }
-                )
-                out.append(
-                    {
-                        "path": a["path"],
-                        "change_type": "delete",
-                        "version": v,
-                        "filter_col": part_col if scoped else None,
-                        "filter_values": list(replaced) if scoped else None,
-                        "dv_select": None,
-                        "dv_except": exc or None,
-                    }
-                )
+        for a in dv_adds:
+            # a dir re-added in this same commit emits its net rows via
+            # dv_except on the add; a dir not live before holds no
+            # present rows to delete
+            for tdir in sorted({os.path.dirname(t) for t in _dv_targets(a)}):
+                if tdir in live_before and tdir not in added_dirs:
+                    out.append(
+                        {
+                            "path": tdir,
+                            "change_type": "delete",
+                            "version": v,
+                            "filter_col": None,
+                            "filter_values": None,
+                            "dv_select": [a["path"]],
+                            "dv_except": None,
+                            "dv_rows": a.get("rows", 0),
+                        }
+                    )
+        for r in dv_removes:
+            # un-delete (restore): suppressed rows come back for every
+            # target dir live across the commit; a target re-added in
+            # the same commit emits its full net rows via its own add
+            info = dv_info[r["path"]]
+            for tdir in sorted({os.path.dirname(t) for t in info["targets"]}):
+                if (
+                    tdir in live_before
+                    and tdir in live_after
+                    and tdir not in added_dirs
+                ):
+                    out.append(
+                        {
+                            "path": tdir,
+                            "change_type": "insert",
+                            "version": v,
+                            "filter_col": None,
+                            "filter_values": None,
+                            "dv_select": [r["path"]],
+                            "dv_except": None,
+                            "dv_rows": info.get("rows", 0),
+                        }
+                    )
+        for a in data_adds:
+            if a.get("residue") and not row_level:
+                continue
+            exc = _covering(dv_after, a["path"])
+            out.append(
+                {
+                    "path": a["path"],
+                    "change_type": "insert",
+                    "version": v,
+                    "filter_col": None,
+                    "filter_values": None,
+                    "dv_select": None,
+                    "dv_except": exc or None,
+                    "dv_rows": sum(dv_after[p]["rows"] for p in exc),
+                }
+            )
+        for r in data_removes:
+            scoped = part_col is not None and not whole and not row_level
+            exc = _covering(dv_at, r["path"])
+            out.append(
+                {
+                    "path": r["path"],
+                    "change_type": "delete",
+                    "version": v,
+                    "filter_col": part_col if scoped else None,
+                    "filter_values": list(replaced) if scoped else None,
+                    "dv_select": None,
+                    "dv_except": exc or None,
+                    "dv_rows": sum(dv_at[p]["rows"] for p in exc),
+                }
+            )
+        live_dirs, dv_info = live_after, dv_after
     return out
 
 
@@ -1859,18 +2022,17 @@ def table_changes(
     adds = [c for c in changes if c["change_type"] == "insert"]
     dels = [c for c in changes if c["change_type"] == "delete"]
 
-    def _read_adds():
-        return spark.read.parquet(*[os.path.join(root, c["path"]) for c in adds])
-
-    def _read_dels():
-        # group removed files by their delete-scope filter AND their
-        # deletion-vector role; one read per distinct scope (bounded by
-        # commits in the window)
+    def _read_records(records):
+        # group files by their scope filter AND their deletion-vector
+        # role; one read per distinct scope (bounded by commits in the
+        # window). Both sides need this: inserts can carry dv_select
+        # (restore un-deletes) or dv_except (restore re-adds of
+        # DV-covered files) since r14.
         groups: dict = {}
-        for c in dels:
+        for c in records:
             # keep the EMPTY tuple distinct from None: () is a scope
             # that matches NOTHING (skip the group), None means the
-            # whole removed file is a delete (r12 ADVICE — the old
+            # whole file is emitted (r12 ADVICE — the old
             # `tuple(x or ()) or None` coerced empty scope to
             # unfiltered, flipping its meaning)
             fv = c["filter_values"]
@@ -1880,16 +2042,17 @@ def table_changes(
                 tuple(sorted(c.get("dv_select") or [])),
                 tuple(sorted(c.get("dv_except") or [])),
             )
-            groups.setdefault(key, []).append(c["path"])
+            groups.setdefault(key, []).append(c)
         parts = []
-        for (fcol, fvals, dvsel, dvexc), paths in groups.items():
+        for (fcol, fvals, dvsel, dvexc), recs in groups.items():
             if fvals is not None and not fvals:
-                continue  # empty delete scope: emits no rows
+                continue  # empty scope: emits no rows
+            paths = [c["path"] for c in recs]
             d = spark.read.parquet(*[os.path.join(root, p) for p in paths])
             if dvsel or dvexc:
-                # dv_select: the deleted rows ARE the sidecar positions;
-                # dv_except: rows a sidecar already deleted must not be
-                # re-emitted when their file is later removed
+                # dv_select: the emitted rows ARE the sidecar positions;
+                # dv_except: rows a sidecar deleted must not be emitted
+                # with the rest of the file
                 side = (
                     spark.read.parquet(
                         *[os.path.join(root, s) for s in (dvsel or dvexc)]
@@ -1900,11 +2063,16 @@ def table_changes(
                     )
                     .distinct()
                 )
+                # same size guard as _apply_dvs (r13 ADVICE): a table
+                # that outran its compaction window must not OOM the
+                # driver on the CDC path — fall back to a shuffle join
+                if max(c.get("dv_rows", 0) for c in recs) <= _DV_BROADCAST_MAX_POS:
+                    side = F.broadcast(side)
                 d = (
                     d.withColumn("_dv_file", _file_ref_col())
                     .withColumn("_dv_pos", F.col("_metadata.row_index"))
                     .join(
-                        F.broadcast(side),
+                        side,
                         ["_dv_file", "_dv_pos"],
                         "left_semi" if dvsel else "left_anti",
                     )
@@ -1920,6 +2088,12 @@ def table_changes(
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def _read_adds():
+        return _read_records(adds)
+
+    def _read_dels():
+        return _read_records(dels)
 
     if not adds and not dels:
         return _empty_like(spark, root, to_v).withColumn(
