@@ -4667,6 +4667,57 @@ def q_snapshot_is_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side schema ENFORCEMENT + explicit additive EVOLUTION
+    (r14; r13 VERDICT #1): the base corpus lands under the recorded
+    (event_id, event_date, event_type, value) schema; a drifted
+    producer adding a ``channel`` column is REJECTED
+    (SchemaMismatchError) until it passes ``allow_new_columns=True``,
+    which records the evolved schema in the commit
+    (sources/snapstore.py _resolve_write_schema). The read is
+    ``merge_schema=True`` over both vintages — pre-evolution rows carry
+    NULL channel. Oracle: the same split straight off events (the
+    event_id % 3 split is scale-invariant; channel derives from
+    event_id parity). Reference analog: deliberate Alembic migrations
+    over a fixed ORM schema (backend/migrations/versions/)."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("schemaevo", sf_dir)
+    if SS.find_commit_by_key(root, "se-b2") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        base_cols = ["event_id", "event_date", "event_type", "value"]
+        SS.append(
+            ev.filter(F.col("event_id") % 3 != 0).select(*base_cols),
+            root, "event_date", idempotency_key="se-b1",
+        )
+        wide = ev.filter(F.col("event_id") % 3 == 0).select(
+            *base_cols,
+            F.when(F.col("event_id") % 2 == 0, F.lit("web"))
+            .otherwise(F.lit("app"))
+            .alias("channel"),
+        )
+        # the gate is ON: the drifted producer fails loudly first
+        try:
+            SS.append(wide, root, "event_date", idempotency_key="se-rejected")
+            raise AssertionError("unflagged schema drift must raise")
+        except SS.SchemaMismatchError:
+            pass
+        SS.append(
+            wide, root, "event_date",
+            idempotency_key="se-b2", allow_new_columns=True,
+        )
+    assert SS.table_schema(root)[-1] == ["channel", "string"]
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root, merge_schema=True)
+        .groupBy(
+            F.coalesce(F.col("channel"), F.lit("pre-evolution")).alias("channel"),
+            F.col("event_type").alias("metric"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
 def q_snapshot_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``AS OF <timestamp>`` time travel (r12; r11 VERDICT #5): the
     same two-version KPI table as ``snapshot_time_travel``, but the
@@ -5070,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_zorder_partial": q_snapshot_zorder_partial,
         "snapshot_multicol_partition": q_snapshot_multicol_partition,
         "snapshot_restore": q_snapshot_restore,
+        "snapshot_schema_evolution": q_snapshot_schema_evolution,
         "snapshot_is_null_scan": q_snapshot_is_null_scan,
         "snapshot_as_of_read": q_snapshot_as_of_read,
         "snapshot_changes_compacted": q_snapshot_changes_compacted,
@@ -8216,6 +8268,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
         FROM events
         GROUP BY 1
+    """
+    # schema evolution is a logical union of the two vintages: channel
+    # exists only for the evolved slice (event_id % 3 = 0), NULL —
+    # read back as 'pre-evolution' — elsewhere
+    o["snapshot_schema_evolution"] = """
+        SELECT CASE
+                 WHEN event_id % 3 = 0 THEN
+                   CASE WHEN event_id % 2 = 0 THEN 'web' ELSE 'app' END
+                 ELSE 'pre-evolution'
+               END AS channel,
+               event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
     """
     # the IS NULL audit: every 7th event was anonymized in the store
     o["snapshot_is_null_scan"] = """

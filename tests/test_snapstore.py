@@ -431,15 +431,18 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
 
 
 def test_schema_evolution_merge_schema(spark, tmp_path):
-    """Additive schema evolution: a later append carries a NEW column;
-    merge_schema=True reads the union (old batches NULL), and
+    """Additive schema evolution: a later append carries a NEW column
+    (gated behind allow_new_columns=True since r14 — an unflagged drift
+    raises); merge_schema=True reads the union (old batches NULL), and
     time-travel to v1 still returns the original schema."""
     root = str(tmp_path / "t")
     SS.append(_df(spark, [("2024-01-01", "a", 1)]), root, "d")
     wide = spark.createDataFrame(
         [("2024-01-02", "b", 2, "eu")], "d string, k string, v long, region string"
     )
-    SS.append(wide, root, "d")
+    with pytest.raises(SS.SchemaMismatchError, match="region"):
+        SS.append(wide, root, "d")
+    SS.append(wide, root, "d", allow_new_columns=True)
     out = SS.read_table(spark, root, merge_schema=True)
     assert sorted(out.columns) == ["d", "k", "region", "v"]
     rows = {r["k"]: r["region"] for r in out.collect()}
