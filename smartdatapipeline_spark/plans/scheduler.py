@@ -58,6 +58,8 @@ def snapshot_maintenance_job(
     log_keep_versions: int = 100,
     small_only_rows: int | None = None,
     zorder_by: tuple | None = None,
+    purge_dv_above_positions: int = 100_000,
+    purge_dv_above_covered_files: int = 16,
 ) -> Callable[[], dict]:
     """The nightly snapshot-table maintenance body the store's module
     docstring promises (sources/snapstore.py; r10 VERDICT #5): OPTIMIZE
@@ -77,7 +79,19 @@ def snapshot_maintenance_job(
     files for every history walk. A compact losing a race to a
     concurrent writer raises ConcurrentWriteError — the right behavior
     for maintenance (retry next night / next run), so it is caught and
-    reported, never fatal."""
+    reported, never fatal.
+
+    DV-debt trigger (r14; r13 VERDICT #3): after the compact pass, the
+    job reads ``dv_debt`` (a pure manifest read) and fires
+    ``purge_deletion_vectors`` — the targeted REORG that rewrites ONLY
+    DV-covered files — when live positions exceed
+    ``purge_dv_above_positions`` (default 100k: the per-read anti-join
+    side stays broadcast-small well under _DV_BROADCAST_MAX_POS) or
+    covered files exceed ``purge_dv_above_covered_files`` (default 16:
+    caps the purge at a bounded number of single-file rewrite jobs and
+    bounds how many files every read must join against). Below both
+    thresholds the debt rides to the next night — a partial compact may
+    have already folded the small-file sidecars anyway."""
     from smartdatapipeline_spark.sources import snapstore as SS
 
     def run() -> dict:
@@ -91,6 +105,18 @@ def snapshot_maintenance_job(
                 )
             except SS.ConcurrentWriteError as exc:
                 entry["compact_conflict"] = str(exc)
+            debt = SS.dv_debt(root)
+            entry["dv_debt"] = debt
+            if (
+                debt["positions"] > purge_dv_above_positions
+                or debt["covered_files"] > purge_dv_above_covered_files
+            ):
+                try:
+                    entry["dv_purged_to_version"] = SS.purge_deletion_vectors(
+                        spark, root
+                    )
+                except SS.ConcurrentWriteError as exc:
+                    entry["dv_purge_conflict"] = str(exc)
             entry["vacuumed"] = len(
                 SS.vacuum(root, keep_versions=keep_versions, grace_sec=grace_sec)
             )

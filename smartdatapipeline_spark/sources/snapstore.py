@@ -2497,6 +2497,102 @@ def compact(
     return _commit(root, actions, "compact", touched, idempotency_key, base_v=base_v)
 
 
+def dv_debt(root: str, version: int | None = None) -> dict:
+    """Merge-on-read DEBT of the snapshot (r14 — the read-cost model
+    behind the purge trigger): every read pays an anti-join against the
+    live sidecars' positions, so maintenance needs a number to act on.
+    Pure manifest read — no file scan. Returns ``{"positions": total
+    live sidecar rows, "sidecars": live sidecar count,
+    "covered_files": live data dirs carrying >= 1 position}``."""
+    try:
+        _, live, _ = _snapshot(root, version)
+    except NoSuchTableError:
+        return {"positions": 0, "sidecars": 0, "covered_files": 0}
+    data, dvs = _split_dvs(live)
+    live_dirs = {e["path"] for e in data}
+    covered = {
+        os.path.dirname(t) for d in dvs for t in _dv_targets(d)
+    } & live_dirs
+    return {
+        "positions": sum(d.get("rows", 0) for d in dvs),
+        "sidecars": len(dvs),
+        "covered_files": len(covered),
+    }
+
+
+def purge_deletion_vectors(
+    spark: SparkSession, root: str, idempotency_key: str | None = None
+) -> int:
+    """DV-targeted purge — the Delta ``REORG TABLE … APPLY (PURGE)``
+    analog (r14; r13 VERDICT #2): rewrite ONLY the data files carrying
+    live deletion-vector positions, folding their sidecars away, and
+    leave every other file untouched byte-for-byte. This bounds the
+    takedown-to-PHYSICAL-deletion window: partial compact deliberately
+    keeps sidecars on big anchors (test_deletion_vectors.py pins it),
+    so without this op a 1-row GDPR delete's bytes persist until the
+    next FULL OPTIMIZE of that file.
+
+    Each covered file rewrites to its OWN batch, preserving layout:
+    its column-stats columns are re-tracked and its ``__zorder__``
+    envelope metadata carries over (position removal only shrinks the
+    true extent, so the recorded envelope stays a valid superset for
+    pruning — anchors keep pruning after the purge). Every live
+    sidecar is removed (all its live targets are rewritten here;
+    sidecars whose targets are already dead are stale and dropped).
+
+    Commit kind is ``compact``: the purge is logically empty, so CDC
+    windows spanning it read zero purge files. Conflict claim = the
+    covered files' partition values; racing writers of other
+    partitions proceed. Cost: O(covered files) rewrite jobs — bounded
+    by the maintenance trigger (scheduler.snapshot_maintenance_job
+    fires this when ``dv_debt`` crosses its thresholds), never
+    O(table). Returns the committed version (unchanged when no live
+    DVs). Time travel still sees the pre-purge state until vacuum."""
+    done = _already_committed(root, idempotency_key)
+    if done is not None:
+        return done
+    try:
+        base_v, all_live, _ = _snapshot(root)
+    except NoSuchTableError:
+        return 0
+    data_all, dvs_all = _split_dvs(all_live)
+    if not dvs_all:
+        return base_v
+    live_dirs = {e["path"] for e in data_all}
+    covered_dirs = {
+        os.path.dirname(t) for d in dvs_all for t in _dv_targets(d)
+    } & live_dirs
+    covered = [e for e in data_all if e["path"] in covered_dirs]
+    touched: set[str] = set()
+    actions: list[dict] = []
+    for e in covered:
+        if e.get("values") is None:
+            touched = {"*"}
+        elif "*" not in touched:
+            touched.update(e["values"])
+        rewritten = _read_data(spark, root, [e], dvs_all)
+        track = tuple(
+            k for k in (e.get("stats") or {}) if not k.startswith("__")
+        )
+        new = _write_batch(rewritten, root, e.get("partition_col"), track)
+        if new is not None:
+            z = (e.get("stats") or {}).get("__zorder__")
+            if z:
+                new["stats"] = {**(new.get("stats") or {}), "__zorder__": z}
+        if new is not None:
+            actions.append(new)
+        actions.append({"op": "remove", "path": e["path"]})
+    # every sidecar's live targets were rewritten above; stale sidecars
+    # (targets already dead) are dropped with them
+    actions.extend({"op": "remove", "path": d["path"]} for d in dvs_all)
+    # same no-recompute posture as compact: the rewrite ran against a
+    # pinned snapshot, so a racer touching these partitions must fail
+    # the purge (scheduler retries) rather than resurrect its rows
+    return _commit(
+        root, actions, "compact", touched, idempotency_key, base_v=base_v
+    )
+
+
 def find_commit_by_key(root: str, idempotency_key: str) -> dict | None:
     """Newest-first scan for the commit carrying ``idempotency_key``;
     returns its metadata (version/kind/replaced/n_actions) or None.
