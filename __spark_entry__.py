@@ -4718,6 +4718,57 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_multirange_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANDed multi-predicate stats pruning (r14; r13 VERDICT #4):
+    events land as four batches with pairwise-disjoint (user_id, value)
+    stat boxes (the shape a (user_id, value) z-order produces), and the
+    read passes BOTH ranges — ``read_table(column_ranges=[(user_id,
+    10, 40), (value, 5, 30)])`` — so manifest pruning intersects on
+    both dimensions and lists ONE quadrant to Spark where either single
+    predicate keeps two (sources/snapstore.py _snapshot_for_read).
+    Oracle: the same conjunctive filter straight off events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("multirange", sf_dir)
+    if SS.find_commit_by_key(root, "mr-b4") is None:
+        ev = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        u_split, v_split = F.col("user_id") < 75, F.col("value") < 50.0
+        for key, cond in (
+            ("mr-b1", u_split & v_split),
+            ("mr-b2", u_split & ~v_split),
+            ("mr-b3", ~u_split & v_split),
+            ("mr-b4", ~u_split & ~v_split),
+        ):
+            SS.append(
+                ev.filter(cond), root, "event_date",
+                idempotency_key=key, stats_cols=("user_id", "value"),
+            )
+    # proof the AND prunes harder than either predicate alone: the
+    # quadrant layout makes these survivor counts exact at every sf
+    both = SS._snapshot_for_read(
+        root, None, None, [("user_id", 10, 40), ("value", 5.0, 30.0)]
+    )[1]
+    only_u = SS._snapshot_for_read(root, None, None, [("user_id", 10, 40)])[1]
+    assert len(both) < len(only_u), (len(both), len(only_u))
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(
+            spark, root,
+            column_ranges=[("user_id", 10, 40), ("value", 5.0, 30.0)],
+        )
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_dec.alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_snapshot_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``AS OF <timestamp>`` time travel (r12; r11 VERDICT #5): the
     same two-version KPI table as ``snapshot_time_travel``, but the
@@ -5122,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_multicol_partition": q_snapshot_multicol_partition,
         "snapshot_restore": q_snapshot_restore,
         "snapshot_schema_evolution": q_snapshot_schema_evolution,
+        "snapshot_multirange_read": q_snapshot_multirange_read,
         "snapshot_is_null_scan": q_snapshot_is_null_scan,
         "snapshot_as_of_read": q_snapshot_as_of_read,
         "snapshot_changes_compacted": q_snapshot_changes_compacted,
@@ -8283,6 +8335,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
         FROM events
         GROUP BY 1, 2
+    """
+    # ANDed stat ranges are a plain conjunctive filter logically
+    o["snapshot_multirange_read"] = """
+        SELECT event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id BETWEEN 10 AND 40
+          AND value BETWEEN 5.0 AND 30.0
+        GROUP BY 1
     """
     # the IS NULL audit: every 7th event was anonymized in the store
     o["snapshot_is_null_scan"] = """

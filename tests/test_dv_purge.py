@@ -83,7 +83,7 @@ def test_purge_preserves_zorder_pruning(spark, tmp_path):
     got = _ids(SS.read_table(spark, root, column_range=("id", 40, 49)))
     assert got == [i for i in range(40, 50) if i != 42]
     # pruning still bites: the narrow range reads fewer files than all
-    narrow = SS._snapshot_for_read(root, None, None, ("id", 40, 49))[1]
+    narrow = SS._snapshot_for_read(root, None, None, [("id", 40, 49)])[1]
     assert len(narrow) < len(live)
 
 
