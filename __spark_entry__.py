@@ -1122,13 +1122,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- temporal joins / sketches
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with TRAINED MLlib KMeans centroids (seeded) — the MLlib
-    integration route; randomized-init training ⇒ rows-only driver
-    check, semantics pinned by tests."""
+    """IVF with TRAINED MLlib KMeans centroids (seeded) and MULTI-PROBE
+    (r14; r13 VERDICT #6 — the FAISS ``nprobe`` recall lever): queries
+    fan out to their 8 nearest of 16 cells, lifting recall@10 from 0.30
+    (single-probe) to 0.90 at sf0.01 while still scanning only the
+    probed cells' inverted lists — at production cell counts (|C|≈√N)
+    P=8 probes a vanishing corpus fraction. Randomized-init training ⇒
+    rows-only driver check; the recall floor (0.60) is enforced by the
+    local property harness (p_ivf_kmeans_topk)."""
     emb = _emb(spark, sf_dir)
     cents = SIM.kmeans_centroids(emb, k=16, seed=42)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return SIM.ivf_topk_with_centroids(emb, queries, cents, k=10)
+    return SIM.ivf_topk_with_centroids(emb, queries, cents, k=10, nprobe=8)
 
 
 def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10446,7 +10451,10 @@ def _recall_vs(approx: DataFrame, exact: DataFrame) -> float:
 
 def p_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> dict:
     """IVF recall@10 against exact cosine top-k (brute_force_topk is the
-    oracle-checked exact path). Single-cell probe of 16 trained cells."""
+    oracle-checked exact path). 8-cell multi-probe of 16 trained cells
+    (r14 — nprobe lifted the measured recall to 0.90; the floor rises
+    0.30 → 0.60 per the r13 VERDICT, still ~33% under measured so
+    seed/version drift passes while a broken probe path fails)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = q_ivf_kmeans_topk(spark, sf_dir).select("query_id", "neighbor_id")
@@ -10454,7 +10462,7 @@ def p_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> dict:
         "query_id", "neighbor_id"
     )
     r = _recall_vs(approx, exact)
-    floor = 0.30
+    floor = 0.60
     return {
         "ok": r >= floor,
         "metric": round(r, 4),

@@ -153,15 +153,24 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its max-cosine
-    centroid (deterministic tiebreak: lowest centroid id).
+    """IVF coarse quantization: assign every vector to its ``nprobe``
+    max-cosine centroids (deterministic tiebreak: lowest centroid id).
+
+    ``nprobe=1`` (the default) is the build-side assignment — every
+    corpus vector lives in exactly ONE cell of the inverted file.
+    ``nprobe>1`` is the QUERY-side multi-probe (r14, r13 VERDICT #6 —
+    the standard IVF recall lever, FAISS ``nprobe``): a query fans out
+    to its P nearest cells, recovering neighbors that fell just across
+    a cell boundary at P× the probe cost (still ~P·N/|C| of the corpus,
+    never all of it).
 
     ``centroids`` is a small (cent_id, _cv, _cn) frame — broadcast, so
     assignment is one scan over the corpus with |C| fold evaluations per
-    row and a per-vector argmax window. At 100 TB this is the single
+    row and a per-vector top-P window. At 100 TB this is the single
     repartition-by-cell pass that builds the inverted file.
-    Output: (id, _v, _n, cell)."""
+    Output: (id, _v, _n, cell) — one row per (vector, probed cell)."""
     v = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -175,7 +184,7 @@ def ivf_assign(
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(
             F.col("_id").alias(id_col),
             "_v",
@@ -192,9 +201,11 @@ def ivf_topk(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize corpus and queries to ``n_centroids``
-    cells, probe the query's own cell (nprobe=1), exact cosine re-rank.
+    cells, probe the query's ``nprobe`` nearest cells (r14 multi-probe;
+    default 1 = own cell only), exact cosine re-rank.
 
     Centroids here are the fixed vectors ``id < n_centroids`` —
     deterministic plumbing-first quantizer; swapping in trained k-means
@@ -211,7 +222,7 @@ def ivf_topk(
         F.col("_n").alias("_nn"),
         "cell",
     )
-    qcells = ivf_assign(queries, cents, id_col, vec_col).select(
+    qcells = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_n").alias("_qn"),
@@ -273,17 +284,22 @@ def ivf_topk_with_centroids(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """``ivf_topk`` with an explicit (cent_id, _cv, _cn) centroid frame
-    (e.g. from ``kmeans_centroids``): corpus and queries quantize to the
-    same trained cells, probe the query's own cell, exact re-rank."""
+    (e.g. from ``kmeans_centroids``): corpus quantizes once (one cell
+    per vector), queries probe their ``nprobe`` nearest cells (r14 —
+    multi-probe recovers boundary-straddling neighbors at P× probe
+    cost; a corpus vector lives in exactly one cell, so each (query,
+    neighbor) pair scores at most once and needs no dedup), exact
+    cosine re-rank over the probed union."""
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_v").alias("_nv"),
         F.col("_n").alias("_nn"),
         "cell",
     )
-    qcells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    qcells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_n").alias("_qn"),

@@ -116,6 +116,22 @@ def test_ivf_assigns_cells_and_reranks(spark):
     assert order == [3, 0]
 
 
+def test_ivf_multi_probe_recovers_boundary_neighbors(spark):
+    """r14 (r13 VERDICT #6): a neighbor just across the cell boundary
+    is invisible at nprobe=1 and recovered at nprobe=2; each pair
+    scores exactly once (corpus vectors live in one cell)."""
+    # c0=[1,0], c1=[0,1]; vec 2 sits in cell 0; vec 3 ([0.4, 0.6]) is
+    # its closest OTHER vector but quantizes to cell 1
+    corpus = _vecs(spark, [[1, 0], [0, 1], [0.6, 0.4], [0.4, 0.6]])
+    queries = corpus.filter(F.col("vec_id") == 2)
+    one = SIM.ivf_topk(corpus, queries, k=10, n_centroids=2, nprobe=1).collect()
+    assert 3 not in {r["neighbor_id"] for r in one}
+    two = SIM.ivf_topk(corpus, queries, k=10, n_centroids=2, nprobe=2).collect()
+    got = sorted(two, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in got] == [3, 0, 1]  # 3 now ranks first
+    assert len(got) == len({(r["neighbor_id"]) for r in got})  # no dups
+
+
 def test_embedding_near_dup_threshold(spark):
     corpus = _vecs(spark, [[1, 0.01], [1, 0.012], [0.5, 0.9]])
     out = SIM.embedding_near_dup_pairs(corpus, threshold=0.99, nbits=2).collect()
