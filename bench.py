@@ -324,6 +324,10 @@ BENCH_QUERIES: list[str] = [
     "snapshot_is_null_scan",
     "snapshot_as_of_read",
     "snapshot_changes_compacted",
+    # round-14: write-side schema enforcement (the evolved-table read
+    # through merge_schema) and ANDed multi-predicate stats pruning
+    "snapshot_schema_evolution",
+    "snapshot_multirange_read",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in
