@@ -4774,6 +4774,144 @@ def q_snapshot_multirange_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints at the storage layer (r14 — Delta ``ALTER
+    TABLE … ADD CONSTRAINT`` semantics): the table declares
+    ``value >= 0 AND event_type IS NOT NULL``; a poisoned producer
+    batch (values negated) is REJECTED whole before anything commits
+    (sources/snapstore.py — the violation count rides the write's
+    existing stats aggregate, zero extra jobs), clean batches land.
+    Oracle: the clean slices' aggregate — the poisoned batch must be
+    invisible. Reference analog: the ORM's column constraints +
+    row-validation gate (backend/app/services/ingestion.py:138-168)."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("constraint", sf_dir)
+    if SS.find_commit_by_key(root, "cc-b2") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        SS.append(
+            ev.filter(F.col("event_id") % 2 == 0),
+            root, "event_date", idempotency_key="cc-b1",
+        )
+        SS.add_check_constraint(
+            spark, root, "value_nonneg",
+            "value >= 0 AND event_type IS NOT NULL",
+            idempotency_key="cc-ddl",
+        )
+        poisoned = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "value", -F.abs(F.col("value")) - F.lit(1.0)
+        )
+        try:
+            SS.append(poisoned, root, "event_date", idempotency_key="cc-bad")
+            raise AssertionError("violating batch must be rejected")
+        except SS.ConstraintViolationError:
+            pass
+        SS.append(
+            ev.filter(F.col("event_id") % 2 == 1),
+            root, "event_date", idempotency_key="cc-b2",
+        )
+    assert SS.table_constraints(root), "constraint must be recorded"
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
+def q_snapshot_analyze_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE stats backfill (r14 — ``ANALYZE TABLE … COMPUTE
+    STATISTICS FOR COLUMNS``): the table was ingested WITHOUT
+    stats_cols (the pre-discipline legacy shape — no manifest pruning
+    possible), then ``analyze_table`` backfills per-batch
+    min/max/null-count stats in one metadata commit with zero data
+    movement (sources/snapstore.py analyze_table; the commit is
+    CDC-transparent like compact). The read proves retroactive
+    pruning: the user-range scan lists fewer batches than live
+    (asserted) and matches the oracle straight off events."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("analyze", sf_dir)
+    if SS.find_commit_by_key(root, "az-done") is None:
+        ev = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id").isNotNull())
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        # legacy slices split by user range — NO stats recorded
+        for key, cond in (
+            ("az-b1", F.col("user_id") < 75),
+            ("az-b2", F.col("user_id") >= 75),
+        ):
+            SS.append(ev.filter(cond), root, "event_date", idempotency_key=key)
+        SS.analyze_table(spark, root, ("user_id",), idempotency_key="az-done")
+    pruned = SS._snapshot_for_read(root, None, None, [("user_id", 10, 40)])[1]
+    total = SS._snapshot_for_read(root, None, None, None)[1]
+    assert len(pruned) < len(total), (len(pruned), len(total))
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root, column_range=("user_id", 10, 40))
+        .groupBy(F.col("event_type").alias("metric"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_dec.alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_snapshot_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE (r14 — Delta ``OPTIMIZE tbl WHERE
+    partition = …``): a month of per-day micro-batches, then
+    maintenance compacts ONLY the busiest day's partition
+    (``compact(partition_values=[…])``) — the other days' batches stay
+    untouched byte-for-byte (asserted via the manifest), the scoped
+    rewrite is logically empty for CDC, and the read is the full-table
+    aggregate, bit-equal to events. The surgical form of nightly
+    maintenance: cost follows the day, not the table."""
+    from smartdatapipeline_spark.sources import snapstore as SS
+
+    root = _tmp_store("optwhere", sf_dir)
+    if SS.find_commit_by_key(root, "ow-opt") is None:
+        ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+        days = sorted(
+            r[0] for r in ev.select("event_date").distinct().collect()
+        )
+        split = days[len(days) // 2]  # scale-invariant date split
+        early, late = F.col("event_date") <= F.lit(split), F.col(
+            "event_date"
+        ) > F.lit(split)
+        # two batches per half: the scoped compact merges the early
+        # pair; the late pair must stay untouched byte-for-byte
+        for key, cond in (
+            ("ow-b0", early & (F.col("event_id") % 2 == 0)),
+            ("ow-b1", early & (F.col("event_id") % 2 == 1)),
+            ("ow-b2", late & (F.col("event_id") % 2 == 0)),
+            ("ow-b3", late & (F.col("event_id") % 2 == 1)),
+        ):
+            SS.append(ev.filter(cond), root, "event_date", idempotency_key=key)
+        scope = [str(d) for d in days if d <= split]
+        untouched = {
+            e["path"]
+            for e in SS._snapshot(root)[1]
+            if e.get("values") and not (set(e["values"]) & set(scope))
+        }
+        assert len(untouched) == 2, untouched
+        SS.compact(
+            spark, root, partition_values=scope, idempotency_key="ow-opt"
+        )
+        after = {e["path"] for e in SS._snapshot(root)[1]}
+        assert untouched <= after, "unscoped batches must be untouched"
+        # the two early batches became one
+        assert len(after) == len(untouched) + 1, after
+    sum_dec = F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+    return (
+        SS.read_table(spark, root)
+        .groupBy(F.col("event_date").alias("metric_date"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), sum_dec.alias("value_sum"))
+    )
+
+
 def q_snapshot_as_of_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``AS OF <timestamp>`` time travel (r12; r11 VERDICT #5): the
     same two-version KPI table as ``snapshot_time_travel``, but the
@@ -5179,6 +5317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_restore": q_snapshot_restore,
         "snapshot_schema_evolution": q_snapshot_schema_evolution,
         "snapshot_multirange_read": q_snapshot_multirange_read,
+        "snapshot_check_constraint": q_snapshot_check_constraint,
+        "snapshot_analyze_prune": q_snapshot_analyze_prune,
+        "snapshot_optimize_where": q_snapshot_optimize_where,
         "snapshot_is_null_scan": q_snapshot_is_null_scan,
         "snapshot_as_of_read": q_snapshot_as_of_read,
         "snapshot_changes_compacted": q_snapshot_changes_compacted,
@@ -8350,6 +8491,34 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id BETWEEN 10 AND 40
           AND value BETWEEN 5.0 AND 30.0
+        GROUP BY 1
+    """
+    # the poisoned (negated) batch was rejected whole: the table holds
+    # exactly the clean slices = all of events
+    o["snapshot_check_constraint"] = """
+        SELECT event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1
+    """
+    # analyze is metadata-only: the pruned range read equals the plain
+    # conjunctive filter
+    o["snapshot_analyze_prune"] = """
+        SELECT event_type AS metric,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE user_id BETWEEN 10 AND 40
+        GROUP BY 1
+    """
+    # the scoped compact is logically empty: full-table read == events
+    o["snapshot_optimize_where"] = """
+        SELECT CAST(ts AS DATE) AS metric_date,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+        FROM events
         GROUP BY 1
     """
     # the IS NULL audit: every 7th event was anonymized in the store

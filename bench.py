@@ -325,9 +325,13 @@ BENCH_QUERIES: list[str] = [
     "snapshot_as_of_read",
     "snapshot_changes_compacted",
     # round-14: write-side schema enforcement (the evolved-table read
-    # through merge_schema) and ANDed multi-predicate stats pruning
+    # through merge_schema), ANDed multi-predicate stats pruning,
+    # CHECK constraints, ANALYZE stats backfill, and scoped OPTIMIZE
     "snapshot_schema_evolution",
     "snapshot_multirange_read",
+    "snapshot_check_constraint",
+    "snapshot_analyze_prune",
+    "snapshot_optimize_where",
 ]
 
 #: deliberate heavy non-production routes — benched separately, never in

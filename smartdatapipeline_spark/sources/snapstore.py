@@ -121,6 +121,16 @@ class SchemaMismatchError(RuntimeError):
     columns require an explicit ``allow_new_columns=True``."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """An incoming batch holds rows violating a table CHECK constraint
+    (r14 — Delta ``ALTER TABLE … ADD CONSTRAINT`` semantics: a row
+    passes when the expression is TRUE or NULL, violates when FALSE;
+    the whole write is rejected, nothing commits). Reference analog:
+    the ORM's column constraints + row-validation gate
+    (backend/app/services/ingestion.py:138-168) enforced at the
+    storage layer."""
+
+
 #: protocol versions THIS engine can read / write. Every commit and
 #: checkpoint stamps the minimum versions required to consume it;
 #: absent stamps (pre-r14 logs) are implicitly version 1.
@@ -496,10 +506,14 @@ def _snapshot_for_read(
                     del tail_adds[a["path"]]
                 else:
                     tail_removes.add(a["path"])
-    if tail_removes:
+    # a tail ADD of a path already in the checkpoint (analyze stats
+    # backfill re-adds live entries, r14) REPLACES the checkpoint row —
+    # newest add wins, same as the dict replay in _snapshot
+    overridden = tail_removes | set(tail_adds)
+    if overridden:
         t = t.filter(
             pc.invert(
-                pc.is_in(t["path"], value_set=pa.array(sorted(tail_removes)))
+                pc.is_in(t["path"], value_set=pa.array(sorted(overridden)))
             )
         )
     # split sidecars out: a cheap vectorized substring probe on the
@@ -583,9 +597,11 @@ def _maybe_checkpoint(root: str, version: int) -> None:
     d = _log_path(root)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     final = os.path.join(d, f"{version:0{_V_WIDTH}d}.checkpoint.parquet")
-    # r14: carry the table schema in the checkpoint so vacuum_log can
-    # truncate the schema-stamping commits without losing enforcement
+    # r14: carry the table schema and CHECK constraints in the
+    # checkpoint so vacuum_log can truncate the stamping commits
+    # without losing enforcement
     rec_schema = table_schema(root, version)
+    rec_cons = table_constraints(root, version)
     table = pa.table(
         {
             "path": pa.array([e["path"] for e in live], pa.string()),
@@ -618,6 +634,7 @@ def _maybe_checkpoint(root: str, version: int) -> None:
                 if rec_schema is not None
                 else {}
             ),
+            b"constraints": json.dumps(rec_cons).encode(),
         },
     )
     _pq.write_table(table, tmp)
@@ -642,6 +659,7 @@ def _write_batch(
     root: str,
     partition_col: str | None,
     stats_cols: tuple[str, ...] = (),
+    check_constraints: dict | None = None,
 ) -> dict | None:
     """Write one immutable batch dir; return its add-action entry (or
     None for an empty batch). The partition value set is computed with
@@ -679,10 +697,44 @@ def _write_batch(
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+    # CHECK-constraint validation rides the SAME aggregate — zero extra
+    # jobs per write (r14): a row violates when the expression is FALSE
+    # (TRUE or NULL passes, SQL CHECK semantics)
+    names = sorted(check_constraints) if check_constraints else []
+    for i, cname in enumerate(names):
+        aggs.append(
+            F.sum(
+                (
+                    ~F.coalesce(
+                        F.expr(check_constraints[cname]).cast("boolean"),
+                        F.lit(True),
+                    )
+                ).cast("long")
+            ).alias(f"_viol_{i}")
+        )
     row = back.agg(*aggs).first()
     rows = row["_n"]
     if rows == 0:
         return None
+    for i, cname in enumerate(names):
+        n_bad = int(row[f"_viol_{i}"] or 0)
+        if n_bad:
+            sample = [
+                tuple(r)
+                for r in back.filter(
+                    ~F.coalesce(
+                        F.expr(check_constraints[cname]).cast("boolean"),
+                        F.lit(True),
+                    )
+                )
+                .limit(3)
+                .collect()
+            ]
+            raise ConstraintViolationError(
+                f"CHECK constraint {cname!r} "
+                f"({check_constraints[cname]}) violated by {n_bad} incoming "
+                f"row(s); first: {sample} — nothing committed"
+            )
     stats = {
         c: {
             "min": _json_scalar(row[f"_min_{c}"]),
@@ -709,36 +761,140 @@ def _schema_of(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
-def table_schema(root: str, version: int | None = None) -> list[list[str]] | None:
-    """The table's RECORDED schema at ``version`` (r14 — the Delta
-    schema-in-the-log answer): the newest write commit ≤ version that
-    stamped one, falling back to the newest checkpoint's metadata
-    (vacuumed logs), else None (pre-r14 table that has not been written
-    since — no enforcement until its next write records one)."""
+def _newest_meta_stamp(root: str, version: int | None, key: str):
+    """Newest-stamp-wins resolution for log-carried table metadata
+    (schema / constraints, r14): walk commits newest-first for ``key``,
+    stopping at the newest checkpoint ≤ target — the checkpoint's
+    metadata carries the folded stamp for everything below it, so the
+    walk is bounded by the checkpoint interval, and stamps vacuumed out
+    of the log survive. Returns the raw stamped value or None.
+
+    Stamps are written ONLY by commits that CHANGE the value (schema
+    adoption/evolution, add/drop constraint) — an unchanged write does
+    not re-stamp, so a concurrent stale writer can never roll back a
+    newer change by committing after it."""
     commits, cps = _list_log(root)
     if not commits:
         return None
     target = commits[-1] if version is None else version
+    usable = [c for c in cps if c <= target and c in commits]
+    floor = usable[-1] if usable else None
     for v in reversed([c for c in commits if c <= target]):
+        if floor is not None and v < floor:
+            break  # the checkpoint at `floor` folds everything below
         c = _read_json(os.path.join(_log_path(root), _vname(v)))
-        if c.get("schema") is not None:
-            return [list(x) for x in c["schema"]]
-    for cp in reversed([c for c in cps if c <= target and c in commits]):
+        if key in c:
+            return c[key]
+    if floor is not None:
         pq_path = os.path.join(
-            _log_path(root), f"{cp:0{_V_WIDTH}d}.checkpoint.parquet"
+            _log_path(root), f"{floor:0{_V_WIDTH}d}.checkpoint.parquet"
         )
         if os.path.exists(pq_path):
             import pyarrow.parquet as _pq
 
             meta = _pq.read_schema(pq_path).metadata or {}
-            if b"schema" in meta:
-                return [list(x) for x in json.loads(meta[b"schema"])]
+            bkey = key.encode()
+            if bkey in meta:
+                return json.loads(meta[bkey])
+        else:
+            # legacy JSON checkpoint: keep walking the remaining commits
+            for v in reversed([c for c in commits if c < floor]):
+                c = _read_json(os.path.join(_log_path(root), _vname(v)))
+                if key in c:
+                    return c[key]
     return None
+
+
+def table_schema(root: str, version: int | None = None) -> list[list[str]] | None:
+    """The table's RECORDED schema at ``version`` (r14 — the Delta
+    schema-in-the-log answer): the newest schema-changing commit ≤
+    version, falling back to checkpoint metadata (vacuumed logs), else
+    None (pre-r14 table that has not been written since — no
+    enforcement until its next write records one)."""
+    s = _newest_meta_stamp(root, version, "schema")
+    return [list(x) for x in s] if s is not None else None
+
+
+def table_constraints(root: str, version: int | None = None) -> dict[str, str]:
+    """The table's CHECK constraints at ``version`` (r14): ``{name:
+    sql_expression}`` from the newest ``set_constraint`` commit ≤
+    version (each stamps the FULL current set — {} after a drop — so
+    the newest stamp wins and a dropped constraint never resurfaces),
+    falling back to checkpoint metadata, else {} (no constraints)."""
+    c = _newest_meta_stamp(root, version, "constraints")
+    return dict(c) if c is not None else {}
+
+
+def add_check_constraint(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expression: str,
+    validate: bool = True,
+    idempotency_key: str | None = None,
+) -> int:
+    """``ALTER TABLE … ADD CONSTRAINT name CHECK (expression)`` (r14):
+    land one metadata-only commit recording the constraint; every
+    subsequent write validates its incoming batch against the full set
+    inside the batch's existing stats aggregate (zero extra jobs) and
+    raises ``ConstraintViolationError`` before anything commits — the
+    write-side invariant that keeps a multi-producer table clean at
+    the storage layer. ``validate=True`` (the Delta default) first
+    scans the CURRENT table and refuses the constraint if existing
+    rows already violate it — a constraint that doesn't hold is a lie
+    to every future reader."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"constraint name must be alphanumeric/underscore: {name!r}")
+    current = table_constraints(root)
+    if current.get(name) == expression:
+        return table_version(root)  # already present, idempotent
+    done = _already_committed(root, idempotency_key)
+    if done is not None:
+        return done
+    if validate:
+        try:
+            existing = read_table(spark, root)
+        except NoSuchTableError:
+            existing = None
+        if existing is not None:
+            viol = existing.filter(
+                ~F.coalesce(F.expr(expression).cast("boolean"), F.lit(True))
+            ).limit(3)
+            sample = viol.collect()
+            if sample:
+                raise ConstraintViolationError(
+                    f"add_check_constraint({name!r}): {len(sample)}+ existing "
+                    f"row(s) already violate ({expression}); first: "
+                    f"{[tuple(r) for r in sample]}"
+                )
+    return _commit(
+        root, [], "set_constraint", None, idempotency_key,
+        constraints={**current, name: expression},
+    )
+
+
+def drop_check_constraint(
+    root: str, name: str, idempotency_key: str | None = None
+) -> int:
+    """``ALTER TABLE … DROP CONSTRAINT name`` — one metadata commit
+    stamping the remaining set (possibly {}: later stamps always win,
+    so the drop never resurfaces from an older stamp)."""
+    current = table_constraints(root)
+    if name not in current:
+        return table_version(root)
+    done = _already_committed(root, idempotency_key)
+    if done is not None:
+        return done
+    remaining = {k: v for k, v in current.items() if k != name}
+    return _commit(
+        root, [], "set_constraint", None, idempotency_key,
+        constraints=remaining,
+    )
 
 
 def _resolve_write_schema(
     df: DataFrame, root: str, allow_new_columns: bool, op: str
-) -> tuple[list[list[str]], bool]:
+) -> tuple[list[list[str]] | None, bool]:
     """Write-side schema enforcement (r14, r13 VERDICT #1 — the missing
     table-format invariant a multi-producer deployment hits weekly):
     compare the incoming frame against the table's recorded schema and
@@ -756,7 +912,12 @@ def _resolve_write_schema(
       there). Reference analog: deliberate Alembic migrations over a
       fixed ORM schema (backend/migrations/versions/20251104_0001_*).
     - table without a recorded schema (new, or pre-r14): adopt the
-      frame's schema — enforcement starts with this write."""
+      frame's schema — enforcement starts with this write.
+
+    The returned stamp is None when the schema is UNCHANGED — only
+    adopting/evolving commits stamp, so a slow writer that resolved
+    before a concurrent evolution cannot roll the record back by
+    committing after it (newest-stamp-wins stays safe)."""
     recorded = table_schema(root)
     if recorded is None:
         return _schema_of(df), False
@@ -788,7 +949,7 @@ def _resolve_write_schema(
                 "read_table(merge_schema=True))"
             )
         return [list(x) for x in recorded] + [[n, have[n]] for n in new], True
-    return [list(x) for x in recorded], False
+    return None, False  # unchanged: no stamp
 
 
 def _json_scalar(v):
@@ -1031,6 +1192,7 @@ def _commit(
     base_v: int = 0,
     schema: list[list[str]] | None = None,
     schema_evolved: bool = False,
+    constraints: dict | None = None,
 ) -> int:
     """Optimistic-commit loop. ``replaced`` is the partition-value set
     this commit overwrites (None ⇒ append, conflicts with nothing;
@@ -1093,6 +1255,10 @@ def _commit(
             payload["schema"] = schema
             if schema_evolved:
                 payload["schema_evolved"] = True
+        if constraints is not None:
+            # full current CHECK-constraint set (newest stamp wins; {}
+            # is a meaningful stamp — it records a drop)
+            payload["constraints"] = constraints
         if _try_claim(root, read_v + 1, payload):
             _maybe_checkpoint(root, read_v + 1)
             return read_v + 1
@@ -1139,7 +1305,11 @@ def append(
     if done is not None:
         return done
     schema, evolved = _resolve_write_schema(df, root, allow_new_columns, "append")
-    entry = _write_batch(df, root, _part_name(partition_col), stats_cols)
+    cons = table_constraints(root)
+    entry = _write_batch(
+        df, root, _part_name(partition_col), stats_cols,
+        check_constraints=cons or None,
+    )
     if entry is None:
         return table_version(root)
     return _commit(
@@ -1184,7 +1354,10 @@ def overwrite_partitions(
             return _snapshot(root)[0]
         except NoSuchTableError:
             return 0
-    new_entry = _write_batch(df, root, pname, stats_cols)
+    cons = table_constraints(root)
+    new_entry = _write_batch(
+        df, root, pname, stats_cols, check_constraints=cons or None
+    )
 
     def build_actions(live: list[dict]) -> list[dict]:
         removes = [e for e in live if _values_intersect(e, replaced)]
@@ -1256,7 +1429,10 @@ def overwrite_table(
         schema, evolved = _resolve_write_schema(
             df, root, allow_new_columns, "overwrite_table"
         )
-    new_entry = _write_batch(df, root, partition_col, stats_cols)
+    cons = table_constraints(root)
+    new_entry = _write_batch(
+        df, root, partition_col, stats_cols, check_constraints=cons or None
+    )
 
     def build_actions(live: list[dict]) -> list[dict]:
         actions: list[dict] = [new_entry] if new_entry is not None else []
@@ -1402,6 +1578,7 @@ def merge(
     if done is not None:
         return done
     schema, evolved = _resolve_write_schema(df, root, allow_new_columns, "merge")
+    cons = table_constraints(root)
     if validate_source_unique:
         dupes = (
             df.groupBy(*keys)
@@ -1491,7 +1668,10 @@ def merge(
                 remainder = df.join(tgt_keys, on=keys, how="left_anti")
             else:
                 remainder = df
-            entry = _write_batch(remainder, root, pname, stats_cols)
+            entry = _write_batch(
+                remainder, root, pname, stats_cols,
+                check_constraints=cons or None,
+            )
             if entry is not None:
                 actions.append(entry)
             return actions
@@ -1528,7 +1708,9 @@ def merge(
                     res_entry["residue"] = True
                     actions.append(res_entry)
                 actions.extend({"op": "remove", "path": e["path"]} for e in hit)
-        inc_entry = _write_batch(df, root, pname, stats_cols)
+        inc_entry = _write_batch(
+            df, root, pname, stats_cols, check_constraints=cons or None
+        )
         if inc_entry is not None:
             actions.append(inc_entry)
         return actions
@@ -1611,6 +1793,13 @@ def delete_where(
         if partition_values is not None
         else None
     )
+    # prune accepts one (col, lo, hi) triple or a LIST of them ANDed
+    # (r14 — symmetric with read_table's column_ranges)
+    prunes: list = (
+        []
+        if prune is None
+        else ([prune] if isinstance(prune[0], str) else [tuple(p) for p in prune])
+    )
 
     def _candidates(live: list[dict]) -> list[dict]:
         out = []
@@ -1619,7 +1808,9 @@ def delete_where(
                 continue
             if want is not None and not _values_intersect(e, want):
                 continue
-            if prune is not None and not _stats_intersect(e, prune[0], prune[1], prune[2]):
+            if any(
+                not _stats_intersect(e, pc_, lo, hi) for pc_, lo, hi in prunes
+            ):
                 continue
             if prune_nulls is not None and not _stats_nulls_possible(e, prune_nulls):
                 continue
@@ -1988,9 +2179,10 @@ def resolve_commit_changes(
             }
         removed_dv = {r["path"] for r in dv_removes}
         dv_after = {p: i for p, i in dv_at.items() if p not in removed_dv}
-        if kind == "compact":
-            # logically empty rewrite (DV folds included) — emit nothing
-            # but keep the live-state registry current
+        if kind in ("compact", "analyze"):
+            # logically empty: compact rewrites (DV folds included) and
+            # analyze stats backfills (same paths re-added with merged
+            # stats, r14) — emit nothing, keep the registry current
             live_dirs, dv_info = live_after, dv_after
             continue
         replaced = c.get("replaced") or []
@@ -2279,6 +2471,7 @@ def compact(
     zorder_by: tuple | None = None,
     stats_cols: tuple[str, ...] = (),
     small_only_rows: int | None = None,
+    partition_values: list | None = None,
 ) -> int:
     """Small-file compaction (the Delta OPTIMIZE / Iceberg rewrite-
     data-files maintenance op): rewrite ALL live batches into
@@ -2327,7 +2520,24 @@ def compact(
     z-keyed on their own domain and split into ``target_batches``
     ranges. Periodic FULL ZORDER (no ``small_only_rows``) re-tightens
     envelopes as the day-batches accrete — same cadence Delta users
-    run OPTIMIZE ZORDER vs plain OPTIMIZE."""
+    run OPTIMIZE ZORDER vs plain OPTIMIZE.
+
+    ``partition_values`` (r14 — the Delta ``OPTIMIZE tbl WHERE
+    partition = …`` form) restricts the rewrite to live batches whose
+    tracked values intersect the given values (encode composites with
+    ``encode_partition_value``): nightly maintenance compacts ONLY
+    yesterday's partition instead of scanning the table's whole
+    small-file population — the surgical form of ``small_only_rows``,
+    and composable with it. Incompatible with ``zorder_by`` (a z-pass
+    over a partition subset would record a lattice that conflicts with
+    the table-global one)."""
+    if partition_values is not None and zorder_by is not None:
+        raise ValueError(
+            "compact: partition_values cannot combine with zorder_by — a "
+            "z-pass over a partition subset would land a lattice "
+            "conflicting with the table-global one; run the scoped "
+            "bin-pack and a separate full/incremental ZORDER"
+        )
     done = _already_committed(root, idempotency_key)
     if done is not None:
         return done
@@ -2337,6 +2547,9 @@ def compact(
         return 0
     data_all, dvs_all = _split_dvs(all_live)
     live = data_all
+    if partition_values is not None:
+        want = {encode_partition_value(v) for v in partition_values}
+        live = [e for e in live if _values_intersect(e, want)]
     if small_only_rows is not None:
         live = [e for e in live if e.get("rows", 0) <= small_only_rows]
     if not live:
@@ -2598,6 +2811,102 @@ def purge_deletion_vectors(
     # the purge (scheduler retries) rather than resurrect its rows
     return _commit(
         root, actions, "compact", touched, idempotency_key, base_v=base_v
+    )
+
+
+def analyze_table(
+    spark: SparkSession,
+    root: str,
+    cols: tuple,
+    idempotency_key: str | None = None,
+) -> int:
+    """``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` analog (r14):
+    backfill per-batch min/max/null-count manifest stats for ``cols``
+    WITHOUT rewriting any data — one Spark job aggregates the stats of
+    every live batch missing any requested column (grouped by source
+    batch dir), and ONE metadata commit re-adds those entries with the
+    merged stats. A table ingested before the stats discipline (or
+    before a column existed) retroactively gains manifest pruning —
+    ``column_range`` / ``where_null`` skipping and merge key-range
+    candidate pruning — at metadata cost, no byte of data moved.
+
+    Batches already carrying stats for every requested column are
+    untouched. Stats describe the RAW file contents (deletion-vector
+    positions included — a superset envelope is always prune-safe).
+    The commit (kind ``analyze``) is logically empty: CDC windows
+    spanning it emit nothing, exactly like ``compact``. It claims the
+    updated batches' partitions so a racing rewrite conflicts instead
+    of having its removals silently undone by the re-adds; its entries
+    are flagged residue so the claim is one-directional (racers that
+    merely read are unaffected; see ``_commit_touched``)."""
+    done = _already_committed(root, idempotency_key)
+    if done is not None:
+        return done
+    try:
+        base_v, all_live, _ = _snapshot(root)
+    except NoSuchTableError:
+        return 0
+    data, _ = _split_dvs(all_live)
+    want = [c for c in cols]
+    todo = [
+        e
+        for e in data
+        if any(c not in (e.get("stats") or {}) for c in want)
+    ]
+    if not todo:
+        return base_v
+    # mergeSchema: mixed-vintage batches (schema evolution) must not
+    # fail the read; a column absent in a batch reads as NULL there
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["path"]) for e in todo]
+    )
+    present = [c for c in want if c in df.columns]
+    if not present:
+        return base_v
+    dir_col = F.concat_ws(
+        "/",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -3),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+    )
+    aggs = []
+    for c in present:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+    rows = (
+        df.withColumn("_dir", dir_col).groupBy("_dir").agg(*aggs).collect()
+    )
+    by_dir = {r["_dir"]: r for r in rows}
+    touched: set[str] = set()
+    actions: list[dict] = []
+    for e in todo:
+        r = by_dir.get(e["path"])
+        if r is None:
+            continue
+        merged = dict(e.get("stats") or {})
+        for c in present:
+            if c in merged:
+                continue  # never clobber stats recorded at write time
+            if r[f"_min_{c}"] is None and not (r[f"_nulls_{c}"] or 0):
+                continue  # column absent in this batch's vintage: no rows
+            merged[c] = {
+                "min": _json_scalar(r[f"_min_{c}"]),
+                "max": _json_scalar(r[f"_max_{c}"]),
+                "nulls": int(r[f"_nulls_{c}"] or 0),
+            }
+        if merged == (e.get("stats") or {}):
+            continue
+        if e.get("values") is None:
+            touched = {"*"}
+        elif "*" not in touched:
+            touched.update(e["values"])
+        entry = {**e, "stats": merged, "op": "add"}
+        entry["residue"] = True  # metadata move: racers' claims unaffected
+        actions.append(entry)
+    if not actions:
+        return base_v
+    return _commit(
+        root, actions, "analyze", touched, idempotency_key, base_v=base_v
     )
 
 
