@@ -815,6 +815,72 @@ def table_schema(root: str, version: int | None = None) -> list[list[str]] | Non
     return [list(x) for x in s] if s is not None else None
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (ignoring those inside <…> / (…))."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _type_from_simple(s: str):
+    """Spark ``DataType`` from its ``simpleString`` — PURE PYTHON, no
+    active SparkContext required (r14): the recorded schema must be
+    parseable inside the Python DataSource ``schema()`` hook and on
+    executors, where ``StructType.fromDDL`` (a JVM call) is
+    unavailable. Covers every type ``simpleString`` emits for the
+    engine's frames: atomics, decimal(p,s), array/map/struct nesting."""
+    from pyspark.sql import types as T
+
+    s = s.strip()
+    atomic = {
+        "string": T.StringType, "int": T.IntegerType,
+        "integer": T.IntegerType, "bigint": T.LongType, "long": T.LongType,
+        "smallint": T.ShortType, "tinyint": T.ByteType,
+        "double": T.DoubleType, "float": T.FloatType,
+        "boolean": T.BooleanType, "binary": T.BinaryType,
+        "date": T.DateType, "timestamp": T.TimestampType,
+        "timestamp_ntz": T.TimestampNTZType, "void": T.NullType,
+    }
+    if s in atomic:
+        return atomic[s]()
+    if s.startswith("decimal(") and s.endswith(")"):
+        p, sc = s[len("decimal("):-1].split(",")
+        return T.DecimalType(int(p), int(sc))
+    if s.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(_type_from_simple(s[len("array<"):-1]))
+    if s.startswith("map<") and s.endswith(">"):
+        k, v = _split_top(s[len("map<"):-1])
+        return T.MapType(_type_from_simple(k), _type_from_simple(v))
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[len("struct<"):-1]):
+            name, _, t = part.partition(":")
+            fields.append(T.StructField(name.strip(), _type_from_simple(t)))
+        return T.StructType(fields)
+    raise ValueError(f"unsupported simpleString type: {s!r}")
+
+
+def recorded_struct(recorded: list[list[str]]):
+    """``StructType`` for a recorded ``[[name, simpleString], …]``
+    schema — context-free (see ``_type_from_simple``)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(n, _type_from_simple(t)) for n, t in recorded]
+    )
+
+
 def table_constraints(root: str, version: int | None = None) -> dict[str, str]:
     """The table's CHECK constraints at ``version`` (r14): ``{name:
     sql_expression}`` from the newest ``set_constraint`` commit ≤
@@ -1118,8 +1184,19 @@ def _read_data(
     ``with_file_ref`` adds a ``_file`` column (root-relative data file
     of each row) computed AT THE SCAN — callers that need per-file
     probes must not use ``input_file_name()`` downstream of the DV
-    anti-join, where it no longer binds to the scan task."""
-    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in entries])
+    anti-join, where it no longer binds to the scan task.
+
+    Reads with ``mergeSchema`` (r14): after an additive schema
+    evolution the entries span vintages, and a plain multi-path read
+    takes ONE file's footer schema — a rewrite driven by it would
+    silently DROP the evolved columns' values from every wider file
+    it rewrites. The footer-union read keeps every column; rewrite
+    paths read all the data anyway, so the extra footer pass is
+    noise there."""
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, e["path"]) for e in entries])
+    )
     if with_file_ref:
         df = df.withColumn("_file", _file_ref_col())
     return _apply_dvs(spark, root, df, _dvs_for(dvs, entries))
@@ -1981,10 +2058,28 @@ def read_table(
                 .parquet(*[os.path.join(root, e["path"]) for e in all_live])
                 .limit(0)
             )
+        recorded0 = table_schema(root, target)
+        if recorded0 is not None:
+            return (
+                spark.read.schema(recorded_struct(recorded0))
+                .parquet(os.path.join(root, sample))
+                .limit(0)
+            )
         return spark.read.parquet(os.path.join(root, sample)).limit(0)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    else:
+        # the LOG owns the schema (r14, the Delta posture): scan with
+        # the recorded schema at the target version, so a default read
+        # of an evolved table is deterministic — parquet matches by
+        # name, older batches read the newer columns as NULL — instead
+        # of inheriting whichever file's footer the reader sampled.
+        # Tables without a recorded schema (pre-r14) keep the footer
+        # behavior; merge_schema=True keeps the footer-union read.
+        recorded = table_schema(root, target)
+        if recorded is not None:
+            reader = reader.schema(recorded_struct(recorded))
     df = reader.parquet(*[os.path.join(root, e["path"]) for e in live])
     # merge-on-read: apply live deletion vectors before any row filter
     df = _apply_dvs(spark, root, df, _dvs_for(dvs, live))

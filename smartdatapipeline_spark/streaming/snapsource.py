@@ -73,6 +73,7 @@ class _ChangeFilePartition(InputPartition):
         values: list[str] | None,
         dv_select: list[str] | None = None,
         dv_except: list[str] | None = None,
+        schema_list: list | None = None,
     ) -> None:
         self.root = root
         self.rel_path = rel_path
@@ -86,6 +87,11 @@ class _ChangeFilePartition(InputPartition):
         # remove must not re-emit them)
         self.dv_select = dv_select
         self.dv_except = dv_except
+        # the stream's declared DATA schema as [[name, simpleString]]
+        # (r14): mixed-vintage files (schema evolution) are ALIGNED to
+        # it in read() — older files emit the newer columns as NULL
+        # instead of failing the micro-batch with a schema mismatch
+        self.schema_list = schema_list
 
 
 def _us_schema(schema):
@@ -121,7 +127,11 @@ def _batch_files(root: str, rel_dir: str) -> list[str]:
 
 
 def _window_partitions(
-    root: str, start_v: int, end_v: int, part_col: str | None = None
+    root: str,
+    start_v: int,
+    end_v: int,
+    part_col: str | None = None,
+    schema_list: list | None = None,
 ) -> list[_ChangeFilePartition]:
     """Per-commit change resolution is SHARED with batch
     ``table_changes`` (snapstore.resolve_commit_changes, r12): compacts
@@ -141,6 +151,7 @@ def _window_partitions(
                 ch["filter_values"],
                 ch.get("dv_select"),
                 ch.get("dv_except"),
+                schema_list,
             )
             for f in _batch_files(root, ch["path"])
         )
@@ -148,10 +159,21 @@ def _window_partitions(
 
 
 class SnapshotChangeStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema: StructType | None = None) -> None:
         self.root = options.get("root")
         if not self.root:
             raise ValueError("snapshot_changes requires .option('root', <table dir>)")
+        # declared DATA columns as [[name, simpleString]] (the
+        # engine-facing schema minus the two appended meta columns) —
+        # threads into every partition so mixed-vintage files align to
+        # it executor-side (r14)
+        self.schema_list = None
+        if schema is not None:
+            self.schema_list = [
+                [f.name, f.dataType.simpleString()]
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
         self.start_version = int(options.get("startingversion", 0))
         # rate limit (the Delta maxFilesPerTrigger analogue): cap how
         # many commits one micro-batch may cover, so a reader that is
@@ -198,7 +220,8 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         if getattr(self, "_part_col", None) is None:
             self._part_col = SS.resolve_partition_col(self.root, end["version"])
         return _window_partitions(
-            self.root, start["version"], end["version"], self._part_col
+            self.root, start["version"], end["version"], self._part_col,
+            self.schema_list,
         )
 
     def read(self, partition: _ChangeFilePartition) -> Iterator:
@@ -210,6 +233,28 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
             os.path.join(partition.root, partition.rel_path), format="parquet"
         ).to_table()
         table = table.cast(_us_schema(table.schema))
+        if partition.schema_list:
+            # align this file's vintage to the stream's declared data
+            # schema (r14 schema evolution): missing columns emit as
+            # typed NULLs, extra columns drop, order normalizes — an
+            # old file can never fail the micro-batch with an arrow
+            # schema mismatch
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            expected = _us_schema(
+                to_arrow_schema(SS.recorded_struct(partition.schema_list))
+            )
+            if table.schema != expected:
+                arrays = []
+                for f in expected:
+                    if f.name in table.column_names:
+                        col = table.column(f.name)
+                        if col.type != f.type:
+                            col = pc.cast(col, f.type)
+                        arrays.append(col)
+                    else:
+                        arrays.append(pa.nulls(table.num_rows, f.type))
+                table = pa.Table.from_arrays(arrays, schema=expected)
         if partition.dv_select or partition.dv_except:
             # position filter against the sidecar(s): a single parquet
             # file read preserves row order, so row index == position
@@ -279,6 +324,21 @@ class SnapshotChangeDataSource(DataSource):
         root = self.options.get("root")
         if not root:
             raise ValueError("snapshot_changes requires .option('root', <table dir>)")
+        # the LOG owns the schema (r14): a table with a recorded schema
+        # streams with it — after an additive evolution the stream
+        # declares the evolved columns and old files emit them as NULL
+        # (aligned per file in read()) instead of silently streaming
+        # whichever vintage's footer this happened to sample
+        recorded = SS.table_schema(root)
+        if recorded is not None:
+            base = SS.recorded_struct(recorded)
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
         v, live, _ = SS._snapshot(root)
         batch_dir = None
         for e in live:
@@ -324,4 +384,4 @@ class SnapshotChangeDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> SnapshotChangeStreamReader:
-        return SnapshotChangeStreamReader(dict(self.options))
+        return SnapshotChangeStreamReader(dict(self.options), schema)
