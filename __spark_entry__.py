@@ -2480,7 +2480,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(symmetrize(pairs), iterations=3, src_buckets="auto")
+    ranks = pagerank(
+        symmetrize(pairs), iterations=3, src_buckets="auto", undirected=True
+    )
     return (
         ranks.filter(F.col("node") % 2 == 1)
         .orderBy(F.col("rank").desc(), F.col("node").asc())

@@ -499,6 +499,7 @@ def probe_dedup_index(
     k: int = 3,
     bands: int = 4,
     rows: int = 4,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs between a NEW batch and the indexed
     corpus: the batch's band buckets (small — broadcast) join the
@@ -507,8 +508,16 @@ def probe_dedup_index(
     the ordinary ``minhash_candidate_pairs``/``dedup_pipeline`` job.
 
     Scale: per batch the index side reads only colliding buckets; the
-    shuffle carries (band, bucket) hits, never the corpus."""
-    new_sig = minhash_signature(new_docs, id_col, text_col, k).cache()
+    shuffle carries (band, bucket) hits, never the corpus.
+
+    ``new_sig`` (r14): a precomputed ``minhash_signature`` frame for
+    ``new_docs`` — callers that also APPEND signatures to the index
+    (streaming ingest) pass it so the batch's text is hashed once, not
+    once for the probe and once for the index write. Ownership of a
+    passed frame stays with the caller (no cache tracking here)."""
+    owns_sig = new_sig is None
+    if owns_sig:
+        new_sig = minhash_signature(new_docs, id_col, text_col, k).cache()
     new_bb = minhash_bands(new_sig, bands, rows).withColumnRenamed(
         "doc_id", "new_id"
     )
@@ -525,12 +534,12 @@ def probe_dedup_index(
     est = F.size(
         F.filter(F.zip_with("_sn", "_sc", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(len(MINHASH_PARAMS)))
-    return _track_cache(
+    out = (
         hits.join(F.broadcast(ns), "new_id")
         .join(idx_sig, "corpus_id")
-        .select("new_id", "corpus_id", est.alias("est_jaccard")),
-        new_sig,
+        .select("new_id", "corpus_id", est.alias("est_jaccard"))
     )
+    return _track_cache(out, new_sig) if owns_sig else out
 
 
 def ngram_jaccard_pairs(

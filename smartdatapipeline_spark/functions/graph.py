@@ -35,6 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# round count of the most recent connected_components() call — probe /
+# test observability for the O(log diameter) claim, nothing reads it in
+# query paths
+LAST_CC_ROUNDS = 0
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of a directed edge list: add each reverse edge
     (one zero-shuffle union; dedup is the caller's business)."""
@@ -53,6 +59,7 @@ def pagerank(
     src_buckets: "int | str" = 0,
     hub_threshold: int = 1 << 20,
     auto_buckets: int = 32,
+    undirected: bool = False,
 ) -> DataFrame:
     """Unnormalized PageRank (rank₀ = 1, rankᵢ₊₁ = (1−d) + d·Σ
     rank/outdeg over in-edges) for a fixed number of power iterations.
@@ -94,9 +101,17 @@ def pagerank(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")).cache()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg")).cache()
     if src_buckets == "auto":
-        row = e.groupBy("_t").agg(F.count(F.lit(1)).alias("_ind")).agg(
-            F.max("_ind").alias("m")
-        ).first()
+        if undirected:
+            # r14: on a symmetrized edge list in-degree(_t) ==
+            # out-degree(_t), so the probe reads the max off the
+            # loop-invariant (cached) degree frame instead of running a
+            # second edge-sized aggregation — same decision, one fewer
+            # full-edge pass.
+            row = deg.agg(F.max("_outdeg").alias("m")).first()
+        else:
+            row = e.groupBy("_t").agg(F.count(F.lit(1)).alias("_ind")).agg(
+                F.max("_ind").alias("m")
+            ).first()
         max_indeg = row["m"] or 0
         src_buckets = auto_buckets if max_indeg > hub_threshold else 0
     nodes = (
@@ -107,16 +122,21 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _it in range(iterations):
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "_s"), "_s")
-            .join(deg, "_s")  # node-sized: let AQE pick broadcast vs shuffle
-            .select(
-                F.col("_t").alias("node"),
-                F.struct(
-                    F.col("_s").alias("src"),
-                    (F.col("rank") / F.col("_outdeg")).alias("c"),
-                ).alias("_sc"),
-            )
+        # r14 (optimization, guide §2.3/§2.4): fold rank/outdeg on the
+        # NODE-sized frame first, then attach to edges — ONE edge-sized
+        # join per iteration instead of two, and the division happens
+        # once per node instead of once per edge (identical IEEE result:
+        # same operands, same single division, just not repeated).
+        rod = (
+            ranks.withColumnRenamed("node", "_s")
+            .join(deg, "_s")
+            .select("_s", (F.col("rank") / F.col("_outdeg")).alias("_rod"))
+        )
+        contribs = e.join(rod, "_s").select(
+            F.col("_t").alias("node"),
+            F.struct(
+                F.col("_s").alias("src"), F.col("_rod").alias("c")
+            ).alias("_sc"),
         )
         if src_buckets:
             # two-level fold: (dst, src-bucket) partials in src order,
@@ -198,6 +218,26 @@ def connected_components(
     SAME checkpointed frame (no old/new compare join). Deterministic:
     min is order-independent.
 
+    r14 (optimization): each round ends with one POINTER-DOUBLING step
+    — label ← min(label, entry_label[label]), the hash-min path
+    compression of Rastogi et al., "Finding Connected Components in
+    MapReduce and Beyond". Labels always hold node ids (induction from
+    label₀ = id), so a node-sized lookup join composes reachability:
+    if round-entry labels cover distance D, the two propagation
+    substeps reach D+2 and the compression step composes to 2D+2 —
+    geometric, so the round count drops from O(diameter) to
+    O(log diameter). The LUT side is the ROUND-ENTRY (already
+    checkpointed) label frame, NOT the in-flight post-substep plan: a
+    LUT projected off the lazy `cur` plan would recompute the whole
+    2-substep propagation subtree a second time per round (measured
+    +20% on dup_clusters — the first r14 attempt), while the entry
+    frame is materialized and free to re-join. The fixpoint is
+    untouched: entry labels are component-member ids and label(w) ≤ w
+    (labels non-increasing from id), so compression preserves both
+    loop invariants, and the convergence test is the same "no change
+    across the whole round" filter — unchanged ⇒ in particular
+    propagation-stable ⇒ every label already equals its component min.
+
     ``edges`` is taken as directed input and symmetrized here; ``nodes``
     is one column ``id_col`` (isolated nodes label themselves).
     Output: (id_col, cluster).
@@ -214,7 +254,9 @@ def connected_components(
         .withColumn("_label", F.col("_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    rounds = 0
+    for _round in range(max_iter):
+        rounds += 1
         cur = labels.select("_id", "_label", F.col("_label").alias("_prev"))
         for _sub in range(2):
             nbr_min = (
@@ -229,6 +271,24 @@ def connected_components(
                 ).alias("_label"),
                 F.col("_prev"),
             )
+        if _round > 0:
+            # pointer doubling (docstring): the LUT is the round-ENTRY
+            # label frame — already materialized by last round's
+            # checkpoint, so this lookup join never recomputes the
+            # propagation subtree. Round 0's entry labels are the
+            # identity (label₀ = id), where the compression is a no-op
+            # — skip the join there.
+            lut = labels.select(
+                F.col("_id").alias("_l_id"), F.col("_label").alias("_l_lbl")
+            )
+            cur = cur.join(lut, cur["_label"] == lut["_l_id"], "left").select(
+                F.col("_id"),
+                F.least(
+                    F.col("_label"),
+                    F.coalesce(F.col("_l_lbl"), F.col("_label")),
+                ).alias("_label"),
+                F.col("_prev"),
+            )
         new_labels = cur.localCheckpoint(eager=True)
         changed = (
             new_labels.filter(F.col("_label") != F.col("_prev")).limit(1).count()
@@ -236,6 +296,8 @@ def connected_components(
         labels = new_labels.drop("_prev")
         if changed == 0:
             break
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
     return labels.select(
         F.col("_id").alias(id_col), F.col("_label").alias("cluster")
     )

@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smartdatapipeline_spark.cachetrack import release_plan_caches
 from smartdatapipeline_spark.functions.dedup import (
     exact_dedup,
     minhash_bands,
@@ -52,13 +51,22 @@ def stream_corpus_ingest(
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         reps = exact_dedup(batch).select(F.col("rep_id").alias("doc_id"))
         uniq = batch.join(reps, "doc_id")
+        # r14: hash each batch's text ONCE — the index probe and the
+        # index append share this signature frame (pre-r14 the batch
+        # was MinHash-hashed twice: once inside probe_dedup_index and
+        # once for the survivors' index write). Signatures are a pure
+        # function of the text, so filtering to survivors afterwards is
+        # byte-identical to re-hashing the survivors.
+        uniq_sig = minhash_signature(uniq, "doc_id", "text", k).localCheckpoint(
+            eager=True
+        )
         import os
 
         have_index = os.path.exists(f"{index_path}/sigs")
-        probe = None
         if have_index:
             probe = probe_dedup_index(
-                spark, index_path, uniq, k=k, bands=bands, rows=rows
+                spark, index_path, uniq, k=k, bands=bands, rows=rows,
+                new_sig=uniq_sig,
             )
             dup_ids = (
                 probe.filter(F.col("est_jaccard") >= min_est_jaccard)
@@ -68,19 +76,11 @@ def stream_corpus_ingest(
             survivors = uniq.join(dup_ids, "doc_id", "left_anti")
         else:
             survivors = uniq
-        # localCheckpoint: survivors feed three writes; don't recompute
-        # the probe join per sink
+        # localCheckpoint: survivors feed the corpus write and the
+        # signature filter; don't recompute the probe join per sink
         survivors = survivors.localCheckpoint(eager=True)
-        if probe is not None:
-            # the eager checkpoint above just materialized the probe
-            # plan — release its tracked signature cache now, else it
-            # accumulates one resident cache per micro-batch (the same
-            # ownership-rides-the-object hole as round-4 ADVICE #2)
-            release_plan_caches(probe)
         survivors.write.mode("append").parquet(corpus_path)
-        sig = minhash_signature(survivors, "doc_id", "text", k).localCheckpoint(
-            eager=True
-        )
+        sig = uniq_sig.join(survivors.select("doc_id"), "doc_id", "semi")
         (
             minhash_bands(sig, bands, rows)
             .repartition("band")
