@@ -640,18 +640,37 @@ def streaming_e2e(
                 "append",
             ),
         ]
-        for build, name, mode in stages:
-            try:
-                drain(build, name, mode)
-            except Exception as exc:  # noqa: BLE001 — harness boundary
-                # round-8 ADVICE: never store a -1.0 sentinel — it was
-                # summed into total_wall_sec (shrinking it) and read by
-                # bench_diff as a real timing. Failures go in `errors`,
-                # the stage is simply absent from timings.
-                if errors is not None:
-                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # r14 (guide §2 "scale-adaptive partitioning"): the stateful
+        # stages' state-store partition count is frozen at batch 0 from
+        # spark.sql.shuffle.partitions — AQE cannot coalesce it — so
+        # derive it from per-batch volume instead of inheriting the
+        # batch-sized session default, and restore the default right
+        # after the group. Same stages, same trigger/sink/rep
+        # methodology; only the streaming jobs' reducer count changes
+        # (results identical — partitioning is not observable in any
+        # stage's output).
+        from smartdatapipeline_spark.session import stream_state_partitions
 
+        n_events = spark.read.parquet(f"{work}/events").count()
+        stream_parts = stream_state_partitions(n_events // n_batches)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(stream_parts))
+        if detail is not None:
+            detail["state_partitions"] = stream_parts
+        try:
+            for build, name, mode in stages:
+                try:
+                    drain(build, name, mode)
+                except Exception as exc:  # noqa: BLE001 — harness boundary
+                    # round-8 ADVICE: never store a -1.0 sentinel — it
+                    # was summed into total_wall_sec (shrinking it) and
+                    # read by bench_diff as a real timing. Failures go
+                    # in `errors`, the stage is simply absent.
+                    if errors is not None:
+                        errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # corpus ingest with INCREMENTAL near-dup dedup: 4 document
         # micro-batches against a growing MinHash index (foreachBatch)
         (

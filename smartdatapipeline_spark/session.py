@@ -60,6 +60,41 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def stream_state_partitions(
+    rows_per_batch: int,
+    cpus: int | None = None,
+    target_rows: int = 3000,
+    floor: int = 4,
+) -> int:
+    """Shuffle/state-partition count for a STATEFUL streaming query,
+    derived from per-micro-batch volume instead of the session default.
+
+    Why (optimization guide §2 "make partitioning scale-adaptive"): AQE
+    cannot coalesce the shuffle feeding a streaming state store — the
+    partition count is frozen into the checkpoint at batch 0 — so a
+    stateful stage inherits ``spark.sql.shuffle.partitions`` sized for
+    BATCH work. At small per-batch volume that is pure task overhead:
+    each batch pays (scheduling + state-store open/commit) × partitions.
+    Measured on the bench's 12.5k-row micro-batches: 32 partitions
+    7.6 s/drain vs 4 partitions 2.9 s (windowed KPIs, local[32]).
+
+    The rule scales with data, not with the local box: partitions grow
+    linearly with batch rows (1 per ``target_rows``) until they hit the
+    core count — a production stream with 1e9-row batches saturates the
+    cluster's parallelism, while a trickle stream stops paying per-task
+    overhead it cannot use. ``SPARK_GRAFT_STREAM_PARTS`` overrides the
+    formula outright (a cluster operator pinning state partitioning for
+    checkpoint compatibility across resizes).
+    """
+    explicit = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if explicit:
+        return int(explicit)
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    derived = max(floor, rows_per_batch // target_rows)
+    return max(1, min(cpus, derived))
+
+
 def read_events(spark: SparkSession, sf_dir: str):
     """Read events.parquet, converting its TIMESTAMP(NANOS) column to a
     Spark microsecond timestamp via integer division (lossless w.r.t. the
