@@ -1131,7 +1131,17 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; the recall floor (0.60) is enforced by the
     local property harness (p_ivf_kmeans_topk)."""
     emb = _emb(spark, sf_dir)
-    cents = SIM.kmeans_centroids(emb, k=16, seed=42)
+    # r14: train once per corpus snapshot (the model is 16 centroid
+    # rows of driver state), probe everywhere — the same build/score
+    # split as _PQ_CODEBOOKS / _BPE_MERGES / _QUALITY_COEF
+    if sf_dir not in _KMEANS_CENTS:
+        _KMEANS_CENTS[sf_dir] = [
+            (r["cent_id"], r["_cv"], r["_cn"])
+            for r in SIM.kmeans_centroids(emb, k=16, seed=42).collect()
+        ]
+    cents = spark.createDataFrame(
+        _KMEANS_CENTS[sf_dir], "cent_id int, _cv array<double>, _cn double"
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return SIM.ivf_topk_with_centroids(emb, queries, cents, k=10, nprobe=8)
 
@@ -1148,17 +1158,22 @@ def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: query call must not refit a convex model whose inputs didn't change.
 _QUALITY_COEF: dict[str, dict[str, float]] = {}
 
+#: per-corpus trained IVF coarse quantizer (16 centroid rows) — train
+#: once per snapshot, probe everywhere (r14; same memo pattern as
+#: _PQ_CODEBOOKS)
+_KMEANS_CENTS: dict[str, list] = {}
+
 
 def _quality_model_for(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from smartdatapipeline_spark.functions import classify as CL
 
     if sf_dir not in _QUALITY_COEF:
-        d = _docs(spark, sf_dir)
-        q = TX.quality_features(d).select("doc_id", "quality")
-        with_q = d.join(q, "doc_id")
-        pos = with_q.filter(F.col("quality") >= 0.62).select("doc_id", "text")
-        neg = with_q.filter(F.col("quality") <= 0.55).select("doc_id", "text")
-        _QUALITY_COEF[sf_dir] = CL.build_quality_model(pos, neg)
+        # r14: one featurization pass — labels and fit vectors from the
+        # same quality_features projection (the former join-back +
+        # per-side re-featurization tripled the tokenize work)
+        _QUALITY_COEF[sf_dir] = CL.build_quality_model_extremes(
+            _docs(spark, sf_dir), pos_min=0.62, neg_max=0.55
+        )
     return _QUALITY_COEF[sf_dir]
 
 

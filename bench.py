@@ -497,12 +497,11 @@ def corpus_e2e(spark, sf_dir: str) -> dict[str, float]:
         from smartdatapipeline_spark.functions import classify as CL
 
         t0 = time.perf_counter()
-        q = TX.quality_features(docs).select("doc_id", "quality")
-        with_q = docs.join(q, "doc_id")
-        CL.build_quality_model(
-            with_q.filter(F.col("quality") >= 0.62).select("doc_id", "text"),
-            with_q.filter(F.col("quality") <= 0.55).select("doc_id", "text"),
-            path=f"{work}/quality_model",
+        # r14: same extremes, same model — one featurization pass
+        # (build_quality_model_extremes) instead of label-join +
+        # per-side re-featurization
+        CL.build_quality_model_extremes(
+            docs, path=f"{work}/quality_model", pos_min=0.62, neg_max=0.55
         )
         t["corpus/quality_model_build"] = round(time.perf_counter() - t0, 4)
 

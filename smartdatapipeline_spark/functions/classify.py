@@ -117,11 +117,82 @@ def build_quality_model(
     )
     coef = model_coefficients(model)
     if path is not None:
-        spark = positives.sparkSession
-        spark.createDataFrame(
-            [(k, float(v)) for k, v in sorted(coef.items())],
-            "feature string, weight double",
-        ).coalesce(1).write.mode("overwrite").parquet(path)
+        _persist_coef(positives.sparkSession, coef, path)
+    return coef
+
+
+def _persist_coef(spark, coef: dict[str, float], path: str) -> None:
+    # 1-slice parallelize, NOT coalesce(1): coalescing the default
+    # 32-slice local collection stalls the single write task ~5 s in
+    # the task scheduler (measured r14) — the model is |FEATURES|+1
+    # rows, one slice is its natural layout
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(k, float(v)) for k, v in sorted(coef.items())], 1
+        ),
+        "feature string, weight double",
+    ).write.mode("overwrite").parquet(path)
+
+
+def build_quality_model_extremes(
+    docs: DataFrame,
+    path: str | None = None,
+    text_col: str = "text",
+    pos_min: float = 0.62,
+    neg_max: float = 0.55,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> dict[str, float]:
+    """``build_quality_model`` for the weak-label-extremes recipe (the
+    GPT-3 self-training shape every caller here uses), in ONE
+    featurization pass (r14, guide §1.2 "don't compute things twice"):
+    the former caller pattern featurized the corpus for the quality
+    label, joined it back onto the text, then ``_feature_frame``
+    re-featurized each extreme — three tokenize+regex passes and a
+    corpus self-join. Here labels AND fit vectors come from the same
+    ``quality_features`` projection (identical feature values — same
+    expressions over the same text), so training is one scan + the
+    single-partition convex fit. Coefficients agree with the two-frame
+    build to L-BFGS tolerance (~1e-10; the fit input is the same row
+    multiset — only the accumulation order in the single partition can
+    differ), which every consumer is insensitive to by construction
+    (scores feed threshold/property checks, not bit-exact oracles)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = quality_features(docs, text_col=text_col)
+    arr = F.array(*[F.col(c).cast("double") for c in FEATURES])
+    train = (
+        feats.filter(
+            (F.col("quality") >= pos_min) | (F.col("quality") <= neg_max)
+        )
+        .select(
+            array_to_vector(arr).alias("features"),
+            F.when(F.col("quality") >= pos_min, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("label"),
+        )
+        # repartition(1), NOT coalesce(1): same rationale as
+        # train_quality_classifier — the shuffle barrier keeps the
+        # featurization distributed and single-partitions only the
+        # |FEATURES|+1-column fit input for the 50 sequential
+        # treeAggregate jobs of L-BFGS.
+        .repartition(1)
+        .cache()
+    )
+    try:
+        lr = LogisticRegression(
+            featuresCol="features",
+            labelCol="label",
+            regParam=reg_param,
+            maxIter=max_iter,
+            standardization=True,
+        )
+        coef = model_coefficients(lr.fit(train))
+    finally:
+        train.unpersist()
+    if path is not None:
+        _persist_coef(docs.sparkSession, coef, path)
     return coef
 
 

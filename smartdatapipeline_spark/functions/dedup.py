@@ -410,53 +410,92 @@ def scrub_contaminated_spans(
         "pos",
         F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, k)).alias("sh"),
     )
-    hits = (
-        per_pos.join(eval_sh, per_pos["sh"] == eval_sh["_esh"], "left")
-        .select("doc_id", "pos", F.col("_esh").isNotNull().alias("_hit"))
-    )
+    # r14 (guide §2.3 "aggregate less, shuffle fewer rows"): only HIT
+    # positions matter downstream — a broadcast semi-join emits just
+    # those, so the per-doc grouping aggregates contaminated positions
+    # only (usually a tiny fraction) instead of every position of every
+    # doc, and the join-back's right side shrinks to contaminated docs
+    # (AQE then broadcasts it, sparing the token frame its shuffle).
+    # Identical semantics: the former left join + collect_list(when(
+    # _hit, pos)) kept exactly the matching positions.
+    hits = per_pos.join(
+        eval_sh, per_pos["sh"] == eval_sh["_esh"], "left_semi"
+    ).select("doc_id", "pos")
     # span starting at s (length `window`) is contaminated iff all its
     # window-k+1 shingle positions hit; collect hit positions per doc
     # and evaluate the mask as array logic (docs are KB-sized; the
     # per-doc array is bounded by doc length, not corpus size)
     per_doc = hits.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("_hit"), F.col("pos")))
-        ).alias("_hitpos")
+        F.sort_array(F.collect_list(F.col("pos"))).alias("_hitpos")
     )
     with_toks = toks.join(per_doc, "doc_id", "left")
-    n = F.size("_toks")
     span_len = window - k + 1  # shingle positions per span
-    hitpos = F.coalesce(F.col("_hitpos"), F.array())
-    # contaminated span starts: s where positions s..s+span_len-1 all
-    # hit (guard: Spark sequence() DESCENDS when stop < start, so short
-    # docs take an explicit empty array)
-    starts = F.filter(
-        F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda s: F.size(
-            F.filter(hitpos, lambda p: (p >= s) & (p < s + span_len))
-        )
-        == F.lit(span_len),
-    )
-    # token i is masked iff any contaminated span covers it
-    masked = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.exists(starts, lambda s: (i >= s) & (i < s + window)),
-    )
-    kept = F.filter(
-        F.zip_with(F.col("_toks"), masked, lambda t, m: F.when(~m, t)),
-        lambda x: x.isNotNull(),
-    )
-    n_masked = F.size(F.filter(masked, lambda m: m))
-    return with_toks.select(
-        F.col("doc_id").alias(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
-        n.alias("n_tokens"),
-        n_masked.alias("n_masked"),
-        F.when(n > 0, n_masked / n.cast("double")).otherwise(0.0).alias(
-            "masked_frac"
-        ),
+    # r14 (guide §4.2): the span/mask algebra is pure integer+string
+    # logic per doc — O(n·|hits|) interpreted HOF lambdas before; now
+    # one Arrow pass with vectorized counts per doc (cumsum window-full
+    # test for contaminated starts, difference-array coverage for the
+    # token mask). Integer/string ops ⇒ bit-identical by construction;
+    # semantics mirrored exactly: a start s is contaminated iff all
+    # span_len shingle positions s..s+span_len-1 hit, a token is masked
+    # iff any contaminated window covers it, NULL token arrays
+    # propagate NULL outputs, empty docs keep masked_frac 0.0.
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            toks_rows = batch.column(1).to_pylist()
+            hit_rows = batch.column(2).to_pylist()
+            texts, ntoks, nmask, frac = [], [], [], []
+            for toks_row, hits in zip(toks_rows, hit_rows):
+                if toks_row is None:
+                    texts.append(None)
+                    ntoks.append(None)
+                    nmask.append(None)
+                    frac.append(None)
+                    continue
+                n = len(toks_row)
+                if n >= window and hits:
+                    hb = np.zeros(n, dtype=np.int64)
+                    hb[np.asarray(hits, dtype=np.int64)] = 1
+                    c = np.concatenate(([0], np.cumsum(hb)))
+                    s_idx = np.arange(0, n - window + 1)
+                    starts = s_idx[
+                        (c[s_idx + span_len] - c[s_idx]) == span_len
+                    ]
+                    cover = np.zeros(n + 1, dtype=np.int64)
+                    np.add.at(cover, starts, 1)
+                    np.add.at(cover, starts + window, -1)
+                    masked = np.cumsum(cover[:n]) > 0
+                    kept = [
+                        t for t, mm in zip(toks_row, masked) if not mm
+                    ]
+                    nm = int(masked.sum())
+                else:
+                    kept = toks_row
+                    nm = 0
+                texts.append(" ".join(kept))
+                ntoks.append(n)
+                nmask.append(nm)
+                frac.append(float(nm) / float(n) if n > 0 else 0.0)
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(texts, type=pa.string()),
+                    pa.array(ntoks, type=pa.int32()),
+                    pa.array(nmask, type=pa.int32()),
+                    pa.array(frac, type=pa.float64()),
+                ],
+                names=[id_col, "clean_text", "n_tokens", "n_masked", "masked_frac"],
+            )
+
+    return with_toks.select("doc_id", "_toks", "_hitpos").mapInArrow(
+        gen,
+        f"{id_col} {id_type}, clean_text string, n_tokens int, "
+        "n_masked int, masked_frac double",
     )
 
 

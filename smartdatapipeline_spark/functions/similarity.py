@@ -49,6 +49,94 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+# --------------------------------------------------------------- numpy core
+# r14 (optimization guide §4.2): the hot vector math (cosine scoring,
+# PQ encode/ADC) moves from interpreted higher-order-function expressions
+# to Arrow-batched numpy inside ``mapInArrow`` — Spark keeps doing
+# distribution and the final exact rank; whole batches hit vectorized
+# native code. Every fold below accumulates IN INDEX ORDER with one
+# numpy op per dimension, so each scalar result is the same IEEE-754
+# double sequence as the ``dot``/``norm2``/``_l2sq`` column folds above
+# (numpy's pairwise ``.sum()`` is deliberately NOT used).
+
+
+def _mat_from_list_array(col):
+    """pa.ListArray of floats → (n, dim) float64 matrix. Raises on
+    null/ragged rows — the engine's corpora are fixed-dim and non-null
+    by construction; failing loudly beats silently mis-ranking."""
+    import numpy as np
+
+    if col.null_count:
+        raise ValueError("null embedding row in vector column")
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError("null element in vector column")
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    n = len(lens)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if (lens != lens[0]).any():
+        raise ValueError("ragged vector column")
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return vals.reshape(n, int(lens[0]))
+
+
+def _fold_dot(M, v):
+    """⟨row, v⟩ per row of M, strict left fold over dims (== ``dot``)."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for t in range(M.shape[1]):
+        acc = acc + M[:, t] * v[t]
+    return acc
+
+
+def _fold_norm(M):
+    """per-row ‖row‖₂ with ``norm2``'s exact fold order."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for t in range(M.shape[1]):
+        acc = acc + M[:, t] * M[:, t]
+    return np.sqrt(acc)
+
+
+def _rank_key(x):
+    """Spark orders NaN as larger than every double in BOTH sort
+    directions; +inf substitution reproduces that for lexsort keys."""
+    import numpy as np
+
+    return np.where(np.isnan(x), np.inf, x)
+
+
+def _codebook_tensor(codebooks: DataFrame, who: str):
+    """Collect an (m·k)-row PQ codebook frame to an (m, k, d) float64
+    tensor, cent_id-sorted; LUT/argmin indexing by position requires
+    cent_ids 0..k-1 per sub (the pq_train contract) — fail loudly on a
+    doctored codebook instead of silently mis-addressing."""
+    import numpy as np
+
+    by_sub: dict[int, list] = {}
+    for r in codebooks.select("sub", "cent_id", "_cv").collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cent_id"]), [float(x) for x in r["_cv"]])
+        )
+    m = len(by_sub)
+    if sorted(by_sub) != list(range(m)):
+        raise ValueError(f"{who}: non-contiguous subs in codebook")
+    for s in by_sub:
+        by_sub[s].sort()
+        if [c for c, _ in by_sub[s]] != list(range(len(by_sub[s]))):
+            raise ValueError(f"{who}: non-contiguous cent_ids in sub {s}")
+    k = len(by_sub[0])
+    if any(len(e) != k for e in by_sub.values()):
+        raise ValueError(f"{who}: ragged codebook")
+    return np.array(
+        [[cv for _cid, cv in by_sub[j]] for j in range(m)], dtype=np.float64
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -166,31 +254,182 @@ def ivf_assign(
     a cell boundary at P× the probe cost (still ~P·N/|C| of the corpus,
     never all of it).
 
-    ``centroids`` is a small (cent_id, _cv, _cn) frame — broadcast, so
-    assignment is one scan over the corpus with |C| fold evaluations per
-    row and a per-vector top-P window. At 100 TB this is the single
-    repartition-by-cell pass that builds the inverted file.
+    ``centroids`` is a small (cent_id, _cv, _cn) frame — |C| rows by
+    construction (a coarse quantizer's cell count), so it is collected
+    once and folded into the projection as LITERAL arrays (r14, guide
+    §2.4): assignment is pure per-row column math — no |C|-way row
+    explosion carrying the full vector, no corpus-sized window shuffle.
+    The per-row sort of the |C| (cos, cent_id) structs reproduces the
+    former window's ordering exactly (Spark comparisons treat NaN as
+    largest in both paths; cent_id breaks ties ascending). At 100 TB
+    this makes assignment a scan-speed projection; the inverted file's
+    one repartition-by-cell pass happens downstream.
     Output: (id, _v, _n, cell) — one row per (vector, probed cell)."""
+    cents = sorted(
+        centroids.select("cent_id", "_cv", "_cn").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    # single Literal nodes (not one F.lit per double) — a |C|·dim tree
+    # of scalar literals sends Catalyst planning time through the roof
+    cvs = F.lit([[float(x) for x in r["_cv"]] for r in cents])
+    cns = F.lit([float(r["_cn"]) for r in cents])
+    cids = F.lit([int(r["cent_id"]) for r in cents])
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            (dot(F.col("_v"), F.get(cvs, i)) / (F.col("_n") * F.get(cns, i))).alias(
+                "cos"
+            ),
+            F.get(cids, i).alias("cid"),
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: (
+            F.when(l["cos"] > r["cos"], -1)
+            .when(r["cos"] > l["cos"], 1)
+            .when(l["cid"] < r["cid"], -1)
+            .when(r["cid"] < l["cid"], 1)
+            .otherwise(0)
+        ),
+    )
     v = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm2(F.col(vec_col)).alias("_n"),
     )
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cos", dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
-    )
-    w = Window.partitionBy("_id").orderBy(
-        F.col("_cos").desc(), F.col("cent_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select(
-            F.col("_id").alias(id_col),
+    if nprobe <= 1:
+        probed = v.select(
+            "_id", "_v", "_n", F.element_at(ranked, 1)["cid"].alias("cell")
+        )
+    else:
+        probed = v.select(
+            "_id",
             "_v",
             "_n",
-            F.col("cent_id").alias("cell"),
+            F.explode(
+                F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+            ).alias("cell"),
         )
+    return probed.select(
+        F.col("_id").alias(id_col), "_v", "_n", "cell"
+    )
+
+
+def _ivf_probe_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent_rows: list,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    cell_type: str = "int",
+) -> DataFrame:
+    """Shared IVF probe core (r14, guide §4.2): per corpus partition,
+    one Arrow/numpy pass assigns each vector to its max-cosine cell,
+    scores it against the queries probing that cell, and emits the
+    partition's per-query top-k candidates; the caller's exact window
+    over this superset reproduces the former join+window result
+    row-for-row (every fold/tie/NaN rule mirrors the column-expression
+    path — see the numpy-core header). ``cent_rows`` is the collected
+    (cent_id, _cv, _cn) centroid list — |C| rows by construction.
+    Queries are collected driver-side: the former plan broadcast the
+    same (query, vector) rows, so the memory class is unchanged; batch
+    outsized query sets before calling, exactly as before."""
+    import numpy as np
+
+    cents = sorted(cent_rows, key=lambda r: r["cent_id"])
+    cids = np.array([int(r["cent_id"]) for r in cents], dtype=np.int64)
+    CV = np.array([[float(x) for x in r["_cv"]] for r in cents], dtype=np.float64)
+    CN = np.array([float(r["_cn"]) for r in cents], dtype=np.float64)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [r["_qid"] for r in q_rows]
+    QM = np.array([[float(x) for x in r["_qv"]] for r in q_rows], dtype=np.float64)
+    if QM.size == 0:
+        QM = QM.reshape(0, CV.shape[1] if CV.size else 0)
+    P = max(1, nprobe)
+    with np.errstate(all="ignore"):
+        QN = _fold_norm(QM)
+        # query-side probe: same cosine fold + (cos desc, cent_id asc)
+        # order as ivf_assign's ranked sort
+        by_cell: dict[int, list] = {}
+        for qi in range(QM.shape[0]):
+            qcos = _fold_dot(CV, QM[qi]) / (QN[qi] * CN)
+            for c in np.lexsort((cids, -_rank_key(qcos)))[:P]:
+                by_cell.setdefault(int(cids[c]), []).append(qi)
+
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        pa_int = {"int": pa.int32(), "bigint": pa.int64(), "smallint": pa.int16()}
+        id_pa = pa_int.get(id_type)
+        cell_pa = pa_int.get(cell_type)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            M = _mat_from_list_array(batch.column(1))
+            if M.shape[0] == 0:
+                continue
+            out_q, out_n, out_s, out_c = [], [], [], []
+            with np.errstate(all="ignore"):
+                NN = _fold_norm(M)
+                # cell assignment: argmax cos, NaN-as-largest, ties to
+                # the smallest cent_id (== ivf_assign's ranked[0])
+                SC = np.empty((M.shape[0], len(cents)), dtype=np.float64)
+                for c in range(len(cents)):
+                    SC[:, c] = _fold_dot(M, CV[c]) / (NN * CN[c])
+                cell = cids[np.argmax(_rank_key(SC), axis=1)]
+                for cell_id, qlist in by_cell.items():
+                    mask = cell == cell_id
+                    if not mask.any():
+                        continue
+                    sub_ids = ids[mask]
+                    sub_M = M[mask]
+                    sub_N = NN[mask]
+                    for qi in qlist:
+                        keep = sub_ids != qids[qi]
+                        nid = sub_ids[keep]
+                        if nid.size == 0:
+                            continue
+                        cos = _fold_dot(sub_M[keep], QM[qi]) / (
+                            sub_N[keep] * QN[qi]
+                        )
+                        top = np.lexsort((nid, -_rank_key(cos)))[:k]
+                        out_q.extend([qids[qi]] * len(top))
+                        out_n.extend(nid[top].tolist())
+                        out_s.extend(cos[top].tolist())
+                        out_c.extend([cell_id] * len(top))
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(out_q, type=id_pa),
+                        pa.array(out_n, type=id_pa),
+                        pa.array(out_s, type=pa.float64()),
+                        pa.array(out_c, type=cell_pa),
+                    ],
+                    names=["query_id", "neighbor_id", "cos_sim", "cell"],
+                )
+
+    schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, "
+        f"cos_sim double, cell {cell_type}"
+    )
+    return corpus.select(id_col, vec_col).mapInArrow(gen, schema)
+
+
+def _exact_topk_window(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim", "cell")
     )
 
 
@@ -211,39 +450,26 @@ def ivf_topk(
     deterministic plumbing-first quantizer; swapping in trained k-means
     centroids changes only the ``centroids`` frame, not the pipeline.
     Output: (query_id, neighbor_id, rank, cos_sim, cell)."""
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("_cv"),
-        norm2(F.col(vec_col)).alias("_cn"),
-    )
-    cells = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_v").alias("_nv"),
-        F.col("_n").alias("_nn"),
-        "cell",
-    )
-    qcells = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
-        "cell",
-    )
-    scored = (
-        cells.join(F.broadcast(qcells), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")),
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("_cv"),
+            norm2(F.col(vec_col)).alias("_cn"),
         )
+        .collect()
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    cand = _ivf_probe_candidates(
+        corpus,
+        queries,
+        cent_rows,
+        k,
+        nprobe,
+        id_col,
+        vec_col,
+        cell_type=dict(corpus.dtypes)[id_col],
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim", "cell")
-    )
+    return _exact_topk_window(cand, k)
 
 
 def kmeans_centroids(
@@ -293,34 +519,17 @@ def ivf_topk_with_centroids(
     cost; a corpus vector lives in exactly one cell, so each (query,
     neighbor) pair scores at most once and needs no dedup), exact
     cosine re-rank over the probed union."""
-    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_v").alias("_nv"),
-        F.col("_n").alias("_nn"),
-        "cell",
+    cand = _ivf_probe_candidates(
+        corpus,
+        queries,
+        centroids.select("cent_id", "_cv", "_cn").collect(),
+        k,
+        nprobe,
+        id_col,
+        vec_col,
+        cell_type=dict(centroids.dtypes)["cent_id"],
     )
-    qcells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
-        "cell",
-    )
-    scored = (
-        cells.join(F.broadcast(qcells), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim", "cell")
-    )
+    return _exact_topk_window(cand, k)
 
 
 def build_ann_index(
@@ -591,54 +800,45 @@ def pq_encode(
 ) -> DataFrame:
     """Encode each vector as its per-subspace nearest centroid id.
 
-    Plan: explode to (id, sub, subvec) — m rows per vector — then one
-    broadcast join against the m·k codebook and a ``min_by`` argmin per
-    (id, sub) (ties to the smallest cent_id). The shuffle carries
-    (id, sub) pairs; codes regroup into one array per vector.
+    The codebook is m·k rows by construction, so it is collected once
+    and encoding runs as one Arrow/numpy pass over the corpus (r14,
+    guide §4.2): per batch, m×k squared-L2 surfaces accumulated
+    dimension-by-dimension in ``_l2sq``'s exact fold order, then an
+    argmin whose NaN/tie rules reproduce the former
+    ``min_by(cent_id, struct(_d, cent_id))`` — ties to the smallest
+    centroid id. Zero shuffles (the former shape exploded to m
+    rows/vector and paid two corpus-sized exchanges).
 
     Output: (id_col, codes array<int> length m)."""
-    m = codebooks.agg(F.countDistinct("sub")).first()[0]
-    dim = len(corpus.select(vec_col).first()[0])
-    d = dim // m
-    ex = corpus.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub"),
-                        F.slice(
-                            F.col(vec_col).cast("array<double>"), j * d + 1, d
-                        ).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
+    import numpy as np
+
+    CB = _codebook_tensor(codebooks, "pq_encode")
+    m, k, d = CB.shape
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            M = _mat_from_list_array(batch.column(1))
+            if M.shape[0] == 0:
+                continue
+            codes = np.empty((M.shape[0], m), dtype=np.int32)
+            with np.errstate(all="ignore"):
+                for j in range(m):
+                    acc = np.zeros((M.shape[0], k), dtype=np.float64)
+                    for t in range(d):
+                        diff = M[:, j * d + t, None] - CB[j, :, t][None, :]
+                        acc = acc + diff * diff
+                    codes[:, j] = np.argmin(_rank_key(acc), axis=1)
+            yield pa.record_batch(
+                [ids, pa.array(list(codes), type=pa.list_(pa.int32()))],
+                names=[id_col, "codes"],
             )
-        ).alias("e"),
-    ).select(id_col, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
-    scored = ex.join(F.broadcast(codebooks), "sub").select(
-        id_col,
-        "sub",
-        "cent_id",
-        _l2sq(F.col("sv"), F.col("_cv")).alias("_d"),
-    )
-    # struct comparison is lexicographic ascending — (_d, cent_id) gives
-    # the L2-argmin with ties to the smallest centroid id
-    best = scored.groupBy(id_col, "sub").agg(
-        F.min_by(
-            F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))
-        ).alias("code")
-    )
-    return (
-        best.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("sub").alias("s"), F.col("code").alias("c")))
-                ),
-                lambda x: x["c"],
-            ).alias("codes")
-        )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        gen, f"{id_col} {id_type}, codes array<int>"
     )
 
 
@@ -652,61 +852,103 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance top-k (ADC): per query, a lookup table
     LUT[sub][cent] = ‖q_sub − c‖² (m·k doubles, built once per query
-    against the broadcast codebook); a candidate's approximate distance
-    is the sum of its m table entries — array indexing per corpus row,
+    from the literal codebook); a candidate's approximate distance is
+    the sum of its m table entries — array indexing per corpus row,
     never a full-dimension distance.
 
-    Plan: queries×codebook broadcast-cross (tiny), corpus codes join
-    the LUT per (query, sub, code) key with the LUT broadcast, then an
-    ordered fold sums the m terms per (query, candidate) and a top-k
-    window ranks them. Corpus-side work is m array lookups + one
-    (query, candidate) aggregation — the PQ promise.
+    Plan (r14, guide §4.2): the query LUTs are built driver-side from
+    the collected codebook (same ``_l2sq`` term per (sub, cent), exact
+    fold order over dims; the former plan broadcast the same Q·m·k LUT
+    rows, so the driver-memory class is unchanged — batch outsized
+    query sets, exactly as before). One Arrow/numpy pass over the codes
+    frame then evaluates every candidate's s-ascending fold of
+    LUT[s][codes[s]] — bit-identical additions to the former
+    sort-by-sub fold — and emits each partition's per-query top-k; the
+    exact window over that superset reproduces the former result
+    row-for-row. The former shape exploded codes to N·m rows and paid
+    an N·m·Q-row exchange plus a collect_list sort-fold per pair; the
+    only shuffle left is the final top-k window.
 
     Output: (query_id, neighbor_id, rank, adc_dist)."""
+    import numpy as np
     from pyspark.sql.window import Window
 
-    m = codebooks.agg(F.countDistinct("sub")).first()[0]
-    dim = len(queries.select(vec_col).first()[0])
-    d = dim // m
-    qex = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub"),
-                        F.slice(
-                            F.col(vec_col).cast("array<double>"), j * d + 1, d
-                        ).alias("qv"),
-                    )
-                    for j in range(m)
-                ]
+    CB = _codebook_tensor(codebooks, "pq_adc_topk")
+    m, kc, d = CB.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [r["_qid"] for r in q_rows]
+    # LUT[q][s, c] = ‖q_sub − c‖², accumulated dim-by-dim in _l2sq's
+    # exact fold order
+    LUT = np.zeros((len(q_rows), m, kc), dtype=np.float64)
+    with np.errstate(all="ignore"):
+        for qi, r in enumerate(q_rows):
+            qv = np.array([float(x) for x in r["_qv"]], dtype=np.float64)
+            for j in range(m):
+                acc = np.zeros(kc, dtype=np.float64)
+                for t in range(d):
+                    diff = qv[j * d + t] - CB[j, :, t]
+                    acc = acc + diff * diff
+                LUT[qi, j] = acc
+
+    id_type = dict(codes.dtypes)[id_col]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            codes_col = batch.column(1)
+            if codes_col.null_count:
+                raise ValueError("pq_adc_topk: null codes row")
+            offs = codes_col.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            if len(lens) == 0:
+                continue
+            if (lens != m).any():
+                raise ValueError("pq_adc_topk: codes length != m")
+            C = (
+                codes_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(len(lens), m)
             )
-        ).alias("e"),
-    ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.qv").alias("qv"))
-    lut = qex.join(F.broadcast(codebooks), "sub").select(
-        "query_id",
-        "sub",
-        F.col("cent_id").alias("code"),
-        _l2sq(F.col("qv"), F.col("_cv")).alias("_t"),
-    )
-    cex = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(F.col("codes")).alias("sub", "code"),
-    )
-    terms = cex.join(F.broadcast(lut), ["sub", "code"])
-    dist = (
-        terms.groupBy("query_id", "neighbor_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("sub").alias("s"), F.col("_t").alias("t")))
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x["t"],
-            ).alias("adc_dist")
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+            out_q, out_n, out_d = [], [], []
+            with np.errstate(all="ignore"):
+                for qi in range(len(qids)):
+                    # s-ascending fold of LUT[s][codes[s]] — the exact
+                    # addition sequence of the former sort-by-sub fold
+                    acc = np.zeros(C.shape[0], dtype=np.float64)
+                    for s in range(m):
+                        acc = acc + LUT[qi, s][C[:, s]]
+                    keep = ids != qids[qi]
+                    nid = ids[keep]
+                    if nid.size == 0:
+                        continue
+                    dq = acc[keep]
+                    top = np.lexsort((nid, _rank_key(dq)))[:k]
+                    out_q.extend([qids[qi]] * len(top))
+                    out_n.extend(nid[top].tolist())
+                    out_d.extend(dq[top].tolist())
+            if out_q:
+                pa_int = {
+                    "int": pa.int32(),
+                    "bigint": pa.int64(),
+                    "smallint": pa.int16(),
+                }
+                id_pa = pa_int.get(id_type)
+                yield pa.record_batch(
+                    [
+                        pa.array(out_q, type=id_pa),
+                        pa.array(out_n, type=id_pa),
+                        pa.array(out_d, type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "adc_dist"],
+                )
+
+    dist = codes.select(id_col, "codes").mapInArrow(
+        gen, f"query_id {id_type}, neighbor_id {id_type}, adc_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -749,7 +991,10 @@ def pq_rerank_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     exact = (
-        cand.join(cv, "neighbor_id")
+        # the shortlist is |Q|·shortlist skinny rows by construction —
+        # broadcast it so the corpus-side vector fetch is a scan-side
+        # hash probe, not a corpus shuffle by neighbor_id (r14, guide §3.1)
+        F.broadcast(cand).join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn(
             "l2_sq",
