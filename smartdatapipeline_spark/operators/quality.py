@@ -252,11 +252,18 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     the native type FIRST, then cast — so numeric min/max are true
     numeric extremes, not lexicographic).
 
-    One aggregation pass over the scan computes every column's stats
-    (Catalyst expands the distinct aggregates itself); the long unpivot
-    happens on the single result row, never on data. At 100 TB the cost
-    is the one scan plus a countDistinct shuffle per profiled column —
-    cap ``cols`` to what you need.
+    Physical shape (r14, guide §2.4): the non-distinct stats (count /
+    nulls / min / max) are ONE hash-aggregate pass, and each column's
+    exact distinct count is its own narrow two-level aggregate —
+    cross-joined as 1-row relations. Putting every ``count_distinct``
+    in a single agg made Catalyst plan an Expand that multiplied the
+    scan |cols|+1 times and sort-aggregated the full wide row (measured
+    3.6 s vs 1.x s at sf0.1 on 6 columns); split out, each distinct
+    subtree scans just its own parquet column (columnar pruning) and
+    AQE materializes the independent stages concurrently. At 100 TB
+    the cost is one stats scan plus a per-column (column-pruned)
+    distinct shuffle — cap ``cols`` to what you need. The long unpivot
+    still happens on the single joined result row, never on data.
 
     Output: (col_name, n_rows, n_null, n_distinct, min_str, max_str).
     """
@@ -267,11 +274,14 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         aggs += [
             F.count(F.lit(1)).alias(f"_n_{c}"),
             F.sum(col.isNull().cast("long")).alias(f"_nn_{c}"),
-            F.count_distinct(col).alias(f"_nd_{c}"),
             F.min(col).cast("string").alias(f"_mn_{c}"),
             F.max(col).cast("string").alias(f"_mx_{c}"),
         ]
     one = df.agg(*aggs)
+    for c in cols:
+        one = one.crossJoin(
+            df.agg(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        )
     stack_args = ", ".join(
         f"'{c}', _n_{c}, _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
     )

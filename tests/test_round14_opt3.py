@@ -232,3 +232,4 @@ def test_persist_coef_roundtrip(spark, tmp_path):
     coef = {"alpha_ratio": 1.5, "_intercept": -0.25}
     CL._persist_coef(spark, coef, str(tmp_path / "qm"))
     assert CL.load_quality_model(spark, str(tmp_path / "qm")) == coef
+
