@@ -786,7 +786,9 @@ KMV_SALT = "kmv-v1:"
 _KMV_DOMAIN = float(1 << 60)  # h60 values are uniform on [0, 2^60)
 
 
-def _bottom_k(hashed: DataFrame, by: list[str], k: int) -> DataFrame:
+def _bottom_k(
+    hashed: DataFrame, by: list[str], k: int, extra: list[str] | None = None
+) -> DataFrame:
     """Exact per-group bottom-k of a distinct ``h`` column, two-level:
     bottom-k within 256 hash-derived sub-buckets of each group (256
     parallel spillable sorts), then bottom-k of the ≤ 256·k survivors.
@@ -794,7 +796,8 @@ def _bottom_k(hashed: DataFrame, by: list[str], k: int) -> DataFrame:
     smallest are each among their own bucket's k smallest — but no
     group (and in the global by=[] case, no single task) ever sorts
     more than its bucket's share. Same two-level discipline as the
-    PageRank hub fold (functions/graph.py)."""
+    PageRank hub fold (functions/graph.py). ``extra`` columns ride
+    through as payload (r14: the set-algebra membership flags)."""
     from pyspark.sql.window import Window
 
     bucket = F.shiftrightunsigned(F.col("h"), 52)  # top 8 of 60 bits
@@ -808,7 +811,7 @@ def _bottom_k(hashed: DataFrame, by: list[str], k: int) -> DataFrame:
     return (
         pruned.withColumn("pos", F.row_number().over(w2))
         .filter(F.col("pos") <= k)
-        .select(*by, "pos", "h")
+        .select(*by, "pos", "h", *(extra or []))
     )
 
 
@@ -887,6 +890,41 @@ def kmv_distinct(
     )
 
 
+def _flagged_union_bottom_k(
+    a: DataFrame, b: DataFrame, by: list[str], k: int
+) -> DataFrame:
+    """The k smallest of the distinct A ∪ B hash set, each row carrying
+    exact membership flags (_in_a, _in_b).
+
+    r14 (optimization guide §2.3 "aggregate before you shuffle" /
+    §2.4): the former combined-sketch shape built the union bottom-k
+    and then SEMI/ANTI-JOINED it back against each input sketch to
+    test membership — consuming each (often events-scan-derived)
+    sketch subtree two or three times and paying two join shuffles.
+    Tagging origin flags before the union and max-folding them in the
+    same aggregation that dedups the union gives the identical
+    distinct set and identical membership booleans (max over {0,1}
+    origin markers per (group, h) == "h present in that sketch") with
+    each input consumed exactly ONCE and no joins. Downstream counts /
+    estimator arithmetic are unchanged, so every output is
+    bit-identical."""
+    sa = a.select(
+        *by, "h", F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b")
+    )
+    sb = b.select(
+        *by, "h", F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b")
+    )
+    flagged = (
+        sa.unionByName(sb)
+        .groupBy(*by, "h")
+        .agg(
+            F.max("_in_a").alias("_in_a"),
+            F.max("_in_b").alias("_in_b"),
+        )
+    )
+    return _bottom_k(flagged, by, k, extra=["_in_a", "_in_b"])
+
+
 def kmv_intersect(
     a: DataFrame,
     b: DataFrame,
@@ -898,8 +936,9 @@ def kmv_intersect(
 
     Combined-sketch rule (DataSketches' a-priori Theta intersection):
     S = the k smallest of A ∪ B (from the sketches — no data rescan);
-    every member of S is checked for membership in BOTH input sketches
-    (exact integer semi-joins on h). With θ = kth smallest of the
+    every member of S carries exact membership flags for BOTH input
+    sketches (origin markers max-folded in the union dedup — r14, see
+    ``_flagged_union_bottom_k``). With θ = kth smallest of the
     union, ``match_frac = |S ∩ A ∩ B| / |S|`` estimates
     |A ∩ B| / |A ∪ B| (Jaccard), and ``inter_est = match_frac ·
     union_est``. All counts are exact integers; the two divisions are
@@ -909,26 +948,47 @@ def kmv_intersect(
     jaccard_est, inter_est).
     """
     by = list(by or [])
-    u = kmv_merge(a, b, by=by, k=k)
-    in_a = u.join(a.select(*by, "h"), on=[*by, "h"], how="left_semi")
-    in_both = in_a.join(b.select(*by, "h"), on=[*by, "h"], how="left_semi")
-    u_est = kmv_distinct(u, by=by, k=k).select(
-        *by,
-        F.col("n_vals").alias("union_n_vals"),
-        F.col("kth_h").alias("union_kth_h"),
-        F.col("est").alias("union_est"),
+    u = _flagged_union_bottom_k(a, b, by, k)
+    # single aggregation over the flagged bottom-k: the union estimate's
+    # inputs (count, kth hash — kmv_distinct's exact expressions) and
+    # the match count fold in ONE pass, so the union subtree has one
+    # consumer and the former u_est ⋈ m join disappears (r14). n_match
+    # as a conditional sum equals the former filtered count exactly
+    # (coalesce(missing-group, 0) == sum of zeros).
+    c_num = float(k - 1) * _KMV_DOMAIN
+    agg = u.groupBy(*by).agg(
+        F.count("*").cast("long").alias("union_n_vals"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("union_kth_h"),
+        F.sum(
+            F.when(
+                (F.col("_in_a") == 1) & (F.col("_in_b") == 1), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_match"),
     )
-    m = in_both.groupBy(*by).agg(F.count("*").cast("long").alias("n_match"))
-    joined = u_est.join(m, on=by, how="left") if by else u_est.crossJoin(m)
-    jac = F.coalesce(F.col("n_match"), F.lit(0)).cast("double") / F.col(
-        "union_n_vals"
-    ).cast("double")
-    return joined.select(
+    union_est = (
+        F.when(
+            F.col("union_n_vals") < k, F.col("union_n_vals").cast("double")
+        )
+        .otherwise(F.lit(c_num) / F.col("union_kth_h").cast("double"))
+        .alias("union_est")
+    )
+    jac = F.col("n_match").cast("double") / F.col("union_n_vals").cast(
+        "double"
+    )
+    return agg.select(
+        *by,
+        "union_n_vals",
+        "union_kth_h",
+        union_est,
+        "n_match",
+    ).select(
         *by,
         "union_n_vals",
         "union_kth_h",
         "union_est",
-        F.coalesce(F.col("n_match"), F.lit(0).cast("long")).alias("n_match"),
+        "n_match",
         jac.alias("jaccard_est"),
         (jac * F.col("union_est")).alias("inter_est"),
     )
@@ -945,8 +1005,8 @@ def kmv_difference(
     last week", answered from stored daily partials with no rescan.
 
     Same combined-sketch rule as `kmv_intersect`: S = the k smallest of
-    A ∪ B; members of S that are in A but NOT in B (exact integer
-    semi/anti joins on h) give ``diff_frac = |S ∩ (A \\ B)| / |S|``,
+    A ∪ B; members of S that are in A but NOT in B (exact membership
+    flags from the union dedup — r14) give ``diff_frac = |S ∩ (A \\ B)| / |S|``,
     and ``diff_est = diff_frac · union_est``. All counts exact
     integers; the two divisions are IEEE-exact on both engines.
 
@@ -954,26 +1014,44 @@ def kmv_difference(
     only_a_frac, diff_est).
     """
     by = list(by or [])
-    u = kmv_merge(a, b, by=by, k=k)
-    in_a = u.join(a.select(*by, "h"), on=[*by, "h"], how="left_semi")
-    only_a = in_a.join(b.select(*by, "h"), on=[*by, "h"], how="left_anti")
-    u_est = kmv_distinct(u, by=by, k=k).select(
-        *by,
-        F.col("n_vals").alias("union_n_vals"),
-        F.col("kth_h").alias("union_kth_h"),
-        F.col("est").alias("union_est"),
+    u = _flagged_union_bottom_k(a, b, by, k)
+    # single-pass fold, same shape as kmv_intersect (r14): union
+    # estimate inputs and the only-in-A count from one aggregation of
+    # the flagged bottom-k — no join-back.
+    c_num = float(k - 1) * _KMV_DOMAIN
+    agg = u.groupBy(*by).agg(
+        F.count("*").cast("long").alias("union_n_vals"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("union_kth_h"),
+        F.sum(
+            F.when(
+                (F.col("_in_a") == 1) & (F.col("_in_b") == 0), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_only_a"),
     )
-    m = only_a.groupBy(*by).agg(F.count("*").cast("long").alias("n_only_a"))
-    joined = u_est.join(m, on=by, how="left") if by else u_est.crossJoin(m)
-    frac = F.coalesce(F.col("n_only_a"), F.lit(0)).cast("double") / F.col(
-        "union_n_vals"
-    ).cast("double")
-    return joined.select(
+    union_est = (
+        F.when(
+            F.col("union_n_vals") < k, F.col("union_n_vals").cast("double")
+        )
+        .otherwise(F.lit(c_num) / F.col("union_kth_h").cast("double"))
+        .alias("union_est")
+    )
+    frac = F.col("n_only_a").cast("double") / F.col("union_n_vals").cast(
+        "double"
+    )
+    return agg.select(
+        *by,
+        "union_n_vals",
+        "union_kth_h",
+        union_est,
+        "n_only_a",
+    ).select(
         *by,
         "union_n_vals",
         "union_kth_h",
         "union_est",
-        F.coalesce(F.col("n_only_a"), F.lit(0).cast("long")).alias("n_only_a"),
+        "n_only_a",
         frac.alias("only_a_frac"),
         (frac * F.col("union_est")).alias("diff_est"),
     )
