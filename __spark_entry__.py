@@ -3205,9 +3205,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    both = co.unionByName(
-        co.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"), "c")
-    )
+    # r14: both directions via one explode — the former self-union
+    # evaluated the lineitem self-join + pair aggregation twice
+    # (identical row multiset; the top-8 window below has a total
+    # deterministic order, so row order was never observable)
+    both = co.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("sa").alias("sa"), F.col("sb").alias("sb"),
+                    F.col("c").alias("c"),
+                ),
+                F.struct(
+                    F.col("sb").alias("sa"), F.col("sa").alias("sb"),
+                    F.col("c").alias("c"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.sa", "_e.sb", "_e.c")
     wk = Window.partitionBy("sa").orderBy(F.col("c").desc(), F.col("sb").asc())
     knn = (
         both.withColumn("_rn", F.row_number().over(wk))

@@ -43,10 +43,21 @@ LAST_CC_ROUNDS = 0
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of a directed edge list: add each reverse edge
-    (one zero-shuffle union; dedup is the caller's business)."""
-    return edges.select(src, dst).unionByName(
-        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    (dedup is the caller's business).
+
+    r14 (optimization guide §2.4): emitted via ONE explode per input
+    row instead of a self-union — the union shape evaluates the whole
+    upstream edge derivation (often a fact-table join + distinct)
+    TWICE; the explode yields the identical row multiset from a single
+    evaluation. Still zero shuffles."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias(src), F.col(dst).alias(dst)),
+                F.struct(F.col(dst).alias(src), F.col(src).alias(dst)),
+            )
+        ).alias("_e")
+    ).select(F.col(f"_e.{src}").alias(src), F.col(f"_e.{dst}").alias(dst))
 
 
 def pagerank(
@@ -242,10 +253,13 @@ def connected_components(
     is one column ``id_col`` (isolated nodes label themselves).
     Output: (id_col, cluster).
     """
-    both = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).unionByName(
-        edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+    # r14: symmetrize via explode, not self-union — the union form
+    # evaluated the (often iterative-pair-derivation) edge subtree
+    # twice inside this one checkpoint job (see symmetrize()).
+    both = symmetrize(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
+        src="_src",
+        dst="_dst",
     )
     both = both.localCheckpoint(eager=True)
     labels = (

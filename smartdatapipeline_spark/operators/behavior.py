@@ -194,9 +194,23 @@ def cooccurrence_topk(
         .groupBy(F.col("a._item").alias("i"), F.col("b._item").alias("j"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    both = pairs.unionByName(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n_users")
-    )
+    # r14: both directions via one explode — the former self-union
+    # evaluated the capped self-join + pair count twice (identical row
+    # multiset; the top-k window below has a total deterministic order)
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("i"), F.col("j").alias("j"),
+                    F.col("n_users").alias("n_users"),
+                ),
+                F.struct(
+                    F.col("j").alias("i"), F.col("i").alias("j"),
+                    F.col("n_users").alias("n_users"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.i", "_e.j", "_e.n_users")
     wr = Window.partitionBy("i").orderBy(F.col("n_users").desc(), F.col("j").asc())
     return (
         both.withColumn("rank", F.row_number().over(wr))
