@@ -1217,7 +1217,18 @@ def hll_rollup(
     """
     if not dims:
         raise ValueError("hll_rollup: dims must be non-empty")
-    leaf = hll_partial(df, key_col, by=dims, p=p)
+    from smartdatapipeline_spark.cachetrack import track_cache
+
+    # r14 opt: every cascade level consumes its register frame TWICE
+    # (raw estimate + reaggregate to the next grain), so the lazy leaf
+    # lineage — the only part that scans data — was re-derived once per
+    # level (3 scans / 12 exchanges for two dims). The leaf table is
+    # bounded (≤ |dims-cartesian| × 2^p rows, volume-independent), so
+    # cache it and derive every grain from the materialized registers:
+    # 1 scan, each cascade fold a register-table-sized job. Ownership
+    # rides the returned frame (cachetrack; caller releases after the
+    # action).
+    leaf = hll_partial(df, key_col, by=dims, p=p).cache()
     out = None
     reg = leaf
     kept = list(dims)
@@ -1242,7 +1253,7 @@ def hll_rollup(
         folded = kept.pop()  # fold rightmost dim, like ROLLUP
         gid = gid * 2 + 1
         reg = hll_reaggregate(reg, drop=[folded], by=kept + [folded])
-    return out
+    return track_cache(out, leaf)
 
 
 # ── Dyadic-CMS quantile sketch — mergeable quantiles ─────────────────
