@@ -3194,10 +3194,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smartdatapipeline_spark.functions.graph import triangle_count
 
+    from smartdatapipeline_spark.cachetrack import track_cache
+
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # r14 opt (guide §2.4): ps feeds BOTH sides of the co-supply
+    # self-join — uncached, the lineitem scan + distinct ran twice.
+    # Bounded at |distinct (part, supplier)| rows; ownership rides the
+    # returned frame via cachetrack (the triangle_count pattern).
+    ps = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .cache()
+    )
     a = ps.alias("a")
     b = ps.alias("b")
     co = (
@@ -3229,7 +3237,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 8)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
     )
-    return triangle_count(knn)
+    return track_cache(triangle_count(knn), ps)
 
 
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

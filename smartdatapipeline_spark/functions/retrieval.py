@@ -77,32 +77,68 @@ def bm25_topk(
     to matching rows, not corpus rows). Corpus stats (N, avgdl) are
     computed over docs with ≥1 token.
     """
-    post = postings(docs, id_col, text_col)
-    dl = doc_lengths(post, id_col)
-    # scalar corpus stats, broadcast into every row
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # r14 opt (guide §2.4): ONE tokenize pass. The former plan derived
+    # the postings subtree three times (dl, the stats agg through dl,
+    # and the query-term hits) — per-doc term frequencies for the
+    # (few) query terms are instead columns of one doc-grain aggregate,
+    # so the corpus is exploded and shuffled exactly once. Scores are
+    # bit-identical: same integer stats (tf, dl, df, N), the same
+    # term-score expression per matching (doc, term), and the per-doc
+    # DECIMAL(38,12) sum is exact, so replacing the SUM aggregate with
+    # a fixed-order chain of decimal additions (terms with tf=0
+    # contribute an exact 0) cannot change a value. Pinned by
+    # tests/test_round14_opt4.py against the definitional shape.
+    terms = list(dict.fromkeys(query_terms))
+    toks = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    hits = post.filter(F.col("term").isin(list(query_terms)))
-    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if not terms:
+        return per_doc.filter(F.lit(False)).select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        )
+    # doc-grain and narrow (|docs| × (2+|terms|) ints) but consumed
+    # twice (stats + scoring) — cut the lineage so the corpus tokenize
+    # runs once
+    per_doc = per_doc.localCheckpoint()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
 
     n = F.col("n_docs").cast("double")
     avgdl = F.col("sum_dl").cast("double") / n
-    tf = F.col("tf").cast("double")
     dlen = F.col("dl").cast("double")
-    idf_r = (n - F.col("df").cast("double") + F.lit(0.5)) / (
-        F.col("df").cast("double") + F.lit(0.5)
-    ) + F.lit(1.0)
-    term_score = idf_r * (
-        tf * F.lit(k1 + 1.0)
-        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlen / avgdl))
-    )
-
+    per_term = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfc = F.col(f"_df{i}").cast("double")
+        idf_r = (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0)
+        term_score = idf_r * (
+            tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlen / avgdl))
+        )
+        # NULL (dropped by array_compact) when the doc lacks the term —
+        # the exploded multiset is exactly the former hits frame
+        per_term.append(
+            F.when(F.col(f"_tf{i}") > 0, term_score.cast("decimal(38,12)"))
+        )
     scored = (
-        hits.join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), term_score.cast("decimal(38,12)").alias("s"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_compact(F.array(*per_term))).alias("s"),
+        )
         .groupBy(id_col)
         .agg(F.sum("s").cast("double").alias("score"))
     )

@@ -277,71 +277,142 @@ def exact_quantile_two_pass(
 
 
 def values_at_ranks(df, col: str, ranks: list[int], n: int) -> list:
-    """Exact order statistics at several 1-based ranks of one column in
-    THREE bounded jobs total (vs 3-4 jobs per rank through repeated
-    ``exact_quantile_two_pass`` calls — the r11 bench showed the
-    9-probe RFM bounds path spending its time on job-count, not data):
+    """Exact order statistics at several 1-based ranks of one column —
+    see ``values_at_ranks_cols``, which this wraps (one column)."""
+    return values_at_ranks_cols(df, {col: ranks}, n)[col]
 
-    1. one GK sketch pass bracketing ALL ranks ([q−pad, q+pad] each;
-       pad > rank error, so every true rank-k element provably lies in
-       its bracket),
-    2. one aggregate counting rows strictly below every lower bracket,
-    3. one TakeOrdered per rank over its bracket slice (thousandths of
-       the data; same discipline as exact_quantile_two_pass, which this
-       generalizes — DuckDB quantile_disc convention, element at rank
-       max(1, ceil(q·n)))."""
+
+def values_at_ranks_cols(
+    df, ranks_by_col: dict[str, list[int]], n: int
+) -> dict[str, list]:
+    """Exact order statistics at several 1-based ranks of SEVERAL
+    columns of the same frame in 2 + #cols bounded jobs total (vs 3-4
+    jobs per rank through repeated ``exact_quantile_two_pass`` calls —
+    the r11 bench showed the 9-probe RFM bounds path spending its time
+    on job-count, not data; r14 additionally batched the per-rank
+    slice sorts into one ranking job per column and shared the bracket
+    jobs across columns):
+
+    1. one GK sketch pass bracketing ALL (col, rank) pairs
+       ([q−pad, q+pad] each; pad > rank error, so every true rank-k
+       element provably lies in its bracket),
+    2. one aggregate counting rows strictly below every lower bracket
+       (and each bracket slice's size),
+    3. per column, ONE ranking job over the union of its bracket
+       slices (each slice ≈ 2·pad·n rows — thousandths of the data, the
+       same bound the former per-rank TakeOrdered paid; a row landing
+       in overlapping brackets is exploded into each): row_number
+       within the slice ordered by value picks the (k − n_below)-th
+       smallest, whose VALUE is tie-independent. Kept per column so
+       each column's native type never passes through a lossy cast.
+
+    DuckDB quantile_disc convention throughout: element at rank
+    max(1, ceil(q·n)). Degenerate bracket misses fall back to a
+    per-rank TakeOrdered(k), as before."""
+    from pyspark.sql.window import Window
+
     accuracy = 10_000
     pad = max(4.0 / accuracy, 1e-4)
-    qs: list[tuple[float, float]] = []
-    for k in ranks:
-        q = (k - 0.5) / n
-        qs.append((max(0.0, q - pad), min(1.0, q + pad)))
-    flat = [x for pair in qs for x in pair]
-    brackets = df.agg(
-        F.percentile_approx(col, flat, accuracy).alias("b")
-    ).head()["b"]
-    lows = {i: brackets[2 * i] for i in range(len(ranks))}
-    highs = {i: brackets[2 * i + 1] for i in range(len(ranks))}
+    cols = list(ranks_by_col)
+    flat_by_col: dict[str, list[float]] = {}
+    for col in cols:
+        qs: list[float] = []
+        for k in ranks_by_col[col]:
+            q = (k - 0.5) / n
+            qs.extend((max(0.0, q - pad), min(1.0, q + pad)))
+        flat_by_col[col] = qs
+    bracket_row = df.agg(
+        *[
+            F.percentile_approx(col, flat_by_col[col], accuracy).alias(
+                f"_q_{ci}"
+            )
+            for ci, col in enumerate(cols)
+        ]
+    ).head()
+    lows: dict[tuple[str, int], object] = {}
+    highs: dict[tuple[str, int], object] = {}
+    for ci, col in enumerate(cols):
+        b = bracket_row[f"_q_{ci}"]
+        for i in range(len(ranks_by_col[col])):
+            lows[(col, i)] = b[2 * i]
+            highs[(col, i)] = b[2 * i + 1]
     below = df.agg(
         *[
-            F.sum((F.col(col) < F.lit(lows[i])).cast("long")).alias(f"_b{i}")
-            for i in range(len(ranks))
+            F.sum((F.col(col) < F.lit(lows[(col, i)])).cast("long")).alias(
+                f"_b_{ci}_{i}"
+            )
+            for ci, col in enumerate(cols)
+            for i in range(len(ranks_by_col[col]))
         ],
         *[
             F.sum(
                 (
-                    (F.col(col) >= F.lit(lows[i]))
-                    & (F.col(col) <= F.lit(highs[i]))
+                    (F.col(col) >= F.lit(lows[(col, i)]))
+                    & (F.col(col) <= F.lit(highs[(col, i)]))
                 ).cast("long")
-            ).alias(f"_s{i}")
-            for i in range(len(ranks))
+            ).alias(f"_s_{ci}_{i}")
+            for ci, col in enumerate(cols)
+            for i in range(len(ranks_by_col[col]))
         ],
     ).head()
-    out = []
-    for i, k in enumerate(ranks):
-        m = k - (below[f"_b{i}"] or 0)
-        slice_n = below[f"_s{i}"] or 0
-        sliced = df.filter(
-            (F.col(col) >= F.lit(lows[i])) & (F.col(col) <= F.lit(highs[i]))
-        )
-        row = None
-        if 0 < m <= slice_n:
-            row = (
-                sliced.orderBy(F.col(col).asc())
-                .limit(m)
-                .agg(F.max(col).alias("v"))
-                .head()
+    out: dict[str, list] = {}
+    for ci, col in enumerate(cols):
+        ranks = ranks_by_col[col]
+        ms: dict[int, int] = {}
+        for i, k in enumerate(ranks):
+            m = k - (below[f"_b_{ci}_{i}"] or 0)
+            slice_n = below[f"_s_{ci}_{i}"] or 0
+            if 0 < m <= slice_n:
+                ms[i] = m
+        found: dict[int, object] = {}
+        if ms:
+            # one job: every bracket's m-th smallest via row_number
+            # within the exploded slice membership
+            membership = F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            (F.col(col) >= F.lit(lows[(col, i)]))
+                            & (F.col(col) <= F.lit(highs[(col, i)])),
+                            F.lit(i),
+                        )
+                        for i in ms
+                    ]
+                )
             )
-        if row is None or row["v"] is None:
-            # bracket missed (degenerate ties): exact fallback,
-            # TakeOrdered(k) rather than a full sort
-            row = (
-                df.orderBy(F.col(col).asc())
-                .limit(k)
-                .agg(F.max(col).alias("v"))
-                .head()
+            sl = df.select(
+                F.col(col).alias("_v"), F.explode(membership).alias("_bid")
             )
-        out.append(row["v"])
+            target = None
+            for i, m in ms.items():
+                target = (
+                    F.when(F.col("_bid") == F.lit(i), F.lit(m))
+                    if target is None
+                    else target.when(F.col("_bid") == F.lit(i), F.lit(m))
+                )
+            w = Window.partitionBy("_bid").orderBy(F.col("_v").asc())
+            rows = (
+                sl.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == target)
+                .collect()
+            )
+            for r in rows:
+                found[r["_bid"]] = r["_v"]
+        vals = []
+        for i, k in enumerate(ranks):
+            v = found.get(i)
+            if v is None:
+                # bracket missed (degenerate ties): exact fallback,
+                # TakeOrdered(k) rather than a full sort
+                row = (
+                    df.orderBy(F.col(col).asc())
+                    .limit(k)
+                    .agg(F.max(col).alias("v"))
+                    .head()
+                )
+                v = row["v"]
+            vals.append(v)
+        out[col] = vals
     return out
 
 
@@ -409,10 +480,24 @@ def winsorized_stats(
     Output one row: (n, lo_bound, hi_bound, n_clipped_lo, n_clipped_hi,
     sum_raw, sum_winsorized, mean_winsorized).
     """
+    import math
+
     from smartdatapipeline_spark.functions.numeric import dsum
 
-    lo = exact_quantile_two_pass(df, value_col, p_lo)
-    hi = exact_quantile_two_pass(df, value_col, p_hi)
+    # r14 opt: ONE batched probe for both bounds (count + 3 bounded
+    # jobs) instead of two exact_quantile_two_pass calls (~5 jobs
+    # each, including a redundant second count) — identical order
+    # statistics by construction (same rank max(1, ceil(q·n)), same
+    # GK bracket + slice-rank discipline).
+    n_rows = df.count()
+    if n_rows == 0:
+        lo = hi = None
+    else:
+        ranks = [
+            max(1, int(math.ceil(p_lo * n_rows))),
+            max(1, int(math.ceil(p_hi * n_rows))),
+        ]
+        lo, hi = values_at_ranks(df, value_col, ranks, n_rows)
     v = F.col(value_col)
     clipped = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
     return df.agg(

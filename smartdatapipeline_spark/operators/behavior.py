@@ -182,6 +182,11 @@ def cooccurrence_topk(
         .agg(F.min("_ts").alias("_first"))
     )
     w = Window.partitionBy("_u").orderBy(F.col("_first").asc(), F.col("_item").asc())
+    # UNCACHED self-join input (r14, measured): the capped frame feeds
+    # both sides, but its two static subplans are identical, so AQE
+    # exchange reuse dedupes them at runtime — caching added a
+    # materialization barrier and probed SLOWER (2.00 → 2.45 s median
+    # at sf0.1; the funnel() lesson again).
     capped = (
         items.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_items_per_user)
@@ -798,14 +803,26 @@ def _rfm_scores_by_bounds(per: DataFrame, n_tiles: int, user_col: str) -> DataFr
                 .withColumn("m", F.lit(None).cast("int"))
             )
         ends = _ntile_boundary_ranks(n, n_tiles)
+        from smartdatapipeline_spark.functions.sketch import values_at_ranks_cols
+
+        # r14 opt: ONE batched probe for all 3 metrics' boundary order
+        # statistics (2 + 3 bounded jobs total) instead of three
+        # values_at_ranks calls (3×5 jobs) — the probe showed this
+        # query's time was job-count over the cached user-grain frame,
+        # not data. Same exact order statistics, same scoring exprs.
+        asc = {"recency_days": True, "frequency": False, "monetary": False}
+        bounds_by_col = values_at_ranks_cols(
+            per,
+            {
+                col: [e if a else n - e + 1 for e in ends]
+                for col, a in asc.items()
+            },
+            n,
+        )
 
         def score(col: str, ascending: bool):
-            from smartdatapipeline_spark.functions.sketch import values_at_ranks
-
-            ranks = [e if ascending else n - e + 1 for e in ends]
-            bounds = values_at_ranks(per, col, ranks, n)
             expr = F.lit(1)
-            for b in bounds:
+            for b in bounds_by_col[col]:
                 cmp = F.col(col) > F.lit(b) if ascending else F.col(col) < F.lit(b)
                 expr = expr + cmp.cast("int")
             return expr

@@ -1140,6 +1140,10 @@ def ols_trend(
         )
         .groupBy("metric", "_d")
         .agg(F.sum("_y").alias("_y"))
+        # day-grain frame consumed twice (first-day probe + xy) — cut
+        # the lineage so events scans once (r14 opt; the mann_kendall
+        # pattern)
+        .localCheckpoint()
     )
     first_day = daily.groupBy("metric").agg(F.min("_d").alias("_d0"))
     xy = daily.join(F.broadcast(first_day), "metric").select(
@@ -1305,6 +1309,10 @@ def theilsen_trend(
         )
         .groupBy("metric", "_d")
         .agg(F.sum("_y").cast("double").alias("_y"))
+        # day-grain frame is tiny (days × metrics) but consumed THREE
+        # times (pairs×2, n_days) — cut the lineage so events scans
+        # once, not three times (r14 opt; the mann_kendall pattern)
+        .localCheckpoint()
     )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = (
