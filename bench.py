@@ -364,7 +364,10 @@ def pipeline_e2e(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         ev = (
             read_events(spark, sf_dir)
-            .repartition(spark.sparkContext.defaultParallelism)
+            # hash, not round-robin (r14): keyless repartition pays a
+            # single-threaded local sort of the one-row-group scan;
+            # ts-hash spreads the dedup's map side sort-free
+            .repartition(spark.sparkContext.defaultParallelism, "ts")
             .select(
                 "ts",
                 F.col("event_type").alias("metric"),
