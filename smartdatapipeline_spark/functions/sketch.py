@@ -1302,18 +1302,14 @@ def hll_rollup(
     """
     if not dims:
         raise ValueError("hll_rollup: dims must be non-empty")
-    from smartdatapipeline_spark.cachetrack import track_cache
-
-    # r14 opt: every cascade level consumes its register frame TWICE
-    # (raw estimate + reaggregate to the next grain), so the lazy leaf
-    # lineage — the only part that scans data — was re-derived once per
-    # level (3 scans / 12 exchanges for two dims). The leaf table is
-    # bounded (≤ |dims-cartesian| × 2^p rows, volume-independent), so
-    # cache it and derive every grain from the materialized registers:
-    # 1 scan, each cascade fold a register-table-sized job. Ownership
-    # rides the returned frame (cachetrack; caller releases after the
-    # action).
-    leaf = hll_partial(df, key_col, by=dims, p=p).cache()
+    # UNCACHED leaf (r14, measured twice): caching the leaf register
+    # table looked right (each cascade level consumes its register
+    # frame twice) but a clean-window alternating A/B ran the cached
+    # shape consistently SLOWER (1.8-2.4 s vs 1.3-1.5 s warm at
+    # sf0.1) — the leaf is |dims-cartesian| × 2^p rows (~600k here,
+    # not small), and the materialization barrier + cache read beats
+    # recompute-with-AQE-reuse. Same funnel()/cooccurrence lesson.
+    leaf = hll_partial(df, key_col, by=dims, p=p)
     out = None
     reg = leaf
     kept = list(dims)
@@ -1338,7 +1334,7 @@ def hll_rollup(
         folded = kept.pop()  # fold rightmost dim, like ROLLUP
         gid = gid * 2 + 1
         reg = hll_reaggregate(reg, drop=[folded], by=kept + [folded])
-    return track_cache(out, leaf)
+    return out
 
 
 # ── Dyadic-CMS quantile sketch — mergeable quantiles ─────────────────

@@ -235,22 +235,18 @@ def test_persist_coef_roundtrip(spark, tmp_path):
 
 
 
-def test_hll_rollup_caches_leaf_with_ownership(spark):
-    # r14 opt: the leaf register table is cached (each cascade level
-    # consumes its register frame twice) and ownership must ride the
-    # returned frame so the caller can release after the action.
-    from smartdatapipeline_spark.cachetrack import release_plan_caches
+def test_hll_rollup_uncached_leaf(spark):
+    # r14 (measured twice, cache REVERTED): the leaf register table is
+    # |dims-cartesian| x 2^p rows — caching it probed slower than
+    # recompute-with-AQE-reuse, so the rollup must own no caches and
+    # still emit every grain.
     from smartdatapipeline_spark.functions.sketch import hll_rollup
 
     rows = [(f"u{i % 37}", f"m{i % 3}", i % 5) for i in range(400)]
     df = spark.createDataFrame(rows, "k string, metric string, day int")
     out = hll_rollup(df, "k", dims=["metric", "day"])
-    caches = getattr(out, "_sdp_caches", ())
-    assert len(caches) == 1
+    assert not getattr(out, "_sdp_caches", ())
     got = out.collect()
-    assert caches[0].is_cached
     # leaf + per-metric + grand total, every grain present
     gids = {r["gid"] for r in got}
     assert gids == {0, 1, 3}
-    release_plan_caches(out)
-    assert not caches[0].is_cached
