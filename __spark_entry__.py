@@ -47,10 +47,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cooccurrence, growth, per-user windows) reuse the layout instead
     of paying a second exchange — user A/B at sf0.1: scan 0.65→0.45 s,
     user-grain agg 0.85→0.40 s. user_id is high-cardinality and
-    near-uniform in this corpus; a production deployment with bot-user
-    skew would pick a salted key here."""
+    near-uniform in this corpus (key_skew_report: no single user near
+    the hot threshold), so the plain hash layout wins by measurement.
+
+    Skew insurance (r15; guide §2.5): a production deployment with a
+    bot user hot enough that ``skew.layout_salt(top1_share, N)`` fires
+    sets ``SPARK_GRAFT_EVENTS_SALT`` to that salt — the layout then
+    splits each user over up to ``salt`` partitions via a deterministic
+    ts-derived secondary hash key (``skew.salted_layout``), bounding
+    the largest task at ~top1_share/salt of the rows. Results are
+    unchanged either way (partitioning is not observable); user-grain
+    consumers pay one extra exchange, which is why the salt is opt-in
+    rather than always-on — pinned by
+    tests/test_round15_opt.py::test_salted_layout_bounds_hot_key."""
+    from smartdatapipeline_spark.functions.skew import salted_layout
+
     df = read_events(spark, sf_dir)
-    return df.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    salt = int(os.environ.get("SPARK_GRAFT_EVENTS_SALT", "0"))
+    return salted_layout(
+        df, spark.sparkContext.defaultParallelism, "user_id", salt, "ts"
+    )
 
 
 # ---------------------------------------------------------------- queries

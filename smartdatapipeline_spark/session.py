@@ -95,6 +95,67 @@ def stream_state_partitions(
     return max(1, min(cpus, derived))
 
 
+def loop_shuffle_partitions(
+    n_rows: int,
+    cpus: int | None = None,
+    target_rows: int = 262144,
+    floor: int = 1,
+) -> int:
+    """Shuffle-partition count for the BODY of an iterative DataFrame
+    loop (connected components, PageRank, BFS), derived from the
+    loop-invariant frame's row count instead of the session default.
+
+    Why (optimization guide §2 "make partitioning scale-adaptive"; r14
+    VERDICT next-round #1): each loop round pays (task schedule +
+    shuffle-file + checkpoint) × partitions as a FIXED cost, every
+    round. The streaming state stores had the identical diagnosis
+    (``stream_state_partitions``); batch loops inherited the session
+    default sized for one-shot batch work — canonical_docs measured
+    15.1 s on 32 cores vs 8.3 s on 8 (driver scaling ratio 0.55: MORE
+    cores made it SLOWER) because a ~271k-row edge frame was shuffled
+    into 32 partitions ~10 times per round.
+
+    The rule scales with data, not the local box: one partition per
+    ``target_rows`` loop-frame rows, capped at the core count. The
+    256k-row target is the measured local optimum (r15 pinned-value
+    sweep on canonical_docs / graph_pagerank / semantic_dedup: 4-8
+    partitions beat both 32 and 2 for 0.5-2M-row edge frames); at
+    production volumes the core-count cap governs long before the
+    target does.
+    A 10¹⁰-edge production graph derives to full cluster parallelism;
+    only the small-graph end stops paying for reducers it cannot feed.
+    ``SPARK_GRAFT_LOOP_PARTS`` pins the value outright (A/B probes,
+    cluster operators)."""
+    explicit = os.environ.get("SPARK_GRAFT_LOOP_PARTS")
+    if explicit:
+        return int(explicit)
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    derived = max(floor, (n_rows + target_rows - 1) // target_rows)
+    return max(1, min(cpus, derived))
+
+
+class loop_partitions:
+    """Context manager: set ``spark.sql.shuffle.partitions`` for an
+    iterative loop body and RESTORE the session default on exit (the
+    set/restore discipline bench.py uses for the streaming group).
+    Results are partitioning-independent for every loop in this repo
+    (min-label folds, sort_array ordered folds, distinct) — only task
+    counts change."""
+
+    def __init__(self, spark: SparkSession, n_rows: int):
+        self.spark = spark
+        self.parts = loop_shuffle_partitions(n_rows)
+
+    def __enter__(self) -> int:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self.parts
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def read_events(spark: SparkSession, sf_dir: str):
     """Read events.parquet, converting its TIMESTAMP(NANOS) column to a
     Spark microsecond timestamp via integer division (lossless w.r.t. the
